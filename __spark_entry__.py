@@ -1,38 +1,259 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the mention→candidate-map chain (kgdata
+D22–D24 analog) over the sf0.001 documents table.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB-checkable ANSI-SQL oracle. Numeric
+columns go through DECIMAL for exact, order-independent sums, then cast
+to DOUBLE so both engines hash identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, prec=18, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Mention harvest + top-k candidate map over documents (D22–D24)."""
+    docs = _t(spark, SF0001, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    freqs = words.groupBy("word").agg(
+        F.count("*").alias("global_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("global_freq"), F.asc("word"))
+    return freqs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 50)
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable (spark, sf_dir) -> DataFrame
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape: the reference's reduceByKey/fold statistics analog
+    # (#10/#28, class_count.py / entity_pagerank.py stats)
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-way join + agg (#12 inner join; broadcast dims)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left outer join + zero-fill (#13; class_count.py:13-51 zero-fill analog)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti join — subtract (#15, extended_rdd.py:680-685)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k per key with pinned tie-break (D23, mention_to_entities.py:61)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rk").alias("rk"))
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-keep-latest window (D29, html_articles.py:42-90)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_mention_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anchor-text harvest: global + doc frequency (D22, mention_to_articles.py:31-60)
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count("*").alias("global_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc top-3 tokens, deterministic tie-break (D23/D24)
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    cnt = words.groupBy("doc_id", "word").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("freq"), F.asc("word"))
+    return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+def q_exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup via content fingerprint (training-data dedup; #8/#23)
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text-analysis: token counts + distinct ratio per doc
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        (F.countDistinct("word").cast("double") / F.count("*")).alias("distinct_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_per_nation": q_revenue_per_nation,
+        "customer_order_counts": q_customer_order_counts,
+        "customers_without_orders": q_customers_without_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "latest_event_per_user": q_latest_event_per_user,
+        "mention_freqs": q_mention_freqs,
+        "candidate_topk": q_candidate_topk,
+        "exact_dup_docs": q_exact_dup_docs,
+        "doc_token_stats": q_doc_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    words = (
+        "SELECT doc_id, w.word FROM documents, "
+        "unnest(string_split_regex(text, '\\s+')) AS w(word) WHERE w.word <> ''"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_per_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+            FROM customer LEFT JOIN
+                 (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o.o_custkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders) t
+            WHERE rk <= 2
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events) t
+            WHERE rk = 1
+        """,
+        "mention_freqs": f"""
+            SELECT word, COUNT(*) AS global_freq, COUNT(DISTINCT doc_id) AS doc_freq
+            FROM ({words}) GROUP BY word
+        """,
+        "candidate_topk": f"""
+            SELECT doc_id, word, freq, rk FROM (
+                SELECT doc_id, word, COUNT(*) AS freq,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY COUNT(*) DESC, word ASC) AS rk
+                FROM ({words}) GROUP BY doc_id, word) t
+            WHERE rk <= 3
+        """,
+        "exact_dup_docs": """
+            SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc FROM (
+                SELECT md5(lower(trim(text))) AS fp, doc_id FROM documents) t
+            GROUP BY fp HAVING COUNT(*) > 1
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
+                   CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS distinct_ratio
+            FROM ({words}) GROUP BY doc_id
+        """,
+    }

@@ -1,0 +1,25 @@
+"""kgdata_spark — a from-scratch PySpark-native knowledge-graph construction engine.
+
+Re-expresses the capabilities of the reference (binh-vu/kgdata, an RDD/Rust
+batch dataflow library — see SURVEY.md) as an idiomatic DataFrame/Catalyst
+pipeline:
+
+    extract      — vectorized triple/mention extraction from source files
+                   (analog of kgdata's dump parsers, P2/P6/P9 in SURVEY.md §2.2)
+    link         — mention → entity candidate maps with top-k truncation and
+                   broadcast scoring (D22–D24)
+    canonicalize — redirect/alias fixpoint resolution + statement rewrite
+                   (D3/D4, entity_redirections.py / entities.py semantics)
+    materialize  — partitioned entity/edge/stats tables with per-stage
+                   lineage rows + commutative checksums (_SIGNATURE analog,
+                   extended_rdd.py:62-98,391-414)
+
+Everything is DataFrame-first: Catalyst handles pushdown/pruning/join
+selection; explicit code exists only for what Catalyst does not give us —
+hash-based skew salting, iterative fixpoint loops, lineage checkpointing,
+and Arrow-vectorized extraction UDFs.
+"""
+
+__version__ = "0.1.0"
+
+from kgdata_spark.session import get_spark  # noqa: F401

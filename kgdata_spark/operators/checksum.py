@@ -1,0 +1,56 @@
+"""Commutative dataset checksum + dataset diff.
+
+Analog of the reference's order-independent content hash (sha256 per record
+summed mod 2^256 — /root/reference/kgdata/spark/extended_rdd.py:391-414)
+and diff_rdd (common.py:602-640), re-expressed as Catalyst aggregates:
+per-row sha2 → fixed-width integer chunk → SUM (commutative, so the result
+is invariant under partitioning/order — the property the reference needs
+for resume validation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def row_digest(df: DataFrame, cols: list[str] | None = None):
+    """Canonical per-row sha256 over '\\x1f'-joined column string values.
+
+    Byte-stable across runs (SURVEY.md §7.3(d)): column order is pinned by
+    the caller-visible sort of names, nulls encode as empty string.
+    """
+    cols = cols or sorted(df.columns)
+    joined = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
+    return F.sha2(joined, 256)
+
+
+def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Order/partitioning-independent checksum of a DataFrame's content."""
+    digest = row_digest(df, cols)
+    # first 15 hex chars → 60-bit int; sum as decimal(38,0) is exact for
+    # up to ~10^19 rows — commutative like the reference's mod-2^256 sum.
+    chunk = F.conv(F.substring(digest, 1, 15), 16, 10).cast("decimal(38,0)")
+    row = df.select(chunk.alias("c")).agg(
+        F.sum("c").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+def diff_datasets(
+    left: DataFrame, right: DataFrame, limit: int = 100
+) -> DataFrame:
+    """Rows present in exactly one side (by content digest), ≤limit each —
+    diff_rdd semantics; used by the P/R harness."""
+    lc = sorted(left.columns)
+    l = left.select(row_digest(left, lc).alias("digest"), F.lit("left").alias("side"))
+    r = right.select(row_digest(right, lc).alias("digest"), F.lit("right").alias("side"))
+    only = (
+        l.unionByName(r)
+        .groupBy("digest")
+        .agg(F.collect_set("side").alias("sides"))
+        .where(F.size("sides") == 1)
+        .select("digest", F.element_at("sides", 1).alias("side"))
+        .limit(limit)
+    )
+    return only

@@ -1,0 +1,115 @@
+"""Iterative fixpoint operators: redirect-chain resolution & connected components.
+
+kgdata resolves multi-hop redirects with a driver-side dict loop
+(``while target in redirections: target = redirections[target]`` —
+/root/reference/kgdata/wikidata/datasets/entity_redirections.py:93-127 and
+triple_truthy_dump_derivatives.py:219-222). That caps out at driver memory;
+at 10^12-file scale the redirect/alias graph itself is distributed, so we
+use **pointer jumping** (path doubling): each iteration self-joins the map
+``old→cur`` with itself, replacing ``cur`` by its own target. Chain length
+halves every round → O(log max_chain) shuffles, each a plain equi-join that
+Catalyst runs as broadcast or sort-merge depending on size.
+
+Same technique powers connected components (hash-min label propagation) for
+alias canonicalization / union-find semantics (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirect_fixpoint(
+    redirects: DataFrame,
+    max_iters: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(old_id, new_id) pairs → (old_id, final_id) fixpoint map.
+
+    Self-redirects are dropped up front (entity_redirections.py:134 analog).
+    Cycles (a→b→a) cannot terminate at a unique target; after max_iters
+    rounds any key whose target is still itself a key is dropped, matching
+    the reference's "must have a single final target" validation
+    (entity_redirections.py:100-127).
+    """
+    m = redirects.where(F.col("old_id") != F.col("new_id")).select(
+        "old_id", F.col("new_id").alias("final_id")
+    ).distinct()
+
+    for it in range(max_iters):
+        nxt = m.select(
+            F.col("old_id").alias("f_old"), F.col("final_id").alias("f_final")
+        )
+        jumped = (
+            m.join(nxt, m.final_id == nxt.f_old, "left")
+            .select(
+                "old_id",
+                F.coalesce("f_final", "final_id").alias("final_id"),
+                F.col("f_final").isNotNull().alias("changed"),
+            )
+        )
+        # localCheckpoint truncates the exponentially growing plan lineage —
+        # without it iteration i re-runs all joins 0..i-1.
+        if checkpoint:
+            jumped = jumped.localCheckpoint(eager=True)
+        any_changed = jumped.where(F.col("changed")).limit(1).count() > 0
+        m = jumped.drop("changed")
+        if not any_changed:
+            break
+    else:
+        # Cycle remnants: final_id still present as a key ⇒ unresolved loop.
+        keys = m.select(F.col("old_id").alias("k"))
+        m = m.join(keys, m.final_id == keys.k, "left_anti")
+    return m
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Hash-min connected components → (node, component) with component =
+    lexicographic min node id of the component.
+
+    Distributed union-find via large-star label propagation: every node
+    repeatedly adopts the min label among itself and its neighbors.
+    Iterations = O(graph diameter); each round is one groupBy shuffle.
+    Used for alias-cluster canonicalization (north rule's "union-find
+    connected-components with iterative self-joins").
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        und.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+    )
+    for _ in range(max_iters):
+        # propagate: node's label = min(own, labels of neighbors)
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b2"), und.b == F.col("b2"))
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        diff = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if diff == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

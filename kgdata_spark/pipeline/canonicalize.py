@@ -1,0 +1,86 @@
+"""Stage 3 — canonicalize: redirect rewrite + unknown-reference pruning.
+
+Transplants kgdata's `entities (fixed)` semantics
+(/root/reference/kgdata/wikidata/datasets/entities.py:88-157):
+
+  (a) dangling ids   = referenced entity ids ∉ live entities   → left_anti
+  (b) unknown ids    = dangling ∉ redirect keys                → dropped
+  (c) redirected ids = dangling ∩ redirect keys                → rewritten
+                       to the redirect *fixpoint* target (D3,
+                       entity_redirections.py:93-127 → pointer jumping)
+  (d) redirect targets that are themselves unknown             → pruned
+                       (entity_redirections.py:143-178)
+
+All set algebra is expressed as joins so Catalyst picks broadcast vs
+shuffle per actual size (the redirect map is usually ≪ triples → broadcast
+hash join, the Spark-native form of the reference's broadcast-dict rewrite
+at entities.py:131-137).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.fixpoint import resolve_redirect_fixpoint
+
+
+def build_redirect_map(
+    redirects: DataFrame, entities: DataFrame, checkpoint: bool = True
+) -> DataFrame:
+    """(old_id → final_id) with final targets validated against live
+    entities; redirects ending nowhere are pruned."""
+    fix = resolve_redirect_fixpoint(redirects, checkpoint=checkpoint)
+    live = entities.select(F.col("entity").alias("final_id"))
+    return fix.join(live, "final_id", "left_semi")
+
+
+def rewrite_triples(
+    triples: DataFrame, redirect_map: DataFrame, entities: DataFrame
+) -> DataFrame:
+    """Rewrite entity-kind subj/obj through the redirect map, then drop any
+    triple still referencing an unknown entity. Literal objects pass
+    through untouched. Output is distinct (the rewrite can collapse
+    duplicates, mirroring the reference's merge of redirected statements)."""
+    rmap_obj = redirect_map.select(
+        F.col("old_id").alias("_obj_old"), F.col("final_id").alias("_obj_new")
+    )
+    rmap_subj = redirect_map.select(
+        F.col("old_id").alias("_subj_old"), F.col("final_id").alias("_subj_new")
+    )
+    live = entities.select(F.col("entity").alias("_live"))
+
+    t = (
+        triples.join(
+            F.broadcast(rmap_obj),
+            (F.col("obj_kind") == "entity") & (F.col("obj") == F.col("_obj_old")),
+            "left",
+        )
+        .withColumn("obj", F.coalesce("_obj_new", "obj"))
+        .drop("_obj_old", "_obj_new")
+    )
+    # subjects: file_ids (contain ':') are never entity ids; entity subjects
+    # are exactly those emitted by the linker (subclass triples).
+    t = (
+        t.join(
+            F.broadcast(rmap_subj),
+            (F.col("pred") == "subclass_of") & (F.col("subj") == F.col("_subj_old")),
+            "left",
+        )
+        .withColumn("subj", F.coalesce("_subj_new", "subj"))
+        .drop("_subj_old", "_subj_new")
+    )
+
+    # prune triples whose entity obj (or entity subj) is still unknown
+    t = t.join(
+        F.broadcast(live),
+        (F.col("obj_kind") == "entity") & (F.col("obj") == F.col("_live")),
+        "left",
+    ).where((F.col("obj_kind") != "entity") | F.col("_live").isNotNull()).drop("_live")
+    t = t.join(
+        F.broadcast(live),
+        (F.col("pred") == "subclass_of") & (F.col("subj") == F.col("_live")),
+        "left",
+    ).where((F.col("pred") != "subclass_of") | F.col("_live").isNotNull()).drop("_live")
+
+    return t.distinct()

@@ -1,0 +1,95 @@
+"""Stage 1 — extract: vectorized fact extraction from file content.
+
+Analog of kgdata's dump parsers (P2 ntriples regex parser, P6 HTML link
+extractor, SURVEY.md §2.2) re-expressed as pure Catalyst expressions:
+``regexp_extract_all`` + ``explode`` run JVM-side inside whole-stage
+codegen — no Python crossing at all on this stage (the input_hint's
+"no per-row Python" taken to its limit: not even a pandas UDF is needed
+for line-structured extraction).
+
+Emits:
+  - raw literal triples (imports / defines / calls) — final form already
+  - class-hierarchy pairs at *alias* level (both sides need linking)
+  - mention occurrences (alias strings) for the link stage
+Every row carries (repo, path, content_sha256) provenance — the per-row
+invariant the driver checks is sha256(content) equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMPORT_RE = r"import (\w+\.\w+)"
+DEF_RE = r"def (fn\d+)"
+CALL_RE = r"return (fn\d+)\(\)"
+CLASS_RE = r"class (\w+)\((\w+)\)"
+MENTION_RE = r"# uses (\w+)"
+
+
+def with_provenance(source: DataFrame) -> DataFrame:
+    """Attach file_id + content hash; starting point for every extractor."""
+    return source.select(
+        F.concat_ws(":", "repo", "path").alias("file_id"),
+        "repo",
+        "path",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def _explode_pattern(src: DataFrame, pattern: str, pred: str) -> DataFrame:
+    return src.select(
+        F.col("file_id").alias("subj"),
+        F.lit(pred).alias("pred"),
+        F.explode(F.regexp_extract_all("content", F.lit(pattern), F.lit(1))).alias("obj"),
+        F.lit("literal").alias("obj_kind"),
+        "repo",
+        "path",
+        "content_sha256",
+    )
+
+
+def literal_triples(source: DataFrame) -> DataFrame:
+    """(file, imports|defines|calls, literal) — no linking needed."""
+    src = with_provenance(source)
+    out = _explode_pattern(src, IMPORT_RE, "imports")
+    out = out.unionByName(_explode_pattern(src, DEF_RE, "defines"))
+    out = out.unionByName(_explode_pattern(src, CALL_RE, "calls"))
+    return out
+
+
+def class_pairs(source: DataFrame) -> DataFrame:
+    """(child_alias, parent_alias) per file — linked later into
+    (E_child, subclass_of, E_parent) triples."""
+    src = with_provenance(source)
+    return src.select(
+        F.regexp_extract("content", CLASS_RE, 1).alias("child_alias"),
+        F.regexp_extract("content", CLASS_RE, 2).alias("parent_alias"),
+        "repo",
+        "path",
+        "content_sha256",
+    ).where((F.col("child_alias") != "") & (F.col("parent_alias") != ""))
+
+
+def mentions(source: DataFrame) -> DataFrame:
+    """Mention occurrences with normalization (P9 norm_mentions analog:
+    lower/trim/collapse-whitespace, all built-ins —
+    /root/reference/kgdata/wikidata/datasets/norm_mentions.py:48-51)."""
+    src = with_provenance(source)
+    raw = src.select(
+        F.explode(F.regexp_extract_all("content", F.lit(MENTION_RE), F.lit(1))).alias("mention"),
+        F.col("file_id"),
+        "repo",
+        "path",
+        "content_sha256",
+    )
+    return raw.withColumn("norm_mention", norm_mention(F.col("mention")))
+
+
+def norm_mention(col):
+    """Canonicalization scalar fn — lower, NBSP→space, collapse ws, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, " ", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

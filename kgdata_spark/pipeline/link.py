@@ -1,0 +1,99 @@
+"""Stage 2 — link: mention → entity resolution via a broadcast candidate map.
+
+Mirrors kgdata's D22–D24 chain (mention_to_articles → mention_to_entities →
+norm_mentions, /root/reference/kgdata/wikidata/datasets/mention_to_entities.py:30-68):
+
+  1. build a candidate map (norm_alias → top-K entities by prior desc),
+     truncated per mention like the reference's top-2048 sort
+     (mention_to_entities.py:61) but with a PINNED total order
+     (prior desc, entity asc) for determinism — SURVEY.md §7.3(c);
+  2. broadcast it (the map is ≪ corpus — operator #22,
+     left_outer_join_broadcast, common.py:393-449) and resolve each
+     mention to its best candidate.
+
+Unresolved mentions (no alias entry) drop out here; *resolved-but-unknown*
+entity ids survive to canonicalize, which decides redirect-vs-drop — same
+split of responsibilities as kgdata's entities fix pass vs linker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgdata_spark.pipeline.extract import norm_mention
+
+TOP_K_CANDIDATES = 2048  # mention_to_entities.py:61
+
+
+def candidate_map(aliases: DataFrame, top_k: int = TOP_K_CANDIDATES) -> DataFrame:
+    """(norm_alias, entity, prior, rank) — rank 1 = best candidate.
+
+    Window top-k per key replaces the reference's groupByKey + driver-side
+    sorted truncation; Catalyst turns it into a single shuffle with
+    partial sort.
+    """
+    normed = aliases.select(
+        norm_mention(F.col("alias")).alias("norm_alias"),
+        "entity",
+        "prior",
+    ).groupBy("norm_alias", "entity").agg(F.max("prior").alias("prior"))
+    w = Window.partitionBy("norm_alias").orderBy(F.desc("prior"), F.asc("entity"))
+    return (
+        normed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def resolve_mentions(mention_df: DataFrame, cand: DataFrame) -> DataFrame:
+    """mention rows → (subj=file_id, pred=mentions, obj=entity) triples.
+
+    Inner-joins against the rank-1 candidate; broadcast because the
+    candidate map is bounded by the alias vocabulary, not the corpus.
+    """
+    best = cand.where(F.col("rank") == 1).select(
+        "norm_alias", F.col("entity").alias("obj")
+    )
+    return (
+        mention_df.join(F.broadcast(best), mention_df.norm_mention == best.norm_alias, "inner")
+        .select(
+            F.col("file_id").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            "obj",
+            F.lit("entity").alias("obj_kind"),
+            "repo",
+            "path",
+            "content_sha256",
+        )
+    )
+
+
+def resolve_class_pairs(pairs: DataFrame, cand: DataFrame) -> DataFrame:
+    """(child_alias, parent_alias) → (E_child, subclass_of, E_parent)."""
+    best = cand.where(F.col("rank") == 1).select("norm_alias", "entity")
+    child = best.select(
+        F.col("norm_alias").alias("child_norm"), F.col("entity").alias("subj")
+    )
+    parent = best.select(
+        F.col("norm_alias").alias("parent_norm"), F.col("entity").alias("obj")
+    )
+    normed = pairs.select(
+        norm_mention(F.col("child_alias")).alias("child_norm"),
+        norm_mention(F.col("parent_alias")).alias("parent_norm"),
+        "repo",
+        "path",
+        "content_sha256",
+    )
+    return (
+        normed.join(F.broadcast(child), "child_norm", "inner")
+        .join(F.broadcast(parent), "parent_norm", "inner")
+        .select(
+            "subj",
+            F.lit("subclass_of").alias("pred"),
+            "obj",
+            F.lit("entity").alias("obj_kind"),
+            "repo",
+            "path",
+            "content_sha256",
+        )
+    )

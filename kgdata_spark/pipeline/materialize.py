@@ -1,0 +1,102 @@
+"""Stage 4 — materialize: partitioned output tables + lineage + resume.
+
+Replaces kgdata's `save_like_dataset` + `_SUCCESS`/`_SIGNATURE` protocol
+(/root/reference/kgdata/spark/extended_rdd.py:231-389, dataset.py:367-428)
+with:
+
+  - parquet tables range-partitioned on (repo, path) — the north rule's
+    repartitionByRange — so file-level locality survives into the layout
+    (on a cluster this becomes an Iceberg `writeTo(...).createOrReplace()`;
+    parquet is the sandbox stand-in, same commit semantics via _MANIFEST);
+  - a lineage table: one row per output partition with row_count + a
+    commutative content hash (per-partition lineage rows, north rule);
+  - a _MANIFEST.json carrying the dataset checksum + dependency checksums,
+    giving `has_complete_data`-style skip-if-valid resume
+    (dataset.py:367-428 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.checksum import dataset_checksum, row_digest
+
+MANIFEST = "_MANIFEST.json"
+
+
+def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage rows: (stage, partition_id, row_count, hash)."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_digest", row_digest(df))
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.sum(F.conv(F.substring("_digest", 1, 15), 16, 10).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("content_hash"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").cast("int").alias("partition_id"),
+            "row_count",
+            "content_hash",
+        )
+    )
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    range_cols: list[str] | None = None,
+    deps: dict[str, str] | None = None,
+) -> str:
+    """Write df as a checkpointed stage dataset; returns its checksum."""
+    data_dir = os.path.join(out_dir, stage)
+    out = df
+    if range_cols:
+        out = out.repartitionByRange(*range_cols)
+    out.write.mode("overwrite").parquet(data_dir)
+
+    written = df.sparkSession.read.parquet(data_dir)
+    checksum = dataset_checksum(written)
+    lineage = partition_lineage(written, stage)
+    lineage.write.mode("overwrite").parquet(os.path.join(out_dir, stage + "_lineage"))
+    with open(os.path.join(data_dir, MANIFEST), "w") as f:
+        json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
+    return checksum
+
+
+def has_complete_data(out_dir: str, stage: str, deps: dict[str, str] | None = None) -> bool:
+    """Skip-if-valid probe: manifest exists and dependency checksums match
+    (dataset.py:367-428 semantics)."""
+    path = os.path.join(out_dir, stage, MANIFEST)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        manifest = json.load(f)
+    return manifest.get("deps", {}) == (deps or {})
+
+
+def run_stage(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str,
+    build: Callable[[], DataFrame],
+    range_cols: list[str] | None = None,
+    deps: dict[str, str] | None = None,
+) -> tuple[DataFrame, str]:
+    """Resumable stage runner: reuse on valid manifest, else rebuild."""
+    data_dir = os.path.join(out_dir, stage)
+    if has_complete_data(out_dir, stage, deps):
+        with open(os.path.join(data_dir, MANIFEST)) as f:
+            checksum = json.load(f)["checksum"]
+        return spark.read.parquet(data_dir), checksum
+    checksum = write_stage(build(), out_dir, stage, range_cols, deps)
+    return spark.read.parquet(data_dir), checksum

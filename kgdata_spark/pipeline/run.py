@@ -1,0 +1,101 @@
+"""End-to-end pipeline driver: extract → link → canonicalize → materialize.
+
+The DAG shape mirrors kgdata's build order (scripts/build.sh:60-116 →
+SURVEY.md §2.3) collapsed into four checkpointed DataFrame stages. Each
+stage ends in a parquet/Iceberg write + lineage rows and is skipped on
+resume if its dependency checksums match (materialize.run_stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgdata_spark.pipeline import canonicalize, extract, link
+from kgdata_spark.pipeline.materialize import run_stage
+
+
+def build_triples(
+    source: DataFrame,
+    aliases: DataFrame,
+    redirects: DataFrame,
+    entities: DataFrame,
+    checkpoint_fixpoint: bool = True,
+) -> DataFrame:
+    """Pure (un-materialized) pipeline: the full logical plan for Catalyst."""
+    cand = link.candidate_map(aliases)
+    raw = extract.literal_triples(source)
+    m = link.resolve_mentions(extract.mentions(source), cand)
+    cls = link.resolve_class_pairs(extract.class_pairs(source), cand)
+    triples = raw.unionByName(m).unionByName(cls)
+    rmap = canonicalize.build_redirect_map(redirects, entities, checkpoint=checkpoint_fixpoint)
+    return canonicalize.rewrite_triples(triples, rmap, entities)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    aliases: DataFrame,
+    redirects: DataFrame,
+    entities: DataFrame,
+    out_dir: str,
+) -> dict[str, str]:
+    """Materialized, resumable run. Returns stage → checksum."""
+    sums: dict[str, str] = {}
+
+    _, sums["mentions"] = run_stage(
+        spark, out_dir, "mentions", lambda: extract.mentions(source)
+    )
+    _, sums["candidate_map"] = run_stage(
+        spark,
+        out_dir,
+        "candidate_map",
+        lambda: link.candidate_map(aliases),
+        deps={},
+    )
+    triples_df, sums["triples"] = run_stage(
+        spark,
+        out_dir,
+        "triples",
+        lambda: build_triples(source, aliases, redirects, entities),
+        range_cols=["repo", "path"],
+        deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
+    )
+    # graph side-products: edges + degrees (D16/D20 analogs)
+    _, sums["edges"] = run_stage(
+        spark,
+        out_dir,
+        "edges",
+        lambda: triples_df.where(F.col("obj_kind") == "entity")
+        .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.count("*").alias("weight")),
+        deps={"triples": sums["triples"]},
+    )
+    _, sums["entity_degrees"] = run_stage(
+        spark,
+        out_dir,
+        "entity_degrees",
+        lambda: entity_degrees(triples_df),
+        deps={"triples": sums["triples"]},
+    )
+    return sums
+
+
+def entity_degrees(triples: DataFrame) -> DataFrame:
+    """In/out degree per entity (D16, entity_degrees.py:19-77): outdegree =
+    triples whose subj is the entity; indegree = entity-kind objects."""
+    ent = triples.where(F.col("obj_kind") == "entity")
+    out_d = ent.groupBy(F.col("subj").alias("entity")).agg(
+        F.count("*").alias("outdegree")
+    )
+    in_d = ent.groupBy(F.col("obj").alias("entity")).agg(
+        F.count("*").alias("indegree")
+    )
+    return (
+        out_d.join(in_d, "entity", "full")
+        .select(
+            "entity",
+            F.coalesce("outdegree", F.lit(0)).alias("outdegree"),
+            F.coalesce("indegree", F.lit(0)).alias("indegree"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Core table schemas.
+
+The reference keeps schema implicit in deserialize callables
+(/root/reference/kgdata/dataset.py:44-60 — "schema is whatever deserialize
+produces"). We instead pin explicit StructTypes so Catalyst can prune and
+push down; the nested kgdata record types (SURVEY.md §1.2) normalize into
+these flat tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Primary input (BASELINE.json input_hint): a table of source-code files.
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+# The core fact table — analog of kgdata's Triple
+# (/root/reference/kgdata/misc/ntriples_parser.py:226-232) flattened for
+# columnar storage. obj_kind distinguishes entity refs (rewritable by
+# canonicalize) from literals (never rewritten).
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("obj_kind", T.StringType(), False),  # 'entity' | 'literal'
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+    ]
+)
+
+# Mention occurrences harvested by extract — analog of the anchor-text rows
+# feeding mention_to_articles (D22).
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("mention", T.StringType(), False),
+        T.StructField("norm_mention", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+    ]
+)
+
+# Entity table — flattened WDEntity analog (wdentity.py:11-25): label map
+# becomes (entity, label); aliases become rows in ALIAS_SCHEMA.
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+ALIAS_SCHEMA = T.StructType(
+    [
+        T.StructField("alias", T.StringType(), False),
+        T.StructField("entity", T.StringType(), False),
+    ]
+)
+
+# (old → new) redirect pairs, pre-fixpoint — entity_redirections.py input.
+REDIRECT_SCHEMA = T.StructType(
+    [
+        T.StructField("old_id", T.StringType(), False),
+        T.StructField("new_id", T.StringType(), False),
+    ]
+)
+
+# Edge table for graph stats / pagerank — Edge[K] analog
+# (entity_pagerank.py:26-44).
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("weight", T.LongType(), False),
+    ]
+)
+
+# Per-stage lineage rows — replaces the reference's _SIGNATURE files
+# (extended_rdd.py:62-98): one row per output partition with a commutative
+# content hash, enabling skip-if-valid resume (dataset.py:367-428).
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+    ]
+)

@@ -1,0 +1,148 @@
+"""Deterministic synthetic source-code repository corpus.
+
+BASELINE.json input_hint: the pipeline's input is a table
+(repo, path, commit, lang, content). No such table ships with the sandbox,
+so we synthesize one *entirely columnar-side* (spark.range + arithmetic on
+id — no driver loops, no random module) so the same generator scales from
+1k rows in tests to billions on a cluster. Determinism matters because the
+pytest oracle (tests/oracle.py) re-derives the exact same corpus with plain
+Python and the pipeline output is compared at P/R + per-row sha256.
+
+The embedded "facts" mirror the three entity-reference situations kgdata's
+fix pass handles (/root/reference/kgdata/wikidata/datasets/entities.py:28-34):
+  - valid references     (alias → live entity E*)
+  - redirected references (alias Old* → old id X*, multi-hop via Y*,
+    resolved by the canonicalize fixpoint like entity_redirections.py:93-127)
+  - dangling references  (alias Ghost* → unknown id G*, dropped)
+
+Skew: ~30% of files live in one mega-repo ("org0/mega") to exercise the
+salted-join path (common.py:205-304 analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def n_entities_for(n_files: int) -> int:
+    return max(50, n_files // 20)
+
+
+def _fmt(template: str, *cols: Column) -> Column:
+    return F.format_string(template, *cols)
+
+
+def source_files(spark: SparkSession, n_files: int) -> DataFrame:
+    """The (repo, path, commit, lang, content) corpus, derived from row id."""
+    n_ent = n_entities_for(n_files)
+    df = spark.range(n_files).withColumnRenamed("id", "i")
+    i = F.col("i")
+
+    repo = F.when(i % 10 < 3, F.lit("org0/mega")).otherwise(
+        _fmt("org%d/repo%d", (i % 7) + 1, i % 111)
+    )
+    path = _fmt("src/dir%d/file_%d.py", (i / 101).cast("long") % 23, i)
+
+    a = (i * 7 + 3) % 97
+    b = (i * 13 + 1) % 53
+    x = (i * 3 + 1) % n_ent
+    y = (i * 5 + 2) % n_ent
+    c = (i * 5 + 2) % 211
+    d = (i * 9 + 4) % 211
+    a2 = (i * 11 + 5) % n_ent
+    m2 = (i * 17 + 7) % n_ent
+    sh = (i * 19 + 3) % n_ent
+
+    # alias1 cycles through the five reference situations
+    alias1 = (
+        F.when(i % 5 == 0, _fmt("Ent_%d", a2))
+        .when(i % 5 == 1, _fmt("Old%d", a2))
+        .when(i % 5 == 2, _fmt("Ghost%d", a2))
+        .otherwise(_fmt("Entity%d", a2))
+    )
+    shared_line = F.when(i % 7 == 0, _fmt("\n# uses Shared%d", sh)).otherwise(F.lit(""))
+
+    content = F.concat(
+        _fmt("import lib%d.mod%d\n", a, b),
+        _fmt("class Cls_%d(Cls_%d):\n", x, y),
+        _fmt("    def fn%d(self):\n", c),
+        _fmt("        return fn%d()\n", d),
+        _fmt("# uses %s\n", alias1),
+        _fmt("# uses Entity%d", m2),
+        shared_line,
+    )
+
+    lang = F.element_at(
+        F.array(F.lit("python"), F.lit("rust"), F.lit("md"), F.lit("toml")),
+        (i % 4 + 1).cast("int"),
+    )
+    commit = F.substring(F.sha2(F.concat(repo, F.lit("/"), path), 256), 1, 40)
+
+    return df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def entities(spark: SparkSession, n_ent: int) -> DataFrame:
+    """Live entity catalog E0..E{n-1} (entity_ids analog, D1)."""
+    j = F.col("id")
+    return spark.range(n_ent).select(
+        _fmt("E%d", j).alias("entity"),
+        _fmt("Entity %d", j).alias("label"),
+        F.when(j % 3 == 0, F.lit("class")).otherwise(F.lit("item")).alias("kind"),
+    )
+
+
+def aliases(spark: SparkSession, n_ent: int) -> DataFrame:
+    """Alias → entity-id candidate rows with a deterministic prior weight.
+
+    Includes old ids (X*) and unknown ids (G*) as targets so the pipeline —
+    not the generator — has to resolve/drop them. Shared* aliases are
+    ambiguous (2 candidates, distinct priors) to exercise the top-k
+    candidate map (mention_to_entities.py:30-68 analog).
+    """
+    j = F.col("id")
+    base = spark.range(n_ent)
+    parts = [
+        base.select(_fmt("Entity%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(3).alias("prior")),
+        base.select(_fmt("Ent_%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(2).alias("prior")),
+        base.select(_fmt("Cls_%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(3).alias("prior")),
+        base.select(_fmt("Old%d", j).alias("alias"), _fmt("X%d", j).alias("entity"), F.lit(2).alias("prior")),
+        base.select(_fmt("Ghost%d", j).alias("alias"), _fmt("G%d", j).alias("entity"), F.lit(1).alias("prior")),
+        base.select(_fmt("Shared%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(2).alias("prior")),
+        base.select(
+            _fmt("Shared%d", j).alias("alias"),
+            _fmt("E%d", (j + 1) % n_ent).alias("entity"),
+            F.lit(1).alias("prior"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def redirects(spark: SparkSession, n_ent: int) -> DataFrame:
+    """(old_id, new_id) pairs, pre-fixpoint, with kgdata's edge cases:
+    2-hop chains (X→Y→E), self-redirects (dropped,
+    entity_redirections.py:134), and redirects to nonexistent targets
+    (pruned, entity_redirections.py:143-178)."""
+    j = F.col("id")
+    base = spark.range(n_ent)
+    two_hop = base.where(j % 3 == 0)
+    parts = [
+        two_hop.select(_fmt("X%d", j).alias("old_id"), _fmt("Y%d", j).alias("new_id")),
+        two_hop.select(_fmt("Y%d", j).alias("old_id"), _fmt("E%d", j).alias("new_id")),
+        base.where(j % 3 != 0).select(_fmt("X%d", j).alias("old_id"), _fmt("E%d", j).alias("new_id")),
+        base.where(j % 17 == 0).select(_fmt("S%d", j).alias("old_id"), _fmt("S%d", j).alias("new_id")),
+        base.where(j % 13 == 0).select(_fmt("B%d", j).alias("old_id"), _fmt("NoSuch%d", j).alias("new_id")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,144 @@
+"""Pure-Python oracle for the synthetic KG pipeline.
+
+Independently re-derives the corpus of kgdata_spark.sources.synthetic and
+the reference semantics of extract→link→canonicalize (driver-rule oracle:
+"pure-Python reimplementation of D3/D4-style fix rules on small data",
+SURVEY.md §5). Deliberately written with dicts/regex — zero Spark — so a
+bug in the engine can't cancel out in the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+
+def norm(s: str) -> str:
+    s = s.lower().replace(" ", " ")
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+def n_entities_for(n_files: int) -> int:
+    return max(50, n_files // 20)
+
+
+def gen_file(i: int, n_ent: int) -> dict:
+    repo = "org0/mega" if i % 10 < 3 else f"org{i % 7 + 1}/repo{i % 111}"
+    path = f"src/dir{(i // 101) % 23}/file_{i}.py"
+    a, b = (i * 7 + 3) % 97, (i * 13 + 1) % 53
+    x, y = (i * 3 + 1) % n_ent, (i * 5 + 2) % n_ent
+    c, d = (i * 5 + 2) % 211, (i * 9 + 4) % 211
+    a2, m2, sh = (i * 11 + 5) % n_ent, (i * 17 + 7) % n_ent, (i * 19 + 3) % n_ent
+    if i % 5 == 0:
+        alias1 = f"Ent_{a2}"
+    elif i % 5 == 1:
+        alias1 = f"Old{a2}"
+    elif i % 5 == 2:
+        alias1 = f"Ghost{a2}"
+    else:
+        alias1 = f"Entity{a2}"
+    content = (
+        f"import lib{a}.mod{b}\n"
+        f"class Cls_{x}(Cls_{y}):\n"
+        f"    def fn{c}(self):\n"
+        f"        return fn{d}()\n"
+        f"# uses {alias1}\n"
+        f"# uses Entity{m2}"
+    )
+    if i % 7 == 0:
+        content += f"\n# uses Shared{sh}"
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40],
+        "lang": ["python", "rust", "md", "toml"][i % 4],
+        "content": content,
+    }
+
+
+def alias_catalog(n_ent: int) -> dict[str, list[tuple[str, int]]]:
+    cat: dict[str, list[tuple[str, int]]] = {}
+
+    def add(alias: str, entity: str, prior: int) -> None:
+        cat.setdefault(norm(alias), []).append((entity, prior))
+
+    for j in range(n_ent):
+        add(f"Entity{j}", f"E{j}", 3)
+        add(f"Ent_{j}", f"E{j}", 2)
+        add(f"Cls_{j}", f"E{j}", 3)
+        add(f"Old{j}", f"X{j}", 2)
+        add(f"Ghost{j}", f"G{j}", 1)
+        add(f"Shared{j}", f"E{j}", 2)
+        add(f"Shared{j}", f"E{(j + 1) % n_ent}", 1)
+    return cat
+
+
+def best_candidate(cat: dict[str, list[tuple[str, int]]], alias: str) -> str | None:
+    cands = cat.get(norm(alias))
+    if not cands:
+        return None
+    return sorted(cands, key=lambda t: (-t[1], t[0]))[0][0]
+
+
+def redirect_fixpoint(n_ent: int) -> dict[str, str]:
+    raw: dict[str, str] = {}
+    for j in range(n_ent):
+        if j % 3 == 0:
+            raw[f"X{j}"] = f"Y{j}"
+            raw[f"Y{j}"] = f"E{j}"
+        else:
+            raw[f"X{j}"] = f"E{j}"
+        # self-redirect S→S dropped on read; B→NoSuch pruned below
+        if j % 13 == 0:
+            raw[f"B{j}"] = f"NoSuch{j}"
+    live = {f"E{j}" for j in range(n_ent)}
+    out = {}
+    for old in raw:
+        cur, hops = old, 0
+        while cur in raw and hops < 50:
+            cur = raw[cur]
+            hops += 1
+        if cur in live:
+            out[old] = cur
+    return out
+
+
+def expected_triples(n_files: int) -> set[tuple[str, str, str, str, str]]:
+    """Set of (subj, pred, obj, obj_kind, content_sha256)."""
+    n_ent = n_entities_for(n_files)
+    cat = alias_catalog(n_ent)
+    rmap = redirect_fixpoint(n_ent)
+    live = {f"E{j}" for j in range(n_ent)}
+    out: set[tuple[str, str, str, str, str]] = set()
+
+    def canon(eid: str) -> str | None:
+        eid = rmap.get(eid, eid)
+        return eid if eid in live else None
+
+    for i in range(n_files):
+        f = gen_file(i, n_ent)
+        fid = f"{f['repo']}:{f['path']}"
+        sha = hashlib.sha256(f["content"].encode()).hexdigest()
+        c = f["content"]
+        for lib in re.findall(r"import (\w+\.\w+)", c):
+            out.add((fid, "imports", lib, "literal", sha))
+        for fn in re.findall(r"def (fn\d+)", c):
+            out.add((fid, "defines", fn, "literal", sha))
+        for fn in re.findall(r"return (fn\d+)\(\)", c):
+            out.add((fid, "calls", fn, "literal", sha))
+        m = re.search(r"class (\w+)\((\w+)\)", c)
+        if m:
+            child = best_candidate(cat, m.group(1))
+            parent = best_candidate(cat, m.group(2))
+            if child and parent:
+                child, parent = canon(child), canon(parent)
+                if child and parent:
+                    out.add((child, "subclass_of", parent, "entity", sha))
+        for alias in re.findall(r"# uses (\w+)", c):
+            ent = best_candidate(cat, alias)
+            if ent:
+                ent = canon(ent)
+                if ent:
+                    out.add((fid, "mentions", ent, "entity", sha))
+    return out

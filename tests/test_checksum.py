@@ -1,0 +1,26 @@
+"""Commutative checksum invariance (extended_rdd.py:391-414 analog)."""
+
+from __future__ import annotations
+
+from kgdata_spark.operators.checksum import dataset_checksum, diff_datasets
+
+
+def test_checksum_invariant_under_partitioning(spark):
+    df = spark.range(1000).selectExpr("id", "id * 7 as v")
+    c1 = dataset_checksum(df)
+    c2 = dataset_checksum(df.repartition(17))
+    c3 = dataset_checksum(df.orderBy(df.v.desc()))
+    assert c1 == c2 == c3
+
+
+def test_checksum_detects_single_row_change(spark):
+    a = spark.range(100).selectExpr("id", "id * 7 as v")
+    b = spark.range(100).selectExpr("id", "if(id = 50, 999, id * 7) as v")
+    assert dataset_checksum(a) != dataset_checksum(b)
+    d = diff_datasets(a, b).collect()
+    assert len(d) == 2  # one row on each side
+
+
+def test_diff_empty_for_identical(spark):
+    a = spark.range(50).selectExpr("id", "id % 3 as v")
+    assert diff_datasets(a, a.repartition(5)).count() == 0

@@ -1,0 +1,29 @@
+"""Redirect fixpoint + connected components golden tests (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+from kgdata_spark.operators.fixpoint import connected_components, resolve_redirect_fixpoint
+
+
+def test_redirect_chain_diamond_self_dangling(spark):
+    # 3-hop chain a→b→c→final; diamond d1/d2→e→final2; self s→s;
+    # cycle x→y→x (must be dropped, not loop forever)
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "final"),
+        ("d1", "e"), ("d2", "e"), ("e", "final2"),
+        ("s", "s"),
+        ("x", "y"), ("y", "x"),
+    ]
+    df = spark.createDataFrame(pairs, ["old_id", "new_id"])
+    got = {r.old_id: r.final_id for r in resolve_redirect_fixpoint(df, max_iters=6, checkpoint=False).collect()}
+    assert got == {
+        "a": "final", "b": "final", "c": "final",
+        "d1": "final2", "d2": "final2", "e": "final2",
+    }
+
+
+def test_connected_components_basic(spark):
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df, checkpoint=False).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}

@@ -1,0 +1,66 @@
+"""End-to-end pipeline vs the pure-Python oracle (P/R + per-row sha256)."""
+
+from __future__ import annotations
+
+from kgdata_spark.pipeline.run import build_triples, entity_degrees
+from kgdata_spark.sources import synthetic
+from tests import oracle
+
+N_FILES = 400
+
+
+def _engine_triples(spark, n_files=N_FILES):
+    n_ent = synthetic.n_entities_for(n_files)
+    src = synthetic.source_files(spark, n_files)
+    return build_triples(
+        src,
+        synthetic.aliases(spark, n_ent),
+        synthetic.redirects(spark, n_ent),
+        synthetic.entities(spark, n_ent),
+        checkpoint_fixpoint=False,
+    )
+
+
+def test_triples_match_oracle_exactly(spark):
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_kind, r.content_sha256)
+        for r in _engine_triples(spark).collect()
+    }
+    want = oracle.expected_triples(N_FILES)
+    missing = want - got
+    extra = got - want
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:5]}"
+    assert not extra, f"extra {len(extra)}: {sorted(extra)[:5]}"
+    # precision = recall = 1.0 ≥ the 0.95 target; sha256 carried per row
+
+
+def test_provenance_sha256_matches_hashlib(spark):
+    # per-row invariant (BASELINE.json): content_sha256 must equal
+    # hashlib.sha256(content) for the generating file
+    import hashlib
+
+    n_ent = synthetic.n_entities_for(N_FILES)
+    rows = _engine_triples(spark).select("repo", "path", "content_sha256").distinct().collect()
+    by_key = {
+        (f["repo"], f["path"]): hashlib.sha256(f["content"].encode()).hexdigest()
+        for f in (oracle.gen_file(i, n_ent) for i in range(N_FILES))
+    }
+    assert rows
+    for r in rows:
+        assert r.content_sha256 == by_key[(r.repo, r.path)]
+
+
+def test_entity_ids_unique_and_live(spark):
+    # invariant analog of entities.py:150-157: every entity-kind obj is a
+    # live E* id after canonicalize
+    tri = _engine_triples(spark)
+    bad = tri.where((tri.obj_kind == "entity") & ~tri.obj.rlike("^E[0-9]+$")).count()
+    assert bad == 0
+
+
+def test_degrees_consistent(spark):
+    tri = _engine_triples(spark).cache()
+    deg = entity_degrees(tri)
+    ent_rows = tri.where(tri.obj_kind == "entity").count()
+    total_in = deg.groupBy().sum("indegree").collect()[0][0]
+    assert total_in == ent_rows

@@ -1,0 +1,79 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every `queries()` entry at sf0.01 and its `oracle_sql()` DuckDB twin,
+compares row count, column names, and an order-insensitive value hash.
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False):
+        vals = []
+        for v in tup:
+            if isinstance(v, float):
+                vals.append(f"{v:.10g}")
+            else:
+                vals.append(str(v))
+        rows.append("\x1f".join(vals))
+    rows.sort()
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as mod
+    from kgdata_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    ent = mod.entry(spark)
+    n = ent.count()
+    print(f"entry: {n} rows, schema={[f.name for f in ent.schema]}")
+    assert n >= 0
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name:28s} rows={len(sdf)} (rows-only, no oracle)")
+            continue
+        odf = con.execute(oracles[name]).df()
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_hash = ok_rows and ok_cols and frame_hash(sdf) == frame_hash(odf)
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"{name:28s} {status} rows={len(sdf)}/{len(odf)} "
+            f"cols={'=' if ok_cols else sorted(sdf.columns)}"
+            f"{'' if ok_cols else sorted(odf.columns)} hash={'=' if ok_hash else 'DIFF'}"
+        )
+        if status == "FAIL":
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all queries match oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
