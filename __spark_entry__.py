@@ -169,6 +169,66 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup / similarity / text-analysis (training-data pipeline ops) -------
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.dedup import doc_tokens, minhash_signatures
+
+    return minhash_signatures(doc_tokens(_t(spark, sf_dir, "documents")))
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.dedup import doc_tokens, simhash
+
+    return simhash(doc_tokens(_t(spark, sf_dir, "documents")))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.functions.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.functions.text import lang_scores
+
+    return lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.functions.text import fingerprint_df
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    return fingerprint_df(docs)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.where(F.col("vec_id") % 100 == 0), emb, k=10)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -181,6 +241,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_topk": q_candidate_topk,
         "exact_dup_docs": q_exact_dup_docs,
         "doc_token_stats": q_doc_token_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "embed_near_dups": q_embed_near_dups,
     }
 
 
@@ -255,5 +324,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS n_distinct,
                    CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS distinct_ratio
             FROM ({words}) GROUP BY doc_id
+        """,
+        "minhash_signatures": f"""
+            SELECT doc_id, {", ".join(f"min(md5(word || '#{i}')) AS h{i}" for i in range(8))}
+            FROM (SELECT DISTINCT doc_id, word FROM ({words})) GROUP BY doc_id
+        """,
+        "lsh_near_dup_pairs": f"""
+            WITH tokens AS (SELECT DISTINCT doc_id, word AS token FROM ({words})),
+            sigs AS (
+                SELECT doc_id, {", ".join(f"min(md5(token || '#{i}')) AS h{i}" for i in range(8))}
+                FROM tokens GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, 0 AS band_no, md5(h0 || '|' || h1) AS band_val FROM sigs
+                UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+                UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+                UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band_no, band_val)
+                WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tokens GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n
+                FROM pairs p
+                JOIN tokens ta ON ta.doc_id = p.id_a
+                JOIN tokens tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+                GROUP BY p.id_a, p.id_b)
+            SELECT id_a, id_b,
+                   ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.8
+        """,
+        "simhash_docs": f"""
+            WITH tokens AS (SELECT DISTINCT doc_id, word AS token FROM ({words})),
+            bits AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tokens),
+            sums AS (
+                SELECT doc_id,
+                       {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16))}
+                FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+            FROM sums
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN len(regexp_extract_all(text, '\w+')) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^\w]', '', 'g')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\w+')) END, 6) AS mean_word_len,
+                   ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x IN ('the', 'and', 'of'))) AS DOUBLE)
+                         / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+            hits AS (
+                SELECT doc_id,
+                       len(list_filter(ws, x -> x IN ('der', 'und', 'die'))) AS hits_de,
+                       len(list_filter(ws, x -> x IN ('the', 'and', 'of'))) AS hits_en,
+                       len(list_filter(ws, x -> x IN ('el', 'los', 'que'))) AS hits_es,
+                       len(list_filter(ws, x -> x IN ('的', '是', '了'))) AS hits_zh
+                FROM w)
+            SELECT doc_id, hits_de, hits_en, hits_es, hits_zh,
+                   CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'de'
+                        WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'en'
+                        WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'es'
+                        ELSE 'zh' END AS pred_lang
+            FROM hits
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
+            FROM documents, unnest(generate_series(1, length(text) - 7)) g(i)
+            WHERE length(text) >= 8
+            GROUP BY doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            elems AS (
+                SELECT q_id, c_id,
+                       CAST(unnest(q_vec) AS DOUBLE) AS qv,
+                       CAST(unnest(c_vec) AS DOUBLE) AS cv
+                FROM q JOIN c ON q_id <> c_id),
+            scored AS (
+                SELECT q_id, c_id,
+                       ROUND(SUM(qv * cv) / (sqrt(SUM(qv * qv)) * sqrt(SUM(cv * cv))), 4) AS score
+                FROM elems GROUP BY q_id, c_id)
+            SELECT q_id, c_id, score, rk FROM (
+                SELECT q_id, c_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rk
+                FROM scored) t
+            WHERE rk <= 10
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS cl FROM embeddings WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec, label AS cl FROM embeddings),
+            elems AS (
+                SELECT q_id, c_id,
+                       CAST(unnest(q_vec) AS DOUBLE) AS qv,
+                       CAST(unnest(c_vec) AS DOUBLE) AS cv
+                FROM q JOIN c USING (cl) WHERE q_id <> c_id),
+            scored AS (
+                SELECT q_id, c_id,
+                       ROUND(SUM(qv * cv) / (sqrt(SUM(qv * qv)) * sqrt(SUM(cv * cv))), 4) AS score
+                FROM elems GROUP BY q_id, c_id)
+            SELECT q_id, c_id, score, rk FROM (
+                SELECT q_id, c_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rk
+                FROM scored) t
+            WHERE rk <= 10
+        """,
+        "embed_near_dups": """
+            WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),
+            b AS (SELECT vec_id AS id_b, embedding AS vec_b, label AS cl FROM embeddings),
+            elems AS (
+                SELECT id_a, id_b,
+                       CAST(unnest(vec_a) AS DOUBLE) AS av,
+                       CAST(unnest(vec_b) AS DOUBLE) AS bv
+                FROM a JOIN b USING (cl) WHERE id_a < id_b),
+            scored AS (
+                SELECT id_a, id_b,
+                       ROUND(SUM(av * bv) / (sqrt(SUM(av * av)) * sqrt(SUM(bv * bv))), 6) AS score
+                FROM elems GROUP BY id_a, id_b)
+            SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
         """,
     }

@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Headline: end-to-end KG pipeline (extract → link → canonicalize →
+materialize) on the synthetic source-repo corpus sized to sf
+(n_files = sf * 1e6, per FIXTURES.md ladder), reported as triples/sec.
+Driver-contract queries are timed with a noop write (forces full
+execution without sink cost).
+
+Scaling evidence (north rule, N vs 4N executors):
+  python bench.py --scaling   → runs the pipeline at local[8] and
+  local[32] and prints throughput at both + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_pipeline_bench(spark, n_files: int) -> tuple[float, int]:
+    """Returns (elapsed_sec, n_triples) for the materializing pipeline."""
+    from kgdata_spark.pipeline.run import run_pipeline
+    from kgdata_spark.sources import synthetic
+
+    n_ent = synthetic.n_entities_for(n_files)
+    src = synthetic.source_files(spark, n_files)
+    aliases = synthetic.aliases(spark, n_ent)
+    redirects = synthetic.redirects(spark, n_ent)
+    entities = synthetic.entities(spark, n_ent)
+    out_dir = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        t0 = time.time()
+        run_pipeline(spark, src, aliases, redirects, entities, out_dir)
+        elapsed = time.time() - t0
+        n_triples = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed, n_triples
+
+
+def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def scaling_bench(n_files: int) -> dict:
+    """Same pipeline at local[8] vs local[32] → throughput + efficiency."""
+    from kgdata_spark.session import get_spark
+
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(
+            app_name=f"kgbench_scale_{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=max(cores, 8),
+        )
+        # warm the JVM/codegen once with a tiny run
+        run_pipeline_bench(spark, 1000)
+        elapsed, n_triples = run_pipeline_bench(spark, n_files)
+        results[f"local[{cores}]"] = {
+            "sec": round(elapsed, 2),
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / elapsed, 1),
+        }
+        spark.stop()
+    t8 = results["local[8]"]["triples_per_sec"]
+    t32 = results["local[32]"]["triples_per_sec"]
+    results["scaling_efficiency_8_to_32"] = round(t32 / (t8 * 4), 3)
+    return results
+
+
+def main() -> None:
+    from kgdata_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+
+    if "--scaling" in sys.argv:
+        n_files = int(sf * 1_000_000)
+        print(json.dumps(scaling_bench(n_files)))
+        return
+
+    spark = get_spark(app_name="kgbench")
+    n_files = int(sf * 1_000_000)
+    pipe_sec, n_triples = run_pipeline_bench(spark, n_files)
+    timings = run_queries_bench(spark, sf_dir)
+    total = round(pipe_sec + sum(timings.values()), 3)
+    out = {
+        "metric": "end-to-end KG pipeline (extract→link→canonicalize→materialize) + driver queries",
+        "value": total,
+        "unit": "sec",
+        "queries": {"pipeline_e2e": round(pipe_sec, 3), **timings},
+        "sf": sf,
+        "n_files": n_files,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / pipe_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

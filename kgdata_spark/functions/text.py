@@ -1,0 +1,100 @@
+"""Text-analysis scalar functions: quality scoring, token stats, language
+heuristics, fingerprinting.
+
+All pure Catalyst expressions (regexp/length/arrays) — they run inside
+whole-stage codegen and are reproducible in ANSI SQL for oracle checks.
+Analog role in the reference: the mention normalizer (P9,
+norm_mentions.py:48-51) and URL/title cleaners (P8, wikipedia/misc.py:5-42),
+generalized to a training-data-quality toolkit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: words + standalone punctuation/digit runs."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(text)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    # sum of word lengths == count of \w chars → two regexps, no lambda
+    n_word_chars = F.length(F.regexp_replace(text, r"[^\w]", ""))
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"\w+"), F.lit(0)))
+    return F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_word_chars.cast("double") / n_words
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(words)
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_word_len(t), 6).alias("mean_word_len"),
+        F.round(stopword_ratio(t, LANG_STOPWORDS["en"]), 6).alias("stopword_ratio"),
+    )
+
+
+def fingerprint_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(id, fingerprint) — min md5 over char n-grams; null if text < n chars."""
+    expr = (
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"array_min(transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> md5(substring({text_col}, i, {n})))) END"
+    )
+    return docs.select(F.col(id_col), F.expr(expr).alias("fingerprint"))
+
+
+def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: predicted lang = argmax stopword hits
+    (tie → lexicographic lang). Deterministic and SQL-expressible."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hit_cols = [
+        F.size(F.filter(words, lambda w: w.isin(*sw))).alias(f"hits_{lang}")
+        for lang, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = docs.select(F.col(id_col), *hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"hits_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        id_col, *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang")
+    )

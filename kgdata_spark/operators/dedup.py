@@ -1,0 +1,156 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash + LSH banding, SimHash, and n-gram Jaccard — all
+expressed as DataFrame plans (no Python UDFs): the hash primitive is
+``md5`` (JVM-side, whole-stage codegen) so results are engine-independent
+and DuckDB oracles can verify them bit-for-bit.
+
+Scale notes (the reason these shapes were chosen):
+  - signatures are k *columns* from one groupBy (single shuffle), not a
+    k-fold explode;
+  - LSH candidate generation is a self-equi-join on (band_no, band_val) —
+    shuffle keyed by band, never an O(n²) cross join;
+  - Jaccard verification joins token sets only for LSH-candidate pairs;
+  - hub buckets (a band value shared by thousands of docs) are the skew
+    case — cap bucket width or salt via operators.joins.salted_join.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, token) rows — the shingle set (word unigrams)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(tokens: DataFrame, id_col: str = "doc_id", n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc signature h0..h{k-1}: min over tokens of md5(token || '#i').
+
+    One shuffle; k mins computed as k aggregate columns in the same pass.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS) -> DataFrame:
+    """(id, band_no, band_val): band hash = md5 of its hash pair."""
+    per_band = N_HASHES // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * per_band + j}") for j in range(per_band)])).alias(
+                "band_val"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band_no", "b.band_val")
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band_no", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_no", "band_val")
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, tokens: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard)."""
+    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = tokens.select(F.col(id_col).alias("id_a"), "token")
+    tb = tokens.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH blocking + exact Jaccard verify ≥ threshold."""
+    tokens = doc_tokens(docs, id_col, text_col)
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(tokens, id_col), id_col), id_col)
+    return jaccard_pairs(pairs, tokens, id_col).where(F.col("jaccard") >= threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(tokens: DataFrame, id_col: str = "doc_id", n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over the token set: bit b set iff more tokens hash
+    to 1 than 0 at bit b of a 60-bit md5-derived integer."""
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    sim = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+            for b in range(n_bits)
+        ],
+    )
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact (normalized) content dup groups → (fp, n_docs, keep_id)."""
+    fp = docs.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"), F.col(id_col)
+    )
+    return fp.groupBy("fp").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
+    )

@@ -1,0 +1,122 @@
+"""Join operators beyond vanilla Catalyst: explicit skew salting + FK denormalize.
+
+The reference's signature technique is the hand-rolled salted join
+(`join_repartition`, /root/reference/kgdata/spark/common.py:205-304): count
+key frequencies, broadcast the hot-key table (freq > 10k), salt the big
+side, replicate the small side across salt buckets. AQE's skew-join covers
+sort-merge cases, but an explicit variant is still needed for
+(a) aggregations over hub keys (AQE never splits a groupBy key) and
+(b) deterministic plans at known-pathological keys (mega-repos).
+
+Differences from the reference, on purpose:
+  - salt is hash-based, not random.randint (common.py:238,289) — same
+    input ⇒ same plan ⇒ reproducible checksums (SURVEY.md §7.3(b));
+  - thresholds are parameters with the reference's defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOT_KEY_THRESHOLD = 10_000  # common.py:207-210
+SALT_BATCH = 1_000
+
+
+def _hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """(key, n_salts) for keys whose frequency exceeds threshold."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_freq"))
+        .where(F.col("_freq") > threshold)
+        .select(
+            F.col(key).alias("_hot_key"),
+            F.ceil(F.col("_freq") / SALT_BATCH).cast("int").alias("_n_salts"),
+        )
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    hot_threshold: int = HOT_KEY_THRESHOLD,
+) -> DataFrame:
+    """left ⋈ right on `key`, with hot keys on the left salted and the
+    matching right rows replicated across salt buckets.
+
+    Plan shape: 1 agg over left (hot-key census, broadcast) + 1 shuffle
+    join on (key, salt) — same shuffle count as a plain join, but no
+    single reducer receives a whole hub key.
+    """
+    hot = F.broadcast(_hot_keys(left, key, hot_threshold))
+
+    l = (
+        left.join(hot, left[key] == hot._hot_key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_n_salts").isNotNull(),
+                F.pmod(F.hash(*[left[c] for c in left.columns]), F.col("_n_salts")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot_key", "_freq", "_n_salts")
+    )
+    r = (
+        right.join(hot, right[key] == hot._hot_key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_n_salts"), F.lit(1)) - 1)),
+        )
+        .drop("_hot_key", "_freq", "_n_salts")
+    )
+    out = l.join(r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_group_count(
+    df: DataFrame, key: str, hot_threshold: int = HOT_KEY_THRESHOLD
+) -> DataFrame:
+    """groupBy(key).count() in two rounds with a hash salt — the explicit
+    form of partial aggregation for hub keys (kept for parity with the
+    reference's salted class-size technique, dbpedia entity_all_types.py:87-110;
+    Catalyst's partial aggs already do this for simple counts — use this
+    variant for aggregates without map-side combine, e.g. collect_list)."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(*df.columns), F.lit(64)))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+def fk_denormalize_join(
+    r1: DataFrame,
+    r2: DataFrame,
+    fk_list_col: str,
+    r2_key: str,
+    out_col: str,
+    broadcast_r2: bool = False,
+) -> DataFrame:
+    """R1 with a list-valued FK column → R1 + matched R2 rows re-nested.
+
+    The reference implements this as a 3-shuffle RDD plan
+    (left_outer_join, common.py:307-390; golden-tested in
+    tests/python/test_spark.py:15-70) and a broadcast variant
+    (common.py:393-449). Catalyst version: explode → join → re-group —
+    2 shuffles, or 1 with the broadcast hint.
+
+    Output: all R1 columns + `out_col` = array of matched R2 structs
+    aligned with existing FK order dropped (set semantics, like the
+    reference's grouped output); unmatched FKs are omitted.
+    """
+    r1_cols = r1.columns
+    r1k = r1.withColumn("_rid", F.monotonically_increasing_id())
+    exploded = r1k.select("_rid", F.explode_outer(fk_list_col).alias("_fk"))
+    r2s = r2.select(F.col(r2_key).alias("_fk"), F.struct(*r2.columns).alias("_r2"))
+    if broadcast_r2:
+        r2s = F.broadcast(r2s)
+    matched = (
+        exploded.join(r2s, "_fk", "left")
+        .groupBy("_rid")
+        .agg(F.collect_list("_r2").alias(out_col))
+    )
+    return r1k.join(matched, "_rid", "left").select(*r1_cols, out_col)

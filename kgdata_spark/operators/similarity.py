@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an IVF-style
+partitioned variant as the scale path. Dot products use ``F.aggregate``
+(sequential fold over the array, JVM-side) — deterministic summation
+order, unlike a groupBy-sum over exploded elements, so results are
+reproducible and oracle-comparable. Scores are rounded before ranking so
+rank order is engine-independent.
+
+Scale: brute force is O(|Q|·|C|) — fine for a bounded query set against a
+broadcast corpus block; the IVF variant prunes to same-cluster candidates
+(cluster = precomputed label column; a KMeans fit would assign it
+upstream), which is the standard recall/throughput trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(q_id, c_id, score, rk) — top-k corpus vectors per query by cosine.
+
+    The query side is broadcast (bounded); the corpus streams through.
+    Ties broken by c_id asc after rounding → deterministic ranking.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's own cluster
+    (nprobe=1). Join on cluster id replaces the cross join — per-cluster
+    work is |cluster|², embarrassingly parallel across clusters."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(cluster_col).alias("cl"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(cluster_col).alias("cl"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cl")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked by cluster
+    (embedding-cosine near-dup for training-data dedup)."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(cluster_col).alias("cl")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(cluster_col).alias("cl")
+    )
+    return (
+        a.join(b, "cl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -64,10 +64,19 @@ def write_stage(
         out = out.repartitionByRange(*range_cols)
     out.write.mode("overwrite").parquet(data_dir)
 
-    written = df.sparkSession.read.parquet(data_dir)
-    checksum = dataset_checksum(written)
-    lineage = partition_lineage(written, stage)
-    lineage.write.mode("overwrite").parquet(os.path.join(out_dir, stage + "_lineage"))
+    # One re-read pass computes per-partition lineage; the dataset checksum
+    # is the (commutative) sum of the partition hashes — no second scan.
+    spark = df.sparkSession
+    written = spark.read.parquet(data_dir)
+    lineage_rows = partition_lineage(written, stage).collect()
+    n = sum(r.row_count for r in lineage_rows)
+    total = sum(int(r.content_hash) for r in lineage_rows)
+    checksum = f"{n}:{total}"
+    from kgdata_spark.schemas import LINEAGE_SCHEMA
+
+    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, stage + "_lineage"))
     with open(os.path.join(data_dir, MANIFEST), "w") as f:
         json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
     return checksum

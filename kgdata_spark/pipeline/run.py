@@ -15,6 +15,23 @@ from kgdata_spark.pipeline import canonicalize, extract, link
 from kgdata_spark.pipeline.materialize import run_stage
 
 
+def assemble_triples(
+    source: DataFrame,
+    mention_df: DataFrame,
+    cand: DataFrame,
+    redirects: DataFrame,
+    entities: DataFrame,
+    checkpoint_fixpoint: bool = True,
+) -> DataFrame:
+    """Triples from (possibly pre-materialized) mentions + candidate map."""
+    raw = extract.literal_triples(source)
+    m = link.resolve_mentions(mention_df, cand)
+    cls = link.resolve_class_pairs(extract.class_pairs(source), cand)
+    triples = raw.unionByName(m).unionByName(cls)
+    rmap = canonicalize.build_redirect_map(redirects, entities, checkpoint=checkpoint_fixpoint)
+    return canonicalize.rewrite_triples(triples, rmap, entities)
+
+
 def build_triples(
     source: DataFrame,
     aliases: DataFrame,
@@ -23,13 +40,14 @@ def build_triples(
     checkpoint_fixpoint: bool = True,
 ) -> DataFrame:
     """Pure (un-materialized) pipeline: the full logical plan for Catalyst."""
-    cand = link.candidate_map(aliases)
-    raw = extract.literal_triples(source)
-    m = link.resolve_mentions(extract.mentions(source), cand)
-    cls = link.resolve_class_pairs(extract.class_pairs(source), cand)
-    triples = raw.unionByName(m).unionByName(cls)
-    rmap = canonicalize.build_redirect_map(redirects, entities, checkpoint=checkpoint_fixpoint)
-    return canonicalize.rewrite_triples(triples, rmap, entities)
+    return assemble_triples(
+        source,
+        extract.mentions(source),
+        link.candidate_map(aliases),
+        redirects,
+        entities,
+        checkpoint_fixpoint=checkpoint_fixpoint,
+    )
 
 
 def run_pipeline(
@@ -43,21 +61,23 @@ def run_pipeline(
     """Materialized, resumable run. Returns stage → checksum."""
     sums: dict[str, str] = {}
 
-    _, sums["mentions"] = run_stage(
+    mentions_df, sums["mentions"] = run_stage(
         spark, out_dir, "mentions", lambda: extract.mentions(source)
     )
-    _, sums["candidate_map"] = run_stage(
+    cand_df, sums["candidate_map"] = run_stage(
         spark,
         out_dir,
         "candidate_map",
         lambda: link.candidate_map(aliases),
         deps={},
     )
+    # downstream stages consume the *materialized* parquet of upstream
+    # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
     triples_df, sums["triples"] = run_stage(
         spark,
         out_dir,
         "triples",
-        lambda: build_triples(source, aliases, redirects, entities),
+        lambda: assemble_triples(source, mentions_df, cand_df, redirects, entities),
         range_cols=["repo", "path"],
         deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
     )

@@ -1,0 +1,65 @@
+"""Join-operator goldens: FK denormalize (FIXTURES.md §5 — port of the
+reference's only Spark golden test, tests/python/test_spark.py:15-80
+fixture shape) and salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.joins import fk_denormalize_join, salted_group_count, salted_join
+
+
+def _dept_emp(spark):
+    depts = spark.createDataFrame(
+        [("d1", "Engineering", ["e1", "e2", "e3"]), ("d2", "Sales", ["e4", "e9"])],
+        ["dept_id", "dept_name", "employee_ids"],
+    )
+    emps = spark.createDataFrame(
+        [("e1", "Alice"), ("e2", "Bob"), ("e3", "Carol"), ("e4", "Dan"), ("e5", "Eve")],
+        ["emp_id", "name"],
+    )
+    return depts, emps
+
+
+def test_fk_denormalize_golden(spark):
+    depts, emps = _dept_emp(spark)
+    for bcast in (False, True):
+        out = fk_denormalize_join(
+            depts, emps, "employee_ids", "emp_id", "employees", broadcast_r2=bcast
+        )
+        rows = {r.dept_id: sorted(e.name for e in r.employees if e is not None) for r in out.collect()}
+        # e9 has no match → omitted; e5 belongs to no dept → absent
+        assert rows == {"d1": ["Alice", "Bob", "Carol"], "d2": ["Dan"]}
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hub key with 5k rows (threshold lowered), many cold keys
+    left = spark.range(6000).select(
+        F.when(F.col("id") < 5000, F.lit("hub")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [("hub", "H"), ("k5001", "A"), ("k5500", "B"), ("missing", "Z")], ["k", "rv"]
+    )
+    plain = left.join(right, "k", "inner").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", "inner", hot_threshold=1000).select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_matches_plain(spark):
+    left = spark.range(3000).select(
+        F.when(F.col("id") < 2500, F.lit("hub")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame([("hub", "H"), ("k2600", "A")], ["k", "rv"])
+    plain = left.join(right, "k", "left").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", "left", hot_threshold=1000).select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect()), key=str) == sorted(map(tuple, plain.collect()), key=str)
+
+
+def test_salted_group_count(spark):
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 5 == 0, F.lit("hot")).otherwise(F.lit("cold")).alias("k")
+    )
+    got = {r.k: r["count"] for r in salted_group_count(df, "k").collect()}
+    assert got == {"hot": 1000, "cold": 4000}
