@@ -229,6 +229,54 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+# --- graph operators (D13/D15/D20 analogs) on testdata-derived graphs ------
+
+
+def q_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return pagerank(edges, iters=3, round_digits=6)
+
+
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ancestors() over the customer→nation→region 2-level DAG (D15 shape)
+    from kgdata_spark.operators.graph import ancestors
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("child"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent"),
+    )
+    return ancestors(c.unionByName(n), max_depth=4)
+
+
+def q_property_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D13 property_domains over an orders-derived triple table: how often
+    # each predicate's subject has a given type (type = customer's nation)
+    from kgdata_spark.operators.graph import property_domains
+
+    o = _t(spark, sf_dir, "orders")
+    triples = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+        F.concat(F.lit("prio:"), F.col("o_orderpriority")).alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("obj"),
+        F.lit("entity").alias("obj_kind"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("entity"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("type"),
+    )
+    return property_domains(triples, c)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -250,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embed_near_dups": q_embed_near_dups,
+        "pagerank_supplier_part": q_pagerank_supplier_part,
+        "hierarchy_closure": q_hierarchy_closure,
+        "property_domains": q_property_domains,
     }
 
 
@@ -441,6 +492,42 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rk
                 FROM scored) t
             WHERE rk <= 10
+        """,
+        "pagerank_supplier_part": """
+            WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            d1 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r0 r LEFT JOIN outd o ON r.node = o.src WHERE o.src IS NULL),
+            c1 AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS c FROM e JOIN r0 r ON e.src = r.node JOIN outd o ON e.src = o.src GROUP BY e.dst),
+            r1 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * (SELECT m FROM d1) / (SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0) AS rank
+                   FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+            d2 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r1 r LEFT JOIN outd o ON r.node = o.src WHERE o.src IS NULL),
+            c2 AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS c FROM e JOIN r1 r ON e.src = r.node JOIN outd o ON e.src = o.src GROUP BY e.dst),
+            r2 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * (SELECT m FROM d2) / (SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0) AS rank
+                   FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+            d3 AS (SELECT COALESCE(SUM(r.rank), 0) AS m FROM r2 r LEFT JOIN outd o ON r.node = o.src WHERE o.src IS NULL),
+            c3 AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS c FROM e JOIN r2 r ON e.src = r.node JOIN outd o ON e.src = o.src GROUP BY e.dst),
+            r3 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * (SELECT m FROM d3) / (SELECT n FROM nn) + 0.85 * COALESCE(c.c, 0) AS rank
+                   FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+            SELECT node, ROUND(rank, 6) AS rank FROM r3
+        """,
+        "hierarchy_closure": """
+            WITH e AS (
+                SELECT 'c' || c_custkey AS child, 'n' || c_nationkey AS parent FROM customer
+                UNION ALL
+                SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+            d1 AS (SELECT DISTINCT child AS node, parent AS ancestor, 1 AS dist FROM e),
+            d2 AS (SELECT a.node, b.ancestor, 2 AS dist FROM d1 a JOIN d1 b ON a.ancestor = b.node)
+            SELECT node, ancestor, MIN(dist) AS dist
+            FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2) GROUP BY node, ancestor
+        """,
+        "property_domains": """
+            SELECT 'prio:' || o_orderpriority AS pred, 'n' || c_nationkey AS type,
+                   COUNT(*) AS freq
+            FROM orders JOIN customer ON 'c' || o_custkey = 'c' || c_custkey
+            GROUP BY 1, 2
         """,
         "embed_near_dups": """
             WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),

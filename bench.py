@@ -78,7 +78,7 @@ def scaling_bench(n_files: int) -> dict:
             shuffle_partitions=max(cores, 8),
         )
         # warm the JVM/codegen once with a tiny run
-        run_pipeline_bench(spark, 1000)
+        run_pipeline_bench(spark, 10_000)
         elapsed, n_triples = run_pipeline_bench(spark, n_files)
         results[f"local[{cores}]"] = {
             "sec": round(elapsed, 2),
@@ -99,7 +99,9 @@ def main() -> None:
     sf = _sf_of(sf_dir)
 
     if "--scaling" in sys.argv:
-        n_files = int(sf * 1_000_000)
+        # strong-scaling evidence needs a compute-bound job: 10× the bench
+        # corpus so per-core work dominates fixed stage overhead
+        n_files = int(sf * 10_000_000)
         print(json.dumps(scaling_bench(n_files)))
         return
 

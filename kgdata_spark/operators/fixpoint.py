@@ -20,6 +20,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_RESOLVE_THRESHOLD = 2_000_000
+
+
+def resolve_redirect_fixpoint_auto(
+    redirects: DataFrame,
+    max_iters: int = 20,
+    checkpoint: bool = True,
+    driver_threshold: int = DRIVER_RESOLVE_THRESHOLD,
+) -> DataFrame:
+    """Hybrid: small redirect tables resolve in the driver (one collect, no
+    iterative jobs — the reference's own mode, entity_redirections.py:93-127);
+    big ones use distributed pointer jumping. The crossover keeps the
+    driver map well under memory while killing ~2·log(chain) Spark actions
+    of fixed overhead for the common case."""
+    n = redirects.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        pairs = redirects.collect()
+        raw = {r[0]: r[1] for r in pairs if r[0] != r[1]}
+        out = []
+        for old in raw:
+            cur, hops = old, 0
+            while cur in raw and hops < max_iters * 2:
+                cur = raw[cur]
+                hops += 1
+            if cur not in raw:  # unresolved cycles dropped
+                out.append((old, cur))
+        return redirects.sparkSession.createDataFrame(
+            out, "old_id string, final_id string"
+        )
+    return resolve_redirect_fixpoint(redirects, max_iters, checkpoint)
+
+
 def resolve_redirect_fixpoint(
     redirects: DataFrame,
     max_iters: int = 20,

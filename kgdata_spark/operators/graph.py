@@ -1,0 +1,199 @@
+"""Graph operators over the edge table: PageRank, ancestor closure, degrees.
+
+kgdata exports its entity graph to numpy and runs PageRank in external
+graph-tool (/root/reference/kgdata/scripts/pagerank_v2.py:18-36, driven by
+entity_pagerank.py:49-223). Here the whole loop is DataFrame-native: ranks
+live in a (node, rank) table, each iteration is one join + one aggregate,
+lineage is truncated with localCheckpoint. Dictionary-encoding node ids to
+ints (the reference's zipWithIndex step) is unnecessary — Tungsten hashes
+strings fine; at extreme scale an optional `row_number` dictionary stage
+drops in before the loop.
+
+The ancestor closure is kgdata's `build_ancestors` (misc/hierarchy.py:18-52,
+driver-side Dijkstra) re-expressed as bounded-depth BFS self-joins with
+min-distance dedup — the distributed form used when the class graph
+outgrows the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    round_digits: int | None = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank) after `iters` power iterations with uniform init 1/N.
+
+    Dangling nodes (no outlinks) redistribute uniformly — matched by the
+    standard formulation. Weighted edges are honored via the `weight`
+    column if present (entity_pagerank.py:226-237 counts pair frequency).
+    """
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e_norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    ).cache()
+    e_norm.count()
+
+    # dangling node set is iteration-invariant; its rank mass is folded in
+    # as a one-row aggregate cross-joined into the update — no per-iteration
+    # driver action, the whole iteration stays one lazy plan.
+    dangling_nodes = nodes.join(out_w, nodes.node == out_w.src, "left_anti").cache()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        contrib = (
+            e_norm.join(ranks, e_norm.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        dang_mass = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_mass))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dang") / n
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint and (i % 3 == 2):
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks
+    if round_digits is not None:
+        out = out.select("node", F.round("rank", round_digits).alias("rank"))
+    return out
+
+
+def rank_stats(ranks: DataFrame) -> DataFrame:
+    """Global PageRank statistics (entity_pagerank.py:176-221 analog)."""
+    return ranks.agg(
+        F.count("*").alias("n"),
+        F.sum("rank").alias("total"),
+        F.avg("rank").alias("mean"),
+        F.stddev_pop("rank").alias("std"),
+        F.min("rank").alias("min_rank"),
+        F.max("rank").alias("max_rank"),
+    )
+
+
+def ancestors(
+    parent_edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, ancestor, dist) transitive closure with min distance —
+    bounded-depth BFS; cycle-safe because paths longer than max_depth are
+    cut and min-dist dedup keeps the frontier finite."""
+    base = parent_edges.select(
+        F.col(child).alias("node"), F.col(parent).alias("ancestor"), F.lit(1).alias("dist")
+    ).distinct()
+    closure = base
+    frontier = base
+    for _ in range(max_depth - 1):
+        step = (
+            frontier.join(
+                base.select(
+                    F.col("node").alias("_mid"),
+                    F.col("ancestor").alias("_anc"),
+                ),
+                frontier.ancestor == F.col("_mid"),
+            )
+            .select("node", F.col("_anc").alias("ancestor"), (F.col("dist") + 1).alias("dist"))
+        )
+        # keep only strictly-new (node, ancestor) pairs as the next frontier
+        new = step.join(closure, ["node", "ancestor"], "left_anti")
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        closure = (
+            closure.unionByName(new)
+            .groupBy("node", "ancestor")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            closure = closure.localCheckpoint(eager=True)
+        frontier = new
+    return closure
+
+
+def type_closure(
+    entity_types: DataFrame,
+    ancestor_map: DataFrame,
+    entity: str = "entity",
+    type_col: str = "type",
+) -> DataFrame:
+    """entity_all_types (D15): direct types at dist 0 ∪ ancestors of those
+    types, min distance per (entity, type).
+
+    The reference salts hub classes (>10k instances split into virtual
+    partitions, dbpedia entity_all_types.py:87-110); in DataFrame form the
+    explode+groupBy below map-side-combines per partition, and AQE splits
+    skewed reducers — with operators.joins.salted_join available for
+    pathological hubs."""
+    direct = entity_types.select(
+        F.col(entity).alias("e"), F.col(type_col).alias("t"), F.lit(0).alias("dist")
+    )
+    inherited = (
+        direct.join(
+            ancestor_map.select(
+                F.col("node").alias("t"), "ancestor", F.col("dist").alias("ad")
+            ),
+            "t",
+        )
+        .select("e", F.col("ancestor").alias("t"), (F.col("dist") + F.col("ad")).alias("dist"))
+    )
+    return (
+        direct.unionByName(inherited)
+        .groupBy("e", "t")
+        .agg(F.min("dist").alias("dist"))
+        .select(F.col("e").alias(entity), F.col("t").alias(type_col), "dist")
+    )
+
+
+def property_domains(triples: DataFrame, entity_types: DataFrame) -> DataFrame:
+    """(pred, type, freq): how often a predicate's subject has a type
+    (D13, property_domains.py:11-67)."""
+    et = entity_types.select(F.col("entity").alias("subj"), "type")
+    return (
+        triples.join(et, "subj")
+        .groupBy("pred", "type")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def property_ranges(triples: DataFrame, entity_types: DataFrame) -> DataFrame:
+    """(pred, type, freq) over object side (D14, property_ranges.py:15-43)."""
+    et = entity_types.select(F.col("entity").alias("obj"), "type")
+    return (
+        triples.where(F.col("obj_kind") == "entity")
+        .join(et, "obj")
+        .groupBy("pred", "type")
+        .agg(F.count("*").alias("freq"))
+    )

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns.
+
+The Spark-side mechanics are real and tested — schema, Arrow batch shape,
+partition sizing, metadata extraction — while the actual media decode is a
+clearly-marked stub (the sandbox ships no image/audio libraries): decode
+functions either raise NotImplementedError or produce a deterministic fake
+derived from the bytes, so the plumbing can be exercised end-to-end and a
+real decoder (PIL/torchaudio/ffmpeg) drops in per-function later.
+
+Analog in the reference: binaryFiles ingestion (extended_rdd.py:525-543)
+and the rsoup HTML extractors (P6/P7) — batch-UDF feature extraction from
+an opaque payload column.
+
+Scale notes: media rows are wide — keep `spark.sql.files.maxPartitionBytes`
+small for binary tables, select the binary column only in the UDF stage
+(column pruning keeps it out of every other scan), and size Arrow batches
+via `spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of decoded
+frames fits in worker memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synthetic_media(spark, n: int) -> DataFrame:
+    """Deterministic fake media table: payload = repeated hash bytes."""
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3 + 1).cast("int")
+    )
+    payload = F.to_binary(
+        F.repeat(F.sha2(F.format_string("media-%d", i), 256), 4), F.lit("hex")
+    )
+    return spark.range(n).select(
+        F.format_string("m%d", i).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.create_map(
+            F.lit("width"), ((i % 16 + 1) * 64).cast("string"),
+            F.lit("height"), ((i % 9 + 1) * 64).cast("string"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real implementation: PIL.Image.open(io.BytesIO(payload))."""
+    raise NotImplementedError("image decoding requires PIL; not in this container")
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB — real implementation: torchaudio.load / soundfile.read."""
+    raise NotImplementedError("audio decoding requires torchaudio/soundfile")
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real embedding: normalized byte stats
+    over `dim` equal chunks — pure-bytes math, stable across engines."""
+    if not payload:
+        return [0.0] * dim
+    chunk = max(1, len(payload) // dim)
+    out = []
+    for k in range(dim):
+        seg = payload[k * chunk : (k + 1) * chunk] or payload[-chunk:]
+        out.append(round(sum(seg) / (255.0 * len(seg)), 6))
+    return out
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas so one row in → one row out with a *different* schema and
+    the heavy payload column dropped on output (never shuffled onward).
+    Swap `_fake_features` for a real per-kind decoder to productionize.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": payloads.map(_fake_features),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    with the decode stubbed. Shows the explode-then-decode shape that keeps
+    per-frame work distributed instead of per-video."""
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.length("payload") / every_n).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.withColumn(
+        "frame_ref", F.concat_ws("#", "media_id", F.col("frame_idx").cast("string"))
+    )

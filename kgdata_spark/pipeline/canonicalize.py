@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgdata_spark.operators.fixpoint import resolve_redirect_fixpoint
+from kgdata_spark.operators.fixpoint import (
+    resolve_redirect_fixpoint,
+    resolve_redirect_fixpoint_auto,
+)
 
 
 def build_redirect_map(
@@ -30,9 +33,58 @@ def build_redirect_map(
 ) -> DataFrame:
     """(old_id → final_id) with final targets validated against live
     entities; redirects ending nowhere are pruned."""
-    fix = resolve_redirect_fixpoint(redirects, checkpoint=checkpoint)
+    fix = resolve_redirect_fixpoint_auto(redirects, checkpoint=checkpoint)
     live = entities.select(F.col("entity").alias("final_id"))
     return fix.join(live, "final_id", "left_semi")
+
+
+def canonicalize_aliases(
+    aliases: DataFrame,
+    alias_col: str = "alias",
+    jaccard_threshold: float = 0.7,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cluster near-identical alias strings → (alias, canonical_alias).
+
+    North-rule pipeline piece: MinHash-LSH blocking over character-3-gram
+    shingles proposes candidate pairs, exact Jaccard verifies them, and
+    union-find (hash-min connected components via iterative self-joins)
+    assigns each cluster its lexicographic-min member as canonical form.
+    Generalizes kgdata's redirect-chain collapse (entity_redirections.py)
+    to *surface-form* variation; never O(n²) — pair generation is the
+    LSH band join.
+    """
+    from kgdata_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    a = aliases.select(F.col(alias_col).alias("alias")).distinct()
+    # char 3-gram shingles via dynamic substring (JVM-side, no UDF)
+    shingles = a.select(
+        "alias",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(alias) - 2, 1)), "
+                "i -> substring(alias, i, 3))"
+            )
+        ).alias("token"),
+    ).distinct()
+    sigs = minhash_signatures(shingles, id_col="alias")
+    pairs = lsh_candidate_pairs(lsh_bands(sigs, id_col="alias"), id_col="alias")
+    verified = jaccard_pairs(pairs, shingles, id_col="alias").where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    comp = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        checkpoint=checkpoint,
+    )
+    return a.join(comp, a["alias"] == comp["node"], "left").select(
+        "alias", F.coalesce("component", "alias").alias("canonical_alias")
+    )
 
 
 def rewrite_triples(

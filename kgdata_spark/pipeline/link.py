@@ -68,6 +68,60 @@ def resolve_mentions(mention_df: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def resolve_mentions_scored(
+    mention_df: DataFrame,
+    cand: DataFrame,
+    entities: DataFrame,
+    w_prior: float = 0.3,
+) -> DataFrame:
+    """Context-scored disambiguation: among a mention's candidates, pick
+    argmax of  w·norm_prior + (1−w)·jaccard(mention tokens, entity label
+    tokens) — the TF-IDF/Jaccard scoring slot of the north star, fully in
+    Catalyst expressions (token overlap via array intersect on split).
+
+    Deterministic tie-break (score desc, entity asc) pins results.
+    """
+    labels = entities.select(
+        F.col("entity"),
+        F.split(norm_mention(F.col("label")), r"\s+").alias("label_toks"),
+    )
+    cands = (
+        cand.join(F.broadcast(labels), "entity", "left")
+        .withColumn(
+            "max_prior",
+            F.max("prior").over(Window.partitionBy("norm_alias")),
+        )
+    )
+    scored = mention_df.join(
+        F.broadcast(cands), mention_df.norm_mention == cands.norm_alias, "inner"
+    ).withColumn("m_toks", F.split(F.col("norm_mention"), r"\s+"))
+    inter = F.size(F.array_intersect("m_toks", "label_toks"))
+    union = F.size(F.array_union("m_toks", "label_toks"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    score = (
+        F.lit(w_prior) * (F.col("prior").cast("double") / F.col("max_prior"))
+        + F.lit(1 - w_prior) * jac
+    )
+    w = Window.partitionBy("file_id", "mention").orderBy(
+        F.desc("score"), F.asc("entity")
+    )
+    return (
+        scored.withColumn("score", F.round(score, 9))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("file_id").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("entity").alias("obj"),
+            F.lit("entity").alias("obj_kind"),
+            "repo",
+            "path",
+            "content_sha256",
+            "score",
+        )
+    )
+
+
 def resolve_class_pairs(pairs: DataFrame, cand: DataFrame) -> DataFrame:
     """(child_alias, parent_alias) → (E_child, subclass_of, E_parent)."""
     best = cand.where(F.col("rank") == 1).select("norm_alias", "entity")

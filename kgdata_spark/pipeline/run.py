@@ -57,13 +57,21 @@ def run_pipeline(
     redirects: DataFrame,
     entities: DataFrame,
     out_dir: str,
+    timings: dict[str, float] | None = None,
 ) -> dict[str, str]:
-    """Materialized, resumable run. Returns stage → checksum."""
-    sums: dict[str, str] = {}
+    """Materialized, resumable run. Returns stage → checksum; pass a dict
+    as `timings` to collect per-stage wall seconds."""
+    import time as _time
 
+    sums: dict[str, str] = {}
+    t = timings if timings is not None else {}
+
+    t0 = _time.time()
     mentions_df, sums["mentions"] = run_stage(
         spark, out_dir, "mentions", lambda: extract.mentions(source)
     )
+    t["mentions"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     cand_df, sums["candidate_map"] = run_stage(
         spark,
         out_dir,
@@ -71,6 +79,8 @@ def run_pipeline(
         lambda: link.candidate_map(aliases),
         deps={},
     )
+    t["candidate_map"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     # downstream stages consume the *materialized* parquet of upstream
     # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
     triples_df, sums["triples"] = run_stage(
@@ -81,6 +91,8 @@ def run_pipeline(
         range_cols=["repo", "path"],
         deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
     )
+    t["triples"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     # graph side-products: edges + degrees (D16/D20 analogs)
     _, sums["edges"] = run_stage(
         spark,
@@ -91,6 +103,8 @@ def run_pipeline(
         .agg(F.count("*").alias("weight")),
         deps={"triples": sums["triples"]},
     )
+    t["edges"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     _, sums["entity_degrees"] = run_stage(
         spark,
         out_dir,
@@ -98,6 +112,7 @@ def run_pipeline(
         lambda: entity_degrees(triples_df),
         deps={"triples": sums["triples"]},
     )
+    t["entity_degrees"] = round(_time.time() - t0, 2)
     return sums
 
 

@@ -33,6 +33,12 @@ def _fmt(template: str, *cols: Column) -> Column:
     return F.format_string(template, *cols)
 
 
+def _dim_range(spark: SparkSession, n: int) -> DataFrame:
+    """range() for dimension tables: partitions sized to rows, not cores —
+    a 5k-row table must not fan out into 32 near-empty tasks."""
+    return spark.range(0, n, 1, numPartitions=max(1, n // 100_000))
+
+
 def source_files(spark: SparkSession, n_files: int) -> DataFrame:
     """The (repo, path, commit, lang, content) corpus, derived from row id."""
     n_ent = n_entities_for(n_files)
@@ -91,7 +97,7 @@ def source_files(spark: SparkSession, n_files: int) -> DataFrame:
 def entities(spark: SparkSession, n_ent: int) -> DataFrame:
     """Live entity catalog E0..E{n-1} (entity_ids analog, D1)."""
     j = F.col("id")
-    return spark.range(n_ent).select(
+    return _dim_range(spark, n_ent).select(
         _fmt("E%d", j).alias("entity"),
         _fmt("Entity %d", j).alias("label"),
         F.when(j % 3 == 0, F.lit("class")).otherwise(F.lit("item")).alias("kind"),
@@ -107,7 +113,7 @@ def aliases(spark: SparkSession, n_ent: int) -> DataFrame:
     candidate map (mention_to_entities.py:30-68 analog).
     """
     j = F.col("id")
-    base = spark.range(n_ent)
+    base = _dim_range(spark, n_ent)
     parts = [
         base.select(_fmt("Entity%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(3).alias("prior")),
         base.select(_fmt("Ent_%d", j).alias("alias"), _fmt("E%d", j).alias("entity"), F.lit(2).alias("prior")),
@@ -133,7 +139,7 @@ def redirects(spark: SparkSession, n_ent: int) -> DataFrame:
     entity_redirections.py:134), and redirects to nonexistent targets
     (pruned, entity_redirections.py:143-178)."""
     j = F.col("id")
-    base = spark.range(n_ent)
+    base = _dim_range(spark, n_ent)
     two_hop = base.where(j % 3 == 0)
     parts = [
         two_hop.select(_fmt("X%d", j).alias("old_id"), _fmt("Y%d", j).alias("new_id")),

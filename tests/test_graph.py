@@ -1,0 +1,73 @@
+"""Graph operator tests: PageRank vs a plain-Python power iteration,
+ancestor closure vs hand-computed expectations."""
+
+from __future__ import annotations
+
+from kgdata_spark.operators.graph import ancestors, pagerank, type_closure
+
+
+def _py_pagerank(edges, iters=10, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1 - damping) / n + damping * dangling / n
+        nxt = {v: base for v in nodes}
+        for a, targets in out.items():
+            share = rank[a] / len(targets)
+            for b in targets:
+                nxt[b] += damping * share
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_oracle(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "c"),  # e,d feed c; f dangling target
+        ("c", "f"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_weighted(spark):
+    # all weight mass a→b; c balances
+    edges = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r.node: r.rank for r in pagerank(df, iters=15).collect()}
+    assert got["b"] > got["c"]
+
+
+def test_ancestors_min_distance_and_cycles(spark):
+    # diamond a→b→d, a→c→d plus cycle x→y→x
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, ["child", "parent"])
+    got = {(r.node, r.ancestor): r.dist for r in ancestors(df, max_depth=6, checkpoint=False).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "d")] == 2  # min over both paths
+    assert got[("a", "e")] == 3
+    assert got[("x", "x")] == 2  # cycle closes on itself, bounded
+    assert ("a", "a") not in got
+
+
+def test_type_closure(spark):
+    et = spark.createDataFrame([("q1", "cat"), ("q2", "animal")], ["entity", "type"])
+    anc = spark.createDataFrame(
+        [("cat", "animal", 1), ("cat", "thing", 2), ("animal", "thing", 1)],
+        ["node", "ancestor", "dist"],
+    )
+    got = {(r.entity, r.type): r.dist for r in type_closure(et, anc).collect()}
+    assert got == {
+        ("q1", "cat"): 0, ("q1", "animal"): 1, ("q1", "thing"): 2,
+        ("q2", "animal"): 0, ("q2", "thing"): 1,
+    }

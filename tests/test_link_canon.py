@@ -1,0 +1,57 @@
+"""Alias canonicalization (MinHash-LSH + CC) and scored linking tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.pipeline.canonicalize import canonicalize_aliases
+from kgdata_spark.pipeline.link import candidate_map, resolve_mentions_scored
+
+
+def test_canonicalize_aliases_clusters_near_identical(spark):
+    aliases = spark.createDataFrame(
+        [
+            ("apache spark engine",),
+            ("apache spark engines",),  # near-dup of the above
+            ("apache spark",),
+            ("completely different",),
+        ],
+        ["alias"],
+    )
+    got = {
+        r.alias: r.canonical_alias
+        for r in canonicalize_aliases(aliases, jaccard_threshold=0.7, checkpoint=False).collect()
+    }
+    # the two near-identical long forms cluster; canonical = lexicographic min
+    assert got["apache spark engine"] == got["apache spark engines"]
+    assert got["completely different"] == "completely different"
+    # every alias is mapped
+    assert set(got) == {
+        "apache spark engine", "apache spark engines", "apache spark", "completely different",
+    }
+
+
+def test_scored_linking_prefers_label_overlap(spark):
+    # mention "neural networks" is ambiguous: E1 prior high but label
+    # unrelated; E2 prior low but label matches → scored linking picks E2,
+    # prior-only linking would pick E1
+    aliases = spark.createDataFrame(
+        [("neural networks", "E1", 5), ("neural networks", "E2", 1)],
+        ["alias", "entity", "prior"],
+    )
+    entities = spark.createDataFrame(
+        [("E1", "database index", "item"), ("E2", "neural networks", "item")],
+        ["entity", "label", "kind"],
+    )
+    mentions = spark.createDataFrame(
+        [("neural networks", "neural networks", "f1", "r", "p", "sha")],
+        ["mention", "norm_mention", "file_id", "repo", "path", "content_sha256"],
+    )
+    cand = candidate_map(aliases)
+    got = resolve_mentions_scored(mentions, cand, entities).collect()
+    assert len(got) == 1
+    assert got[0].obj == "E2"
+
+    # prior-only rank-1 is E1 (sanity that the test is discriminating)
+    best = cand.where(F.col("rank") == 1).collect()[0]
+    assert best.entity == "E1"

@@ -1,0 +1,91 @@
+"""Structured Streaming tests: drive the streaming transforms with a file
+source over the driver's events parquet, collect via memory sink, and
+compare against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.streaming.events import (
+    dedup_stream,
+    running_user_totals,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    # re-write events as a small multi-file dir the file source can tail
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    # event-time ops need TIMESTAMP (ltz); driver parquet is TIMESTAMP_NTZ
+    spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    _run_to_memory(windowed_event_counts(stream), "win_counts", "append")
+    got = {
+        (r.win_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in windowed_event_counts(batch).collect()
+    }
+    # watermark may hold back the tail window in availableNow mode; every
+    # emitted row must match batch, and coverage must be substantial
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 8  # tail windows within watermark horizon
+
+
+def test_dedup_stream_counts(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    _run_to_memory(dedup_stream(stream), "dedup_ev", "append")
+    n_stream = spark.sql("select count(*) c from dedup_ev").collect()[0].c
+    n_batch = batch.dropDuplicates(["event_id"]).count()
+    assert n_stream == n_batch
+
+
+def test_running_user_totals_final_state(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    _run_to_memory(running_user_totals(stream), "user_totals", "update")
+    # last update per user == batch aggregate
+    rows = spark.sql(
+        "select user_id, last(n_events) n, last(total_value) t from user_totals group by user_id"
+    ).collect()
+    got = {r.user_id: (r.n, round(r.t, 6)) for r in rows}
+    want = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
