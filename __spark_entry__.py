@@ -229,6 +229,91 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+# --- json / cube / subject-grouping ----------------------------------------
+
+
+def q_event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON payload extraction (P1 from_json analog) + agg
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping-sets/cube (a Catalyst freebie the reference lacks, §2.6)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+def q_resource_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subject-grouped resource (P3 RDFResource analog) in string-checkable
+    # form: per customer, ordered list of order keys
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys")
+        )
+    )
+
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join: per event, the user's latest order on/before the event ts
+    from kgdata_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+    )
+    out = asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey"], tie_col="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot (reference gap §2.6; Catalyst freebie)
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
 # --- graph operators (D13/D15/D20 analogs) on testdata-derived graphs ------
 
 
@@ -277,6 +362,25 @@ def q_property_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return property_domains(triples, c)
 
 
+def q_property_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D14 property_ranges: predicate → object-type frequency over a
+    # lineitem-derived triple table (supplier —ship:status→ part)
+    from kgdata_spark.operators.graph import property_ranges
+
+    li = _t(spark, sf_dir, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("subj"),
+        F.concat(F.lit("ship:"), F.col("l_linestatus")).alias("pred"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("obj"),
+        F.lit("entity").alias("obj_kind"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("p"), F.col("p_partkey")).alias("entity"),
+        F.col("p_brand").alias("type"),
+    )
+    return property_ranges(triples, p)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -298,9 +402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embed_near_dups": q_embed_near_dups,
+        "asof_latest_order": q_asof_latest_order,
+        "pivot_status": q_pivot_status,
+        "event_props_agg": q_event_props_agg,
+        "orders_cube": q_orders_cube,
+        "resource_view": q_resource_view,
         "pagerank_supplier_part": q_pagerank_supplier_part,
         "hierarchy_closure": q_hierarchy_closure,
         "property_domains": q_property_domains,
+        "property_ranges": q_property_ranges,
     }
 
 
@@ -493,6 +603,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) t
             WHERE rk <= 10
         """,
+        "asof_latest_order": """
+            WITH r AS (
+                SELECT user_id, o_orderdate, o_orderkey FROM (
+                    SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderkey,
+                           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+                    FROM orders) WHERE rn = 1)
+            SELECT e.event_id, e.user_id, r.o_orderkey
+            FROM events e ASOF LEFT JOIN r
+            ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "event_props_agg": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "resource_view": """
+            SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+            FROM orders GROUP BY o_custkey
+        """,
         "pagerank_supplier_part": """
             WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
@@ -527,6 +670,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'prio:' || o_orderpriority AS pred, 'n' || c_nationkey AS type,
                    COUNT(*) AS freq
             FROM orders JOIN customer ON 'c' || o_custkey = 'c' || c_custkey
+            GROUP BY 1, 2
+        """,
+        "property_ranges": """
+            SELECT 'ship:' || l_linestatus AS pred, p_brand AS type, COUNT(*) AS freq
+            FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1, 2
         """,
         "embed_near_dups": """

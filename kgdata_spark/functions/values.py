@@ -1,0 +1,53 @@
+"""Typed-value conversion: raw literal strings → 6-variant tagged values.
+
+Analog of kgdata's RDF value → WDValue converter (P10,
+/root/reference/kgdata/wikidata/datasets/triple_truthy_dump_derivatives.py:379-493):
+a `when/otherwise` classification chain — pure Catalyst, no UDF — tagging
+each literal as one of:
+
+    entityid      E-style identifier          "E42"
+    globecoordinate  WKT point                "Point(12.5 41.9)"
+    time          ISO date/timestamp          "2024-01-31", "2024-01-31T10:00:00"
+    quantity      numeric (kept AS STRING to preserve arbitrary precision,
+                  exactly like the reference — wdvalue.py:66-78)
+    monolingualtext  "text"@lang              '"hello"@en'
+    string        everything else
+
+Output struct carries parsed components for the structured variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ENTITY_RE = r"^E\d+$"
+POINT_RE = r"^Point\(([-0-9.]+) ([-0-9.]+)\)$"
+TIME_RE = r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$"
+QUANTITY_RE = r"^[+-]?\d+(\.\d+)?$"
+MONO_RE = '^"(.*)"@([a-z]{2,3})$'
+
+
+def value_type(col: Column) -> Column:
+    return (
+        F.when(col.rlike(ENTITY_RE), F.lit("entityid"))
+        .when(col.rlike(POINT_RE), F.lit("globecoordinate"))
+        .when(col.rlike(TIME_RE), F.lit("time"))
+        .when(col.rlike(QUANTITY_RE), F.lit("quantity"))
+        .when(col.rlike(MONO_RE), F.lit("monolingualtext"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def parse_value(col: Column) -> Column:
+    """struct(vtype, value, lang, lon, lat) — unused slots null."""
+    vtype = value_type(col)
+    return F.struct(
+        vtype.alias("vtype"),
+        F.when(vtype == "monolingualtext", F.regexp_extract(col, MONO_RE, 1))
+        .otherwise(col)
+        .alias("value"),
+        F.when(vtype == "monolingualtext", F.regexp_extract(col, MONO_RE, 2)).alias("lang"),
+        F.when(vtype == "globecoordinate", F.regexp_extract(col, POINT_RE, 1).cast("double")).alias("lon"),
+        F.when(vtype == "globecoordinate", F.regexp_extract(col, POINT_RE, 2).cast("double")).alias("lat"),
+    )

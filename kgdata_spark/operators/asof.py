@@ -1,0 +1,74 @@
+"""As-of join: for each left row, the latest right row with
+right_ts <= left_ts on the same key.
+
+Spark has no native as-of join (SURVEY.md §2.6 lists it as a reference gap
+too). Rather than per-group `pd.merge_asof` (Python, memory-bound per key),
+this uses the union + running-`last(ignorenulls)` window trick:
+
+    union(left tagged 1, right tagged 0)
+    window per key ordered by (ts, tag): carry the last right payload seen
+    keep left rows
+
+— one shuffle, fully distributed, no Python. Hub keys are plain window
+skew: pre-aggregate the right side per (key, ts) and salt if a single key
+dominates.
+
+Ties (right_ts == left_ts) are INCLUSIVE, and duplicate right rows at the
+same (key, ts) are resolved deterministically by `tie_col` descending
+before the join — pin the same rule in any oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join; output = all left columns + payload_cols (null when
+    no right row precedes)."""
+    tie = tie_col or payload_cols[0]
+    w_dedup = Window.partitionBy(key, right_ts).orderBy(F.desc(tie))
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(key).alias("_k"),
+            F.col(right_ts).alias("_ts"),
+            F.lit(0).alias("_tag"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        )
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    u = r.select(*[c for c in r.columns], F.lit(None).cast(l.schema["_row"].dataType).alias("_row")).unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "_tag",
+        "_row",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in payload_cols
+        ],
+    ).where(F.col("_tag") == 1)
+    return carried.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(c) for c in payload_cols],
+    )

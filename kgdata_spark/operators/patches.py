@@ -1,0 +1,38 @@
+"""Manual-correction patches: a small broadcast table of fixes applied
+over a big table.
+
+Analog of kgdata's manual modification TSVs applied in the driver before
+ancestor builds (B5, /root/reference/kgdata/misc/modification.py:17-70,
+used at wikidata/datasets/classes.py:61-74). Here the patch table is a
+first-class input: (key, column, op, value) rows broadcast-joined onto the
+target — so corrections scale with the data and are lineage-tracked like
+any other stage.
+
+Supported ops: 'set' (replace column value), 'drop' (delete the row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_patches(
+    df: DataFrame, patches: DataFrame, key_col: str
+) -> DataFrame:
+    """patches schema: (key, column, op, value). 'drop' rows need column=''."""
+    drops = patches.where(F.col("op") == "drop").select(F.col("key").alias("_dk"))
+    out = df.join(
+        F.broadcast(drops), df[key_col] == F.col("_dk"), "left_anti"
+    )
+    sets = patches.where(F.col("op") == "set")
+    for col in [r.column for r in sets.select("column").distinct().collect()]:
+        p = sets.where(F.col("column") == col).select(
+            F.col("key").alias("_pk"), F.col("value").alias("_pv")
+        )
+        out = (
+            out.join(F.broadcast(p), out[key_col] == F.col("_pk"), "left")
+            .withColumn(col, F.coalesce("_pv", col))
+            .drop("_pk", "_pv")
+        )
+    return out

@@ -38,25 +38,41 @@ def with_provenance(source: DataFrame) -> DataFrame:
     )
 
 
-def _explode_pattern(src: DataFrame, pattern: str, pred: str) -> DataFrame:
+def literal_triples(source: DataFrame) -> DataFrame:
+    """(file, imports|defines|calls, literal) — no linking needed.
+
+    All three patterns extract in ONE scan: per-pattern match arrays are
+    tagged with their predicate and concatenated, then a single explode
+    emits the rows. A naive per-pattern union would scan (and re-hash)
+    the source once per pattern."""
+    src = with_provenance(source)
+
+    def tagged(pattern: str, pred: str):
+        return F.transform(
+            F.regexp_extract_all("content", F.lit(pattern), F.lit(1)),
+            lambda x: F.struct(F.lit(pred).alias("pred"), x.alias("obj")),
+        )
+
+    combined = F.concat(
+        tagged(IMPORT_RE, "imports"),
+        tagged(DEF_RE, "defines"),
+        tagged(CALL_RE, "calls"),
+    )
     return src.select(
         F.col("file_id").alias("subj"),
-        F.lit(pred).alias("pred"),
-        F.explode(F.regexp_extract_all("content", F.lit(pattern), F.lit(1))).alias("obj"),
+        F.explode(combined).alias("po"),
+        "repo",
+        "path",
+        "content_sha256",
+    ).select(
+        "subj",
+        F.col("po.pred").alias("pred"),
+        F.col("po.obj").alias("obj"),
         F.lit("literal").alias("obj_kind"),
         "repo",
         "path",
         "content_sha256",
     )
-
-
-def literal_triples(source: DataFrame) -> DataFrame:
-    """(file, imports|defines|calls, literal) — no linking needed."""
-    src = with_provenance(source)
-    out = _explode_pattern(src, IMPORT_RE, "imports")
-    out = out.unionByName(_explode_pattern(src, DEF_RE, "defines"))
-    out = out.unionByName(_explode_pattern(src, CALL_RE, "calls"))
-    return out
 
 
 def class_pairs(source: DataFrame) -> DataFrame:

@@ -42,7 +42,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # 128 MB input splits: matches the reference's 64MB-partition policy
         # (extended_rdd.py:343-363) scaled for parquet's better compression.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

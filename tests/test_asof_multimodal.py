@@ -1,0 +1,67 @@
+"""As-of join semantics + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.asof import asof_join
+from kgdata_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "e1"), ("u1", 20, "e2"), ("u1", 5, "e0"), ("u2", 50, "e3")],
+        ["k", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 15, 150), ("u3", 1, 999)],
+        ["k", "rts", "val"],
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts", payload_cols=["val"])
+    got = {r.eid: r.val for r in out.collect()}
+    assert got == {
+        "e0": None,   # nothing at/before ts=5
+        "e1": 100,    # tie at ts=10 is inclusive
+        "e2": 150,    # latest ≤ 20
+        "e3": None,   # u2 has no right rows
+    }
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame([("u1", 10, "e1")], ["k", "ts", "eid"])
+    right = spark.createDataFrame(
+        [("u1", 5, 1), ("u1", 5, 7), ("u1", 5, 3)], ["k", "rts", "val"]
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts", payload_cols=["val"])
+    assert out.collect()[0].val == 7  # max tie_col wins, pinned
+
+
+def test_media_features_deterministic_and_shaped(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    # payload sha matches a local recompute of the generator's bytes
+    row = media.where(F.col("media_id") == "m0").collect()[0]
+    assert by_id["m0"].payload_sha256 == hashlib.sha256(bytes(row.payload)).hexdigest()
+    assert by_id["m0"].n_bytes == len(bytes(row.payload))
+    for r in feats:
+        assert len(r.features) == 16
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, 9)  # kinds cycle image/audio/video
+    frames = frame_sample_plan(media, every_n=64)
+    rows = frames.collect()
+    assert rows, "video rows must produce frames"
+    kinds = {r.media_id for r in rows}
+    vids = {r.media_id for r in media.where(F.col("kind") == "video").collect()}
+    assert kinds == vids
+    assert all(r.frame_ref == f"{r.media_id}#{r.frame_idx}" for r in rows)

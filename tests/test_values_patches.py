@@ -1,0 +1,37 @@
+"""Typed-value converter (P10) and patch operator (B5) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.values import parse_value
+from kgdata_spark.operators.patches import apply_patches
+
+
+def test_parse_value_variants(spark):
+    rows = [
+        ("E42",), ("Point(12.5 41.9)",), ("2024-01-31",),
+        ("2024-01-31T10:00:00",), ("+3.14",), ("-7",),
+        ('"hello"@en',), ("just some text",),
+    ]
+    df = spark.createDataFrame(rows, ["raw"]).select(parse_value(F.col("raw")).alias("v"))
+    got = [(r.v.vtype, r.v.value, r.v.lang, r.v.lon, r.v.lat) for r in df.collect()]
+    assert got[0] == ("entityid", "E42", None, None, None)
+    assert got[1][0] == "globecoordinate" and got[1][3] == 12.5 and got[1][4] == 41.9
+    assert got[2][0] == "time" and got[3][0] == "time"
+    assert got[4] == ("quantity", "+3.14", None, None, None)  # precision kept as string
+    assert got[5][0] == "quantity"
+    assert got[6] == ("monolingualtext", "hello", "en", None, None)
+    assert got[7][0] == "string"
+
+
+def test_apply_patches_set_and_drop(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2), ("c", "z", 3)], ["id", "val", "n"]
+    )
+    patches = spark.createDataFrame(
+        [("a", "val", "set", "X"), ("c", "", "drop", "")],
+        ["key", "column", "op", "value"],
+    )
+    got = {r.id: r.val for r in apply_patches(df, patches, "id").collect()}
+    assert got == {"a": "X", "b": "y"}

@@ -1,0 +1,54 @@
+"""Dump formatted physical plans for the driver-contract queries + pipeline.
+
+Usage: python tools/explain_plans.py [sf_dir] > PLANS.txt
+
+Review checklist per plan (SURVEY.md §4 / mission):
+  - parquet scans show PushedFilters + pruned ReadSchema;
+  - small dims join via BroadcastHashJoin, not SortMerge;
+  - WholeStageCodegen spans cover the expression-heavy stages;
+  - no Exchange (shuffle) that a broadcast or reuse could remove.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as mod
+    from kgdata_spark.pipeline.run import build_triples
+    from kgdata_spark.session import get_spark
+    from kgdata_spark.sources import synthetic
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+
+    def show(name: str, df) -> None:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        print(f"\n{'=' * 72}\n## {name}\n{'=' * 72}\n{buf.getvalue()}")
+
+    n = 10_000
+    ne = synthetic.n_entities_for(n)
+    show(
+        "pipeline.build_triples (logical end-to-end)",
+        build_triples(
+            synthetic.source_files(spark, n),
+            synthetic.aliases(spark, ne),
+            synthetic.redirects(spark, ne),
+            synthetic.entities(spark, ne),
+            checkpoint_fixpoint=False,
+        ),
+    )
+    for name, fn in mod.queries().items():
+        show(name, fn(spark, sf_dir))
+
+
+if __name__ == "__main__":
+    main()
