@@ -381,6 +381,286 @@ def q_property_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return property_ranges(triples, p)
 
 
+# --- fixpoint / canonicalization operators (D3, CC) -------------------------
+
+
+def q_redirect_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D3 multi-hop redirect resolution (entity_redirections.py:93-127) via
+    # distributed pointer jumping; oracle = recursive CTE walk
+    from kgdata_spark.operators.fixpoint import resolve_redirect_fixpoint
+
+    c = _t(spark, sf_dir, "customer")
+    red = c.where(F.col("c_custkey") % 5 < 2).select(
+        F.concat(F.lit("e"), F.col("c_custkey")).alias("old_id"),
+        F.concat(F.lit("e"), F.col("c_custkey") + 1).alias("new_id"),
+    )
+    return resolve_redirect_fixpoint(red, max_iters=8)
+
+
+def q_alias_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union-find connected components (north rule) over a star graph whose
+    # true components are closed-form checkable
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.concat(F.lit("g"), F.floor(F.col("c_custkey") / 100).cast("long")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+# --- parsing / typed values (P4/P5/P10) -------------------------------------
+
+_TUP_RE = r"\((\d+),'([^']*)'\)"
+
+
+def q_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 literal→tagged typed value (triple_truthy_dump_derivatives.py:379-493)
+    from kgdata_spark.functions.values import parse_value
+
+    o = _t(spark, sf_dir, "orders")
+    m = F.col("o_orderkey") % 5
+    lit = (
+        F.when(m == 0, F.concat(F.lit("E"), F.col("o_custkey")))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("Point("),
+                (F.col("o_custkey") % 360 - 180).cast("string"),
+                F.lit(" "),
+                (F.col("o_custkey") % 180 - 90).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(m == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(m == 3, F.col("o_custkey").cast("string"))
+        .otherwise(F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit('"@en')))
+    )
+    v = parse_value(lit)
+    return o.select(
+        "o_orderkey",
+        v["vtype"].alias("vtype"),
+        v["value"].alias("value"),
+        v["lang"].alias("lang"),
+        v["lon"].alias("lon"),
+        v["lat"].alias("lat"),
+    )
+
+
+def q_sql_values_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 MediaWiki SQL INSERT parser (page_ids.py:76-107): build an
+    # INSERT..VALUES statement per region, then parse it back to rows
+    n = _t(spark, sf_dir, "nation")
+    stmt = n.groupBy("n_regionkey").agg(
+        F.concat(
+            F.lit("INSERT INTO nation VALUES "),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string("(%d,'%s')", F.col("n_nationkey"), F.col("n_name"))
+                    )
+                ),
+                ",",
+            ),
+            F.lit(";"),
+        ).alias("stmt")
+    )
+    tups = stmt.select(
+        "n_regionkey",
+        F.explode(F.regexp_extract_all("stmt", F.lit(_TUP_RE), F.lit(0))).alias("tup"),
+    )
+    return tups.select(
+        "n_regionkey",
+        F.regexp_extract("tup", _TUP_RE, 1).cast("int").alias("nationkey"),
+        F.regexp_extract("tup", _TUP_RE, 2).alias("name"),
+    )
+
+
+def q_xml_pages_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 XML <page> pull-parse (page_article_dump.py:145-204) via xpath
+    n = _t(spark, sf_dir, "nation")
+    xml = n.select(
+        F.concat(
+            F.lit("<page><title>"),
+            F.col("n_name"),
+            F.lit("</title><id>"),
+            F.col("n_nationkey"),
+            F.lit("</id></page>"),
+        ).alias("xml")
+    )
+    return xml.select(
+        F.xpath_int("xml", F.lit("/page/id")).alias("page_id"),
+        F.xpath_string("xml", F.lit("/page/title")).alias("title"),
+    )
+
+
+# --- meta-graph / merge / patches (D26-D28, B2, B5) --------------------------
+
+
+def q_meta_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D26/D27 schema-lift: (pred, src_type, tgt_type) connection frequency
+    # (meta_graph_stats.py:51-175) over the supplier→part triple table
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.concat(F.lit("ship:"), F.col("l_linestatus")).alias("pred"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("src_type"),
+            F.col("p_brand").alias("tgt_type"),
+        )
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def q_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D27 predicate co-occurrence pairs per subject (meta_graph_stats.py:137-175)
+    o = _t(spark, sf_dir, "orders")
+    sp = o.select("o_custkey", F.col("o_orderpriority").alias("pred")).distinct()
+    a = sp.alias("a")
+    b = sp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.pred") < F.col("b.pred")),
+        )
+        .groupBy(F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b"))
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def q_multi_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B2 multi-source entity merge: fullOuterJoin on id + per-property union
+    # (dbpedia/datasets/entities.py:30-78 merge_resources)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.groupBy(F.col("c_custkey").alias("id")).agg(
+        F.collect_set("c_mktsegment").alias("va")
+    )
+    b = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.collect_set("o_orderpriority").alias("vb")
+    )
+    empty = F.array().cast("array<string>")
+    return a.join(b, "id", "full").select(
+        "id",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(F.coalesce("va", empty), F.coalesce("vb", empty))
+                )
+            ),
+            ",",
+        ).alias("props"),
+    )
+
+
+def q_patched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B5 manual-correction patches as a broadcast table (misc/modification.py:17-70)
+    from kgdata_spark.operators.patches import apply_patches
+
+    n = _t(spark, sf_dir, "nation").withColumn(
+        "k", F.col("n_nationkey").cast("string")
+    )
+    patches = spark.createDataFrame(
+        [
+            ("0", "", "drop", ""),
+            ("1", "", "drop", ""),
+            ("2", "n_name", "set", "PATCHED"),
+            ("3", "n_name", "set", "PATCHED"),
+        ],
+        "key string, column string, op string, value string",
+    )
+    return apply_patches(n, patches, "k").select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --- engine infrastructure as queries (#16-#24, D16) -------------------------
+
+
+def q_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # #24 order-independent content checksum (extended_rdd.py:391-414):
+    # sha256 per row → 60-bit chunk → commutative SUM
+    from kgdata_spark.operators.checksum import row_digest
+
+    n = _t(spark, sf_dir, "nation")
+    chunk = F.conv(F.substring(row_digest(n), 1, 15), 16, 10).cast("decimal(38,0)")
+    return n.select(chunk.alias("c")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("c").cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+
+
+def q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D16 in/out degrees with zero-fill full join (entity_degrees.py:19-77)
+    from kgdata_spark.pipeline.run import entity_degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("subj"),
+        F.lit("uses").alias("pred"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("obj"),
+        F.lit("entity").alias("obj_kind"),
+    )
+    return entity_degrees(triples)
+
+
+def q_salted_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # #20 salted skew join (common.py:205-304) — forced-low hot threshold so
+    # salting actually engages; result must equal the plain-join oracle
+    from kgdata_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = salted_join(o, c, "o_custkey", hot_threshold=10)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("rev"),
+    )
+
+
+def q_fk_denorm_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # #21 FK denormalize join (common.py:307-390): list-valued FK column →
+    # matched R2 rows re-nested; golden semantics tests/python/test_spark.py:15-70
+    from kgdata_spark.operators.joins import fk_denormalize_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    r1 = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("part_fks"))
+    out = fk_denormalize_join(r1, p, "part_fks", "p_partkey", "parts", r1_key="l_orderkey")
+    return out.select(
+        "l_orderkey",
+        F.array_join(
+            F.array_distinct(
+                F.array_sort(F.transform("parts", lambda s: s["p_name"]))
+            ),
+            "|",
+        ).alias("part_names"),
+    )
+
+
+# --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched feature extraction over opaque binary media payloads;
+    # deterministic fake decode (no media libs in container) — no SQL oracle
+    from kgdata_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 2000)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "payload_sha256",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -411,6 +691,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_closure": q_hierarchy_closure,
         "property_domains": q_property_domains,
         "property_ranges": q_property_ranges,
+        "redirect_fixpoint": q_redirect_fixpoint,
+        "alias_components": q_alias_components,
+        "typed_values": q_typed_values,
+        "sql_values_parse": q_sql_values_parse,
+        "xml_pages_parse": q_xml_pages_parse,
+        "meta_graph_stats": q_meta_graph_stats,
+        "pred_cooccurrence": q_pred_cooccurrence,
+        "multi_source_merge": q_multi_source_merge,
+        "patched_nation": q_patched_nation,
+        "dataset_checksum": q_dataset_checksum,
+        "entity_degrees": q_entity_degrees,
+        "salted_order_join": q_salted_order_join,
+        "fk_denorm_parts": q_fk_denorm_parts,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -676,6 +970,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ship:' || l_linestatus AS pred, p_brand AS type, COUNT(*) AS freq
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1, 2
+        """,
+        "redirect_fixpoint": """
+            WITH RECURSIVE red AS (
+                SELECT 'e' || c_custkey AS old_id, 'e' || (c_custkey + 1) AS new_id
+                FROM customer WHERE c_custkey % 5 < 2),
+            walk AS (
+                SELECT old_id, new_id AS final_id FROM red
+                UNION ALL
+                SELECT w.old_id, r.new_id FROM walk w JOIN red r ON w.final_id = r.old_id)
+            SELECT old_id, final_id FROM walk
+            WHERE final_id NOT IN (SELECT old_id FROM red)
+        """,
+        "alias_components": """
+            WITH e AS (
+                SELECT 'g' || CAST(FLOOR(c_custkey / 100) AS BIGINT) AS g,
+                       'c' || c_custkey AS c
+                FROM customer),
+            comp AS (SELECT g, MIN(c) AS component FROM e GROUP BY g)
+            SELECT c AS node, component FROM e JOIN comp USING (g)
+            UNION ALL
+            SELECT g AS node, component FROM comp
+        """,
+        "typed_values": r"""
+            WITH lit AS (
+                SELECT o_orderkey,
+                       CASE o_orderkey % 5
+                           WHEN 0 THEN 'E' || o_custkey
+                           WHEN 1 THEN 'Point(' || (o_custkey % 360 - 180) || ' '
+                                       || (o_custkey % 180 - 90) || ')'
+                           WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+                           WHEN 3 THEN CAST(o_custkey AS VARCHAR)
+                           ELSE '"' || o_orderpriority || '"@en' END AS s
+                FROM orders),
+            typed AS (
+                SELECT o_orderkey, s,
+                       CASE WHEN regexp_matches(s, '^E\d+$') THEN 'entityid'
+                            WHEN regexp_matches(s, '^Point\([-0-9.]+ [-0-9.]+\)$') THEN 'globecoordinate'
+                            WHEN regexp_matches(s, '^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$') THEN 'time'
+                            WHEN regexp_matches(s, '^[+-]?\d+(\.\d+)?$') THEN 'quantity'
+                            WHEN regexp_matches(s, '^"(.*)"@[a-z]{2,3}$') THEN 'monolingualtext'
+                            ELSE 'string' END AS vtype
+                FROM lit)
+            SELECT o_orderkey, vtype,
+                   CASE WHEN vtype = 'monolingualtext'
+                        THEN regexp_extract(s, '^"(.*)"@([a-z]{2,3})$', 1) ELSE s END AS value,
+                   CASE WHEN vtype = 'monolingualtext'
+                        THEN regexp_extract(s, '^"(.*)"@([a-z]{2,3})$', 2) END AS lang,
+                   CASE WHEN vtype = 'globecoordinate'
+                        THEN CAST(regexp_extract(s, '^Point\(([-0-9.]+) ([-0-9.]+)\)$', 1) AS DOUBLE) END AS lon,
+                   CASE WHEN vtype = 'globecoordinate'
+                        THEN CAST(regexp_extract(s, '^Point\(([-0-9.]+) ([-0-9.]+)\)$', 2) AS DOUBLE) END AS lat
+            FROM typed
+        """,
+        "sql_values_parse": """
+            WITH stmt AS (
+                SELECT n_regionkey,
+                       'INSERT INTO nation VALUES ' ||
+                       string_agg('(' || n_nationkey || ',''' || n_name || ''')', ','
+                                  ORDER BY '(' || n_nationkey || ',''' || n_name || ''')') ||
+                       ';' AS stmt
+                FROM nation GROUP BY n_regionkey),
+            tups AS (
+                SELECT n_regionkey,
+                       unnest(regexp_extract_all(stmt, '\\((\\d+),''([^'']*)''\\)', 0)) AS tup
+                FROM stmt)
+            SELECT n_regionkey,
+                   CAST(regexp_extract(tup, '\\((\\d+),''([^'']*)''\\)', 1) AS INT) AS nationkey,
+                   regexp_extract(tup, '\\((\\d+),''([^'']*)''\\)', 2) AS name
+            FROM tups
+        """,
+        "xml_pages_parse": """
+            SELECT n_nationkey AS page_id,
+                   regexp_extract('<page><title>' || n_name || '</title><id>' || n_nationkey
+                                  || '</id></page>', '<title>(.*)</title>', 1) AS title
+            FROM nation
+        """,
+        "meta_graph_stats": """
+            SELECT 'ship:' || l_linestatus AS pred, 'n' || s_nationkey AS src_type,
+                   p_brand AS tgt_type, COUNT(*) AS freq
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3
+        """,
+        "pred_cooccurrence": """
+            WITH sp AS (SELECT DISTINCT o_custkey, o_orderpriority AS pred FROM orders)
+            SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS freq
+            FROM sp a JOIN sp b ON a.o_custkey = b.o_custkey AND a.pred < b.pred
+            GROUP BY 1, 2
+        """,
+        "multi_source_merge": """
+            WITH a AS (SELECT c_custkey AS id, c_mktsegment AS v FROM customer),
+            b AS (SELECT DISTINCT o_custkey AS id, o_orderpriority AS v FROM orders),
+            u AS (SELECT * FROM a UNION SELECT * FROM b)
+            SELECT id, string_agg(v, ',' ORDER BY v) AS props FROM u GROUP BY id
+        """,
+        "patched_nation": """
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey IN (2, 3) THEN 'PATCHED' ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation WHERE n_nationkey NOT IN (0, 1)
+        """,
+        "dataset_checksum": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(('0x' || substr(sha256(
+                       n_name || chr(31) || CAST(n_nationkey AS VARCHAR)
+                              || chr(31) || CAST(n_regionkey AS VARCHAR)), 1, 15))::BIGINT)
+                        AS VARCHAR) AS checksum
+            FROM nation
+        """,
+        "entity_degrees": """
+            WITH t AS (SELECT 's' || l_suppkey AS subj, 'p' || l_partkey AS obj FROM lineitem),
+            o AS (SELECT subj AS entity, COUNT(*) AS outdegree FROM t GROUP BY subj),
+            i AS (SELECT obj AS entity, COUNT(*) AS indegree FROM t GROUP BY obj)
+            SELECT COALESCE(o.entity, i.entity) AS entity,
+                   COALESCE(outdegree, 0) AS outdegree,
+                   COALESCE(indegree, 0) AS indegree
+            FROM o FULL OUTER JOIN i ON o.entity = i.entity
+        """,
+        "salted_order_join": """
+            SELECT c_nationkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "fk_denorm_parts": """
+            SELECT l_orderkey, string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS part_names
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY l_orderkey
         """,
         "embed_near_dups": """
             WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),

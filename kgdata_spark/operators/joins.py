@@ -95,6 +95,7 @@ def fk_denormalize_join(
     r2_key: str,
     out_col: str,
     broadcast_r2: bool = False,
+    r1_key: str | None = None,
 ) -> DataFrame:
     """R1 with a list-valued FK column → R1 + matched R2 rows re-nested.
 
@@ -104,13 +105,26 @@ def fk_denormalize_join(
     (common.py:393-449). Catalyst version: explode → join → re-group —
     2 shuffles, or 1 with the broadcast hint.
 
+    Row identity: pass `r1_key` when R1 has a unique key (the reference's
+    keyed-record case — cheapest). Without one, a *deterministic* content
+    digest of the full row is used. monotonically_increasing_id() is NOT
+    usable here: it is non-deterministic, and Catalyst re-evaluates it
+    independently in the exploded branch and the join-back branch, pairing
+    rows with the wrong groups (caught by the fk_denorm_parts oracle).
+
     Output: all R1 columns + `out_col` = array of matched R2 structs
-    aligned with existing FK order dropped (set semantics, like the
-    reference's grouped output); unmatched FKs are omitted.
+    with existing FK order dropped (set semantics, like the reference's
+    grouped output); unmatched FKs are omitted.
     """
     r1_cols = r1.columns
-    r1k = r1.withColumn("_rid", F.monotonically_increasing_id())
-    exploded = r1k.select("_rid", F.explode_outer(fk_list_col).alias("_fk"))
+    if r1_key is not None:
+        r1k = r1
+        rid = F.col(r1_key)
+    else:
+        rid = F.sha2(F.to_json(F.struct(*[F.col(c) for c in r1_cols])), 256)
+        r1k = r1.withColumn("_rid", rid)
+        rid = F.col("_rid")
+    exploded = r1k.select(rid.alias("_rid"), F.explode_outer(fk_list_col).alias("_fk")).distinct()
     r2s = r2.select(F.col(r2_key).alias("_fk"), F.struct(*r2.columns).alias("_r2"))
     if broadcast_r2:
         r2s = F.broadcast(r2s)
@@ -119,4 +133,5 @@ def fk_denormalize_join(
         .groupBy("_rid")
         .agg(F.collect_list("_r2").alias(out_col))
     )
-    return r1k.join(matched, "_rid", "left").select(*r1_cols, out_col)
+    join_key = r1k[r1_key if r1_key is not None else "_rid"] == matched["_rid"]
+    return r1k.join(matched, join_key, "left").select(*r1_cols, out_col)
