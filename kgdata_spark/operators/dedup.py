@@ -68,8 +68,26 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS) -
     ).select(id_col, "b.band_no", "b.band_val")
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket."""
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
+
+    `max_bucket` is the scale valve: a bucket of width w emits w²/2 pairs,
+    so one degenerate band value (boilerplate shingles, empty docs) can go
+    quadratic — at sf0.1 a single 3165-doc bucket yields 5M pairs. Passing
+    a cap drops buckets wider than it (standard LSH practice: such buckets
+    are dominated by exact-dup clusters better handled by exact_dup_groups
+    first). Default None = exact reference semantics (oracle-checkable).
+    """
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band_no", "band_val")
+            .agg(F.count("*").alias("_w"))
+            .where(F.col("_w") <= max_bucket)
+            .select("band_no", "band_val")
+        )
+        bands = bands.join(ok, ["band_no", "band_val"], "left_semi")
     a = bands.select(F.col(id_col).alias("id_a"), "band_no", "band_val")
     b = bands.select(F.col(id_col).alias("id_b"), "band_no", "band_val")
     return (
@@ -83,27 +101,35 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def jaccard_pairs(
     pairs: DataFrame, tokens: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard)."""
-    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ta = tokens.select(F.col(id_col).alias("id_a"), "token")
-    tb = tokens.select(F.col(id_col).alias("id_b"), "token")
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard).
+
+    Intersections are computed with `array_intersect` over per-doc sorted
+    token arrays (one groupBy, then two joins against the pair list) rather
+    than exploding pairs×tokens: with P candidate pairs and ~t tokens/doc
+    the explode-join shuffles P·t rows (measured 200M+ at sf0.1 where LSH
+    buckets are wide), while the array form shuffles only P rows and does
+    the set intersection JVM-side inside codegen. Docs with pathologically
+    large token sets are the one case to watch (wide rows); cap shingle
+    counts upstream if needed.
+    """
+    arrs = tokens.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("token")).alias("toks"),
+        F.count("*").alias("sz"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    a = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("sz_a")
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("_tb"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
+            F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6).alias("jaccard"),
         )
     )
 
@@ -113,11 +139,62 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    collapse_exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH blocking + exact Jaccard verify ≥ threshold."""
+    """MinHash-LSH blocking + exact Jaccard verify ≥ threshold.
+
+    With `collapse_exact` (default), docs with *identical token sets* are
+    collapsed to one representative before LSH and expanded afterwards —
+    the textbook exact-dedup-before-near-dedup order. Output is provably
+    identical to running LSH on all docs: identical token sets ⇒ identical
+    signatures ⇒ identical band buckets, and within-group pairs have
+    jaccard exactly 1.0. On real web corpora (many exact dups) this turns
+    the dominant quadratic verify into cheap pair expansion.
+    """
     tokens = doc_tokens(docs, id_col, text_col)
-    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(tokens, id_col), id_col), id_col)
-    return jaccard_pairs(pairs, tokens, id_col).where(F.col("jaccard") >= threshold)
+    if not collapse_exact:
+        pairs = lsh_candidate_pairs(
+            lsh_bands(minhash_signatures(tokens, id_col), id_col), id_col, max_bucket
+        )
+        return jaccard_pairs(pairs, tokens, id_col).where(F.col("jaccard") >= threshold)
+
+    arrs = tokens.groupBy(id_col).agg(F.sort_array(F.collect_set("token")).alias("_toks"))
+    grp = arrs.groupBy("_toks").agg(
+        F.min(id_col).alias("rep"), F.collect_list(F.col(id_col)).alias("members")
+    )
+    membership = grp.select("rep", F.explode("members").alias("_member"))
+    rep_tokens = tokens.join(
+        grp.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = jaccard_pairs(
+        lsh_candidate_pairs(
+            lsh_bands(minhash_signatures(rep_tokens, id_col), id_col), id_col, max_bucket
+        ),
+        rep_tokens,
+        id_col,
+    ).where(F.col("jaccard") >= threshold)
+
+    ma = membership.select(F.col("rep").alias("id_a"), F.col("_member").alias("_a"))
+    mb = membership.select(F.col("rep").alias("id_b"), F.col("_member").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        grp.where(F.size("members") > 1)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.lit(1.0))
+        .where(F.lit(1.0) >= threshold)
+    )
+    return cross.unionByName(within)
 
 
 SIMHASH_BITS = 16

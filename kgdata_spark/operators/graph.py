@@ -80,7 +80,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint and (i % 3 == 2):
+        # checkpoint EVERY iteration: ranks is read twice per round (contrib
+        # + dangling mass), so an unmaterialized lineage doubles per
+        # iteration — 2^iters recomputes of the edge join (measured 97s for
+        # 3 iterations at sf0.1 with a sparser cadence; ~20s with this one).
+        if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks
     if round_digits is not None:

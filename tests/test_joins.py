@@ -57,6 +57,30 @@ def test_salted_left_join_matches_plain(spark):
     assert sorted(map(tuple, salted.collect()), key=str) == sorted(map(tuple, plain.collect()), key=str)
 
 
+def test_fk_denormalize_many_partitions(spark):
+    # regression: row identity must be deterministic across plan branches —
+    # monotonically_increasing_id() paired rows with the wrong groups once
+    # the data spanned many partitions (caught by the fk_denorm_parts oracle)
+    n = 2000
+    r1 = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.col("id").alias("k"),
+            F.array(F.col("id") % 100, (F.col("id") + 1) % 100).alias("fks"),
+        )
+    )
+    r2 = spark.range(100).select(F.col("id").alias("fk_id"), (F.col("id") * 10).alias("val"))
+    for r1_key in (None, "k"):
+        out = fk_denormalize_join(r1, r2, "fks", "fk_id", "matched", r1_key=r1_key)
+        rows = out.collect()
+        assert len(rows) == n
+        for r in rows:
+            expect = sorted({r.k % 100, (r.k + 1) % 100})
+            assert sorted(m.fk_id for m in r.matched) == expect, r.k
+            assert all(m.val == m.fk_id * 10 for m in r.matched)
+
+
 def test_salted_group_count(spark):
     df = spark.range(5000).select(
         F.when(F.col("id") % 5 == 0, F.lit("hot")).otherwise(F.lit("cold")).alias("k")
