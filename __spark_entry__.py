@@ -569,13 +569,18 @@ def q_patched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").withColumn(
         "k", F.col("n_nationkey").cast("string")
     )
+    import pandas as pd
+
     patches = spark.createDataFrame(
-        [
-            ("0", "", "drop", ""),
-            ("1", "", "drop", ""),
-            ("2", "n_name", "set", "PATCHED"),
-            ("3", "n_name", "set", "PATCHED"),
-        ],
+        pd.DataFrame(
+            [
+                ("0", "", "drop", ""),
+                ("1", "", "drop", ""),
+                ("2", "n_name", "set", "PATCHED"),
+                ("3", "n_name", "set", "PATCHED"),
+            ],
+            columns=["key", "column", "op", "value"],
+        ),
         "key string, column string, op string, value string",
     )
     return apply_patches(n, patches, "k").select("n_nationkey", "n_name", "n_regionkey")
@@ -647,6 +652,55 @@ def q_fk_denorm_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_mapping_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D21 cross_wiki_mapping: conflicting (key → entity) candidates resolved
+    # by rule — max support, then lexicographic entity
+    # (cross_wiki_mapping.py:117-158)
+    o = _t(spark, sf_dir, "orders")
+    cand = o.groupBy(
+        F.col("o_orderpriority").alias("title"),
+        F.col("o_orderstatus").alias("entity"),
+    ).agg(F.count("*").alias("support"))
+    w = Window.partitionBy("title").orderBy(F.desc("support"), F.asc("entity"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("title", "entity", "support")
+    )
+
+
+def q_alias_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D25 entity_wiki_aliases: per-entity merge of two alias→count maps with
+    # per-key MAX (entity_wiki_aliases.py:24-118) via map_zip_with
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("id"), F.col("o_orderpriority").alias("k")).agg(
+        F.count("*").alias("v")
+    ).groupBy("id").agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("ma"))
+    b = e.groupBy(F.col("user_id").alias("id"), F.col("event_type").alias("k")).agg(
+        F.count("*").alias("v")
+    ).groupBy("id").agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("mb"))
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<bigint>")
+    )
+    merged = a.join(b, "id", "full").select(
+        "id",
+        F.map_zip_with(
+            F.coalesce("ma", empty),
+            F.coalesce("mb", empty),
+            lambda k, x, y: F.greatest(F.coalesce(x, F.lit(0)), F.coalesce(y, F.lit(0))),
+        ).alias("m"),
+    )
+    kv = merged.select(
+        "id", F.explode("m").alias("k", "v")
+    )
+    return kv.groupBy("id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws(":", "k", "v"))), ","
+        ).alias("merged")
+    )
+
+
 # --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
 
 
@@ -708,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_degrees": q_entity_degrees,
         "salted_order_join": q_salted_order_join,
         "fk_denorm_parts": q_fk_denorm_parts,
+        "cross_mapping_resolve": q_cross_mapping_resolve,
+        "alias_count_merge": q_alias_count_merge,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1103,6 +1159,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS part_names
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY l_orderkey
+        """,
+        "cross_mapping_resolve": """
+            SELECT title, entity, support FROM (
+                SELECT o_orderpriority AS title, o_orderstatus AS entity,
+                       COUNT(*) AS support,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY COUNT(*) DESC, o_orderstatus ASC) AS rk
+                FROM orders GROUP BY 1, 2) t
+            WHERE rk = 1
+        """,
+        "alias_count_merge": """
+            WITH a AS (SELECT o_custkey AS id, o_orderpriority AS k, COUNT(*) AS v
+                       FROM orders GROUP BY 1, 2),
+            b AS (SELECT user_id AS id, event_type AS k, COUNT(*) AS v
+                  FROM events GROUP BY 1, 2),
+            m AS (SELECT COALESCE(a.id, b.id) AS id, COALESCE(a.k, b.k) AS k,
+                         GREATEST(COALESCE(a.v, 0), COALESCE(b.v, 0)) AS v
+                  FROM a FULL JOIN b ON a.id = b.id AND a.k = b.k)
+            SELECT id, string_agg(k || ':' || v, ',' ORDER BY k) AS merged
+            FROM m GROUP BY id
         """,
         "embed_near_dups": """
             WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),

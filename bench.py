@@ -45,19 +45,25 @@ def materialize_corpus(spark, n_files: int, base: str) -> dict[str, str]:
     """Write the synthetic corpus tables to parquet (UNTIMED prep): a real
     pipeline reads an existing table — re-synthesizing rows inside every
     scan both distorts profiles and anti-scales (format_string is
-    allocation-bound)."""
+    allocation-bound).
+
+    The source table is written with ≥64 files regardless of the writing
+    session's core count: scan parallelism is capped by file count at this
+    data size, so a corpus written by a local[8] session would cap every
+    downstream run at 8-way scans (models the real table's thousands of
+    64MB files, which no cluster size under-splits)."""
     from kgdata_spark.sources import synthetic
 
     n_ent = synthetic.n_entities_for(n_files)
     dirs = {}
-    for name, df in {
-        "source": synthetic.source_files(spark, n_files),
-        "aliases": synthetic.aliases(spark, n_ent),
-        "redirects": synthetic.redirects(spark, n_ent),
-        "entities": synthetic.entities(spark, n_ent),
-    }.items():
+    for name, df, parts in [
+        ("source", synthetic.source_files(spark, n_files), 64),
+        ("aliases", synthetic.aliases(spark, n_ent), 8),
+        ("redirects", synthetic.redirects(spark, n_ent), 4),
+        ("entities", synthetic.entities(spark, n_ent), 4),
+    ]:
         d = os.path.join(base, f"corpus_{name}")
-        df.write.mode("overwrite").parquet(d)
+        df.repartition(parts).write.mode("overwrite").parquet(d)
         dirs[name] = d
     return dirs
 
@@ -97,12 +103,41 @@ def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+_SCALE_CHILD = """
+import sys, json
+sys.path.insert(0, ".")
+from kgdata_spark.session import get_spark
+from bench import run_pipeline_bench
+cores, n_files, base = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+corpus = json.loads(sys.argv[4])
+spark = get_spark(app_name=f"kgbench_scale_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(cores, 8))
+run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
+# min of 3: the sandbox VM shows up to 60% run-to-run noise (shared host);
+# the minimum is the least-interfered estimate of the job's true cost
+runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(3)]
+el, n = min(runs)
+print(json.dumps({"sec": round(el, 2), "triples": n,
+                  "triples_per_sec": round(n / el, 1),
+                  "runs_sec": [round(e, 2) for e, _ in runs]}))
+"""
+
+
 def scaling_bench(n_files: int) -> dict:
     """Same pipeline, same input, at local[8] vs local[32] (the sandbox
-    stand-in for N vs 4N executors) → throughput + scaling efficiency."""
+    stand-in for N vs 4N executors) → throughput + scaling efficiency.
+
+    Each parallelism level runs in a FRESH python process: PySpark keeps
+    one JVM per process, so a second SparkContext inherits the first one's
+    state (measured local[32] at 58s after a local[8] run in the same JVM
+    vs 22s in a fresh process) — exactly what separate spark-submit jobs
+    on a real cluster would never share."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    base = tempfile.mkdtemp(prefix="kgscale_", dir=_fast_tmp())
     from kgdata_spark.session import get_spark
 
-    base = tempfile.mkdtemp(prefix="kgscale_", dir=_fast_tmp())
     prep = get_spark(app_name="kgbench_prep", master="local[8]")
     corpus = materialize_corpus(prep, n_files, base)
     prep.stop()
@@ -110,23 +145,18 @@ def scaling_bench(n_files: int) -> dict:
     results = {}
     try:
         for cores in (8, 32):
-            spark = get_spark(
-                app_name=f"kgbench_scale_{cores}",
-                master=f"local[{cores}]",
-                shuffle_partitions=max(cores, 8),
-                extra_conf={
-                    "spark.local.dir": os.path.join(base, f"local_{cores}")
-                },
+            out = subprocess.run(
+                [sys.executable, "-c", _SCALE_CHILD, str(cores), str(n_files),
+                 base, json.dumps(corpus)],
+                capture_output=True, text=True, cwd=repo, timeout=3600,
             )
-            # warm the JVM/codegen once with a tiny run
-            run_pipeline_bench(spark, 10_000)
-            elapsed, n_triples = run_pipeline_bench(spark, n_files, corpus=corpus)
-            results[f"local[{cores}]"] = {
-                "sec": round(elapsed, 2),
-                "triples": n_triples,
-                "triples_per_sec": round(n_triples / elapsed, 1),
-            }
-            spark.stop()
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"scaling child local[{cores}] produced no result; "
+                    f"stderr tail:\n{out.stderr[-3000:]}"
+                )
+            results[f"local[{cores}]"] = json.loads(lines[-1])
     finally:
         shutil.rmtree(base, ignore_errors=True)
     t8 = results["local[8]"]["triples_per_sec"]
@@ -151,6 +181,9 @@ def main() -> None:
 
     spark = get_spark(app_name="kgbench")
     n_files = int(sf * 1_000_000)
+    # JVM/codegen warmup (same as scaling_bench): first-run costs are JIT +
+    # codegen compilation, not pipeline work — measured 95s cold vs 54s warm
+    run_pipeline_bench(spark, 10_000)
     pipe_sec, n_triples = run_pipeline_bench(spark, n_files)
     timings = run_queries_bench(spark, sf_dir)
     total = round(pipe_sec + sum(timings.values()), 3)

@@ -46,8 +46,14 @@ def resolve_redirect_fixpoint_auto(
                 hops += 1
             if cur not in raw:  # unresolved cycles dropped
                 out.append((old, cur))
+        # pandas + Arrow, NOT a python list: createDataFrame(list) builds a
+        # pickled-RDD plan whose every job spawns one Python worker per core
+        # (~5s at local[32] vs 0.2s via Arrow — the anti-scaling trap)
+        import pandas as pd
+
         return redirects.sparkSession.createDataFrame(
-            out, "old_id string, final_id string"
+            pd.DataFrame(out, columns=["old_id", "final_id"]).astype("string"),
+            "old_id string, final_id string",
         )
     return resolve_redirect_fixpoint(redirects, max_iters, checkpoint)
 

@@ -181,6 +181,58 @@ def type_closure(
     )
 
 
+def acyclic_parent_edges(
+    parent_edges: DataFrame, child: str = "child", parent: str = "parent"
+) -> DataFrame:
+    """Deterministically break cycles in a (small) class hierarchy →
+    acyclic (child, parent) edges.
+
+    Driver-side by design, exactly like the reference (D9,
+    /root/reference/kgdata/dbpedia/datasets/../wikidata/datasets/acyclic_classes.py:19-112
+    enumerates cycles with rustworkx in the driver): the class graph is
+    orders of magnitude smaller than the entity graph, so a distributed
+    cycle enumeration buys nothing. Back edges found by iterative DFS with
+    children visited in sorted order — same input ⇒ same dropped edges.
+    """
+    rows = parent_edges.select(child, parent).distinct().collect()
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r[0], []).append(r[1])
+    for k in adj:
+        adj[k] = sorted(set(adj[k]))
+
+    dropped: set[tuple[str, str]] = set()
+    color: dict[str, int] = {}  # 0 unvisited / 1 in-stack / 2 done
+    for start in sorted(adj):
+        if color.get(start):
+            continue
+        stack: list[tuple[str, int]] = [(start, 0)]
+        color[start] = 1
+        while stack:
+            node, idx = stack[-1]
+            nxt = adj.get(node, [])
+            if idx >= len(nxt):
+                color[node] = 2
+                stack.pop()
+                continue
+            stack[-1] = (node, idx + 1)
+            tgt = nxt[idx]
+            c = color.get(tgt, 0)
+            if c == 1:  # back edge → cycle; drop it
+                dropped.add((node, tgt))
+            elif c == 0:
+                color[tgt] = 1
+                stack.append((tgt, 0))
+
+    import pandas as pd
+
+    keep = [(a, b) for a in sorted(adj) for b in adj[a] if (a, b) not in dropped]
+    return parent_edges.sparkSession.createDataFrame(
+        pd.DataFrame(keep, columns=[child, parent]),
+        f"{child} string, {parent} string",
+    )
+
+
 def property_domains(triples: DataFrame, entity_types: DataFrame) -> DataFrame:
     """(pred, type, freq): how often a predicate's subject has a type
     (D13, property_domains.py:11-67)."""

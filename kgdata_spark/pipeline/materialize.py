@@ -60,9 +60,24 @@ def write_stage(
     """Write df as a checkpointed stage dataset; returns its checksum."""
     data_dir = os.path.join(out_dir, stage)
     out = df
+    staged = None
     if range_cols:
-        out = out.repartitionByRange(*range_cols)
+        # range partitioning samples its child to pick boundaries, which
+        # re-executes the whole upstream plan (joins + distinct) a second
+        # time — stage the rows once so both the sampler and the shuffle
+        # read materialized data (measured: triples stage 235s → ~150s at
+        # 10M files). DISK_ONLY, not localCheckpoint: the default
+        # MEMORY_AND_DISK holds deserialized rows on-heap and OOMs a
+        # right-sized heap under 32 concurrent sort tasks; disk blocks in
+        # the local dir (RAM-backed fs) carry zero GC pressure.
+        from pyspark import StorageLevel
+
+        staged = out.persist(StorageLevel.DISK_ONLY)
+        staged.count()
+        out = staged.repartitionByRange(*range_cols)
     out.write.mode("overwrite").parquet(data_dir)
+    if staged is not None:
+        staged.unpersist()
 
     # One re-read pass computes per-partition lineage; the dataset checksum
     # is the (commutative) sum of the partition hashes — no second scan.
@@ -74,7 +89,16 @@ def write_stage(
     checksum = f"{n}:{total}"
     from kgdata_spark.schemas import LINEAGE_SCHEMA
 
-    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+    # pandas + Arrow (not a row list): list-backed createDataFrame plans a
+    # pickled python RDD that spawns a worker per core on every job — the
+    # dominant anti-scaling cost at local[32] (5s/stage vs 0.2s via Arrow)
+    import pandas as pd
+
+    lineage_pdf = pd.DataFrame(
+        [(r.stage, r.partition_id, r.row_count, r.content_hash) for r in lineage_rows],
+        columns=["stage", "partition_id", "row_count", "content_hash"],
+    )
+    spark.createDataFrame(lineage_pdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, stage + "_lineage"))
     with open(os.path.join(data_dir, MANIFEST), "w") as f:

@@ -71,3 +71,27 @@ def test_type_closure(spark):
         ("q1", "cat"): 0, ("q1", "animal"): 1, ("q1", "thing"): 2,
         ("q2", "animal"): 0, ("q2", "thing"): 1,
     }
+
+
+def test_acyclic_parent_edges(spark):
+    from kgdata_spark.operators.graph import acyclic_parent_edges
+
+    edges = spark.createDataFrame(
+        # cycle a→b→c→a, plus acyclic d→a, b→x
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("b", "x")],
+        ["child", "parent"],
+    )
+    out = acyclic_parent_edges(edges)
+    kept = sorted(map(tuple, out.collect()))
+    # deterministic DFS from 'a' (sorted starts) drops back edge c→a
+    assert ("c", "a") not in kept
+    assert ("a", "b") in kept and ("b", "c") in kept
+    assert ("d", "a") in kept and ("b", "x") in kept
+    # result is acyclic: ancestors() terminates with no self-ancestry
+    from kgdata_spark.operators.graph import ancestors
+
+    anc = ancestors(out, max_depth=6)
+    assert anc.where("node = ancestor").count() == 0
+    # idempotent: already-acyclic input passes through unchanged
+    again = sorted(map(tuple, acyclic_parent_edges(out).collect()))
+    assert again == kept
