@@ -1,0 +1,82 @@
+"""spark-submit entry point for the KG construction pipeline.
+
+Cluster usage (north rule: ships as spark-submit --py-files):
+
+    zip -r kgdata_spark.zip kgdata_spark
+    spark-submit --py-files kgdata_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        kgdata_spark/__main__.py \
+        --source  s3://bucket/source_repos/   \
+        --aliases s3://bucket/aliases/        \
+        --redirects s3://bucket/redirects/    \
+        --entities s3://bucket/entities/      \
+        --out     s3://bucket/kg_out/
+
+Local/sandbox usage (synthetic corpus):
+
+    python -m kgdata_spark --synthetic 100000 --out /tmp/kg_out
+
+Every stage is checkpointed (manifest + per-partition lineage); re-running
+with the same inputs skips completed stages — kill it mid-run and it
+resumes (reference semantics: dataset.py:367-428).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kgdata_spark", description=__doc__)
+    p.add_argument("--source", help="parquet path: (repo, path, commit, lang, content)")
+    p.add_argument("--aliases", help="parquet path: (alias, entity, prior)")
+    p.add_argument("--redirects", help="parquet path: (old_id, new_id)")
+    p.add_argument("--entities", help="parquet path: (entity, label)")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N_FILES",
+                   help="generate a deterministic synthetic corpus instead of reading inputs")
+    p.add_argument("--out", required=True, help="output directory for stage datasets")
+    p.add_argument("--master", default=None, help="spark master (default: env/local)")
+    args = p.parse_args(argv)
+
+    from kgdata_spark.session import get_spark
+    from kgdata_spark.pipeline.run import run_pipeline
+
+    spark = get_spark(app_name="kgdata_spark_pipeline", master=args.master)
+
+    if args.synthetic is not None:
+        from kgdata_spark.sources import synthetic
+
+        n_ent = synthetic.n_entities_for(args.synthetic)
+        source = synthetic.source_files(spark, args.synthetic)
+        aliases = synthetic.aliases(spark, n_ent)
+        redirects = synthetic.redirects(spark, n_ent)
+        entities = synthetic.entities(spark, n_ent)
+    else:
+        missing = [k for k in ("source", "aliases", "redirects", "entities")
+                   if not getattr(args, k)]
+        if missing:
+            p.error(f"either --synthetic or all of --source/--aliases/"
+                    f"--redirects/--entities (missing: {', '.join(missing)})")
+        source = spark.read.parquet(args.source)
+        aliases = spark.read.parquet(args.aliases)
+        redirects = spark.read.parquet(args.redirects)
+        entities = spark.read.parquet(args.entities)
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    checksums = run_pipeline(spark, source, aliases, redirects, entities,
+                             args.out, timings=timings)
+    print(json.dumps({
+        "out": args.out,
+        "wall_sec": round(time.time() - t0, 2),
+        "stage_sec": timings,
+        "stage_checksums": checksums,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
