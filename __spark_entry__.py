@@ -701,6 +701,33 @@ def q_alias_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # #28 global statistics fold (entity_pagerank.py:176-221): count/sum/
+    # mean/std/min/max over a value column in one agg pass
+    o = _t(spark, sf_dir, "orders")
+    v = _dec("o_totalprice").cast("double")
+    return o.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(v), 2).alias("total"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_pop(v), 6).alias("std"),
+        F.round(F.min(v), 2).alias("min_v"),
+        F.round(F.max(v), 2).alias("max_v"),
+    )
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # #25 dataset diff (common.py:602-640): rows present in exactly one of
+    # two datasets, by content digest — here nation vs nation-with-edits
+    from kgdata_spark.operators.checksum import diff_datasets
+
+    n = _t(spark, sf_dir, "nation")
+    edited = n.where(F.col("n_nationkey") != 0).unionByName(
+        n.where(F.col("n_nationkey") == 1).withColumn("n_name", F.lit("EDITED"))
+    )
+    return diff_datasets(n, edited, limit=100)
+
+
 # --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
 
 
@@ -764,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_denorm_parts": q_fk_denorm_parts,
         "cross_mapping_resolve": q_cross_mapping_resolve,
         "alias_count_merge": q_alias_count_merge,
+        "rank_stats": q_rank_stats,
+        "dataset_diff": q_dataset_diff,
         "multimodal_features": q_multimodal_features,
     }
 
