@@ -703,16 +703,29 @@ def q_alias_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # #28 global statistics fold (entity_pagerank.py:176-221): count/sum/
-    # mean/std/min/max over a value column in one agg pass
+    # mean/std/min/max over a value column in one agg pass. mean/std derive
+    # from EXACT decimal sums (Σv, Σv²) cast to double at the very end, so
+    # both engines perform the identical IEEE ops — a float sum's order-
+    # dependent error would make stddev oracle-unstable.
     o = _t(spark, sf_dir, "orders")
-    v = _dec("o_totalprice").cast("double")
-    return o.agg(
+    v = _dec("o_totalprice")
+    agg = o.agg(
         F.count("*").alias("n"),
-        F.round(F.sum(v), 2).alias("total"),
-        F.round(F.avg(v), 6).alias("mean"),
-        F.round(F.stddev_pop(v), 6).alias("std"),
-        F.round(F.min(v), 2).alias("min_v"),
-        F.round(F.max(v), 2).alias("max_v"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(s1, 2).alias("total"),
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 6).alias("std"),
+        F.col("_min").cast("double").alias("min_v"),
+        F.col("_max").cast("double").alias("max_v"),
     )
 
 
@@ -733,16 +746,19 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched feature extraction over opaque binary media payloads;
-    # deterministic fake decode (no media libs in container) — no SQL oracle
+    # the deterministic fake decode is pure byte math, so the DuckDB oracle
+    # recomputes it from the hex expansion. payload_sha256 is excluded only
+    # because DuckDB's sha256() cannot hash BLOBs — it stays covered by
+    # pytest against hashlib (tests/test_asof_multimodal.py).
     from kgdata_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 2000)
     feats = extract_features(media)
+    # features are exact dyadic rationals (int / 2^11) so the double fold is
+    # exact in any summation order — no rounding, no cross-engine tie risk
     return feats.select(
-        "media_id", "kind", "n_bytes", "payload_sha256",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feature_sum"
-        ),
+        "media_id", "kind", "n_bytes",
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feature_sum"),
     )
 
 
@@ -1005,8 +1021,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "event_props_agg": """
+            -- CAST around SUM: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+            -- renders as float ("979398.0") and hash-mismatches Spark's bigint
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
@@ -1208,6 +1226,62 @@ def oracle_sql() -> dict[str, str]:
                   FROM a FULL JOIN b ON a.id = b.id AND a.k = b.k)
             SELECT id, string_agg(k || ':' || v, ',' ORDER BY k) AS merged
             FROM m GROUP BY id
+        """,
+        "rank_stats": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                                * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+                       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+                FROM orders)
+            SELECT n, ROUND(s1, 2) AS total,
+                   ROUND(s1 / n, 6) AS mean,
+                   ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std,
+                   min_v, max_v
+            FROM s
+        """,
+        "dataset_diff": """
+            WITH l AS (
+                SELECT sha256(n_name || chr(31) || CAST(n_nationkey AS VARCHAR)
+                              || chr(31) || CAST(n_regionkey AS VARCHAR)) AS digest,
+                       'left' AS side
+                FROM nation),
+            r AS (
+                SELECT sha256(n_name || chr(31) || CAST(n_nationkey AS VARCHAR)
+                              || chr(31) || CAST(n_regionkey AS VARCHAR)) AS digest,
+                       'right' AS side
+                FROM nation WHERE n_nationkey <> 0
+                UNION ALL
+                SELECT sha256('EDITED' || chr(31) || CAST(n_nationkey AS VARCHAR)
+                              || chr(31) || CAST(n_regionkey AS VARCHAR)), 'right'
+                FROM nation WHERE n_nationkey = 1),
+            u AS (
+                SELECT digest, list_sort(list(DISTINCT side)) AS sides
+                FROM (SELECT * FROM l UNION ALL SELECT * FROM r) GROUP BY digest)
+            SELECT digest, sides[1] AS side FROM u WHERE len(sides) = 1
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT 'm' || r AS media_id,
+                       CASE r % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       repeat(sha256('media-' || r), 4) AS hx
+                FROM range(2000) t(r)),
+            bytes AS (
+                SELECT media_id, kind, CAST(g.k / 8 AS INT) AS chunk,
+                       ('0x' || substr(hx, CAST(g.k * 2 + 1 AS INT), 2))::INT AS bv
+                FROM m, unnest(generate_series(0, 127)) g(k)),
+            feats AS (
+                -- int / 2^11 chunk values are exact doubles; their sum is
+                -- exact in any order, matching Spark's fold bit-for-bit
+                SELECT media_id, kind, chunk,
+                       SUM(bv) / 2048.0 AS f
+                FROM bytes GROUP BY 1, 2, 3)
+            SELECT media_id, kind, CAST(128 AS BIGINT) AS n_bytes,
+                   SUM(f) AS feature_sum
+            FROM feats GROUP BY media_id, kind
         """,
         "embed_near_dups": """
             WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),

@@ -82,14 +82,19 @@ def decode_audio(payload: bytes) -> object:
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real embedding: normalized byte stats
-    over `dim` equal chunks — pure-bytes math, stable across engines."""
+    over `dim` equal chunks — pure-bytes math, stable across engines.
+
+    The divisor is 256·chunk_len (a power of two for the 8-byte chunks of
+    the synthetic table) so every feature is an integer / 2^k — exactly
+    representable in float32 AND in any engine's double math, with no
+    rounding step whose tie behavior could differ between engines."""
     if not payload:
         return [0.0] * dim
     chunk = max(1, len(payload) // dim)
     out = []
     for k in range(dim):
         seg = payload[k * chunk : (k + 1) * chunk] or payload[-chunk:]
-        out.append(round(sum(seg) / (255.0 * len(seg)), 6))
+        out.append(sum(seg) / (256.0 * len(seg)))
     return out
 
 
