@@ -146,11 +146,17 @@ def near_dup_pairs(
 
     With `collapse_exact` (default), docs with *identical token sets* are
     collapsed to one representative before LSH and expanded afterwards —
-    the textbook exact-dedup-before-near-dedup order. Output is provably
-    identical to running LSH on all docs: identical token sets ⇒ identical
-    signatures ⇒ identical band buckets, and within-group pairs have
-    jaccard exactly 1.0. On real web corpora (many exact dups) this turns
-    the dominant quadratic verify into cheap pair expansion.
+    the textbook exact-dedup-before-near-dedup order. With
+    ``max_bucket=None`` the output is provably identical to running LSH on
+    all docs: identical token sets ⇒ identical signatures ⇒ identical band
+    buckets, and within-group pairs have jaccard exactly 1.0. When BOTH
+    ``collapse_exact`` and ``max_bucket`` are set the two modes can diverge
+    on degenerate buckets: within-group exact-dup pairs bypass the bucket
+    cap in collapsed mode (each group counts once toward bucket width) but
+    would be dropped uncollapsed — collapsed mode strictly dominates recall
+    there, which is the intended behavior of the cap. On real web corpora
+    (many exact dups) the collapse turns the dominant quadratic verify into
+    cheap pair expansion.
     """
     tokens = doc_tokens(docs, id_col, text_col)
     if not collapse_exact:

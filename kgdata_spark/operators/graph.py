@@ -181,8 +181,14 @@ def type_closure(
     )
 
 
+DRIVER_EDGE_THRESHOLD = 5_000_000  # ~a few hundred MB of id pairs in driver
+
+
 def acyclic_parent_edges(
-    parent_edges: DataFrame, child: str = "child", parent: str = "parent"
+    parent_edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Deterministically break cycles in a (small) class hierarchy →
     acyclic (child, parent) edges.
@@ -193,8 +199,21 @@ def acyclic_parent_edges(
     orders of magnitude smaller than the entity graph, so a distributed
     cycle enumeration buys nothing. Back edges found by iterative DFS with
     children visited in sorted order — same input ⇒ same dropped edges.
+
+    Guarded by `driver_threshold` (same pattern as
+    fixpoint.resolve_redirect_fixpoint_auto): an edge table too big to
+    collect raises explicitly instead of silently OOMing the driver.
     """
-    rows = parent_edges.select(child, parent).distinct().collect()
+    dedup = parent_edges.select(child, parent).distinct()
+    n = dedup.limit(driver_threshold + 1).count()
+    if n > driver_threshold:
+        raise ValueError(
+            f"acyclic_parent_edges: {n}+ distinct edges exceed the driver "
+            f"threshold ({driver_threshold}); the class graph should be far "
+            "smaller than the entity graph — if it genuinely isn't, break "
+            "cycles distributedly (e.g. min-dist BFS with edge ranking)"
+        )
+    rows = dedup.collect()
     adj: dict[str, list[str]] = {}
     for r in rows:
         adj.setdefault(r[0], []).append(r[1])

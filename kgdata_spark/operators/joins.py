@@ -22,6 +22,47 @@ from pyspark.sql import functions as F
 HOT_KEY_THRESHOLD = 10_000  # common.py:207-210
 SALT_BATCH = 1_000
 
+# Default ceiling for *hinted* broadcasts: comfortably inside a 4g executor
+# even with a few concurrent joins. AQE can still decide to broadcast bigger
+# sides at runtime from real shuffle sizes — the hint just must never force
+# an OOM the optimizer would have avoided.
+BROADCAST_SIZE_BYTES = 64 << 20
+
+
+def maybe_broadcast(df: DataFrame, threshold_bytes: int = BROADCAST_SIZE_BYTES):
+    """Broadcast hint only when the plan's estimated size is provably small.
+
+    The reference broadcasts only known-small dicts (unknown/redirect sets,
+    entities.py:131-137); an unconditional ``F.broadcast()`` on an unbounded
+    input is the classic correct-at-sf0.1 / OOM-at-100M-entities bug. This
+    uses Catalyst's optimized-plan statistics — zero extra Spark jobs:
+    parquet scans report real file sizes, and plans whose size can't be
+    bounded report huge estimates and fall through to a plain join, where
+    AQE converts to broadcast at runtime if the actual shuffle turns out
+    small. Pass ``threshold_bytes=0`` to force a plain join."""
+    if threshold_bytes <= 0:
+        return df
+    try:
+        # py4j maps scala.math.BigInt to a python int in most cases; str()
+        # covers both that and a raw JavaObject
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # size not estimable -> let Catalyst/AQE decide
+        return df
+    return F.broadcast(df) if est <= threshold_bytes else df
+
+
+def assert_bounded(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Fail fast (one cheap limit-probe job) when a side that an operator
+    must hold in memory exceeds its documented bound — an explicit guard
+    instead of a silent executor OOM at scale."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: exceeds its bound of {max_rows} rows; "
+            "repartition the work (e.g. chunk the query set) instead"
+        )
+    return df
+
 
 def _hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
     """(key, n_salts) for keys whose frequency exceeds threshold."""
@@ -122,7 +163,12 @@ def fk_denormalize_join(
         rid = F.col(r1_key)
     else:
         rid = F.sha2(F.to_json(F.struct(*[F.col(c) for c in r1_cols])), 256)
-        r1k = r1.withColumn("_rid", rid)
+        # materialize once: the digest is referenced in two plan branches
+        # (explode + join-back); if R1's plan is nondeterministic (e.g.
+        # collect_list array order varying between re-executions), separate
+        # executions would digest the same logical row differently — the
+        # same failure class as the monotonically_increasing_id bug above.
+        r1k = r1.withColumn("_rid", rid).localCheckpoint(eager=True)
         rid = F.col("_rid")
     exploded = r1k.select(rid.alias("_rid"), F.explode_outer(fk_list_col).alias("_fk")).distinct()
     r2s = r2.select(F.col(r2_key).alias("_fk"), F.struct(*r2.columns).alias("_r2"))

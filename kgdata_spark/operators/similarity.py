@@ -37,6 +37,9 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+MAX_QUERY_ROWS = 100_000  # broadcast bound for the brute-force query side
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -44,14 +47,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     round_digits: int = 4,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """(q_id, c_id, score, rk) — top-k corpus vectors per query by cosine.
 
-    The query side is broadcast (bounded); the corpus streams through.
-    Ties broken by c_id asc after rounding → deterministic ranking.
+    The query side is broadcast; the corpus streams through. The broadcast
+    contract ("query set is bounded") is ENFORCED with a cheap limit-probe —
+    exceeding it raises instead of OOMing every executor. For query sets
+    beyond the bound, chunk them or use ivf_topk. Ties broken by c_id asc
+    after rounding → deterministic ranking.
     """
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    from kgdata_spark.operators.joins import assert_bounded
+
+    q = assert_bounded(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        max_query_rows,
+        "brute_force_topk query side",
     )
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     scored = (

@@ -88,23 +88,42 @@ def canonicalize_aliases(
 
 
 def rewrite_triples(
-    triples: DataFrame, redirect_map: DataFrame, entities: DataFrame
+    triples: DataFrame,
+    redirect_map: DataFrame,
+    entities: DataFrame,
+    broadcast_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Rewrite entity-kind subj/obj through the redirect map, then drop any
     triple still referencing an unknown entity. Literal objects pass
     through untouched. Output is distinct (the rewrite can collapse
-    duplicates, mirroring the reference's merge of redirected statements)."""
-    rmap_obj = redirect_map.select(
-        F.col("old_id").alias("_obj_old"), F.col("final_id").alias("_obj_new")
+    duplicates, mirroring the reference's merge of redirected statements).
+
+    The redirect map and live-entity set are broadcast ONLY when Catalyst's
+    size estimate proves them small (maybe_broadcast) — at reference scale
+    the live set is ~100M ids and a forced broadcast OOMs executors; the
+    reference itself broadcasts only the known-small unknown/redirect dicts
+    (entities.py:131-137). Above the threshold these become plain joins and
+    AQE picks the physical strategy."""
+    from kgdata_spark.operators.joins import BROADCAST_SIZE_BYTES, maybe_broadcast
+
+    thr = BROADCAST_SIZE_BYTES if broadcast_threshold_bytes is None else broadcast_threshold_bytes
+    rmap_obj = maybe_broadcast(
+        redirect_map.select(
+            F.col("old_id").alias("_obj_old"), F.col("final_id").alias("_obj_new")
+        ),
+        thr,
     )
-    rmap_subj = redirect_map.select(
-        F.col("old_id").alias("_subj_old"), F.col("final_id").alias("_subj_new")
+    rmap_subj = maybe_broadcast(
+        redirect_map.select(
+            F.col("old_id").alias("_subj_old"), F.col("final_id").alias("_subj_new")
+        ),
+        thr,
     )
     live = entities.select(F.col("entity").alias("_live"))
 
     t = (
         triples.join(
-            F.broadcast(rmap_obj),
+            rmap_obj,
             (F.col("obj_kind") == "entity") & (F.col("obj") == F.col("_obj_old")),
             "left",
         )
@@ -115,7 +134,7 @@ def rewrite_triples(
     # are exactly those emitted by the linker (subclass triples).
     t = (
         t.join(
-            F.broadcast(rmap_subj),
+            rmap_subj,
             (F.col("pred") == "subclass_of") & (F.col("subj") == F.col("_subj_old")),
             "left",
         )
@@ -125,12 +144,12 @@ def rewrite_triples(
 
     # prune triples whose entity obj (or entity subj) is still unknown
     t = t.join(
-        F.broadcast(live),
+        maybe_broadcast(live, thr),
         (F.col("obj_kind") == "entity") & (F.col("obj") == F.col("_live")),
         "left",
     ).where((F.col("obj_kind") != "entity") | F.col("_live").isNotNull()).drop("_live")
     t = t.join(
-        F.broadcast(live),
+        maybe_broadcast(live, thr),
         (F.col("pred") == "subclass_of") & (F.col("subj") == F.col("_live")),
         "left",
     ).where((F.col("pred") != "subclass_of") | F.col("_live").isNotNull()).drop("_live")

@@ -48,14 +48,19 @@ def candidate_map(aliases: DataFrame, top_k: int = TOP_K_CANDIDATES) -> DataFram
 def resolve_mentions(mention_df: DataFrame, cand: DataFrame) -> DataFrame:
     """mention rows → (subj=file_id, pred=mentions, obj=entity) triples.
 
-    Inner-joins against the rank-1 candidate; broadcast because the
-    candidate map is bounded by the alias vocabulary, not the corpus.
+    The candidate map is bounded by the alias vocabulary, not the corpus —
+    but for Wikidata that vocabulary is still tens of millions of rows, so
+    the broadcast hint is applied only when Catalyst's size estimate proves
+    the map small (maybe_broadcast); otherwise a plain shuffle join, which
+    AQE upgrades to broadcast at runtime if the map turns out tiny.
     """
-    best = cand.where(F.col("rank") == 1).select(
-        "norm_alias", F.col("entity").alias("obj")
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    best = maybe_broadcast(
+        cand.where(F.col("rank") == 1).select("norm_alias", F.col("entity").alias("obj"))
     )
     return (
-        mention_df.join(F.broadcast(best), mention_df.norm_mention == best.norm_alias, "inner")
+        mention_df.join(best, mention_df.norm_mention == best.norm_alias, "inner")
         .select(
             F.col("file_id").alias("subj"),
             F.lit("mentions").alias("pred"),
@@ -81,19 +86,21 @@ def resolve_mentions_scored(
 
     Deterministic tie-break (score desc, entity asc) pins results.
     """
+    from kgdata_spark.operators.joins import maybe_broadcast
+
     labels = entities.select(
         F.col("entity"),
         F.split(norm_mention(F.col("label")), r"\s+").alias("label_toks"),
     )
     cands = (
-        cand.join(F.broadcast(labels), "entity", "left")
+        cand.join(maybe_broadcast(labels), "entity", "left")
         .withColumn(
             "max_prior",
             F.max("prior").over(Window.partitionBy("norm_alias")),
         )
     )
     scored = mention_df.join(
-        F.broadcast(cands), mention_df.norm_mention == cands.norm_alias, "inner"
+        maybe_broadcast(cands), mention_df.norm_mention == cands.norm_alias, "inner"
     ).withColumn("m_toks", F.split(F.col("norm_mention"), r"\s+"))
     inter = F.size(F.array_intersect("m_toks", "label_toks"))
     union = F.size(F.array_union("m_toks", "label_toks"))
@@ -123,13 +130,18 @@ def resolve_mentions_scored(
 
 
 def resolve_class_pairs(pairs: DataFrame, cand: DataFrame) -> DataFrame:
-    """(child_alias, parent_alias) → (E_child, subclass_of, E_parent)."""
+    """(child_alias, parent_alias) → (E_child, subclass_of, E_parent).
+
+    Candidate-map sides hinted via maybe_broadcast — same unbounded-alias
+    reasoning as resolve_mentions."""
+    from kgdata_spark.operators.joins import maybe_broadcast
+
     best = cand.where(F.col("rank") == 1).select("norm_alias", "entity")
-    child = best.select(
-        F.col("norm_alias").alias("child_norm"), F.col("entity").alias("subj")
+    child = maybe_broadcast(
+        best.select(F.col("norm_alias").alias("child_norm"), F.col("entity").alias("subj"))
     )
-    parent = best.select(
-        F.col("norm_alias").alias("parent_norm"), F.col("entity").alias("obj")
+    parent = maybe_broadcast(
+        best.select(F.col("norm_alias").alias("parent_norm"), F.col("entity").alias("obj"))
     )
     normed = pairs.select(
         norm_mention(F.col("child_alias")).alias("child_norm"),
@@ -139,8 +151,8 @@ def resolve_class_pairs(pairs: DataFrame, cand: DataFrame) -> DataFrame:
         "content_sha256",
     )
     return (
-        normed.join(F.broadcast(child), "child_norm", "inner")
-        .join(F.broadcast(parent), "parent_norm", "inner")
+        normed.join(child, "child_norm", "inner")
+        .join(parent, "parent_norm", "inner")
         .select(
             "subj",
             F.lit("subclass_of").alias("pred"),

@@ -66,14 +66,22 @@ def get_spark(
     # has ONE virtio disk, so 32 concurrent shuffle writers serialize on it
     # (a real cluster's executor-local SSDs scale with executors, which
     # /dev/shm models). A cluster deployment sets SPARK_LOCAL_DIRS instead.
+    # Gated on tmpfs headroom (spills bigger than /dev/shm must go to real
+    # disk), and cleaned up at interpreter exit — Spark only removes its
+    # inner blockmgr dirs, and a SIGKILLed run would otherwise leak shuffle
+    # files in RAM until reboot.
     if (
         "spark.local.dir" not in (extra_conf or {})
         and "SPARK_LOCAL_DIRS" not in os.environ
         and os.path.isdir("/dev/shm")
     ):
-        builder = builder.config(
-            "spark.local.dir", f"/dev/shm/spark_local_{os.getpid()}"
-        )
+        import atexit
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").free >= 8 << 30:
+            local_dir = f"/dev/shm/spark_local_{os.getpid()}"
+            builder = builder.config("spark.local.dir", local_dir)
+            atexit.register(shutil.rmtree, local_dir, True)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,92 @@
+"""Scale-guard tests: size-conditional broadcasts + driver-side bounds.
+
+VERDICT r1 "what's wrong #2": forced F.broadcast() on unbounded inputs is
+invisible at sf0.1 and an executor OOM at 100M entities. These tests pin
+the fixed behavior: above the threshold no broadcast hint reaches the plan
+(Catalyst/AQE decides), below it the hint is applied; bounded-side
+contracts raise instead of OOMing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.joins import assert_bounded, maybe_broadcast
+from kgdata_spark.pipeline.canonicalize import rewrite_triples
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_maybe_broadcast_hints_only_small_plans(spark):
+    small = spark.range(10).select(F.col("id").alias("k"))
+    big = spark.range(1000)
+    hinted = big.join(maybe_broadcast(small, 1 << 20), big.id == F.col("k"))
+    assert "broadcast" in _optimized(hinted).lower()
+
+    plain = big.join(maybe_broadcast(small, 1), big.id == F.col("k"))
+    assert "broadcast" not in _optimized(plain).lower()
+
+
+def test_rewrite_triples_no_forced_broadcast_above_threshold(spark):
+    # range-backed inputs carry real size stats (a createDataFrame
+    # LogicalRDD reports unknown size and is — correctly — never hinted)
+    triples = spark.range(20).select(
+        F.concat(F.lit("f"), "id").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.concat(F.lit("X"), F.col("id") % 5).alias("obj"),
+        F.lit("entity").alias("obj_kind"),
+        F.lit("r").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("s").alias("content_sha256"),
+    )
+    rmap = spark.range(5).select(
+        F.concat(F.lit("X"), "id").alias("old_id"),
+        F.concat(F.lit("E"), "id").alias("final_id"),
+    )
+    ents = spark.range(5).select(F.concat(F.lit("E"), "id").alias("entity"))
+
+    hinted = rewrite_triples(triples, rmap, ents)  # default: small -> hinted
+    assert "broadcast" in _optimized(hinted).lower()
+
+    plain = rewrite_triples(triples, rmap, ents, broadcast_threshold_bytes=0)
+    assert "broadcast" not in _optimized(plain).lower()
+
+    # semantics identical either way
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_assert_bounded_raises_beyond_bound(spark):
+    df = spark.range(100)
+    assert_bounded(df, 100, "ok side")  # at the bound: fine
+    with pytest.raises(ValueError, match="exceeds its bound"):
+        assert_bounded(df, 99, "query side")
+
+
+def test_brute_force_topk_enforces_query_bound(spark):
+    from kgdata_spark.operators.similarity import brute_force_topk
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        brute_force_topk(vecs, vecs, k=3, max_query_rows=10).collect()
+    out = brute_force_topk(vecs.limit(5), vecs, k=3, max_query_rows=10)
+    assert out.count() == 15
+
+
+def test_acyclic_parent_edges_driver_guard(spark):
+    from kgdata_spark.operators.graph import acyclic_parent_edges
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["child", "parent"]
+    )
+    # under threshold: cycle broken deterministically
+    kept = acyclic_parent_edges(edges)
+    assert kept.count() == 2
+    with pytest.raises(ValueError, match="driver threshold"):
+        acyclic_parent_edges(edges, driver_threshold=2)
