@@ -741,6 +741,121 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_datasets(n, edited, limit=100)
 
 
+# --- nested entity model + D4 fix pass (entities.py:179-286) -----------------
+
+
+def q_entity_fix_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Builds a nested entity table (id, props map<pid, array<statement>>)
+    # deterministically from orders, runs the reference's two fix passes —
+    # transitive-qualifier promotion (entities.py:263-286) then the
+    # unknown/redirect statement+qualifier rewrite (entities.py:179-260) —
+    # entirely in Catalyst HOFs, and flattens back to oracle-checkable rows.
+    from kgdata_spark.operators.entity_fix import (
+        attach_dicts,
+        fix_transitive_qualifiers,
+        fixed_entities,
+        flatten_statements,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nc = c.agg(F.count("*").alias("_nc"))
+    b = o.crossJoin(F.broadcast(nc))
+    k = F.col("o_orderkey")
+    n = F.col("_nc")
+    m = k % 6
+    pid = (
+        F.when(m == 0, "P0")
+        .when(m == 1, "PT")   # transitive property
+        .when(m == 2, "PU")   # unknown property -> prop dropped
+        .when(m == 3, "RP")   # redirected property -> renamed P9
+        .when(m == 4, "P4")
+        .otherwise("P5")
+    )
+    v5 = k % 5
+    tag = lambda t, v: F.struct(F.lit(t).alias("vtype"), v.alias("value"))  # noqa: E731
+    value = (
+        F.when(v5 == 0, tag("entityid", F.concat(F.lit("E"), k % n)))     # live
+        .when(v5 == 1, tag("entityid", F.concat(F.lit("R"), k % n)))      # redirect
+        .when(v5 == 2, tag("entityid", F.concat(F.lit("U"), k % 97)))     # unknown
+        .when(v5 == 3, tag("string", F.col("o_orderpriority")))
+        .otherwise(tag("quantity", k.cast("string")))
+    )
+    rank = F.element_at(
+        F.array(F.lit("normal"), F.lit("preferred"), F.lit("deprecated")),
+        (k % 3 + 1).cast("int"),
+    )
+    q1id = F.when(k % 4 == 1, pid).otherwise(F.lit("Q1"))
+    q1vals = F.concat(
+        F.array(tag("entityid", F.concat(F.lit("E"), (k * 3) % n))),
+        F.when(
+            k % 16 < 8, F.array(tag("entityid", F.concat(F.lit("U"), (k * 3) % 97)))
+        ).otherwise(F.array().cast("array<struct<vtype:string,value:string>>")),
+    )
+    e1 = F.when(k % 2 == 1, F.struct(q1id.alias("key"), q1vals.alias("value")))
+    e2 = F.when(
+        k % 3 == 0,
+        F.struct(
+            F.lit("RQ").alias("key"),
+            F.array(tag("entityid", F.concat(F.lit("R"), (k * 7) % n))).alias("value"),
+        ),
+    )
+    e3 = F.when(
+        k % 5 == 0,
+        F.struct(
+            F.lit("QU").alias("key"),
+            F.array(tag("string", F.col("o_orderstatus"))).alias("value"),
+        ),
+    )
+    entries = F.filter(F.array(e1, e2, e3), lambda x: x.isNotNull())
+    stmt = F.struct(
+        value.alias("value"),
+        F.map_from_entries(entries).alias("qualifiers"),
+        F.transform(entries, lambda x: x["key"]).alias("qualifiers_order"),
+        rank.alias("rank"),
+    )
+    rows = b.select(
+        F.concat(F.lit("E"), F.col("o_custkey")).alias("id"),
+        k.alias("sid"),
+        pid.alias("pid"),
+        stmt.alias("s"),
+    )
+    by_prop = rows.groupBy("id", "pid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sid", "s")),
+                lambda a, b2: F.when(a["sid"] < b2["sid"], -1)
+                .when(a["sid"] > b2["sid"], 1)
+                .otherwise(0),
+            ),
+            lambda x: x["s"],
+        ).alias("stmts")
+    )
+    entities = by_prop.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pid", "stmts"))).alias("props")
+    )
+
+    unknown = (
+        spark.range(97)
+        .select(F.concat(F.lit("U"), "id").alias("id"))
+        .unionByName(spark.createDataFrame([("PU",), ("QU",)], "id string"))
+    )
+    redirects = (
+        c.select(
+            F.concat(F.lit("R"), "c_custkey").alias("old_id"),
+            F.concat(F.lit("E"), "c_custkey").alias("final_id"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("RP", "P9"), ("RQ", "Q9")], "old_id string, final_id string"
+            )
+        )
+    )
+    promoted = fix_transitive_qualifiers(entities, transitive_props=("PT",))
+    fixed = fixed_entities(attach_dicts(promoted, unknown, redirects))
+    return flatten_statements(fixed)
+
+
 # --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
 
 
@@ -809,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_count_merge": q_alias_count_merge,
         "rank_stats": q_rank_stats,
         "dataset_diff": q_dataset_diff,
+        "entity_fix_pass": q_entity_fix_pass,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1261,6 +1377,87 @@ def oracle_sql() -> dict[str, str]:
                 SELECT digest, list_sort(list(DISTINCT side)) AS sides
                 FROM (SELECT * FROM l UNION ALL SELECT * FROM r) GROUP BY digest)
             SELECT digest, sides[1] AS side FROM u WHERE len(sides) = 1
+        """,
+        "entity_fix_pass": """
+            WITH nc AS (SELECT COUNT(*) AS n FROM customer),
+            base AS (
+                SELECT o_orderkey AS k, 'E' || o_custkey AS id,
+                       o_orderpriority AS prio, o_orderstatus AS status,
+                       (SELECT n FROM nc) AS n
+                FROM orders),
+            stmts AS (
+                SELECT k, id,
+                       CASE k % 6 WHEN 0 THEN 'P0' WHEN 1 THEN 'PT'
+                            WHEN 2 THEN 'PU' WHEN 3 THEN 'RP'
+                            WHEN 4 THEN 'P4' ELSE 'P5' END AS pid,
+                       CASE WHEN k % 5 <= 2 THEN 'entityid'
+                            WHEN k % 5 = 3 THEN 'string' ELSE 'quantity' END AS vtype,
+                       CASE k % 5 WHEN 0 THEN 'E' || (k % n)
+                            WHEN 1 THEN 'R' || (k % n)
+                            WHEN 2 THEN 'U' || (k % 97)
+                            WHEN 3 THEN prio ELSE CAST(k AS VARCHAR) END AS value,
+                       CASE k % 3 WHEN 0 THEN 'normal' WHEN 1 THEN 'preferred'
+                            ELSE 'deprecated' END AS rank
+                FROM base),
+            quals AS (
+                SELECT s.k, CASE WHEN s.k % 4 = 1 THEN s.pid ELSE 'Q1' END AS qid,
+                       'entityid' AS qvtype, 'E' || ((s.k * 3) % b.n) AS qvalue, 0 AS qpos
+                FROM stmts s JOIN base b USING (k) WHERE s.k % 2 = 1
+                UNION ALL
+                SELECT s.k, CASE WHEN s.k % 4 = 1 THEN s.pid ELSE 'Q1' END,
+                       'entityid', 'U' || ((s.k * 3) % 97), 1
+                FROM stmts s JOIN base b USING (k) WHERE s.k % 2 = 1 AND s.k % 16 < 8
+                UNION ALL
+                SELECT k, 'RQ', 'entityid', 'R' || ((k * 7) % n), 0
+                FROM base WHERE k % 3 = 0
+                UNION ALL
+                SELECT k, 'QU', 'string', status, 0 FROM base WHERE k % 5 = 0),
+            -- transitive promotion: self-qualifiers of PT become statements,
+            -- deduped by (vtype,value) keeping the first (stmt order, qval order)
+            promoted AS (
+                SELECT id, pid, vtype, value, rank, -k - 1 AS sid FROM (
+                    SELECT s.id, s.pid, q.qvtype AS vtype, q.qvalue AS value,
+                           s.rank, s.k,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.id, s.pid, q.qvtype, q.qvalue
+                               ORDER BY s.k, q.qpos) AS rn
+                    FROM stmts s JOIN quals q ON q.k = s.k AND q.qid = s.pid
+                    WHERE s.pid = 'PT') t
+                WHERE rn = 1),
+            -- self-qualifiers (qid = pid) are deleted for every pid
+            quals2 AS (
+                SELECT q.* FROM quals q JOIN stmts s USING (k) WHERE q.qid <> s.pid),
+            all_stmts AS (
+                SELECT id, pid, vtype, value, rank, k AS sid FROM stmts
+                UNION ALL SELECT id, pid, vtype, value, rank, sid FROM promoted),
+            -- fixed pass: unknown drops + redirect rewrites/renames
+            kept AS (
+                SELECT * FROM all_stmts
+                WHERE pid <> 'PU'
+                  AND NOT (vtype = 'entityid' AND value LIKE 'U%')),
+            rewritten AS (
+                SELECT id, sid,
+                       CASE pid WHEN 'RP' THEN 'P9' ELSE pid END AS pid,
+                       vtype,
+                       CASE WHEN vtype = 'entityid' AND value LIKE 'R%'
+                            THEN 'E' || substr(value, 2) ELSE value END AS value,
+                       rank
+                FROM kept),
+            fixed_quals AS (
+                SELECT k,
+                       CASE qid WHEN 'RQ' THEN 'Q9' ELSE qid END AS qid,
+                       qvtype,
+                       CASE WHEN qvtype = 'entityid' AND qvalue LIKE 'R%'
+                            THEN 'E' || substr(qvalue, 2) ELSE qvalue END AS qvalue
+                FROM quals2
+                WHERE qid <> 'QU'
+                  AND NOT (qvtype = 'entityid' AND qvalue LIKE 'U%'))
+            SELECT r.id, r.pid, r.rank, r.vtype, r.value,
+                   COALESCE(string_agg(fq.qid || '=' || fq.qvtype || ':' || fq.qvalue,
+                                       '|' ORDER BY fq.qid || '=' || fq.qvtype || ':' || fq.qvalue),
+                            '') AS quals
+            FROM rewritten r LEFT JOIN fixed_quals fq ON fq.k = r.sid
+            GROUP BY r.id, r.sid, r.pid, r.rank, r.vtype, r.value
         """,
         "multimodal_features": """
             WITH m AS (

@@ -1,0 +1,273 @@
+"""Goldens for the nested D4 fix pass vs an independent pure-Python oracle.
+
+The oracle re-implements the reference semantics
+(/root/reference/kgdata/wikidata/datasets/entities.py:179-286) over plain
+dicts/tuples — no Spark — covering the edge cases the HOF implementation
+must match: unknown pid/value/qid/qval drops, redirect rewrites, qid/pid
+renames with collision (new entry wins), qualifier deletion order,
+transitive promotion with first-occurrence dedup, all-statements-removed
+prop drop, qualifiers_order maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.entity_fix import (
+    PROPS_T,
+    attach_dicts,
+    child_entity_ids,
+    fix_transitive_qualifiers,
+    fixed_entities,
+    flatten_statements,
+    split_dangling,
+)
+
+# ---------------------------------------------------------------------------
+# pure-python oracle (statement = (value, quals, order, rank); value = tuple)
+
+
+def py_fix_transitive(props: dict, transitive: set) -> dict:
+    out = {}
+    for pid, stmts in props.items():
+        cleaned, new = [], []
+        for value, quals, order, rank in stmts:
+            if pid in quals:
+                if pid in transitive:
+                    for qv in quals[pid]:
+                        new.append((qv, {}, [], rank))
+                quals = {k: v for k, v in quals.items() if k != pid}
+                order = [x for x in order if x != pid]
+            cleaned.append((value, quals, order, rank))
+        seen, dedup = set(), []
+        for st in new:
+            if st[0] not in seen:
+                seen.add(st[0])
+                dedup.append(st)
+        out[pid] = cleaned + dedup
+    return out
+
+
+def py_fixed(props: dict, unknown: set, rmap: dict) -> dict:
+    mid = {}
+    for pid, stmts in props.items():
+        if pid in unknown:
+            continue
+        kept = []
+        for value, quals, order, rank in stmts:
+            if value[0] == "entityid" and value[1] in unknown:
+                continue
+            if value[0] == "entityid" and value[1] in rmap:
+                value = ("entityid", rmap[value[1]])
+            q = {}
+            for qid, qvals in quals.items():
+                if qid in unknown:
+                    continue
+                vv = []
+                for v in qvals:
+                    if v[0] == "entityid" and v[1] in unknown:
+                        continue
+                    if v[0] == "entityid" and v[1] in rmap:
+                        v = ("entityid", rmap[v[1]])
+                    vv.append(v)
+                if not vv:
+                    continue
+                q[qid] = vv
+            q2 = {}
+            for qid, vv in q.items():  # rename, later entry wins
+                q2[rmap.get(qid, qid)] = vv
+            order2 = [rmap.get(x, x) for x in order if x in q]
+            kept.append((value, q2, order2, rank))
+        if kept:
+            mid[pid] = kept
+    out = {}
+    for pid, stmts in mid.items():  # pid rename, later entry wins
+        out[rmap.get(pid, pid)] = stmts
+    return out
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def to_spark_entities(spark, ents: dict[str, dict]):
+    rows = [
+        (
+            eid,
+            {
+                pid: [
+                    (tuple(v), {k: [tuple(x) for x in vs] for k, vs in q.items()}, o, r)
+                    for (v, q, o, r) in stmts
+                ]
+                for pid, stmts in props.items()
+            },
+        )
+        for eid, props in ents.items()
+    ]
+    return spark.createDataFrame(rows, f"id string, props {PROPS_T}")
+
+
+def normalize(df) -> dict:
+    out = {}
+    for row in df.collect():
+        props = {}
+        for pid, stmts in row.props.items():
+            props[pid] = [
+                (
+                    (s.value.vtype, s.value.value),
+                    {
+                        k: [(v.vtype, v.value) for v in vs]
+                        for k, vs in sorted(s.qualifiers.items())
+                    },
+                    list(s.qualifiers_order),
+                    s.rank,
+                )
+                for s in stmts
+            ]
+        out[row.id] = props
+    return out
+
+
+def norm_py(ents: dict) -> dict:
+    return {
+        eid: {
+            pid: [
+                (v, {k: vs for k, vs in sorted(q.items())}, list(o), r)
+                for (v, q, o, r) in stmts
+            ]
+            for pid, stmts in props.items()
+        }
+        for eid, props in ents.items()
+    }
+
+
+E = lambda x: ("entityid", x)  # noqa: E731
+S = lambda x: ("string", x)  # noqa: E731
+
+
+FIX_ENTITY = {
+    "E1": {
+        "PU": [(S("dropme"), {}, [], "normal")],  # unknown pid
+        "P1": [
+            (E("U9"), {}, [], "normal"),  # unknown value -> stmt dropped
+            (E("R1"), {}, [], "preferred"),  # redirected value
+            (S("keep"), {}, [], "normal"),
+        ],
+        "P2": [
+            (
+                S("q-stmt"),
+                {
+                    "QU": [S("x")],  # unknown qid -> dropped
+                    "Q1": [E("U9"), E("R2")],  # one dropped, one rewritten
+                    "Q2": [E("U9")],  # all dropped -> qualifier dropped
+                    "RQ": [S("ren")],  # qid renamed -> QX
+                },
+                ["QU", "Q1", "Q2", "RQ"],
+                "normal",
+            )
+        ],
+        "P3": [(E("U9"), {}, [], "normal")],  # all stmts dropped -> prop gone
+        "RP": [(S("renamed-prop"), {}, [], "normal")],  # pid renamed -> P7
+    },
+    # pid rename collision: P4 exists AND RC renames to P4 -> RC's stmts win
+    "E2": {
+        "P4": [(S("old"), {}, [], "normal")],
+        "RC": [(S("new"), {}, [], "normal")],
+    },
+}
+UNKNOWN = {"PU", "U9", "QU"}
+RMAP = {"R1": "E9", "R2": "E8", "RQ": "QX", "RP": "P7", "RC": "P4"}
+
+
+def test_fixed_entities_matches_python_oracle(spark):
+    ents = to_spark_entities(spark, FIX_ENTITY)
+    unknown = spark.createDataFrame([(u,) for u in sorted(UNKNOWN)], "id string")
+    redirects = spark.createDataFrame(
+        sorted(RMAP.items()), "old_id string, final_id string"
+    )
+    got = normalize(fixed_entities(attach_dicts(ents, unknown, redirects)))
+    want = norm_py(
+        {eid: py_fixed(props, UNKNOWN, RMAP) for eid, props in FIX_ENTITY.items()}
+    )
+    assert got == want
+    # spot-check the hard edges directly
+    assert "PU" not in got["E1"] and "P3" not in got["E1"]
+    assert got["E1"]["P1"] == [
+        (E("E9"), {}, [], "preferred"),
+        (S("keep"), {}, [], "normal"),
+    ]
+    stmt = got["E1"]["P2"][0]
+    assert stmt[1] == {"Q1": [E("E8")], "QX": [S("ren")]}
+    assert stmt[2] == ["Q1", "QX"]  # deletion order preserved, rename in place
+    assert got["E1"]["P7"] == [(S("renamed-prop"), {}, [], "normal")]
+    assert got["E2"] == {"P4": [(S("new"), {}, [], "normal")]}
+
+
+TRANS_ENTITY = {
+    "E3": {
+        "PT": [
+            (
+                S("a"),
+                {"PT": [E("E5"), E("E6")], "Q1": [S("k")]},
+                ["PT", "Q1"],
+                "normal",
+            ),
+            (S("b"), {"PT": [E("E5")]}, ["PT"], "preferred"),
+        ],
+        "PN": [(S("c"), {"PN": [E("E7")]}, ["PN"], "normal")],  # not transitive
+    }
+}
+
+
+def test_transitive_promotion_matches_python_oracle(spark):
+    ents = to_spark_entities(spark, TRANS_ENTITY)
+    got = normalize(fix_transitive_qualifiers(ents, transitive_props=("PT",)))
+    want = norm_py(
+        {
+            eid: py_fix_transitive(props, {"PT"})
+            for eid, props in TRANS_ENTITY.items()
+        }
+    )
+    assert got == want
+    # E5 promoted once (first occurrence, rank of its source stmt), E6 once
+    pt = got["E3"]["PT"]
+    assert pt[2:] == [
+        (E("E5"), {}, [], "normal"),
+        (E("E6"), {}, [], "normal"),
+    ]
+    # self-qualifier deleted even for non-transitive pid, nothing promoted
+    assert got["E3"]["PN"] == [(S("c"), {}, [], "normal")]
+
+
+def test_child_ids_and_dangling_split(spark):
+    ents = to_spark_entities(spark, FIX_ENTITY)
+    ids = {r.id for r in child_entity_ids(ents).collect()}
+    assert ids == {
+        "PU", "P1", "P2", "P3", "RP", "P4", "RC",  # pids
+        "U9", "R1",  # statement entity values
+        "QU", "Q1", "Q2", "RQ",  # qids
+        "R2",  # qualifier entity values
+    }
+    live = spark.createDataFrame(
+        [("P1",), ("P2",), ("P3",), ("P4",), ("Q1",), ("Q2",)], "id string"
+    )
+    redirects = spark.createDataFrame(
+        sorted(RMAP.items()), "old_id string, final_id string"
+    )
+    unknown, redirected = split_dangling(ents, live, redirects)
+    assert {r.id for r in unknown.collect()} == {"PU", "U9", "QU"}
+    assert {(r.id, r.final_id) for r in redirected.collect()} == {
+        ("R1", "E9"), ("R2", "E8"), ("RQ", "QX"), ("RP", "P7"), ("RC", "P4"),
+    }
+
+
+def test_flatten_statements_canonical(spark):
+    ents = to_spark_entities(
+        spark,
+        {"E4": {"P1": [(S("v"), {"Q2": [E("b"), E("a")], "Q1": [S("x")]}, ["Q2", "Q1"], "normal")]}},
+    )
+    rows = flatten_statements(ents).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.pid, r.rank, r.vtype, r.value) == ("E4", "P1", "normal", "string", "v")
+    assert r.quals == "Q1=string:x|Q2=entityid:a|Q2=entityid:b"
