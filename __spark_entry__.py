@@ -741,6 +741,143 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_datasets(n, edited, limit=100)
 
 
+# --- HTML link/table extraction (P6/P7, D31-D33) -----------------------------
+
+
+def q_article_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P6/D30: anchors with relative-URL resolution + selflink handling
+    # (article_links.py:77-103); synthetic HTML built from nation rows, so
+    # the oracle constructs the expected anchors directly.
+    from kgdata_spark.operators.html import extract_article_links
+
+    n = _t(spark, sf_dir, "nation")
+    html = F.format_string(
+        '<html><body><p><a href="/wiki/N%d">nation %s</a></p>'
+        '<a class="selflink">%s</a><a>skip</a>'
+        '<a href="http://abs.org/x%d">x</a></body></html>',
+        F.col("n_nationkey"), F.col("n_name"), F.col("n_name"), F.col("n_nationkey"),
+    )
+    df = n.select(
+        F.format_string("http://ex.org/wiki/%s", F.col("n_name")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_article_links(df).select(
+        "url", "href", F.col("text").alias("anchor_text")
+    )
+
+
+def _order_table_html(spark: SparkSession, sf_dir: str, with_total: bool) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    row_html = F.format_string(
+        '<tr><td><a href="/o/%d">o%d</a></td><td>%s</td></tr>',
+        F.col("o_orderkey"), F.col("o_orderkey"), F.col("o_orderstatus"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("o_orderkey", row_html.alias("h")))),
+                lambda x: x["h"],
+            ),
+            "",
+        ).alias("body")
+    )
+    total = (
+        F.when(F.col("o_custkey") % 10 == 0, F.lit('<tr><td colspan="2">TOTAL</td></tr>'))
+        .otherwise(F.lit(""))
+        if with_total
+        else F.lit("")
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.format_string("http://ex.org/c/%d", F.col("o_custkey")).alias("url"),
+        F.concat(
+            F.lit("<table><tr><th>order</th><th>status</th></tr>"),
+            F.col("body"),
+            total,
+            F.lit("</table>"),
+        ).alias("html"),
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7/D31: table extraction with colspan expansion + padding
+    # (html_tables.py:51-92), flattened to oracle-checkable cells.
+    from kgdata_spark.operators.html import extract_html_tables
+
+    tables = extract_html_tables(_order_table_html(spark, sf_dir, with_total=True))
+    rows = tables.select(
+        "o_custkey", F.posexplode("rows").alias("row_idx", "cells")
+    )
+    return rows.select(
+        "o_custkey",
+        "row_idx",
+        F.posexplode("cells").alias("col_idx", "c"),
+    ).select(
+        "o_custkey",
+        "row_idx",
+        "col_idx",
+        F.col("c.text").alias("cell_text"),
+        F.col("c.is_header").alias("is_header"),
+        F.size("c.links").alias("n_links"),
+    )
+
+
+def q_easy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D33: the 8-predicate easy-table conjunction (easy_tables.py:26-63).
+    # Construction makes 7 predicates always-true, every link entity-mapped,
+    # so pass ⟺ min_rows (≥10 data rows) — directly SQL-checkable.
+    from kgdata_spark.operators.html import (
+        easy_table_pred,
+        extract_html_tables,
+        inject_link_entities,
+    )
+
+    tables = extract_html_tables(_order_table_html(spark, sf_dir, with_total=False))
+    o = _t(spark, sf_dir, "orders")
+    mapping = o.select(
+        F.format_string("http://ex.org/o/%d", F.col("o_orderkey")).alias("href"),
+        F.format_string("E%d", F.col("o_orderkey")).alias("entity"),
+    ).distinct()
+    linked = inject_link_entities(tables, mapping)
+    return (
+        linked.where(easy_table_pred(F.col("rows")))
+        .select("o_custkey", (F.size("rows") - 1).alias("n_data_rows"))
+    )
+
+
+# --- N-Triples parsing (P2, ntriples_parser.py:120-232) ----------------------
+
+
+def q_ntriples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-trip: build real N-Triples lines (uri/bnode subjects, lang +
+    # datatype + escaped literals, comments) from nation rows and parse
+    # them back; oracle constructs the expected terms directly.
+    from kgdata_spark.functions.ntriples import parse_ntriples
+
+    n = _t(spark, sf_dir, "nation")
+    key, name, reg = F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+    lines = n.select(
+        F.explode(
+            F.array(
+                F.format_string('<http://ex/n%d> <http://ex/name> "%s"@en .', key, name),
+                F.format_string(
+                    "<http://ex/n%d> <http://ex/region> <http://ex/r%d> .", key, reg
+                ),
+                F.format_string(
+                    '_:b%d <http://ex/pop> "%d00"^^<http://xsd/integer> .', key, key
+                ),
+                F.format_string(
+                    '<http://ex/n%d> <http://ex/motto> "say \\"%s\\" \\\\ done" .',
+                    key,
+                    name,
+                ),
+                F.format_string("# comment %d", key),
+            )
+        ).alias("line")
+    )
+    return parse_ntriples(lines, "line")
+
+
 # --- nested entity model + D4 fix pass (entities.py:179-286) -----------------
 
 
@@ -924,6 +1061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_count_merge": q_alias_count_merge,
         "rank_stats": q_rank_stats,
         "dataset_diff": q_dataset_diff,
+        "article_links": q_article_links,
+        "html_tables": q_html_tables,
+        "easy_tables": q_easy_tables,
+        "ntriples_parse": q_ntriples_parse,
         "entity_fix_pass": q_entity_fix_pass,
         "multimodal_features": q_multimodal_features,
     }
@@ -1377,6 +1518,72 @@ def oracle_sql() -> dict[str, str]:
                 SELECT digest, list_sort(list(DISTINCT side)) AS sides
                 FROM (SELECT * FROM l UNION ALL SELECT * FROM r) GROUP BY digest)
             SELECT digest, sides[1] AS side FROM u WHERE len(sides) = 1
+        """,
+        "article_links": """
+            SELECT 'http://ex.org/wiki/' || n_name AS url,
+                   'http://ex.org/wiki/N' || n_nationkey AS href,
+                   'nation ' || n_name AS anchor_text
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/wiki/' || n_name,
+                   'http://ex.org/wiki/' || n_name, n_name
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/wiki/' || n_name,
+                   'http://abs.org/x' || n_nationkey, 'x'
+            FROM nation
+        """,
+        "html_tables": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_orderstatus,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+                FROM orders),
+            header AS (
+                SELECT DISTINCT o_custkey,
+                       CAST(0 AS INT) AS row_idx, c.col_idx,
+                       CASE c.col_idx WHEN 0 THEN 'order' ELSE 'status' END AS cell_text,
+                       TRUE AS is_header, 0 AS n_links
+                FROM ranked, (SELECT 0 AS col_idx UNION ALL SELECT 1) c),
+            data AS (
+                SELECT o_custkey, CAST(rn AS INT) AS row_idx, c.col_idx,
+                       CASE c.col_idx WHEN 0 THEN 'o' || o_orderkey
+                            ELSE o_orderstatus END AS cell_text,
+                       FALSE AS is_header,
+                       CASE c.col_idx WHEN 0 THEN 1 ELSE 0 END AS n_links
+                FROM ranked, (SELECT 0 AS col_idx UNION ALL SELECT 1) c),
+            total AS (
+                SELECT DISTINCT o_custkey, CAST(n_orders + 1 AS INT) AS row_idx,
+                       c.col_idx, 'TOTAL' AS cell_text, FALSE AS is_header,
+                       0 AS n_links
+                FROM ranked, (SELECT 0 AS col_idx UNION ALL SELECT 1) c
+                WHERE o_custkey % 10 = 0)
+            SELECT * FROM header UNION ALL SELECT * FROM data
+            UNION ALL SELECT * FROM total
+        """,
+        "easy_tables": """
+            SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_data_rows
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+        """,
+        "ntriples_parse": """
+            SELECT 'http://ex/n' || n_nationkey AS subj, 'uri' AS subj_kind,
+                   'http://ex/name' AS pred, 'literal' AS obj_kind,
+                   n_name AS obj_value, 'en' AS obj_lang,
+                   CAST(NULL AS VARCHAR) AS obj_datatype
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'uri', 'http://ex/region', 'uri',
+                   'http://ex/r' || n_regionkey, NULL, NULL
+            FROM nation
+            UNION ALL
+            SELECT '_:b' || n_nationkey, 'bnode', 'http://ex/pop', 'literal',
+                   n_nationkey || '00', NULL, 'http://xsd/integer'
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'uri', 'http://ex/motto', 'literal',
+                   'say "' || n_name || '" \\ done', NULL, NULL
+            FROM nation
         """,
         "entity_fix_pass": """
             WITH nc AS (SELECT COUNT(*) AS n FROM customer),

@@ -1,0 +1,145 @@
+"""Vectorized N-Triples line parser (P2).
+
+The reference vendors rdflib's regex-based parser
+(/root/reference/kgdata/misc/ntriples_parser.py:120-232): per line,
+subject = uriref | bnode, predicate = uriref, object = uriref | bnode |
+literal, where literal carries an optional ``@lang`` or ``^^<datatype>``
+and backslash escapes. Here the whole grammar is ONE Java regex evaluated
+inside whole-stage codegen — no Python on the hot path — with escape
+decoding split into:
+
+  * the five standard short escapes (``\\t \\n \\r \\" \\\\``), decoded
+    JVM-side via a split-on-double-backslash pass (correct single-pass
+    semantics: segments between literal ``\\\\`` can be replaced naively,
+    then re-joined with a single backslash);
+  * full ``\\uXXXX`` / ``\\UXXXXXXXX`` codepoint escapes, decoded by an
+    Arrow-batched pandas UDF — only when ``unicode_escapes=True``, since
+    real dumps rarely use them and the JVM path is ~an order of magnitude
+    cheaper.
+
+Blank lines and ``#`` comments are skipped (ntriples_parser.py:134-136);
+other unparseable lines are *dropped* by parse_ntriples and surfaced by
+``ntriples_errors`` (the DataFrame form of the reference's ParseError).
+
+Bnode ids are kept verbatim by default; pass ``bnode_scope=<col>`` to
+namespace them per source document — the distributed analog of the
+reference's per-document bnode remapping (ntriples_parser.py:193-205),
+which exists so ids from different files never collide.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so the pandas_udf type hints resolve
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_URI = r'[^\s<>"]+'
+_BNODE = r"[A-Za-z0-9_:][A-Za-z0-9_:.\-]*"
+_LIT = r'(?:[^"\\]|\\.)*'
+_LANG = r"[a-zA-Z]+(?:-[a-zA-Z0-9]+)*"
+
+NT_PATTERN = (
+    r"^[ \t]*"
+    rf"(?:<({_URI})>|_:({_BNODE}))"  # 1 subj uri | 2 subj bnode
+    r"[ \t]+"
+    rf"<({_URI})>"  # 3 pred
+    r"[ \t]+"
+    rf'(?:<({_URI})>|_:({_BNODE})|"({_LIT})"'  # 4 obj uri | 5 obj bnode | 6 literal
+    rf"(?:@({_LANG})|\^\^<({_URI})>)?)"  # 7 lang | 8 datatype
+    r"[ \t]*\.[ \t]*(#.*)?$"
+)
+_BLANK = r"^[ \t]*(#.*)?$"
+
+
+def unescape_short(col: Column) -> Column:
+    """Decode ``\\t \\n \\r \\" \\\\`` in one correct pass: split on the
+    literal two-character sequence ``\\\\`` first (so later replaces can't
+    eat one of its backslashes), replace the four remaining short escapes
+    inside each segment, then rejoin segments with a single backslash."""
+
+    def seg(s: Column) -> Column:
+        s = F.regexp_replace(s, r"\\t", "\t")
+        s = F.regexp_replace(s, r"\\n", "\n")
+        s = F.regexp_replace(s, r"\\r", "\r")
+        s = F.regexp_replace(s, r"\\\"", '"')
+        return s
+
+    return F.array_join(F.transform(F.split(col, r"\\\\", -1), seg), "\\")
+
+
+def _unescape_full_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def unescape_full(s: pd.Series) -> pd.Series:
+        import re
+
+        esc = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")
+        short = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\"}
+
+        def one(x):
+            if x is None or "\\" not in x:
+                return x
+            return esc.sub(
+                lambda m: chr(int(m.group(1) or m.group(2), 16))
+                if (m.group(1) or m.group(2))
+                else short.get(m.group(3), m.group(3)),
+                x,
+            )
+
+        return s.map(one)
+
+    return unescape_full
+
+
+def parse_ntriples(
+    df: DataFrame,
+    col: str = "line",
+    bnode_scope: str | None = None,
+    unicode_escapes: bool = False,
+) -> DataFrame:
+    """Parse N-Triples lines → (subj, subj_kind, pred, obj_kind, obj_value,
+    obj_lang, obj_datatype). Kinds: 'uri' | 'bnode' | 'literal'. Comments,
+    blank lines, and malformed lines are dropped (see ntriples_errors)."""
+    c = F.col(col)
+    g = lambda i: F.regexp_extract(c, NT_PATTERN, i)  # noqa: E731
+
+    if unicode_escapes:
+        unescape = _unescape_full_udf()
+    else:
+        unescape = unescape_short
+
+    def bnode(label: Column) -> Column:
+        if bnode_scope is None:
+            return F.concat(F.lit("_:"), label)
+        return F.concat(F.lit("_:"), F.col(bnode_scope), F.lit(":"), label)
+
+    matched = df.where(c.rlike(NT_PATTERN))
+    subj_is_uri = g(1) != ""
+    obj_kind = (
+        F.when(g(4) != "", F.lit("uri"))
+        .when(g(5) != "", F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+    )
+    return matched.select(
+        *[x for x in df.columns if x != col],
+        F.when(subj_is_uri, g(1)).otherwise(bnode(g(2))).alias("subj"),
+        F.when(subj_is_uri, F.lit("uri")).otherwise(F.lit("bnode")).alias("subj_kind"),
+        g(3).alias("pred"),
+        obj_kind.alias("obj_kind"),
+        F.when(obj_kind == "uri", g(4))
+        .when(obj_kind == "bnode", bnode(g(5)))
+        .otherwise(unescape(g(6)))
+        .alias("obj_value"),
+        F.nullif(g(7), F.lit("")).alias("obj_lang"),
+        F.nullif(g(8), F.lit("")).alias("obj_datatype"),
+    )
+
+
+def ntriples_errors(df: DataFrame, col: str = "line") -> DataFrame:
+    """Lines that are neither valid triples nor blank/comment — the
+    reference raises ParseError per line; at scale you want them as a
+    quarantine table, not an exception."""
+    c = F.col(col)
+    return df.where(~c.rlike(NT_PATTERN) & ~c.rlike(_BLANK))

@@ -1,0 +1,443 @@
+"""HTML link + table extraction (P6/P7) and table filters (D31-D33).
+
+The reference parses article HTML with a Rust DOM library (rsoup):
+anchors with relative-URL resolution and selflink handling
+(/root/reference/kgdata/wikipedia/datasets/article_links.py:77-103), table
+extraction with auto_span/auto_pad
+(/root/reference/kgdata/wikipedia/datasets/html_tables.py:51-92), the
+relational header-shape filter (relational_tables.py:29-46), and the
+8-predicate "easy table" conjunction (easy_tables.py:26-63,91-240).
+
+Here parsing runs in Arrow-batched pandas UDFs over the stdlib
+``html.parser`` (no third-party libs, no per-row Python UDFs — one Python
+crossing per batch), returning fully-typed nested columns so every filter
+afterwards is a Catalyst higher-order function. Link character offsets
+(start/end within the cell text) are recorded at parse time because the
+easy-table link-surface predicate needs them.
+
+Nested <table> elements are skipped (their content does not leak into the
+outer table); the reference extracts them as separate tables — a known
+simplification, flagged here rather than silently wrong.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINK_T = T.StructType(
+    [
+        T.StructField("href", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
+        T.StructField("entity", T.StringType(), True),  # filled by injection
+    ]
+)
+CELL_T = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("is_header", T.BooleanType(), True),
+        T.StructField("colspan", T.IntegerType(), True),  # raw attr, pre-expansion
+        T.StructField("links", T.ArrayType(LINK_T), True),
+    ]
+)
+TABLE_T = T.StructType([T.StructField("rows", T.ArrayType(T.ArrayType(CELL_T)), True)])
+
+ANCHOR_T = T.ArrayType(
+    T.StructType(
+        [T.StructField("href", T.StringType(), True), T.StructField("text", T.StringType(), True)]
+    )
+)
+
+# easy-table thresholds (easy_tables.py:91-94)
+MIN_ROWS = 10
+MIN_FREQ_LINKS = 0.7
+MIN_LINK_SURFACE = 0.9
+MIN_EXISTING_LINKS = 0.8
+
+
+def _int_attr(attrs: dict, name: str, default: int = 1) -> int:
+    # html forgiveness: use the leading digits only, like a browser
+    # (easy_tables.py:150-158)
+    import re
+
+    v = attrs.get(name)
+    if v is None:
+        return default
+    m = re.search(r"\d+", str(v))
+    return int(m.group(0)) if m else default
+
+
+def _parse_anchors(url: str, html: str) -> list[tuple]:
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin, urlparse
+
+    out: list[tuple] = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.depth = 0
+            self.href = None
+            self.buf: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "a":
+                return
+            a = dict(attrs)
+            href = a.get("href")
+            if href is None:
+                # selflink handling (article_links.py:88-92)
+                if "selflink" not in (a.get("class") or ""):
+                    self.href = None
+                    self.depth += 1
+                    return
+                href = url
+            if urlparse(href).netloc == "":  # relative -> resolve
+                href = urljoin(url, href)
+            self.href = href
+            self.depth += 1
+            self.buf = []
+
+        def handle_data(self, data):
+            if self.depth > 0:
+                self.buf.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self.depth > 0:
+                self.depth -= 1
+                if self.href is not None:
+                    out.append((self.href, "".join(self.buf)))
+                self.href = None
+
+    P().feed(html or "")
+    return out
+
+
+def extract_article_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor: input columns (minus html) + (href, text).
+    Relative hrefs resolve against the page url; href-less anchors carrying
+    class=selflink resolve to the page itself; other href-less anchors are
+    skipped (article_links.py:86-97)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ANCHOR_T)
+    def anchors(url: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_parse_anchors(u, h) for u, h in zip(url, html)], dtype="object"
+        )
+
+    keep = [c for c in df.columns if c != html_col]
+    return (
+        df.select(*keep, F.explode(anchors(F.col(url_col), F.col(html_col))).alias("_a"))
+        .select(*keep, F.col("_a.href").alias("href"), F.col("_a.text").alias("text"))
+    )
+
+
+def _parse_tables(url: str, html: str) -> list[dict]:
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin, urlparse
+
+    tables: list[list[list[dict]]] = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.table_depth = 0
+            self.rows: list | None = None
+            self.row: list | None = None
+            self.cell: dict | None = None
+            self.link: dict | None = None
+
+        def _close_cell(self):
+            if self.cell is not None and self.row is not None:
+                self.row.append(self.cell)
+            self.cell = None
+            self.link = None
+
+        def _close_row(self):
+            self._close_cell()
+            if self.row is not None and self.rows is not None:
+                self.rows.append(self.row)
+            self.row = None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "table":
+                self.table_depth += 1
+                if self.table_depth == 1:
+                    self.rows = []
+                return
+            if self.table_depth != 1:
+                return  # outside any table or inside a nested one: skip
+            if tag == "tr":
+                self._close_row()
+                self.row = []
+            elif tag in ("td", "th"):
+                self._close_cell()
+                if self.row is None:
+                    self.row = []
+                self.cell = {
+                    "text": [],
+                    "is_header": tag == "th",
+                    "colspan": _int_attr(a, "colspan"),
+                    "rowspan": _int_attr(a, "rowspan"),
+                    "links": [],
+                }
+            elif tag == "a" and self.cell is not None:
+                href = a.get("href")
+                if href is None and "selflink" in (a.get("class") or ""):
+                    href = url
+                if href is not None and urlparse(href).netloc == "":
+                    href = urljoin(url, href)
+                self.link = {
+                    "href": href,
+                    "start": sum(len(t) for t in self.cell["text"]),
+                }
+
+        def handle_data(self, data):
+            if self.table_depth == 1 and self.cell is not None:
+                self.cell["text"].append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "table":
+                if self.table_depth == 1 and self.rows is not None:
+                    self._close_row()
+                    tables.append(self.rows)
+                    self.rows = None
+                self.table_depth = max(0, self.table_depth - 1)
+                return
+            if self.table_depth != 1:
+                return
+            if tag == "tr":
+                self._close_row()
+            elif tag in ("td", "th"):
+                self._close_cell()
+            elif tag == "a" and self.link is not None and self.cell is not None:
+                end = sum(len(t) for t in self.cell["text"])
+                if self.link["href"] is not None:
+                    self.cell["links"].append(
+                        {
+                            "href": self.link["href"],
+                            "text": "".join(self.cell["text"])[self.link["start"]: end],
+                            "start": self.link["start"],
+                            "end": end,
+                            "entity": None,
+                        }
+                    )
+                self.link = None
+
+    P().feed(html or "")
+
+    out = []
+    for raw_rows in tables:
+        # auto_span: expand rowspan/colspan into a dense grid (duplicating
+        # the cell), auto_pad: pad short rows — html_tables.py:55-60
+        grid: list[list[dict | None]] = []
+        pending: dict[int, tuple[dict, int]] = {}  # col -> (cell, rows left)
+        for raw in raw_rows:
+            row: list[dict | None] = []
+            it = iter(raw)
+            col = 0
+            while True:
+                if col in pending:
+                    cell, left = pending[col]
+                    row.append(cell)
+                    if left - 1 > 0:
+                        pending[col] = (cell, left - 1)
+                    else:
+                        del pending[col]
+                    col += 1
+                    continue
+                nxt = next(it, None)
+                if nxt is None:
+                    # flush any pending spans to the right
+                    more = [k for k in sorted(pending) if k >= col]
+                    if not more:
+                        break
+                    col = more[0]
+                    continue
+                flat = {
+                    "text": "".join(nxt["text"]),
+                    "is_header": nxt["is_header"],
+                    "colspan": nxt["colspan"],
+                    "links": nxt["links"],
+                }
+                for _ in range(max(1, nxt["colspan"])):
+                    row.append(flat)
+                    if nxt["rowspan"] > 1:
+                        pending[col] = (flat, nxt["rowspan"] - 1)
+                    col += 1
+            grid.append(row)
+        width = max((len(r) for r in grid), default=0)
+        pad = {"text": "", "is_header": False, "colspan": 1, "links": []}
+        rows = [
+            [
+                (
+                    c["text"],
+                    c["is_header"],
+                    c["colspan"],
+                    [
+                        (l["href"], l["text"], l["start"], l["end"], l["entity"])
+                        for l in c["links"]
+                    ],
+                )
+                for c in r + [pad] * (width - len(r))
+            ]
+            for r in grid
+        ]
+        out.append({"rows": rows})
+    return out
+
+
+def extract_html_tables(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per extracted table: input columns (minus html) +
+    table_idx + rows (dense grid of typed cells, spans expanded, rows
+    padded)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(TABLE_T))
+    def tables(url: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_parse_tables(u, h) for u, h in zip(url, html)], dtype="object"
+        )
+
+    keep = [c for c in df.columns if c != html_col]
+    return (
+        df.select(*keep, F.posexplode(tables(F.col(url_col), F.col(html_col))).alias("table_idx", "_t"))
+        .select(*keep, "table_idx", F.col("_t.rows").alias("rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-side table predicates
+
+
+def n_header_rows(rows: Column) -> Column:
+    """Leading rows whose cells are ALL headers (get_n_headers,
+    easy_tables.py:77-86) — a fold that stops counting at the first
+    non-header row."""
+    return F.aggregate(
+        rows,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, r: F.when(
+            acc["go"] & (F.size(r) > 0) & F.forall(r, lambda c: c["is_header"]),
+            F.struct((acc["n"] + 1).alias("n"), F.lit(True).alias("go")),
+        ).otherwise(F.struct(acc["n"].alias("n"), F.lit(False).alias("go"))),
+    )["n"]
+
+
+def is_relational(rows: Column) -> Column:
+    """Header-prefix shape: ≥1 leading all-header row, then NO header cell
+    anywhere (relational_tables.py:29-46)."""
+    nh = n_header_rows(rows)
+    data = F.slice(rows, nh + 1, F.greatest(F.size(rows) - nh, F.lit(0)))
+    return (nh > 0) & F.forall(
+        data, lambda r: F.forall(r, lambda c: ~c["is_header"])
+    )
+
+
+def easy_table_pred(rows: Column) -> Column:
+    """Conjunction of the reference's 8 easy-table tests
+    (easy_tables.py:34-45, thresholds :91-94), as one Catalyst expression
+    over the parsed grid. Links count as "existing" when their entity field
+    is set (see inject_link_entities) — the analog of the reference's
+    wdentity check."""
+    nh = n_header_rows(rows)
+    data = F.slice(rows, nh + 1, F.greatest(F.size(rows) - nh, F.lit(0)))
+    nrows = F.size(data)
+    ncols = F.when(F.size(rows) > 0, F.size(F.element_at(rows, 1))).otherwise(F.lit(0))
+    header = F.when(nh >= 1, F.element_at(rows, 1)).otherwise(
+        F.array().cast(f"array<{CELL_T.simpleString()}>")
+    )
+
+    only_first_row_header = nh == 1
+    no_spanning_header = F.forall(header, lambda c: c["colspan"] <= 1)
+    min_rows = nrows >= MIN_ROWS
+    has_link = F.exists(data, lambda r: F.exists(r, lambda c: F.size(c["links"]) > 0))
+
+    def per_col(ci: Column) -> Column:
+        cells = F.transform(data, lambda r: F.element_at(r, ci))
+        nlinks = F.size(F.filter(cells, lambda c: F.size(c["links"]) > 0))
+        freq_ok = (nlinks == 0) | (nlinks / nrows >= MIN_FREQ_LINKS)
+        surface = F.aggregate(
+            cells,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + F.aggregate(
+                c["links"], F.lit(0.0), lambda a, l: a + (l["end"] - l["start"])
+            )
+            / F.greatest(F.lit(0.1), F.length(c["text"]).cast("double")),
+        ) / nrows
+        coverage_ok = (nlinks == 0) | (surface >= MIN_LINK_SURFACE)
+        linked = F.filter(
+            cells,
+            lambda c: F.size(F.filter(c["links"], lambda l: l["end"] > l["start"])) > 0,
+        )
+        single_ok = F.forall(
+            linked,
+            lambda c: F.size(F.filter(c["links"], lambda l: l["end"] > l["start"])) == 1,
+        )
+        n_total = F.aggregate(cells, F.lit(0), lambda a, c: a + F.size(c["links"]))
+        n_exist = F.aggregate(
+            cells,
+            F.lit(0),
+            lambda a, c: a
+            + F.size(F.filter(c["links"], lambda l: l["entity"].isNotNull())),
+        )
+        existing_ok = (n_total == 0) | (n_exist / n_total >= MIN_EXISTING_LINKS)
+        return freq_ok & coverage_ok & single_ok & existing_ok
+
+    cols_ok = F.forall(F.sequence(F.lit(1), ncols), per_col)
+    return (
+        only_first_row_header
+        & no_spanning_header
+        & min_rows
+        & has_link
+        & (nrows > 0)
+        & cols_ok
+    )
+
+
+def inject_link_entities(tables: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Set each link's `entity` from an (href → entity) mapping attached as
+    a one-row broadcast map column — the D32 link-materialization step
+    (linked_relational_tables.py:96-137) in HOF form. The mapping must be
+    broadcast-small (same contract as the reference's grouped join side);
+    for bigger maps explode links, join, and re-nest instead."""
+    m = mapping.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("href").alias("key"), F.col("entity").alias("value")))
+        ).alias("_m")
+    )
+    with_m = tables.crossJoin(F.broadcast(m))
+    rows2 = F.transform(
+        F.col("rows"),
+        lambda r: F.transform(
+            r,
+            lambda c: F.struct(
+                c["text"].alias("text"),
+                c["is_header"].alias("is_header"),
+                c["colspan"].alias("colspan"),
+                F.transform(
+                    c["links"],
+                    lambda l: F.struct(
+                        l["href"].alias("href"),
+                        l["text"].alias("text"),
+                        l["start"].alias("start"),
+                        l["end"].alias("end"),
+                        F.try_element_at(F.col("_m"), l["href"]).alias("entity"),
+                    ),
+                ).alias("links"),
+            ),
+        ),
+    )
+    return with_m.withColumn("rows", rows2).drop("_m")

@@ -1,0 +1,166 @@
+"""HTML link/table extraction + easy-table predicate goldens (P6/P7/D31-D33)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.html import (
+    easy_table_pred,
+    extract_article_links,
+    extract_html_tables,
+    inject_link_entities,
+    is_relational,
+    n_header_rows,
+)
+
+
+def test_article_links_resolution_and_selflink(spark):
+    html = (
+        '<html><body>'
+        '<a href="/wiki/Page_B">rel <b>bold</b> text</a>'
+        '<a href="http://other.org/abs">abs</a>'
+        '<a class="x selflink">self</a>'
+        "<a>no href no selflink</a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("http://ex.org/wiki/Page_A", html)], "url string, html string")
+    rows = sorted(
+        (r.href, r.text) for r in extract_article_links(df).collect()
+    )
+    assert rows == [
+        ("http://ex.org/wiki/Page_A", "self"),
+        ("http://ex.org/wiki/Page_B", "rel bold text"),
+        ("http://other.org/abs", "abs"),
+    ]
+
+
+TABLE_HTML = (
+    "<table>"
+    "<tr><th>name</th><th>link</th></tr>"
+    '<tr><td rowspan="2">span</td><td><a href="/e/A">A</a></td></tr>'
+    '<tr><td><a href="/e/B">B</a> tail</td></tr>'
+    '<tr><td colspan="2">wide</td></tr>'
+    "<tr><td>only-one-cell</td></tr>"
+    "</table>"
+    "<p>between</p>"
+    "<table><tr><td>second <table><tr><td>nested-skipped</td></tr></table>table</td></tr></table>"
+)
+
+
+def test_table_extraction_spans_pad_links(spark):
+    df = spark.createDataFrame([("http://ex.org/p", TABLE_HTML)], "url string, html string")
+    out = extract_html_tables(df).orderBy("table_idx").collect()
+    assert [r.table_idx for r in out] == [0, 1]
+    rows = out[0].rows
+    texts = [[c.text for c in r] for r in rows]
+    assert texts == [
+        ["name", "link"],
+        ["span", "A"],
+        ["span", "B tail"],  # rowspan expanded downwards
+        ["wide", "wide"],  # colspan expanded sideways
+        ["only-one-cell", ""],  # auto_pad
+    ]
+    assert [c.is_header for c in rows[0]] == [True, True]
+    link = rows[2][1].links[0]
+    assert (link.href, link.text, link.start, link.end) == ("http://ex.org/e/B", "B", 0, 1)
+    # nested table content skipped, outer cell text preserved
+    assert [[c.text for c in r] for r in out[1].rows] == [["second table"]]
+
+
+def _tbl(spark, rows):
+    df = spark.createDataFrame([(rows,)], "rows array<array<struct<text:string,is_header:boolean,colspan:int,links:array<struct<href:string,text:string,start:int,end:int,entity:string>>>>>")
+    return df
+
+
+def _cell(text, header=False, colspan=1, links=()):
+    return (text, header, colspan, list(links))
+
+
+def _link(href, text, start, end, entity=None):
+    return (href, text, start, end, entity)
+
+
+def _easy(spark, rows) -> bool:
+    df = _tbl(spark, rows)
+    return df.select(easy_table_pred(F.col("rows")).alias("ok")).collect()[0].ok
+
+
+def _good_rows(n=12, entity="E"):
+    head = [_cell("h1", True), _cell("h2", True)]
+    data = [
+        [
+            _cell(f"v{i}", links=[_link(f"http://e/{i}", f"v{i}", 0, len(f"v{i}"), entity)]),
+            _cell("plain"),
+        ]
+        for i in range(n)
+    ]
+    return [head] + data
+
+
+def test_easy_predicates(spark):
+    assert _easy(spark, _good_rows()) is True
+    # each single mutation must fail exactly the matching test
+    assert _easy(spark, _good_rows(n=9)) is False  # min_rows
+    two_headers = [_good_rows()[0]] + _good_rows()
+    assert _easy(spark, two_headers) is False  # only_first_row_header
+    spanning = _good_rows()
+    spanning[0] = [_cell("h", True, colspan=2), _cell("h2", True)]
+    assert _easy(spark, spanning) is False  # no_spanning_header_columns
+    no_links = [_good_rows()[0]] + [
+        [_cell("a"), _cell("b")] for _ in range(12)
+    ]
+    assert _easy(spark, no_links) is False  # has_link
+    sparse = _good_rows()
+    for r in sparse[1:8]:  # 7 of 12 rows lose their link -> freq 5/12 < 0.7
+        r[0] = _cell(r[0][0])
+    assert _easy(spark, sparse) is False  # min_links_all_columns
+    partial_surface = [_good_rows()[0]] + [
+        [
+            _cell(
+                f"longtext{i}",
+                links=[_link(f"http://e/{i}", "l", 0, 1, "E")],  # 1 char of ~9
+            ),
+            _cell("p"),
+        ]
+        for i in range(12)
+    ]
+    assert _easy(spark, partial_surface) is False  # min_link_coverage
+    double_links = _good_rows()
+    double_links[1][0] = _cell(
+        "v0",
+        links=[_link("http://e/0", "v", 0, 1, "E"), _link("http://e/x", "0", 1, 2, "E")],
+    )
+    assert _easy(spark, double_links) is False  # single_links_all_columns
+    unlinked_entities = _good_rows(entity=None)
+    assert _easy(spark, unlinked_entities) is False  # min_existing_links
+
+
+def test_relational_and_header_count(spark):
+    rel = _tbl(spark, _good_rows())
+    got = rel.select(
+        n_header_rows(F.col("rows")).alias("nh"), is_relational(F.col("rows")).alias("rel")
+    ).collect()[0]
+    assert (got.nh, got.rel) == (1, True)
+    mixed = _tbl(
+        spark,
+        [[_cell("h", True), _cell("h2", True)], [_cell("d"), _cell("h3", True)]],
+    )
+    assert mixed.select(is_relational(F.col("rows")).alias("r")).collect()[0].r is False
+
+
+def test_inject_link_entities(spark):
+    tables = _tbl(spark, _good_rows(entity=None)).withColumn("tid", F.lit(1))
+    mapping = spark.createDataFrame(
+        [(f"http://e/{i}", f"E{i}") for i in range(0, 12, 2)], "href string, entity string"
+    )
+    out = inject_link_entities(tables, mapping).collect()[0]
+    ents = [r[0].links[0].entity for r in out.rows[1:]]
+    assert ents == [("E%d" % i if i % 2 == 0 else None) for i in range(12)]
+    # 6/12 existing -> easy filter fails on min_existing_links
+    assert (
+        inject_link_entities(tables, mapping)
+        .select(easy_table_pred(F.col("rows")).alias("ok"))
+        .collect()[0]
+        .ok
+        is False
+    )

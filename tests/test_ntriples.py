@@ -1,0 +1,65 @@
+"""N-Triples parser goldens — grammar cases from the reference's vendored
+parser (/root/reference/kgdata/misc/ntriples_parser.py:120-232)."""
+
+from __future__ import annotations
+
+from kgdata_spark.functions.ntriples import ntriples_errors, parse_ntriples
+
+
+LINES = [
+    '<http://e/s> <http://e/p> <http://e/o> .',
+    '<http://e/s> <http://e/p> "plain lit" .',
+    '<http://e/s> <http://e/p> "hallo"@de .',
+    '<http://e/s> <http://e/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '_:b1 <http://e/p> _:b2 .',
+    '<http://e/s> <http://e/p> "quote \\" slash \\\\ tab \\t nl \\n" .',
+    '<http://e/s> <http://e/p> "" .  # trailing comment',
+    "# full comment line",
+    "   ",
+    "garbage line without a triple",
+]
+
+
+def _parsed(spark, **kw):
+    df = spark.createDataFrame([(ln,) for ln in LINES], "line string")
+    return parse_ntriples(df, "line", **kw).collect()
+
+
+def test_parse_all_term_kinds(spark):
+    rows = _parsed(spark)
+    assert len(rows) == 7
+    by_obj = {r.obj_value: r for r in rows}
+    assert by_obj["http://e/o"].obj_kind == "uri"
+    assert by_obj["plain lit"].obj_kind == "literal"
+    assert by_obj["plain lit"].obj_lang is None
+    assert by_obj["hallo"].obj_lang == "de"
+    assert by_obj["42"].obj_datatype == "http://www.w3.org/2001/XMLSchema#integer"
+    b = by_obj["_:b2"]
+    assert (b.subj, b.subj_kind, b.obj_kind) == ("_:b1", "bnode", "bnode")
+    assert by_obj['quote " slash \\ tab \t nl \n'].obj_kind == "literal"
+    assert by_obj[""].obj_value == ""
+
+
+def test_unicode_escapes_via_pandas_udf(spark):
+    df = spark.createDataFrame(
+        [('<http://e/s> <http://e/p> "snow \\u2603 astral \\U0001F600" .',)],
+        "line string",
+    )
+    (r,) = parse_ntriples(df, "line", unicode_escapes=True).collect()
+    assert r.obj_value == "snow ☃ astral \U0001f600"
+
+
+def test_bnode_scoping(spark):
+    df = spark.createDataFrame(
+        [("docA", "_:x <http://e/p> _:y ."), ("docB", "_:x <http://e/p> _:y .")],
+        "doc string, line string",
+    )
+    rows = parse_ntriples(df, "line", bnode_scope="doc").collect()
+    subjects = {r.subj for r in rows}
+    assert subjects == {"_:docA:x", "_:docB:x"}  # no cross-doc collision
+
+
+def test_errors_quarantine(spark):
+    df = spark.createDataFrame([(ln,) for ln in LINES], "line string")
+    errs = [r.line for r in ntriples_errors(df, "line").collect()]
+    assert errs == ["garbage line without a triple"]
