@@ -741,6 +741,255 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_datasets(n, edited, limit=100)
 
 
+# --- label merge / resources / sitelinks / meta-graph (P11/P3/B2/D6/D26/D28) -
+
+
+def q_label_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P11: multi-predicate label merge with lang dedupe + default-lang
+    # reduction (triple_truthy_dump_derivatives.py:496-554)
+    from kgdata_spark.functions.labels import merge_entity_labels
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eid = F.concat(F.lit("E"), F.col("n_nationkey"))
+    rows = (
+        n.select(eid.alias("id"), F.lit("rdfs:label").alias("pred"), F.col("n_name").alias("value"), F.lit("en").alias("lang"))
+        .unionByName(n.select(eid.alias("id"), F.lit("schema:name").alias("pred"), F.col("n_name").alias("value"), F.lit("en").alias("lang")))
+        .unionByName(n.select(eid.alias("id"), F.lit("rdfs:label").alias("pred"), F.concat(F.col("n_name"), F.lit("-de")).alias("value"), F.lit("de").alias("lang")))
+        # fr duplicates the en value -> dropped by reduce_size
+        .unionByName(
+            n.where(F.col("n_nationkey") % 2 == 0).select(
+                eid.alias("id"), F.lit("skos:prefLabel").alias("pred"), F.col("n_name").alias("value"), F.lit("fr").alias("lang")
+            )
+        )
+        # null-lang with default present -> dropped
+        .unionByName(
+            n.where(F.col("n_nationkey") % 5 == 0).select(
+                eid.alias("id"), F.lit("schema:name").alias("pred"), F.col("n_name").alias("value"), F.lit(None).cast("string").alias("lang")
+            )
+        )
+        # region entities carry only 'de' labels -> default becomes ''
+        .unionByName(
+            r.select(
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("id"),
+                F.lit("rdfs:label").alias("pred"),
+                F.concat(F.col("r_name"), F.lit("-de")).alias("value"),
+                F.lit("de").alias("lang"),
+            )
+        )
+    )
+    out = merge_entity_labels(rows)
+    labels_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("labels"),
+                lambda e: F.concat_ws(":", e["key"], e["value"]),
+            )
+        ),
+        ",",
+    )
+    return out.select("id", "label", labels_csv.alias("labels_csv"))
+
+
+def q_resource_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3: subject-grouped RDFResource (misc/resource.py:78-84) with the
+    # map<pred, array<obj>> column flattened for checking
+    from kgdata_spark.operators.resources import group_resource
+
+    o = _t(spark, sf_dir, "orders")
+    triples = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+        F.col("o_orderpriority").alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("obj"),
+    )
+    res = group_resource(triples)
+    return res.select(
+        "id", F.explode("props").alias("pred", "objs")
+    ).select("id", "pred", F.array_join("objs", ",").alias("objs_csv"))
+
+
+def q_resource_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B2: full-outer per-property union merge of two resource tables
+    # (dbpedia/datasets/entities.py:30-78, resource.py:64-76)
+    from kgdata_spark.operators.resources import group_resource, merge_resources
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = group_resource(
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+            F.lit("tag").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+    )
+    b = group_resource(
+        o.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+            F.lit("tag").alias("pred"),
+            F.col("o_orderpriority").alias("obj"),
+        ).distinct()
+    )
+    merged = merge_resources(a, b)
+    return merged.select("id", F.explode("props").alias("pred", "objs")).select(
+        "id", "pred", F.array_join("objs", ",").alias("objs_csv")
+    )
+
+
+def q_sitelinks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D6: redirect re-key + per-site merge with badge union
+    # (entity_sitelinks.py:76-101); winner pinned to min source id
+    from kgdata_spark.operators.resources import merge_sitelinks
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    direct = c.select(
+        F.concat(F.lit("E"), k).alias("id"),
+        F.lit("w").alias("site"),
+        F.concat(F.lit("D"), k).alias("title"),
+        F.concat(F.lit("http://d/"), k).alias("url"),
+        F.array(F.concat(F.lit("b"), (k + 1) % 3)).alias("badges"),
+    )
+    via_redirect = c.select(
+        F.concat(F.lit("X"), k).alias("id"),
+        F.lit("w").alias("site"),
+        F.concat(F.lit("T"), k).alias("title"),
+        F.concat(F.lit("http://t/"), k).alias("url"),
+        F.array(F.concat(F.lit("b"), k % 3)).alias("badges"),
+    )
+    other_site = c.where(k % 2 == 0).select(
+        F.concat(F.lit("E"), k).alias("id"),
+        F.lit("v").alias("site"),
+        F.concat(F.lit("V"), k).alias("title"),
+        F.concat(F.lit("http://v/"), k).alias("url"),
+        F.array().cast("array<string>").alias("badges"),
+    )
+    sl = direct.unionByName(via_redirect).unionByName(other_site)
+    red = c.select(
+        F.concat(F.lit("X"), k).alias("old_id"),
+        F.concat(F.lit("E"), k).alias("final_id"),
+    )
+    out = merge_sitelinks(sl, red)
+    return out.select(
+        "id", "site", "title", F.array_join("badges", ",").alias("badges_csv")
+    )
+
+
+def _meta_entities(spark: SparkSession, sf_dir: str):
+    # nested entities: one per supplier — P31 -> its nation; 'uses' -> one
+    # statement per distinct part (sorted), each with a 'qty' qualifier
+    # pointing back at the part
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    tagv = lambda t, v: F.struct(F.lit(t).alias("vtype"), v.alias("value"))  # noqa: E731
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    part_e = F.concat(F.lit("p"), F.col("l_partkey"))
+    uses_stmt = F.struct(
+        tagv("entityid", part_e).alias("value"),
+        F.map_from_entries(
+            F.array(
+                F.struct(
+                    F.lit("qty").alias("key"),
+                    F.array(tagv("entityid", part_e)).alias("value"),
+                )
+            )
+        ).alias("qualifiers"),
+        F.array(F.lit("qty")).alias("qualifiers_order"),
+        F.lit("normal").alias("rank"),
+    )
+    uses = pairs.groupBy("l_suppkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_partkey").alias("pk"), uses_stmt.alias("st"))),
+                lambda a, b: F.when(a["pk"] < b["pk"], -1)
+                .when(a["pk"] > b["pk"], 1)
+                .otherwise(0),
+            ),
+            lambda x: x["st"],
+        ).alias("uses_stmts")
+    )
+    p31_stmt = F.array(
+        F.struct(
+            tagv("entityid", F.concat(F.lit("n"), F.col("s_nationkey"))).alias("value"),
+            F.map_from_entries(
+                F.array().cast(
+                    "array<struct<key:string,value:array<struct<vtype:string,value:string>>>>"
+                )
+            ).alias("qualifiers"),
+            F.array().cast("array<string>").alias("qualifiers_order"),
+            F.lit("normal").alias("rank"),
+        )
+    )
+    ents = (
+        s.select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"), p31_stmt.alias("p31"), F.col("s_suppkey"))
+        .join(uses, F.col("s_suppkey") == uses.l_suppkey, "inner")
+        .select(
+            "id",
+            F.map_from_entries(
+                F.array(
+                    F.struct(F.lit("P31").alias("key"), F.col("p31").alias("value")),
+                    F.struct(F.lit("uses").alias("key"), F.col("uses_stmts").alias("value")),
+                )
+            ).alias("props"),
+        )
+    )
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    classes = p.select(
+        F.concat(F.lit("p"), F.col("p_partkey")).alias("entity"),
+        F.array(F.col("p_brand")).alias("classes"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("entity"),
+            F.array(F.concat(F.lit("r"), F.col("n_regionkey"))).alias("classes"),
+        )
+    )
+    return ents, classes
+
+
+def q_meta_graph_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D26: MetaEntity re-nest (meta_graph.py:20-115) — values replaced by
+    # the target's classes — flattened back for the oracle
+    from kgdata_spark.operators.meta_graph import meta_graph
+
+    ents, classes = _meta_entities(spark, sf_dir)
+    meta = meta_graph(ents, classes)
+    st = meta.select(
+        "id", "classes", F.explode("props").alias("pid", "mstmts")
+    ).select("id", "classes", "pid", F.posexplode("mstmts").alias("sidx", "ms"))
+    quals_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("ms.qualifiers"),
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit("="),
+                    F.array_join(
+                        F.transform(e["value"], lambda cs: F.array_join(cs, ";")), ","
+                    ),
+                ),
+            )
+        ),
+        "|",
+    )
+    return st.select(
+        "id",
+        F.array_join("classes", ",").alias("own_classes"),
+        "pid",
+        "sidx",
+        F.coalesce(F.array_join("ms.value_classes", ";"), F.lit("<lit>")).alias("vcls"),
+        quals_csv.alias("quals"),
+    )
+
+
+def q_prop_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D28: (prop, src_type, tgt_type, freq) schema connections
+    # (main_property_connections.py:31-50,148-172)
+    from kgdata_spark.operators.meta_graph import main_property_connections
+
+    ents, classes = _meta_entities(spark, sf_dir)
+    return main_property_connections(ents, classes)
+
+
 # --- HTML link/table extraction (P6/P7, D31-D33) -----------------------------
 
 
@@ -1061,6 +1310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_count_merge": q_alias_count_merge,
         "rank_stats": q_rank_stats,
         "dataset_diff": q_dataset_diff,
+        "label_merge": q_label_merge,
+        "resource_group": q_resource_group,
+        "resource_merge": q_resource_merge,
+        "sitelinks_merge": q_sitelinks_merge,
+        "meta_graph_nest": q_meta_graph_nest,
+        "prop_connections": q_prop_connections,
         "article_links": q_article_links,
         "html_tables": q_html_tables,
         "easy_tables": q_easy_tables,
@@ -1518,6 +1773,62 @@ def oracle_sql() -> dict[str, str]:
                 SELECT digest, list_sort(list(DISTINCT side)) AS sides
                 FROM (SELECT * FROM l UNION ALL SELECT * FROM r) GROUP BY digest)
             SELECT digest, sides[1] AS side FROM u WHERE len(sides) = 1
+        """,
+        "label_merge": """
+            SELECT 'E' || n_nationkey AS id, n_name AS label,
+                   'de:' || n_name || '-de,en:' || n_name AS labels_csv
+            FROM nation
+            UNION ALL
+            SELECT 'R' || r_regionkey, '', 'de:' || r_name || '-de,en:'
+            FROM region
+        """,
+        "resource_group": """
+            SELECT 'c' || o_custkey AS id, o_orderpriority AS pred,
+                   string_agg('o' || o_orderkey, ',' ORDER BY 'o' || o_orderkey) AS objs_csv
+            FROM orders GROUP BY 1, 2
+        """,
+        "resource_merge": """
+            WITH b AS (
+                SELECT o_custkey, string_agg(DISTINCT o_orderpriority, ','
+                                             ORDER BY o_orderpriority) AS prios
+                FROM orders GROUP BY o_custkey)
+            SELECT 'c' || c_custkey AS id, 'tag' AS pred,
+                   c_mktsegment || COALESCE(',' || prios, '') AS objs_csv
+            FROM customer LEFT JOIN b ON c_custkey = o_custkey
+        """,
+        "sitelinks_merge": """
+            SELECT 'E' || c_custkey AS id, 'w' AS site, 'D' || c_custkey AS title,
+                   'b' || ((c_custkey + 1) % 3) || ',b' || (c_custkey % 3) AS badges_csv
+            FROM customer
+            UNION ALL
+            SELECT 'E' || c_custkey, 'v', 'V' || c_custkey, ''
+            FROM customer WHERE c_custkey % 2 = 0
+        """,
+        "meta_graph_nest": """
+            WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            uses AS (
+                SELECT 's' || l_suppkey AS id, l_partkey,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                               ORDER BY l_partkey) - 1 AS INT) AS sidx
+                FROM pairs)
+            SELECT 's' || s_suppkey AS id, 'n' || s_nationkey AS own_classes,
+                   'P31' AS pid, CAST(0 AS INT) AS sidx,
+                   'r' || n_regionkey AS vcls, '' AS quals
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION ALL
+            SELECT u.id, 'n' || s_nationkey, 'uses', u.sidx,
+                   p_brand, 'qty=' || p_brand
+            FROM uses u
+            JOIN supplier ON 's' || s_suppkey = u.id
+            JOIN part ON p_partkey = u.l_partkey
+        """,
+        "prop_connections": """
+            WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+            SELECT 'uses' AS prop, 'n' || s_nationkey AS src_type,
+                   p_brand AS tgt_type, COUNT(*) AS freq
+            FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3
         """,
         "article_links": """
             SELECT 'http://ex.org/wiki/' || n_name AS url,

@@ -1,0 +1,116 @@
+"""Label / alias / description merge with language dedupe (P11).
+
+The reference merges rdfs:label ∪ schema:name ∪ skos:prefLabel into one
+lang→label map — asserting equal values per language, folding the
+null-language literal into the default language, guaranteeing a default
+entry, and optionally dropping languages whose value duplicates the
+default (`reduce_size`) — and collects skos:altLabel into lang→[aliases]
+(/root/reference/kgdata/wikidata/datasets/
+triple_truthy_dump_derivatives.py:496-595).
+
+DataFrame form: one aggregation per entity+lang (min() stands in for the
+reference's assert-equal — inputs that violate the assertion pick the
+lexicographic value deterministically instead of crashing the job), one
+re-nest to a map column, then pure HOF adjustments for the default-lang
+rules. No Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LABEL_PREDS = ("rdfs:label", "schema:name", "skos:prefLabel")
+ALIAS_PRED = "skos:altLabel"
+DESC_PRED = "schema:description"
+
+
+def _fold_null_lang(m: Column, default_lang: str) -> Column:
+    """null-lang entry: use it as the default language's value unless the
+    default already exists (derivatives.py:533-537), then drop the null
+    key and guarantee a default entry ('' when absent)."""
+    null_val = F.try_element_at(m, F.lit("\x00"))
+    def_val = F.try_element_at(m, F.lit(default_lang))
+    resolved_default = F.coalesce(def_val, null_val, F.lit(""))
+    no_null = F.map_filter(m, lambda k, _: k != "\x00")
+    return F.map_concat(
+        F.map_filter(no_null, lambda k, _: k != default_lang),
+        F.create_map(F.lit(default_lang), resolved_default),
+    )
+
+
+def merge_entity_labels(
+    label_rows: DataFrame,
+    default_lang: str = "en",
+    reduce_size: bool = True,
+    preds: tuple[str, ...] = LABEL_PREDS,
+) -> DataFrame:
+    """(id, pred, value, lang) rows → (id, label, labels map<lang,string>).
+
+    `lang` may be null (an untagged literal). Entities with no label rows
+    simply don't appear — join back against the entity table and coalesce
+    to '' for full parity with the reference's empty MultiLingualString.
+    """
+    rows = label_rows.where(F.col("pred").isin(*preds))
+    per_lang = rows.groupBy(
+        "id", F.coalesce(F.col("lang"), F.lit("\x00")).alias("lang")
+    ).agg(F.min("value").alias("value"))
+    nested = per_lang.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "value"))).alias("m")
+    )
+    m = _fold_null_lang(F.col("m"), default_lang)
+    if reduce_size:
+        # drop non-default langs duplicating the default value
+        # (derivatives.py:541-548)
+        default_val = F.try_element_at(m, F.lit(default_lang))
+        m = F.map_filter(
+            m, lambda k, v: (k == default_lang) | (v != default_val)
+        )
+    return nested.select(
+        "id",
+        F.try_element_at(m, F.lit(default_lang)).alias("label"),
+        m.alias("labels"),
+    )
+
+
+def merge_entity_aliases(
+    alias_rows: DataFrame, default_lang: str = "en", pred: str = ALIAS_PRED
+) -> DataFrame:
+    """skos:altLabel rows → (id, aliases map<lang, array<string>>); null
+    lang folds into the default; default key always present
+    (derivatives.py:556-575). Per-lang alias order pinned to sorted."""
+    rows = alias_rows.where(F.col("pred") == pred)
+    per_lang = rows.groupBy(
+        "id", F.coalesce(F.col("lang"), F.lit(default_lang)).alias("lang")
+    ).agg(F.array_sort(F.collect_list("value")).alias("vals"))
+    nested = per_lang.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "vals"))).alias("m")
+    )
+    with_default = F.when(
+        F.try_element_at(F.col("m"), F.lit(default_lang)).isNull(),
+        F.map_concat(
+            F.col("m"),
+            F.create_map(F.lit(default_lang), F.array().cast("array<string>")),
+        ),
+    ).otherwise(F.col("m"))
+    return nested.select("id", with_default.alias("aliases"))
+
+
+def merge_entity_descriptions(
+    desc_rows: DataFrame, default_lang: str = "en", pred: str = DESC_PRED
+) -> DataFrame:
+    """schema:description rows → (id, description, descriptions map) —
+    same lang rules as labels, no reduce step (derivatives.py:578-595)."""
+    rows = desc_rows.where(F.col("pred") == pred)
+    per_lang = rows.groupBy(
+        "id", F.coalesce(F.col("lang"), F.lit("\x00")).alias("lang")
+    ).agg(F.min("value").alias("value"))
+    nested = per_lang.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "value"))).alias("m")
+    )
+    m = _fold_null_lang(F.col("m"), default_lang)
+    return nested.select(
+        "id",
+        F.try_element_at(m, F.lit(default_lang)).alias("description"),
+        m.alias("descriptions"),
+    )

@@ -1,0 +1,181 @@
+"""Meta-graph re-nest (D26) + main property connections (D28) over the
+nested entity model.
+
+``meta_graph`` lifts the instance graph to schema level: every entity-id
+value (statement or qualifier) is replaced by the TARGET entity's class
+list; literal statement values become null and literal qualifier values
+are dropped (/root/reference/kgdata/wikidata/datasets/meta_graph.py:20-115,
+esp. convert_wdvalue :42-46 and join_target_types_meta_entity :67-99).
+
+The reference's plan is invert-outlinks → groupByKey → join types →
+re-group → join entities. Here it's the columnar equivalent: flatten
+statements/qualifiers with positional identity, ONE join against the
+target→classes table for each of the two value positions, then re-nest —
+the join side is the big entity-types table, so this stays a shuffle join
+(never a broadcast dict; at 100M entities the map form would OOM).
+
+``main_property_connections``: per entity, domains = its instance-of
+targets; per non-ignored property, conns = distinct statement targets
+(null for literals); each (prop, domain, conn) pair weighs 1; non-null
+conns expand to the target's types (targets without types drop), null
+conns keep a null target type; frequencies sum per (prop, src_type,
+tgt_type) (main_property_connections.py:31-50,148-172)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INSTANCE_OF = "P31"
+SUBCLASS_OF = "P279"
+SUBPROPERTY_OF = "P1647"
+IGNORED_PROPS = (INSTANCE_OF, SUBCLASS_OF, SUBPROPERTY_OF)
+
+
+def _stmts(entities: DataFrame, props_col: str) -> DataFrame:
+    return entities.select(
+        "id", F.explode(props_col).alias("pid", "stmts")
+    ).select("id", "pid", F.posexplode("stmts").alias("sidx", "s"))
+
+
+def meta_graph(
+    entities: DataFrame,
+    entity_classes: DataFrame,
+    props_col: str = "props",
+    instance_of: str = INSTANCE_OF,
+) -> DataFrame:
+    """entities (id, props nested) × entity_classes (entity,
+    classes array<string>) → MetaEntity rows (id, classes, props
+    map<pid, array<struct(value_classes, qualifiers)>>)."""
+    st = _stmts(entities, props_col)
+    cls = entity_classes.select(
+        F.col("entity").alias("_tgt"), F.col("classes").alias("_cls")
+    )
+    empty_cls = F.array().cast("array<string>")
+
+    # statement values: entity target -> its classes ([] when unknown),
+    # literal -> null (convert_wdvalue, meta_graph.py:42-46)
+    vals = st.select(
+        "id", "pid", "sidx",
+        F.when(F.col("s.value.vtype") == "entityid", F.col("s.value.value")).alias("_tgt"),
+    )
+    v_joined = vals.join(cls, "_tgt", "left").select(
+        "id", "pid", "sidx",
+        F.when(F.col("_tgt").isNotNull(), F.coalesce("_cls", empty_cls)).alias(
+            "value_classes"
+        ),
+    )
+
+    # qualifier values: literal values are DROPPED (join_target_types,
+    # meta_graph.py:88-93); entity values -> classes
+    q = st.select(
+        "id", "pid", "sidx", F.explode("s.qualifiers").alias("qid", "qvals")
+    ).select(
+        "id", "pid", "sidx", "qid", F.posexplode("qvals").alias("qidx", "qv")
+    ).where(F.col("qv.vtype") == "entityid")
+    q_joined = q.join(
+        cls, q.qv.value == cls._tgt, "left"
+    ).select("id", "pid", "sidx", "qid", "qidx", F.coalesce("_cls", empty_cls).alias("c"))
+    q_per_qid = q_joined.groupBy("id", "pid", "sidx", "qid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("qidx", F.col("c").alias("c")))),
+            lambda x: x["c"],
+        ).alias("cs")
+    )
+    q_map = q_per_qid.groupBy("id", "pid", "sidx").agg(
+        F.map_from_entries(F.collect_list(F.struct("qid", "cs"))).alias("qualifiers")
+    )
+
+    empty_qmap = F.map_from_entries(
+        F.array().cast("array<struct<key:string,value:array<array<string>>>>")
+    )
+    meta_stmt = v_joined.join(q_map, ["id", "pid", "sidx"], "left").select(
+        "id", "pid", "sidx",
+        F.struct(
+            F.col("value_classes").alias("value_classes"),
+            F.coalesce("qualifiers", empty_qmap).alias("qualifiers"),
+        ).alias("ms"),
+    )
+    per_pid = meta_stmt.groupBy("id", "pid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sidx", F.col("ms").alias("ms"))),
+                lambda a, b: F.when(a["sidx"] < b["sidx"], -1)
+                .when(a["sidx"] > b["sidx"], 1)
+                .otherwise(0),
+            ),
+            lambda x: x["ms"],
+        ).alias("mstmts")
+    )
+    props = per_pid.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pid", "mstmts"))).alias("props")
+    )
+
+    # MetaEntity.classes = the entity's own instance-of targets, first
+    # occurrence kept (meta_graph.py:62-64 filter_duplication)
+    own = (
+        _stmts(entities, props_col)
+        .where((F.col("pid") == instance_of) & (F.col("s.value.vtype") == "entityid"))
+        .groupBy("id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sidx", F.col("s.value.value").alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ),
+                empty_cls,
+                lambda acc, v: F.when(F.array_contains(acc, v), acc).otherwise(
+                    F.concat(acc, F.array(v))
+                ),
+            ).alias("classes")
+        )
+    )
+    return (
+        entities.select("id")
+        .join(own, "id", "left")
+        .join(props, "id", "left")
+        .select(
+            "id",
+            F.coalesce("classes", empty_cls).alias("classes"),
+            "props",
+        )
+    )
+
+
+def main_property_connections(
+    entities: DataFrame,
+    entity_classes: DataFrame,
+    props_col: str = "props",
+    instance_of: str = INSTANCE_OF,
+    ignored_props: tuple[str, ...] = IGNORED_PROPS,
+) -> DataFrame:
+    """(prop, src_type, tgt_type, freq) — see module docstring."""
+    st = _stmts(entities, props_col)
+    domains = (
+        st.where((F.col("pid") == instance_of) & (F.col("s.value.vtype") == "entityid"))
+        .select("id", F.col("s.value.value").alias("src_type"))
+        .distinct()
+    )
+    conns = (
+        st.where(~F.col("pid").isin(*ignored_props))
+        .select(
+            "id",
+            F.col("pid").alias("prop"),
+            F.when(F.col("s.value.vtype") == "entityid", F.col("s.value.value")).alias(
+                "target"
+            ),
+        )
+        .distinct()
+    )
+    pre = domains.join(conns, "id").select("prop", "src_type", "target")
+    cls = entity_classes.select(
+        F.col("entity").alias("target"), F.explode("classes").alias("tgt_type")
+    )
+    with_types = pre.join(cls, "target", "left").where(
+        F.col("target").isNull() | F.col("tgt_type").isNotNull()
+    )
+    return with_types.groupBy("prop", "src_type", "tgt_type").agg(
+        F.count("*").alias("freq")
+    )

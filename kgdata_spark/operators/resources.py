@@ -1,0 +1,101 @@
+"""Subject-grouped RDF resources (P3) + multi-source resource merge (B2)
++ sitelinks merge (D6).
+
+RDFResource is the reference's subject-grouped triple view:
+``{id, props: map<pred, list<obj>>}`` built by grouping a triple stream by
+subject (/root/reference/kgdata/misc/resource.py:78-84, used by
+triple_truthy_dump.py:88-96). ``merge`` unions two resources per property,
+appending only objects the left side doesn't already have
+(resource.py:64-76) — the B2 multi-source dump merge applies it under a
+fullOuterJoin (/root/reference/kgdata/dbpedia/datasets/entities.py:30-78).
+
+Sitelinks merge (D6): re-key each sitelink row through the redirect map,
+then merge rows landing on the same (entity, site): the first source's
+title/url wins and badge lists union in order
+(/root/reference/kgdata/wikidata/datasets/entity_sitelinks.py:76-101).
+The reference's "first" depends on nondeterministic groupByKey order; here
+it is pinned to the smallest pre-redirect source id so reruns are
+byte-identical (SURVEY.md §7.3 determinism rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_resource(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """(s,p,o) rows → (id, props map<pred, array<obj>>). Object order per
+    predicate is pinned to sorted (the reference keeps file order, which is
+    not reproducible across shuffles — sorted is the deterministic
+    equivalent; callers needing source order should carry an order column
+    and sort on it instead)."""
+    per_pred = triples.groupBy(
+        F.col(subj_col).alias("id"), F.col(pred_col).alias("pred")
+    ).agg(F.array_sort(F.collect_list(F.col(obj_col))).alias("objs"))
+    return per_pred.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("pred", "objs"))).alias("props")
+    )
+
+
+def merge_resources(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Full-outer merge of two (id, props) resource tables with per-
+    property object union: left's objects first, then right's objects not
+    already present (resource.py:64-76 under dbpedia entities.py:30-78)."""
+    left = a.select("id", F.col("props").alias("_pa"))
+    right = b.select("id", F.col("props").alias("_pb"))
+    empty = F.map_from_entries(
+        F.array().cast("array<struct<key:string,value:array<string>>>")
+    )
+    merged = F.map_zip_with(
+        F.coalesce("_pa", empty),
+        F.coalesce("_pb", empty),
+        lambda _k, x, y: F.when(x.isNull(), y)
+        .when(y.isNull(), x)
+        .otherwise(F.concat(x, F.filter(y, lambda v: ~F.array_contains(x, v)))),
+    )
+    return left.join(right, "id", "full").select("id", merged.alias("props"))
+
+
+def merge_sitelinks(sitelinks: DataFrame, redirect_map: DataFrame) -> DataFrame:
+    """Rows (id, site, title, url, badges array<string>) + redirect map
+    (old_id, final_id) → merged rows keyed by the redirect target.
+
+    Winner per (entity, site) = row with the smallest pre-redirect id;
+    badges = union over all merged rows in (source id, badge position)
+    order, first occurrence kept."""
+    re_keyed = (
+        sitelinks.join(
+            redirect_map, sitelinks.id == redirect_map.old_id, "left"
+        )
+        .select(
+            F.coalesce("final_id", "id").alias("id"),
+            F.col("id").alias("_src"),
+            "site",
+            "title",
+            "url",
+            "badges",
+        )
+    )
+    merged = re_keyed.groupBy("id", "site").agg(
+        F.min_by("title", "_src").alias("title"),
+        F.min_by("url", "_src").alias("url"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_src"), F.col("badges").alias("b")))
+                ),
+                lambda x: x["b"],
+            ),
+            F.array().cast("array<string>"),
+            lambda acc, bs: F.concat(
+                acc, F.filter(bs, lambda v: ~F.array_contains(acc, v))
+            ),
+        ).alias("badges"),
+    )
+    return merged

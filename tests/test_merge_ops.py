@@ -1,0 +1,175 @@
+"""Goldens for label merge (P11), resource grouping/merge (P3/B2),
+sitelinks merge (D6), meta-graph re-nest (D26), property connections (D28)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.labels import (
+    merge_entity_aliases,
+    merge_entity_labels,
+)
+from kgdata_spark.operators.meta_graph import main_property_connections, meta_graph
+from kgdata_spark.operators.resources import (
+    group_resource,
+    merge_resources,
+    merge_sitelinks,
+)
+
+
+def test_label_merge_lang_rules(spark):
+    rows = spark.createDataFrame(
+        [
+            # E1: three label preds agree; extra de label; fr duplicates en -> reduced
+            ("E1", "rdfs:label", "Berlin", "en"),
+            ("E1", "schema:name", "Berlin", "en"),
+            ("E1", "skos:prefLabel", "Berlin", "en"),
+            ("E1", "rdfs:label", "Berlin-de", "de"),
+            ("E1", "rdfs:label", "Berlin", "fr"),
+            ("E1", "skos:altLabel", "ignored-for-labels", "en"),
+            # E2: only a null-lang label -> becomes the default
+            ("E2", "rdfs:label", "NoLang", None),
+            # E3: null lang AND explicit default -> default wins, null dropped
+            ("E3", "rdfs:label", "Default", "en"),
+            ("E3", "schema:name", "Default", None),
+            # E4: no default lang at all -> '' default
+            ("E4", "rdfs:label", "nur-de", "de"),
+        ],
+        "id string, pred string, value string, lang string",
+    )
+    got = {r.id: (r.label, dict(r.labels)) for r in merge_entity_labels(rows).collect()}
+    assert got["E1"] == ("Berlin", {"en": "Berlin", "de": "Berlin-de"})
+    assert got["E2"] == ("NoLang", {"en": "NoLang"})
+    assert got["E3"] == ("Default", {"en": "Default"})
+    assert got["E4"] == ("", {"en": "", "de": "nur-de"})
+    # without reduce_size the duplicate fr label survives
+    full = {
+        r.id: dict(r.labels)
+        for r in merge_entity_labels(rows, reduce_size=False).collect()
+    }
+    assert full["E1"] == {"en": "Berlin", "de": "Berlin-de", "fr": "Berlin"}
+
+
+def test_alias_merge(spark):
+    rows = spark.createDataFrame(
+        [
+            ("E1", "skos:altLabel", "b-alias", "de"),
+            ("E1", "skos:altLabel", "a-alias", "de"),
+            ("E1", "skos:altLabel", "nolang", None),
+            ("E2", "skos:altLabel", "x", "de"),
+        ],
+        "id string, pred string, value string, lang string",
+    )
+    got = {r.id: {k: list(v) for k, v in r.aliases.items()} for r in merge_entity_aliases(rows).collect()}
+    assert got["E1"] == {"de": ["a-alias", "b-alias"], "en": ["nolang"]}
+    assert got["E2"] == {"de": ["x"], "en": []}  # default key guaranteed
+
+
+def test_group_and_merge_resources(spark):
+    t = spark.createDataFrame(
+        [("s1", "p1", "b"), ("s1", "p1", "a"), ("s1", "p2", "c"), ("s2", "p1", "z")],
+        "subj string, pred string, obj string",
+    )
+    grouped = {r.id: {k: list(v) for k, v in r.props.items()} for r in group_resource(t).collect()}
+    assert grouped == {"s1": {"p1": ["a", "b"], "p2": ["c"]}, "s2": {"p1": ["z"]}}
+
+    a = spark.createDataFrame(
+        [("s1", {"p1": ["a", "b"]}), ("s3", {"px": ["q"]})],
+        "id string, props map<string,array<string>>",
+    )
+    b = spark.createDataFrame(
+        [("s1", {"p1": ["b", "c"], "p2": ["d"]})],
+        "id string, props map<string,array<string>>",
+    )
+    merged = {r.id: {k: list(v) for k, v in r.props.items()} for r in merge_resources(a, b).collect()}
+    assert merged == {
+        "s1": {"p1": ["a", "b", "c"], "p2": ["d"]},  # left-first union
+        "s3": {"px": ["q"]},
+    }
+
+
+def test_sitelinks_merge(spark):
+    sl = spark.createDataFrame(
+        [
+            ("X1", "enwiki", "Old Title", "http://old", ["featured"]),
+            ("E1", "enwiki", "New Title", "http://new", ["good", "featured"]),
+            ("E1", "dewiki", "De", "http://de", []),
+        ],
+        "id string, site string, title string, url string, badges array<string>",
+    )
+    red = spark.createDataFrame([("X1", "E1")], "old_id string, final_id string")
+    got = {(r.id, r.site): (r.title, list(r.badges)) for r in merge_sitelinks(sl, red).collect()}
+    # E1 < X1 -> E1's title wins; badges = E1's then X1's new ones
+    assert got[("E1", "enwiki")] == ("New Title", ["good", "featured"])
+    assert got[("E1", "dewiki")] == ("De", [])
+
+
+def _nested(spark, ents):
+    from tests.test_entity_fix import to_spark_entities
+
+    return to_spark_entities(spark, ents)
+
+
+E = lambda x: ("entityid", x)  # noqa: E731
+S = lambda x: ("string", x)  # noqa: E731
+
+
+def test_meta_graph_renest(spark):
+    ents = _nested(
+        spark,
+        {
+            "A": {
+                "P31": [(E("C1"), {}, [], "normal"), (E("C1"), {}, [], "normal")],
+                "uses": [
+                    (E("B"), {"q": [E("C2"), S("lit-dropped")]}, ["q"], "normal"),
+                    (S("literal"), {}, [], "normal"),
+                    (E("DANGLING"), {}, [], "normal"),
+                ],
+            }
+        },
+    )
+    classes = spark.createDataFrame(
+        [("B", ["T1", "T2"]), ("C2", ["T3"]), ("C1", [])],
+        "entity string, classes array<string>",
+    )
+    (row,) = meta_graph(ents, classes).collect()
+    assert row.classes == ["C1"]  # deduped, first occurrence
+    uses = row.props["uses"]
+    assert list(uses[0].value_classes) == ["T1", "T2"]
+    assert {k: [list(x) for x in v] for k, v in uses[0].qualifiers.items()} == {
+        "q": [["T3"]]  # literal qualifier value dropped
+    }
+    assert uses[1].value_classes is None  # literal statement value
+    assert list(uses[2].value_classes) == []  # dangling target -> []
+
+
+def test_main_property_connections(spark):
+    ents = _nested(
+        spark,
+        {
+            "A": {
+                "P31": [(E("D1"), {}, [], "normal"), (E("D2"), {}, [], "normal")],
+                "uses": [
+                    (E("B"), {}, [], "normal"),
+                    (E("B"), {}, [], "preferred"),  # distinct targets -> 1 conn
+                    (S("lit"), {}, [], "normal"),
+                ],
+                "P279": [(E("B"), {}, [], "normal")],  # ignored prop
+            }
+        },
+    )
+    classes = spark.createDataFrame(
+        [("B", ["T1", "T2"])], "entity string, classes array<string>"
+    )
+    got = {
+        (r.prop, r.src_type, r.tgt_type): r.freq
+        for r in main_property_connections(ents, classes).collect()
+    }
+    assert got == {
+        ("uses", "D1", "T1"): 1,
+        ("uses", "D1", "T2"): 1,
+        ("uses", "D2", "T1"): 1,
+        ("uses", "D2", "T2"): 1,
+        ("uses", "D1", None): 1,  # literal conn keeps null target type
+        ("uses", "D2", None): 1,
+    }
