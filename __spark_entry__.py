@@ -194,6 +194,19 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(doc_tokens(_t(spark, sf_dir, "documents")))
 
 
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit SimHash as two 60/4-bit words (VERDICT r1: 16 bits too coarse
+    # for 10^9-doc near-dup; width now configurable)
+    from kgdata_spark.operators.dedup import doc_tokens, simhash_bits
+
+    sh = simhash_bits(doc_tokens(_t(spark, sf_dir, "documents")), n_bits=64)
+    return sh.select(
+        "doc_id",
+        F.element_at("simhash", 1).alias("word0"),
+        F.element_at("simhash", 2).alias("word1"),
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.functions.text import quality_features
 
@@ -521,19 +534,14 @@ def q_meta_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # D27 predicate co-occurrence pairs per subject (meta_graph_stats.py:137-175)
+    # D27 predicate co-occurrence pairs per subject
+    # (meta_graph_stats.py:137-175); cap=None here for exact oracle parity,
+    # max_preds_per_key is the hub-subject valve at scale
+    from kgdata_spark.operators.meta_graph import predicate_cooccurrence
+
     o = _t(spark, sf_dir, "orders")
-    sp = o.select("o_custkey", F.col("o_orderpriority").alias("pred")).distinct()
-    a = sp.alias("a")
-    b = sp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.pred") < F.col("b.pred")),
-        )
-        .groupBy(F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b"))
-        .agg(F.count("*").alias("freq"))
+    return predicate_cooccurrence(
+        o.select(F.col("o_custkey").alias("id"), F.col("o_orderpriority").alias("pred"))
     )
 
 
@@ -1278,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
+        "simhash_wide": q_simhash_wide,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1440,6 +1449,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
             FROM sums
+        """,
+        "simhash_wide": f"""
+            WITH tokens AS (SELECT DISTINCT doc_id, word AS token FROM ({words})),
+            b0 AS (SELECT doc_id, ('0x' || substr(md5(token || '#w0'), 1, 15))::BIGINT AS h FROM tokens),
+            b1 AS (SELECT doc_id, ('0x' || substr(md5(token || '#w1'), 1, 15))::BIGINT AS h FROM tokens),
+            s0 AS (
+                SELECT doc_id,
+                       {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60))}
+                FROM b0 GROUP BY doc_id),
+            s1 AS (
+                SELECT doc_id,
+                       {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS t{b}" for b in range(4))}
+                FROM b1 GROUP BY doc_id)
+            SELECT s0.doc_id,
+                   CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(60))} AS BIGINT) AS word0,
+                   CAST({" + ".join(f"(CASE WHEN t{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(4))} AS BIGINT) AS word1
+            FROM s0 JOIN s1 ON s0.doc_id = s1.doc_id
         """,
         "doc_quality": r"""
             SELECT doc_id,

@@ -144,6 +144,37 @@ def meta_graph(
     )
 
 
+def predicate_cooccurrence(
+    rows: DataFrame,
+    key_col: str = "id",
+    pred_col: str = "pred",
+    max_preds_per_key: int | None = None,
+) -> DataFrame:
+    """(key, pred) rows → (pred_a, pred_b, freq): predicate co-occurrence
+    pairs per key (meta_graph_stats.py:137-175). The per-key pair expansion
+    is inherently quadratic — same as the reference's per-entity cartesian
+    — so `max_preds_per_key` is the skew valve: keys with more distinct
+    predicates than the cap are EXCLUDED (a 10k-predicate hub subject
+    would alone emit 50M pairs); None = exact reference semantics."""
+    sp = rows.select(F.col(key_col).alias("k"), F.col(pred_col).alias("p")).distinct()
+    if max_preds_per_key is not None:
+        ok = (
+            sp.groupBy("k")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_preds_per_key)
+            .select("k")
+        )
+        sp = sp.join(ok, "k", "left_semi")
+    a = sp.select(F.col("k"), F.col("p").alias("pred_a"))
+    b = sp.select(F.col("k"), F.col("p").alias("pred_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
 def main_property_connections(
     entities: DataFrame,
     entity_classes: DataFrame,

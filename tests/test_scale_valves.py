@@ -1,0 +1,81 @@
+"""Tests that each scale valve actually engages and bounds its output:
+wide SimHash, jaccard shingle cap, predicate co-occurrence per-key cap."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.dedup import (
+    hamming_distance,
+    jaccard_pairs,
+    simhash_bits,
+)
+from kgdata_spark.operators.meta_graph import predicate_cooccurrence
+
+
+def _py_simhash_words(tokens: set[str], n_bits: int) -> list[int]:
+    words, w = [], 0
+    remaining = n_bits
+    while remaining > 0:
+        bits = min(60, remaining)
+        sums = [0] * bits
+        for t in tokens:
+            h = int(hashlib.md5(f"{t}#w{w}".encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        words.append(sum(2**b for b in range(bits) if sums[b] > 0))
+        remaining -= bits
+        w += 1
+    return words
+
+
+def test_simhash_bits_matches_python_and_width(spark):
+    toks = spark.createDataFrame(
+        [("d1", t) for t in ["alpha", "beta", "gamma"]] + [("d2", "alpha")],
+        "doc_id string, token string",
+    )
+    got = {r.doc_id: list(r.simhash) for r in simhash_bits(toks, n_bits=64).collect()}
+    assert got["d1"] == _py_simhash_words({"alpha", "beta", "gamma"}, 64)
+    assert got["d2"] == _py_simhash_words({"alpha"}, 64)
+    assert all(len(v) == 2 for v in got.values())  # 60 + 4 bit words
+    # single word for <= 60 bits
+    got60 = simhash_bits(toks, n_bits=60).collect()[0]
+    assert len(got60.simhash) == 1
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame(
+        [([0b1010, 1], [0b0110, 1]), ([7, 0], [0, 0])],
+        "a array<bigint>, b array<bigint>",
+    )
+    got = [r.d for r in df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert got == [2, 3]
+
+
+def test_jaccard_max_tokens_cap(spark):
+    # two docs share tokens a..j (10), d2 has 10 extra -> exact j = 10/20
+    toks = [("d1", f"t{i:02d}") for i in range(10)] + [
+        ("d2", f"t{i:02d}") for i in range(20)
+    ]
+    tokens = spark.createDataFrame(toks, "doc_id string, token string")
+    pairs = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    exact = jaccard_pairs(pairs, tokens).collect()[0].jaccard
+    assert exact == 0.5
+    # cap at 10: both truncate to first-10 sorted tokens -> identical sets
+    capped = jaccard_pairs(pairs, tokens, max_tokens=10).collect()[0].jaccard
+    assert capped == 1.0
+
+
+def test_cooccurrence_per_key_cap(spark):
+    rows = spark.createDataFrame(
+        # hub key h has 4 preds (6 pairs); normal keys have 2 preds each
+        [("h", p) for p in "abcd"] + [("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b")],
+        "id string, pred string",
+    )
+    exact = predicate_cooccurrence(rows)
+    assert exact.agg(F.sum("freq")).collect()[0][0] == 6 + 2
+    capped = predicate_cooccurrence(rows, max_preds_per_key=2)
+    got = {(r.pred_a, r.pred_b): r.freq for r in capped.collect()}
+    assert got == {("a", "b"): 2}  # hub key excluded entirely
