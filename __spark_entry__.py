@@ -240,6 +240,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic Lloyd's k-means (k=4, 2 assignment rounds) — the
+    # cluster-assignment stage feeding IVF ANN; oracle = same algorithm
+    # unrolled in SQL (init: 4 smallest ids; rounded distances/centroids)
+    from kgdata_spark.operators.kmeans import assign_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return assign_clusters(emb, k=4, iters=2)
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.similarity import embedding_near_dups
 
@@ -1293,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "embed_near_dups": q_embed_near_dups,
+        "kmeans_assign": q_kmeans_assign,
         "asof_latest_order": q_asof_latest_order,
         "pivot_status": q_pivot_status,
         "event_props_agg": q_event_props_agg,
@@ -1540,6 +1551,38 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rk
                 FROM scored) t
             WHERE rk <= 10
+        """,
+        "kmeans_assign": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            dims AS (
+                SELECT vec_id, g.pos,
+                       CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) AS x
+                FROM v, unnest(generate_series(1, len(embedding))) g(pos)),
+            init AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+                       vec_id AS cvid
+                FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+            c0 AS (SELECT i.cidx, d.pos, d.x AS cx
+                   FROM init i JOIN dims d ON d.vec_id = i.cvid),
+            d1 AS (SELECT d.vec_id, c.cidx,
+                          ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 9) AS dist
+                   FROM dims d JOIN c0 c USING (pos) GROUP BY d.vec_id, c.cidx),
+            a1 AS (SELECT vec_id, cidx FROM (
+                       SELECT vec_id, cidx,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cidx) AS rn
+                       FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a1.cidx, d.pos, ROUND(AVG(d.x), 6) AS cx
+                   FROM a1 JOIN dims d USING (vec_id) GROUP BY a1.cidx, d.pos),
+            d2 AS (SELECT d.vec_id, c.cidx,
+                          ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 9) AS dist
+                   FROM dims d JOIN c1 c USING (pos) GROUP BY d.vec_id, c.cidx),
+            a2 AS (SELECT vec_id, cidx FROM (
+                       SELECT vec_id, cidx,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY dist, cidx) AS rn
+                       FROM d2) WHERE rn = 1)
+            SELECT vec_id AS id, cidx AS cluster FROM a2
         """,
         "asof_latest_order": """
             WITH r AS (

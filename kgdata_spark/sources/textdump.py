@@ -1,0 +1,92 @@
+"""Compressed text-dump ingestion/egress + the sorted single-file writer.
+
+Parquet is this engine's storage format, but dump *ingestion* at the
+boundary still means compressed newline-delimited text — the reference
+hand-rolls zstd read via binaryFiles → repartition → decompress
+(/root/reference/kgdata/spark/common.py:516-599). Spark's text source
+decompresses gz/bzip2/etc natively; the one thing the hand-rolled path
+bought — rebalancing after the non-splittable scan — is the explicit
+``min_partitions`` repartition here.
+
+``write_sorted_single`` is D1's sorted-ids artifact: one globally sorted
+file plus ``verify_sorted_unique``, mirroring the reference's driver-side
+sortedness/uniqueness verification
+(/root/reference/kgdata/wikidata/datasets/entity_ids.py:65-109,
+``save_as_single_text_file`` common.py:500-514).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_dump(
+    spark: SparkSession, pattern: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Read newline-delimited (optionally gz/bz2) text → (value string).
+
+    gzip is non-splittable: each file decompresses in ONE task, so a few
+    huge dumps serialize the scan. `min_partitions` repartitions right
+    after the scan — the built-in equivalent of the reference's
+    binaryFiles→repartition→flatMap(decompress) (common.py:569-599). For
+    new data prefer parquet/zstd; this is strictly the boundary reader."""
+    df = spark.read.text(pattern)
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
+    return df
+
+
+def write_text_dump(
+    df: DataFrame,
+    path: str,
+    codec: str = "gzip",
+    records_per_file: int | None = None,
+) -> None:
+    """Write a single string column as compressed text parts (sink #27).
+    `records_per_file` stands in for the reference's 64MB partition
+    targeting (extended_rdd.py:343-363) on the egress side."""
+    (col,) = df.columns
+    w = df.select(F.col(col).cast("string").alias("value")).write.option(
+        "compression", codec
+    )
+    if records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(records_per_file))
+    w.mode("overwrite").text(path)
+
+
+def write_sorted_single(
+    df: DataFrame, col: str, path: str, codec: str | None = None
+) -> None:
+    """Globally sorted single text file (D1's entity-ids artifact). The
+    orderBy is a range-partitioned sort; coalesce(1) then funnels the
+    sorted partitions through one writer — fine for id lists (a few GB),
+    wrong for fact tables (use write_text_dump)."""
+    out = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .orderBy("value")
+        .coalesce(1)
+    )
+    w = out.write
+    if codec is not None:
+        w = w.option("compression", codec)
+    w.mode("overwrite").text(path)
+
+
+def verify_sorted_unique(spark: SparkSession, path: str) -> tuple[int, bool]:
+    """(row_count, is_strictly_sorted) for a single-file text dataset —
+    the read-back verification of entity_ids.py:65-101. Strict order
+    implies uniqueness."""
+    from pyspark.sql import Window
+
+    df = spark.read.text(path)
+    n = df.count()
+    w = Window.orderBy(F.monotonically_increasing_id())
+    # single input file -> one partition -> monotonic id preserves file order
+    bad = (
+        df.withColumn("_prev", F.lag("value").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") >= F.col("value")))
+        .limit(1)
+        .count()
+    )
+    return n, bad == 0

@@ -1,0 +1,75 @@
+"""KMeans cluster assignment + text-dump source/sink + sorted-single-file
+writer tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.kmeans import assign_clusters
+from kgdata_spark.sources.textdump import (
+    read_text_dump,
+    verify_sorted_unique,
+    write_sorted_single,
+    write_text_dump,
+)
+
+
+def test_kmeans_separable_clusters(spark):
+    # two tight blobs around (0,0) and (10,10); k=2, init = ids 0 and 1
+    # (one per blob by construction)
+    rows = [(0, [0.0, 0.2]), (1, [10.0, 9.9]), (2, [0.1, -0.1]), (3, [9.8, 10.1]),
+            (4, [0.2, 0.1]), (5, [10.2, 10.0])]
+    v = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.id: r.cluster for r in assign_clusters(v, k=2, iters=3).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+
+
+def test_kmeans_feeds_ivf(spark):
+    # cluster assignment replaces the precomputed label column for IVF
+    from kgdata_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i // 10), 1.0]) for i in range(20)]
+    v = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    labeled = v.join(
+        assign_clusters(v, k=2, iters=3).withColumnRenamed("id", "vec_id"), "vec_id"
+    ).withColumnRenamed("cluster", "label")
+    out = ivf_topk(labeled.where(F.col("vec_id") == 5), labeled, k=3)
+    got = {r.c_id for r in out.collect()}
+    assert got <= set(range(10))  # neighbors come from the same blob
+
+
+def test_text_dump_roundtrip_gz(spark, tmp_path):
+    df = spark.range(100).select(F.format_string("line-%03d", "id").alias("value"))
+    path = str(tmp_path / "dump")
+    write_text_dump(df, path, codec="gzip", records_per_file=30)
+    parts = glob.glob(os.path.join(path, "part-*.txt.gz"))
+    assert len(parts) >= 2  # records_per_file engaged
+    back = read_text_dump(spark, path, min_partitions=4)
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r.value for r in back.collect()) == sorted(
+        f"line-{i:03d}" for i in range(100)
+    )
+
+
+def test_sorted_single_file_and_verification(spark, tmp_path):
+    ids = spark.createDataFrame(
+        [("E9",), ("E1",), ("E5",), ("E3",)], "id string"
+    )
+    path = str(tmp_path / "ids")
+    write_sorted_single(ids, "id", path)
+    files = [f for f in glob.glob(os.path.join(path, "part-*")) if not f.endswith(".crc")]
+    assert len(files) == 1  # single sorted file
+    n, ok = verify_sorted_unique(spark, path)
+    assert (n, ok) == (4, True)
+    # corrupt the order -> verification fails
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.txt"), "w") as f:
+        f.write("E5\nE1\nE5\n")
+    n2, ok2 = verify_sorted_unique(spark, bad)
+    assert (n2, ok2) == (3, False)
