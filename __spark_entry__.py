@@ -759,6 +759,160 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_datasets(n, edited, limit=100)
 
 
+# --- harvest / url / json-entity / xml-stream / TTL pipeline ----------------
+
+
+def q_url_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8 URL→title normalizer (wikipedia/misc.py:5-42)
+    from kgdata_spark.functions.urls import url_to_title
+
+    n = _t(spark, sf_dir, "nation")
+    wiki = F.format_string(
+        "https://en.wikipedia.org/wiki/%s_%%28%d%%29",
+        F.regexp_replace("n_name", " ", "_"),
+        F.col("n_nationkey"),
+    )
+    nonwiki = F.format_string(
+        "https://en.wikipedia.org/w/index.php?title=%d", F.col("n_nationkey")
+    )
+    urls = n.select(wiki.alias("url")).unionByName(n.select(nonwiki.alias("url")))
+    return urls.select("url", url_to_title(F.col("url")).alias("title"))
+
+
+def q_entity_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1: JSON-array dump cleanup + from_json into the FULL nested entity
+    # schema, round-tripped and flattened (entity_dump.py:15-62 + the
+    # struct parse the reference does in deser_entity)
+    from kgdata_spark.operators.entity_fix import (
+        clean_dump_lines,
+        flatten_statements,
+        parse_entity_json,
+    )
+
+    ents, _ = _meta_entities(spark, sf_dir)
+    lines = ents.select(
+        F.concat(F.to_json(F.struct("id", "props")), F.lit(",")).alias("line")
+    )
+    framed = (
+        spark.createDataFrame([("[",), ("]",)], "line string").unionByName(lines)
+    )
+    return flatten_statements(parse_entity_json(clean_dump_lines(framed)))
+
+
+def q_class_prop_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D7/D8 id harvests (classes.py:90-123, properties.py:98-115) over a
+    # synthetic nested-entity table derived from customer
+    from kgdata_spark.operators.entity_fix import (
+        harvest_class_ids,
+        harvest_property_ids,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    tag = lambda t, v: F.struct(F.lit(t).alias("vtype"), v.alias("value"))  # noqa: E731
+    stmt = lambda v, quals, order: F.struct(  # noqa: E731
+        v.alias("value"), quals.alias("qualifiers"), order.alias("qualifiers_order"),
+        F.lit("normal").alias("rank"),
+    )
+    no_quals = F.map_from_entries(
+        F.array().cast(
+            "array<struct<key:string,value:array<struct<vtype:string,value:string>>>>"
+        )
+    )
+    no_order = F.array().cast("array<string>")
+    p580_quals = F.map_from_entries(
+        F.array(
+            F.struct(
+                F.lit("P580").alias("key"),
+                F.array(tag("entityid", F.concat(F.lit("Q"), (k * 3) % 100))).alias(
+                    "value"
+                ),
+            )
+        )
+    )
+    p31_val = F.when(k % 7 == 0, F.lit("Q19361238")).otherwise(
+        F.concat(F.lit("C"), k % 50)
+    )
+    p31_entry = F.struct(
+        F.lit("P31").alias("key"),
+        F.array(
+            stmt(
+                tag("entityid", p31_val),
+                F.when(k % 4 == 0, p580_quals).otherwise(no_quals),
+                F.when(k % 4 == 0, F.array(F.lit("P580"))).otherwise(no_order),
+            )
+        ).alias("value"),
+    )
+    p279_entry = F.when(
+        k % 3 == 0,
+        F.struct(
+            F.lit("P279").alias("key"),
+            F.array(
+                stmt(tag("entityid", F.concat(F.lit("Q"), k % 100)), no_quals, no_order)
+            ).alias("value"),
+        ),
+    )
+    entries = F.filter(F.array(p31_entry, p279_entry), lambda x: x.isNotNull())
+    ents = c.select(
+        F.concat(F.lit("Q"), k).alias("id"), F.map_from_entries(entries).alias("props")
+    )
+    classes = harvest_class_ids(ents).select(F.lit("class").alias("kind"), "id")
+    props = harvest_property_ids(ents).select(F.lit("prop").alias("kind"), "id")
+    return classes.unionByName(props)
+
+
+def q_ttl_resource_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B1 end-to-end: NT/TTL lines → triple parse → subject-grouped
+    # RDFResource (generic_extractor_dump.py:14-53 = P2 + P3 composed)
+    from kgdata_spark.functions.ntriples import parse_ntriples
+    from kgdata_spark.operators.resources import group_resource
+
+    n = _t(spark, sf_dir, "nation")
+    key, name, reg = F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+    lines = n.select(
+        F.explode(
+            F.array(
+                F.format_string('<http://ex/n%d> <http://ex/name> "%s"@en .', key, name),
+                F.format_string(
+                    "<http://ex/n%d> <http://ex/region> <http://ex/r%d> .", key, reg
+                ),
+                F.format_string(
+                    '_:b%d <http://ex/pop> "%d00"^^<http://xsd/integer> .', key, key
+                ),
+            )
+        ).alias("line")
+    )
+    triples = parse_ntriples(lines, "line").select("subj", "pred", F.col("obj_value").alias("obj"))
+    res = group_resource(triples)
+    return res.select("id", F.explode("props").alias("pred", "objs")).select(
+        "id", "pred", F.array_join("objs", ",").alias("objs_csv")
+    )
+
+
+def q_xml_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 multi-page stream: one XML document per region, split into <page>
+    # elements JVM-side, then xpath field extraction
+    from kgdata_spark.pipeline.extract import split_xml_pages
+
+    n = _t(spark, sf_dir, "nation")
+    page = F.format_string(
+        "<page><title>%s</title><id>%d</id></page>", F.col("n_name"), F.col("n_nationkey")
+    )
+    docs = n.groupBy("n_regionkey").agg(
+        F.concat(
+            F.lit("<mediawiki>"),
+            F.array_join(F.array_sort(F.collect_list(page)), ""),
+            F.lit("</mediawiki>"),
+        ).alias("xml")
+    )
+    pages = split_xml_pages(docs)
+    return pages.select(
+        "n_regionkey",
+        F.xpath_int("page", F.lit("/page/id")).alias("page_id"),
+        F.xpath_string("page", F.lit("/page/title")).alias("title"),
+    )
+
+
 # --- label merge / resources / sitelinks / meta-graph (P11/P3/B2/D6/D26/D28) -
 
 
@@ -1330,6 +1484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_count_merge": q_alias_count_merge,
         "rank_stats": q_rank_stats,
         "dataset_diff": q_dataset_diff,
+        "url_titles": q_url_titles,
+        "entity_json_parse": q_entity_json_parse,
+        "class_prop_harvest": q_class_prop_harvest,
+        "ttl_resource_extract": q_ttl_resource_extract,
+        "xml_multipage": q_xml_multipage,
         "label_merge": q_label_merge,
         "resource_group": q_resource_group,
         "resource_merge": q_resource_merge,
@@ -1842,6 +2001,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT digest, list_sort(list(DISTINCT side)) AS sides
                 FROM (SELECT * FROM l UNION ALL SELECT * FROM r) GROUP BY digest)
             SELECT digest, sides[1] AS side FROM u WHERE len(sides) = 1
+        """,
+        "url_titles": """
+            -- url_to_title maps '_' -> ' ' (reference-faithful, lossy), so
+            -- underscores inside the original name come back as spaces
+            SELECT 'https://en.wikipedia.org/wiki/' || replace(n_name, ' ', '_')
+                       || '_%28' || n_nationkey || '%29' AS url,
+                   replace(n_name, '_', ' ') || ' (' || n_nationkey || ')' AS title
+            FROM nation
+            UNION ALL
+            SELECT 'https://en.wikipedia.org/w/index.php?title=' || n_nationkey, ''
+            FROM nation
+        """,
+        "entity_json_parse": """
+            WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+            SELECT 's' || s_suppkey AS id, 'P31' AS pid, 'normal' AS rank,
+                   'entityid' AS vtype, 'n' || s_nationkey AS value, '' AS quals
+            FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM pairs)
+            UNION ALL
+            SELECT 's' || l_suppkey, 'uses', 'normal', 'entityid',
+                   'p' || l_partkey, 'qty=entityid:p' || l_partkey
+            FROM pairs
+        """,
+        "class_prop_harvest": """
+            WITH k AS (SELECT c_custkey AS k FROM customer),
+            class_ids AS (
+                SELECT 'Q' || k AS id FROM k WHERE k % 3 = 0 OR k % 7 = 0
+                UNION SELECT 'Q' || (k % 100) FROM k WHERE k % 3 = 0
+                UNION SELECT 'C' || (k % 50) FROM k WHERE k % 7 <> 0
+                UNION SELECT 'Q19361238' FROM k WHERE k % 7 = 0),
+            prop_ids AS (
+                SELECT 'P31' AS id
+                UNION SELECT 'P279' FROM k WHERE k % 3 = 0
+                UNION SELECT 'P580' FROM k WHERE k % 4 = 0)
+            SELECT 'class' AS kind, id FROM class_ids
+            UNION ALL SELECT 'prop', id FROM prop_ids
+        """,
+        "ttl_resource_extract": """
+            SELECT 'http://ex/n' || n_nationkey AS id, 'http://ex/name' AS pred,
+                   n_name AS objs_csv
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/region',
+                   'http://ex/r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT '_:b' || n_nationkey, 'http://ex/pop', n_nationkey || '00'
+            FROM nation
+        """,
+        "xml_multipage": """
+            SELECT n_regionkey, n_nationkey AS page_id, n_name AS title
+            FROM nation
         """,
         "label_merge": """
             SELECT 'E' || n_nationkey AS id, n_name AS label,

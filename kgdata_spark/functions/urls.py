@@ -1,0 +1,34 @@
+"""URL → title normalization (P8) and wiki-URL predicates.
+
+The reference strips a ``/wiki/`` path prefix, percent-decodes, maps
+underscores to spaces, and trims (get_title_from_url,
+/root/reference/kgdata/wikipedia/misc.py:5-42). Its semicolon workaround
+exists only because python's urlparse splits paths on ';' — the JVM's
+parse_url does not, so the quirk disappears here by construction.
+All built-ins; whole-stage codegen end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_to_title(url: Column, prefix: str = "/wiki/") -> Column:
+    """'' when the URL's path does not carry the prefix, else the decoded,
+    underscore-to-space, trimmed title."""
+    path = F.parse_url(url, F.lit("PATH"))
+    title = F.trim(
+        F.regexp_replace(
+            F.url_decode(F.substring(path, len(prefix) + 1, 1 << 20)), "_", " "
+        )
+    )
+    return F.when(path.startswith(prefix), title).otherwise(F.lit(""))
+
+
+def is_wikipedia_url(url: Column, lang: str | None = None) -> Column:
+    """Host check for *.wikipedia.org (misc.py:45-60 analog)."""
+    host = F.parse_url(url, F.lit("HOST"))
+    if lang is not None:
+        return host == f"{lang}.wikipedia.org"
+    return host.endswith(".wikipedia.org")

@@ -302,6 +302,98 @@ def split_dangling(
     return unknown, redirected
 
 
+METACLASSES = ("Q19361238", "Q19478619", "Q5127848")  # classes.py:105-116
+
+
+def harvest_class_ids(
+    entities: DataFrame,
+    props_col: str = "props",
+    instance_of: str = "P31",
+    subclass_of: str = "P279",
+    metaclasses: tuple[str, ...] = METACLASSES,
+    property_prefix: str = "P",
+) -> DataFrame:
+    """D7's class-id harvest (get_class_ids, classes.py:90-123): an entity
+    contributes its own id when it has subclass-of statements or is an
+    instance of a metaclass (unless its id is property-prefixed — the
+    reference's P1072 guard), plus every entity target of its
+    instance-of / subclass-of statements."""
+    props = F.col(props_col)
+
+    def entity_targets(pid: str) -> Column:
+        stmts = F.coalesce(F.try_element_at(props, F.lit(pid)), _empty_stmts())
+        return F.transform(
+            F.filter(stmts, lambda s: s["value"]["vtype"] == "entityid"),
+            lambda s: s["value"]["value"],
+        )
+
+    meta = F.array(*[F.lit(m) for m in metaclasses])
+    is_meta_instance = F.exists(
+        entity_targets(instance_of), lambda t: F.array_contains(meta, t)
+    )
+    has_subclass = F.try_element_at(props, F.lit(subclass_of)).isNotNull()
+    own = F.when(
+        (~F.col("id").startswith(property_prefix)) & (has_subclass | is_meta_instance),
+        F.array(F.col("id")),
+    ).otherwise(F.array().cast("array<string>"))
+    combined = F.concat(own, entity_targets(subclass_of), entity_targets(instance_of))
+    return entities.select(F.explode(combined).alias("id")).distinct()
+
+
+def harvest_property_ids(
+    entities: DataFrame,
+    props_col: str = "props",
+    subproperty_of: str = "P1647",
+    type_col: str | None = None,
+) -> DataFrame:
+    """D8's property-id harvest (get_property_ids, properties.py:98-115):
+    entities typed 'property' (when `type_col` is present), targets of
+    subproperty-of statements, plus every statement pid and qualifier qid."""
+    props = F.col(props_col)
+    stmts = F.flatten(F.map_values(props))
+    sub_targets = F.transform(
+        F.filter(
+            F.coalesce(F.try_element_at(props, F.lit(subproperty_of)), _empty_stmts()),
+            lambda s: s["value"]["vtype"] == "entityid",
+        ),
+        lambda s: s["value"]["value"],
+    )
+    qids = F.flatten(F.transform(stmts, lambda s: F.map_keys(s["qualifiers"])))
+    own = (
+        F.when(F.col(type_col) == "property", F.array(F.col("id"))).otherwise(
+            F.array().cast("array<string>")
+        )
+        if type_col is not None
+        else F.array().cast("array<string>")
+    )
+    combined = F.concat(own, sub_targets, F.map_keys(props), qids)
+    return entities.select(F.explode(combined).alias("id")).distinct()
+
+
+ENTITY_JSON_SCHEMA = f"id string, props {PROPS_T}"
+
+
+def clean_dump_lines(df: DataFrame, col: str = "line") -> DataFrame:
+    """P1's JSON-array dump cleanup (entity_dump.py:15-62): strip the
+    enclosing '[' / ']' lines and trailing commas so each surviving line
+    is one standalone JSON entity document."""
+    c = F.trim(F.col(col))
+    stripped = F.regexp_replace(c, r",\s*$", "")
+    return (
+        df.select(stripped.alias(col))
+        .where((F.col(col) != "") & (F.col(col) != "[") & (F.col(col) != "]"))
+    )
+
+
+def parse_entity_json(df: DataFrame, col: str = "line") -> DataFrame:
+    """ndjson entity documents → nested (id, props) rows via from_json with
+    the full statement/qualifier schema — the struct form of P1 that the
+    flat get_json_object path can't express. Malformed documents yield
+    null ids and are dropped (from_json PERMISSIVE semantics)."""
+    parsed = df.select(F.from_json(F.col(col), ENTITY_JSON_SCHEMA).alias("e"))
+    return parsed.select("e.id", "e.props").where(F.col("id").isNotNull())
+
+
 def flatten_statements(entities: DataFrame, props_col: str = "props") -> DataFrame:
     """Canonical flat rows for checksums/oracles: one row per statement
     with a sorted qualifier representation. Column names pin the compare

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgdata_spark.operators.graph import _checkpoint
 
 DRIVER_RESOLVE_THRESHOLD = 2_000_000
 
@@ -34,9 +35,10 @@ def resolve_redirect_fixpoint_auto(
     big ones use distributed pointer jumping. The crossover keeps the
     driver map well under memory while killing ~2·log(chain) Spark actions
     of fixed overhead for the common case."""
-    n = redirects.limit(driver_threshold + 1).count()
-    if n <= driver_threshold:
-        pairs = redirects.collect()
+    # ONE job probes size and fetches the rows (the old limit-count +
+    # collect pair was two full scans back-to-back on the critical path)
+    pairs = redirects.limit(driver_threshold + 1).collect()
+    if len(pairs) <= driver_threshold:
         raw = {r[0]: r[1] for r in pairs if r[0] != r[1]}
         out = []
         for old in raw:
@@ -87,10 +89,11 @@ def resolve_redirect_fixpoint(
                 F.col("f_final").isNotNull().alias("changed"),
             )
         )
-        # localCheckpoint truncates the exponentially growing plan lineage —
-        # without it iteration i re-runs all joins 0..i-1.
+        # checkpoint truncates the exponentially growing plan lineage —
+        # without it iteration i re-runs all joins 0..i-1 (reliable
+        # checkpoint when a dir is set; see graph._checkpoint).
         if checkpoint:
-            jumped = jumped.localCheckpoint(eager=True)
+            jumped = _checkpoint(jumped)
         any_changed = jumped.where(F.col("changed")).limit(1).count() > 0
         m = jumped.drop("changed")
         if not any_changed:
@@ -139,7 +142,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = _checkpoint(new_labels)
         diff = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

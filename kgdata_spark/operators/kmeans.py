@@ -81,5 +81,7 @@ def assign_clusters(
             )
         )
         if checkpoint:
-            centroids = centroids.localCheckpoint(eager=True)
+            from kgdata_spark.operators.graph import _checkpoint
+
+            centroids = _checkpoint(centroids)
     return assigned.select("id", F.col("cidx").alias("cluster"))

@@ -50,6 +50,17 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Whole-file binary scan (#2, extended_rdd.py:525-543) via Spark's
+    binaryFile source → (path, modificationTime, length, content binary).
+    Column pruning applies: a query not touching `content` never reads the
+    payload bytes."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def synthetic_media(spark, n: int) -> DataFrame:
     """Deterministic fake media table: payload = repeated hash bytes."""
     i = F.col("id")

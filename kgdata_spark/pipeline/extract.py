@@ -103,6 +103,21 @@ def mentions(source: DataFrame) -> DataFrame:
     return raw.withColumn("norm_mention", norm_mention(F.col("mention")))
 
 
+def split_xml_pages(df: DataFrame, col: str = "xml", tag: str = "page") -> DataFrame:
+    """P5's multi-page pull-parse (page_article_dump.py:145-204) as a
+    JVM-side dotall regex: one output row per <tag>…</tag> element, other
+    columns carried through. The reference streams bz2 XML through a
+    python pull parser one element at a time; after a text scan the
+    element split is exactly this regex, and per-page field extraction
+    stays in xpath built-ins (see the xml_pages_parse query)."""
+    pat = rf"(?s)<{tag}\b.*?</{tag}>"
+    keep = [c for c in df.columns if c != col]
+    return df.select(
+        *keep,
+        F.explode(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).alias("page"),
+    )
+
+
 def norm_mention(col):
     """Canonicalization scalar fn — lower, NBSP→space, collapse ws, trim."""
     c = F.lower(col)

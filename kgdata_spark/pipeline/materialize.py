@@ -69,11 +69,12 @@ def write_stage(
         # 10M files). DISK_ONLY, not localCheckpoint: the default
         # MEMORY_AND_DISK holds deserialized rows on-heap and OOMs a
         # right-sized heap under 32 concurrent sort tasks; disk blocks in
-        # the local dir (RAM-backed fs) carry zero GC pressure.
+        # the local dir (RAM-backed fs) carry zero GC pressure. No explicit
+        # count(): the sampler's own scan populates the cache lazily — an
+        # eager count was one full extra pass over the biggest dataset.
         from pyspark import StorageLevel
 
         staged = out.persist(StorageLevel.DISK_ONLY)
-        staged.count()
         out = staged.repartitionByRange(*range_cols)
     out.write.mode("overwrite").parquet(data_dir)
     if staged is not None:
@@ -87,20 +88,29 @@ def write_stage(
     n = sum(r.row_count for r in lineage_rows)
     total = sum(int(r.content_hash) for r in lineage_rows)
     checksum = f"{n}:{total}"
-    from kgdata_spark.schemas import LINEAGE_SCHEMA
 
-    # pandas + Arrow (not a row list): list-backed createDataFrame plans a
-    # pickled python RDD that spawns a worker per core on every job — the
-    # dominant anti-scaling cost at local[32] (5s/stage vs 0.2s via Arrow)
-    import pandas as pd
+    # lineage is a handful of rows — write it driver-side with pyarrow
+    # instead of a Spark job (a coalesce(1) parquet write is a full
+    # scheduler round-trip per stage; 5 stages × ~1s of fixed cost was
+    # pure serial fraction in the scaling runs)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    lineage_pdf = pd.DataFrame(
-        [(r.stage, r.partition_id, r.row_count, r.content_hash) for r in lineage_rows],
-        columns=["stage", "partition_id", "row_count", "content_hash"],
+    lineage_dir = os.path.join(out_dir, stage + "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "stage": pa.array([r.stage for r in lineage_rows], pa.string()),
+            "partition_id": pa.array(
+                [r.partition_id for r in lineage_rows], pa.int32()
+            ),
+            "row_count": pa.array([r.row_count for r in lineage_rows], pa.int64()),
+            "content_hash": pa.array(
+                [r.content_hash for r in lineage_rows], pa.string()
+            ),
+        }
     )
-    spark.createDataFrame(lineage_pdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, stage + "_lineage"))
+    pq.write_table(table, os.path.join(lineage_dir, "part-00000.parquet"))
     with open(os.path.join(data_dir, MANIFEST), "w") as f:
         json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
     return checksum

@@ -22,13 +22,20 @@ def assemble_triples(
     redirects: DataFrame,
     entities: DataFrame,
     checkpoint_fixpoint: bool = True,
+    rmap: DataFrame | None = None,
 ) -> DataFrame:
-    """Triples from (possibly pre-materialized) mentions + candidate map."""
+    """Triples from (possibly pre-materialized) mentions + candidate map.
+    Pass a precomputed `rmap` to take the redirect fixpoint off this
+    stage's critical path (run_pipeline overlaps it with the mentions
+    stage)."""
     raw = extract.literal_triples(source)
     m = link.resolve_mentions(mention_df, cand)
     cls = link.resolve_class_pairs(extract.class_pairs(source), cand)
     triples = raw.unionByName(m).unionByName(cls)
-    rmap = canonicalize.build_redirect_map(redirects, entities, checkpoint=checkpoint_fixpoint)
+    if rmap is None:
+        rmap = canonicalize.build_redirect_map(
+            redirects, entities, checkpoint=checkpoint_fixpoint
+        )
     return canonicalize.rewrite_triples(triples, rmap, entities)
 
 
@@ -62,9 +69,22 @@ def run_pipeline(
     """Materialized, resumable run. Returns stage → checksum; pass a dict
     as `timings` to collect per-stage wall seconds."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     sums: dict[str, str] = {}
     t = timings if timings is not None else {}
+
+    # Redirect fixpoint runs on a worker thread, overlapped with the
+    # mentions + candidate stages — its driver-side collect (~8 s at 10M
+    # files) was pure serial fraction on the triples stage's critical path
+    # (Spark schedules jobs from multiple threads concurrently).
+    def _rmap() -> DataFrame:
+        return canonicalize.build_redirect_map(redirects, entities).localCheckpoint(
+            eager=True
+        )
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    rmap_future = pool.submit(_rmap)
 
     t0 = _time.time()
     mentions_df, sums["mentions"] = run_stage(
@@ -87,10 +107,14 @@ def run_pipeline(
         spark,
         out_dir,
         "triples",
-        lambda: assemble_triples(source, mentions_df, cand_df, redirects, entities),
+        lambda: assemble_triples(
+            source, mentions_df, cand_df, redirects, entities,
+            rmap=rmap_future.result(),
+        ),
         range_cols=["repo", "path"],
         deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
     )
+    pool.shutdown(wait=False)
     t["triples"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     # graph side-products: edges + degrees (D16/D20 analogs)

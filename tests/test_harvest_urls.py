@@ -1,0 +1,104 @@
+"""Tests: class/property id harvest (D7/D8), JSON entity parse (P1),
+URL→title (P8), XML page split (P5), binaryFile scan (#2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.entity_fix import (
+    clean_dump_lines,
+    harvest_class_ids,
+    harvest_property_ids,
+    parse_entity_json,
+)
+from tests.test_entity_fix import to_spark_entities
+
+E = lambda x: ("entityid", x)  # noqa: E731
+S = lambda x: ("string", x)  # noqa: E731
+
+HARVEST_ENTS = {
+    # has P279 -> own id is a class; P279/P31 targets are classes
+    "Q1": {
+        "P279": [(E("Q2"), {}, [], "normal")],
+        "P31": [(E("Q3"), {"P580": [E("Q7")]}, ["P580"], "normal")],
+    },
+    # metaclass instance -> own id is a class
+    "Q5": {"P31": [(E("Q19361238"), {}, [], "normal")]},
+    # property-prefixed id: own id never a class even with P279
+    "P9": {"P279": [(E("Q6"), {}, [], "normal")], "P1647": [(E("P8"), {}, [], "normal")]},
+    # plain entity: contributes only its P31 target
+    "Q7": {"P31": [(E("Q3"), {}, [], "normal")], "other": [(S("x"), {}, [], "normal")]},
+}
+
+
+def test_harvest_class_ids(spark):
+    ents = to_spark_entities(spark, HARVEST_ENTS)
+    got = {r.id for r in harvest_class_ids(ents).collect()}
+    assert got == {"Q1", "Q2", "Q3", "Q5", "Q19361238", "Q6"}
+
+
+def test_harvest_property_ids(spark):
+    ents = to_spark_entities(spark, HARVEST_ENTS)
+    got = {r.id for r in harvest_property_ids(ents).collect()}
+    # all pids + qids + P1647 targets
+    assert got == {"P279", "P31", "P580", "P1647", "P8", "other"}
+
+
+def test_entity_json_roundtrip(spark):
+    ents = to_spark_entities(spark, HARVEST_ENTS)
+    lines = ents.select(F.to_json(F.struct("id", "props")).alias("line"))
+    # wrap as the reference's JSON-array dump: bracket lines + trailing commas
+    framed = (
+        spark.createDataFrame([("[",)], "line string")
+        .unionByName(lines.select(F.concat("line", F.lit(",")).alias("line")))
+        .unionByName(spark.createDataFrame([("]",), ("   ",)], "line string"))
+    )
+    back = parse_entity_json(clean_dump_lines(framed))
+    from tests.test_entity_fix import normalize, norm_py
+
+    assert normalize(back) == norm_py(HARVEST_ENTS)
+
+
+def test_url_to_title(spark):
+    from kgdata_spark.functions.urls import is_wikipedia_url, url_to_title
+
+    df = spark.createDataFrame(
+        [
+            ("https://en.wikipedia.org/wiki/Radio_T%C3%BCrksat",),
+            ("https://en.wikipedia.org/wiki/A_b_%28c%29",),
+            ("https://en.wikipedia.org/w/index.php?title=X",),
+            ("https://example.org/wiki/Plain",),
+        ],
+        "url string",
+    )
+    rows = df.select(
+        url_to_title(F.col("url")).alias("t"),
+        is_wikipedia_url(F.col("url")).alias("w"),
+    ).collect()
+    assert [r.t for r in rows] == ["Radio Türksat", "A b (c)", "", "Plain"]
+    assert [r.w for r in rows] == [True, True, True, False]
+
+
+def test_split_xml_pages(spark):
+    from kgdata_spark.pipeline.extract import split_xml_pages
+
+    doc = (
+        "<mediawiki><page><title>A</title>\n<id>1</id></page>"
+        '<page lang="x"><title>B</title><id>2</id></page></mediawiki>'
+    )
+    df = spark.createDataFrame([("d1", doc)], "doc string, xml string")
+    rows = split_xml_pages(df).select(
+        "doc", F.xpath_string("page", F.lit("/page/title")).alias("title")
+    ).collect()
+    assert sorted((r.doc, r.title) for r in rows) == [("d1", "A"), ("d1", "B")]
+
+
+def test_read_binary_files(spark, tmp_path):
+    from kgdata_spark.operators.multimodal import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"hello")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r.path.split("/")[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert got == {"a.bin": (3, b"\x00\x01\x02"), "b.bin": (5, b"hello")}
