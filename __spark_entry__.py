@@ -475,6 +475,40 @@ def q_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 full MySQL-dump grammar (page_ids.py:74-107): serialize customer
+    # rows with injected quotes/backslashes/NULLs into multi-tuple INSERT
+    # lines, parse back with the quote-aware tokenizer
+    from kgdata_spark.functions.sqldump import parse_insert_values, sql_quote
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = F.concat(F.col("c_name"), F.lit("'"), F.col("c_mktsegment"), F.lit("\\x"))
+    phone = F.when(k % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("c_nationkey").cast("string")
+    )
+    tup = F.format_string(
+        "(%d,%s,%s)", k, sql_quote(name), F.coalesce(sql_quote(phone), F.lit("NULL"))
+    )
+    lines = (
+        c.groupBy((k % 50).alias("g"))
+        .agg(
+            F.concat(
+                F.lit("INSERT INTO `customer` VALUES "),
+                F.array_join(F.array_sort(F.collect_list(tup)), ","),
+                F.lit(";"),
+            ).alias("line")
+        )
+        .drop("g")
+    )
+    parsed = parse_insert_values(lines)
+    return parsed.select(
+        F.element_at("fields", 1).cast("int").alias("custkey"),
+        F.element_at("fields", 2).alias("name"),
+        F.element_at("fields", 3).alias("phone"),
+    )
+
+
 def q_sql_values_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P4 MediaWiki SQL INSERT parser (page_ids.py:76-107): build an
     # INSERT..VALUES statement per region, then parse it back to rows
@@ -1471,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_components": q_alias_components,
         "typed_values": q_typed_values,
         "sql_values_parse": q_sql_values_parse,
+        "sql_dump_parse": q_sql_dump_parse,
         "xml_pages_parse": q_xml_pages_parse,
         "meta_graph_stats": q_meta_graph_stats,
         "pred_cooccurrence": q_pred_cooccurrence,
@@ -1870,6 +1905,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN vtype = 'globecoordinate'
                         THEN CAST(regexp_extract(s, '^Point\(([-0-9.]+) ([-0-9.]+)\)$', 2) AS DOUBLE) END AS lat
             FROM typed
+        """,
+        "sql_dump_parse": """
+            -- the serialize→parse round trip restores the injected
+            -- quote/backslash and the NULL phone, so the oracle is the
+            -- direct reconstruction from the base table
+            SELECT c_custkey AS custkey,
+                   c_name || '''' || c_mktsegment || '\\x' AS name,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE CAST(c_nationkey AS VARCHAR) END AS phone
+            FROM customer
         """,
         "sql_values_parse": """
             WITH stmt AS (

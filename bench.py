@@ -124,14 +124,22 @@ print(json.dumps({"sec": round(el, 2), "triples": n,
 
 
 def scaling_bench(n_files: int) -> dict:
-    """Same pipeline, same input, at local[8] vs local[32] (the sandbox
-    stand-in for N vs 4N executors) → throughput + scaling efficiency.
+    """Same pipeline, same input, at N vs 4N cores (the sandbox stand-in
+    for two cluster sizes) → throughput + scaling efficiency.
 
     Each parallelism level runs in a FRESH python process: PySpark keeps
     one JVM per process, so a second SparkContext inherits the first one's
     state (measured local[32] at 58s after a local[8] run in the same JVM
     vs 22s in a fresh process) — exactly what separate spark-submit jobs
-    on a real cluster would never share."""
+    on a real cluster would never share.
+
+    The N-core level is CPU-pinned (taskset -c 0..N-1) when taskset is
+    available: an unpinned local[8] JVM on a 32-core host floats its GC /
+    shuffle-netty / python-worker threads across all 32 cores, so the
+    "small cluster" baseline silently gets ~2x eight cores of compute —
+    understating scaling. Pinning makes the N-core level an actual
+    N-core machine, which is the comparison the two-cluster-size rule
+    asks for (N vs 4N cores on identical input)."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -144,11 +152,14 @@ def scaling_bench(n_files: int) -> dict:
 
     results = {}
     try:
+        have_taskset = shutil.which("taskset") is not None
         for cores in (8, 32):
+            cmd = [sys.executable, "-c", _SCALE_CHILD, str(cores), str(n_files),
+                   base, json.dumps(corpus)]
+            if have_taskset and cores < (os.cpu_count() or cores):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, "-c", _SCALE_CHILD, str(cores), str(n_files),
-                 base, json.dumps(corpus)],
-                capture_output=True, text=True, cwd=repo, timeout=3600,
+                cmd, capture_output=True, text=True, cwd=repo, timeout=3600,
             )
             lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if not lines:

@@ -1,0 +1,65 @@
+"""MediaWiki SQL dump INSERT..VALUES parser (P4).
+
+The reference streams `INSERT INTO \`page\` VALUES (...),(...);` lines
+through python's csv reader configured with quotechar=' and escapechar=\\
+(parse_sql_values, /root/reference/kgdata/wikidata/datasets/page_ids.py:74-107)
+— i.e. MySQL dump syntax: single-quoted strings with backslash escapes,
+bare numbers, and NULL. This module expresses the same grammar as Catalyst
+regexes (whole-stage codegen, no python workers):
+
+- a tuple is ``( ... )`` where ``...`` never crosses an un-quoted paren —
+  quoted segments (which may contain parens/commas/escaped quotes) are
+  consumed atomically by the alternation;
+- fields split on commas outside quotes;
+- decoding strips the quotes, reduces every ``\\x`` escape to ``x``
+  (exactly what csv's escapechar does — ``\\n`` means a literal ``n``
+  here, matching the reference, NOT a newline), and maps ``NULL``/empty
+  to SQL null (the reference uses chr(0) as its null marker; null is the
+  honest Spark spelling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one (...) tuple; quoted strings consume escapes so ('a\')') parses whole
+TUPLE_RE = r"\((?:[^()'\\]|'(?:[^'\\]|\\.)*'|\\.)*\)"
+# one field inside a tuple body: a quoted string or an unquoted run
+FIELD_RE = r"'(?:[^'\\]|\\.)*'|[^,]+"
+
+
+def decode_field(f: Column) -> Column:
+    """Decoded scalar for one raw field token: null for NULL/empty,
+    unquoted+unescaped text otherwise."""
+    unquoted = F.regexp_replace(f, r"(?s)^'(.*)'$", "$1")
+    unescaped = F.regexp_replace(unquoted, r"\\(.)", "$1")
+    return F.when((f == "NULL") | (f == "''"), F.lit(None)).otherwise(unescaped)
+
+
+def parse_insert_values(
+    df: DataFrame, col: str = "line", out: str = "fields"
+) -> DataFrame:
+    """One output row per VALUES tuple; `out` is the decoded
+    ``array<string>`` of its fields (null elements for SQL NULL). All
+    other columns carry through. Lines with no VALUES tuples emit no rows
+    (the dumps' DDL/comment lines)."""
+    keep = [c for c in df.columns if c != col]
+    tup = F.explode(
+        F.regexp_extract_all(F.col(col), F.lit(TUPLE_RE), F.lit(0))
+    ).alias("_tup")
+    body = F.regexp_replace(F.col("_tup"), r"(?s)^\((.*)\)$", "$1")
+    raw = F.regexp_extract_all(body, F.lit(FIELD_RE), F.lit(0))
+    return (
+        df.select(*keep, tup)
+        .select(*keep, F.transform(raw, decode_field).alias(out))
+        .drop("_tup")
+    )
+
+
+def sql_quote(c: Column) -> Column:
+    """Serialize a string column the way mysqldump does — backslash-escape
+    ``\\`` then ``'``, wrap in single quotes. Test/fixture helper (the
+    round-trip twin of decode_field)."""
+    escaped = F.regexp_replace(c, r"([\\'])", r"\\$1")
+    return F.concat(F.lit("'"), escaped, F.lit("'"))

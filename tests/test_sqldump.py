@@ -1,0 +1,58 @@
+"""Tests: MySQL INSERT..VALUES grammar (P4) — escaped quotes, backslashes,
+NULLs, commas/parens inside strings, multi-tuple lines, non-VALUES lines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.sqldump import parse_insert_values, sql_quote
+
+
+def _parse(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    return [r.fields for r in parse_insert_values(df).collect()]
+
+
+def test_basic_tuples(spark):
+    got = _parse(
+        spark, ["INSERT INTO `page` VALUES (1,'Main_Page',0),(2,'Talk',NULL);"]
+    )
+    assert sorted(got) == [["1", "Main_Page", "0"], ["2", "Talk", None]]
+
+
+def test_escaped_quote_and_backslash(spark):
+    # \' is an escaped quote INSIDE the string; \\ is one backslash;
+    # \n is a literal 'n' (csv escapechar semantics, like the reference)
+    got = _parse(spark, [r"INSERT INTO t VALUES (1,'O\'Brien'),(2,'a\\b'),(3,'x\ny');"])
+    assert sorted(got) == [["1", "O'Brien"], ["2", "a\\b"], ["3", "xny"]]
+
+
+def test_commas_and_parens_inside_strings(spark):
+    got = _parse(spark, ["INSERT INTO t VALUES (1,'a,b,(c)','d)e');"])
+    assert got == [["1", "a,b,(c)", "d)e"]]
+
+
+def test_null_and_empty(spark):
+    got = _parse(spark, ["INSERT INTO t VALUES (NULL,'',3);"])
+    assert got == [[None, None, "3"]]
+
+
+def test_non_values_lines_emit_nothing(spark):
+    got = _parse(
+        spark,
+        ["-- MySQL dump 10.13", "DROP TABLE IF EXISTS `page`;", ""],
+    )
+    assert got == []
+
+
+def test_quote_roundtrip(spark):
+    vals = ["plain", "O'Brien", "a\\b", "it's a \\'mix\\'", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    line = df.select(
+        F.format_string("INSERT INTO t VALUES (%s);", sql_quote(F.col("v"))).alias(
+            "line"
+        )
+    )
+    got = sorted(r.fields[0] or "" for r in parse_insert_values(line).collect())
+    # empty string decodes to null (reference maps both to its null marker)
+    assert got == sorted(vals)

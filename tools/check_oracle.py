@@ -2,7 +2,7 @@
 
 Runs every `queries()` entry at sf0.01 and its `oracle_sql()` DuckDB twin,
 compares row count, column names, and an order-insensitive value hash.
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -35,7 +35,13 @@ def frame_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as mod
     from kgdata_spark.session import get_spark
 
@@ -44,14 +50,17 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    ent = mod.entry(spark)
-    n = ent.count()
-    print(f"entry: {n} rows, schema={[f.name for f in ent.schema]}")
-    assert n >= 0
+    if only is None:
+        ent = mod.entry(spark)
+        n = ent.count()
+        print(f"entry: {n} rows, schema={[f.name for f in ent.schema]}")
+        assert n >= 0
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf)} (rows-only, no oracle)")
