@@ -1,0 +1,28 @@
+"""Plan-hygiene sweep over EVERY driver query: no cartesian products and
+no row-at-a-time python UDFs (BatchEvalPython) may appear in any physical
+plan. Arrow-batched exchanges (ArrowEvalPython / mapInPandas / FlatMapGroups
+InPandas) are allowed — those are the sanctioned python crossings.
+
+Driver-only (plan compilation, no jobs run), so the sweep stays cheap even
+though it covers all ~65 queries at sf0.001.
+"""
+
+from __future__ import annotations
+
+import sys
+
+SF_DIR = "/root/testdata/sf0.001"
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_no_cartesian_or_row_python_udfs(spark):
+    sys.path.insert(0, ".")
+    import __spark_entry__ as mod
+
+    flagged = {}
+    for name, fn in mod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in FORBIDDEN if m in plan]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, f"forbidden plan nodes: {flagged}"
