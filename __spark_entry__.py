@@ -1336,19 +1336,10 @@ def q_ntriples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- nested entity model + D4 fix pass (entities.py:179-286) -----------------
 
 
-def q_entity_fix_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Builds a nested entity table (id, props map<pid, array<statement>>)
-    # deterministically from orders, runs the reference's two fix passes —
-    # transitive-qualifier promotion (entities.py:263-286) then the
-    # unknown/redirect statement+qualifier rewrite (entities.py:179-260) —
-    # entirely in Catalyst HOFs, and flattens back to oracle-checkable rows.
-    from kgdata_spark.operators.entity_fix import (
-        attach_dicts,
-        fix_transitive_qualifiers,
-        fixed_entities,
-        flatten_statements,
-    )
-
+def _entity_fix_fixture(spark: SparkSession, sf_dir: str):
+    # Deterministic nested entity table (id, props map<pid,array<stmt>>)
+    # built from orders, plus its unknown/redirect sets — shared by the
+    # HOF and join-based D4 queries.
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     nc = c.agg(F.count("*").alias("_nc"))
@@ -1443,9 +1434,40 @@ def q_entity_fix_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return entities, unknown, redirects
+
+
+def q_entity_fix_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runs the reference's two fix passes — transitive-qualifier promotion
+    # (entities.py:263-286) then the unknown/redirect statement+qualifier
+    # rewrite (entities.py:179-260) — entirely in Catalyst HOFs, and
+    # flattens back to oracle-checkable rows.
+    from kgdata_spark.operators.entity_fix import (
+        attach_dicts,
+        fix_transitive_qualifiers,
+        fixed_entities,
+        flatten_statements,
+    )
+
+    entities, unknown, redirects = _entity_fix_fixture(spark, sf_dir)
     promoted = fix_transitive_qualifiers(entities, transitive_props=("PT",))
     fixed = fixed_entities(attach_dicts(promoted, unknown, redirects))
     return flatten_statements(fixed)
+
+
+def q_entity_fix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same D4 semantics via the flatten→broadcast-join→re-nest scale path
+    # (one exchange; O(1) hash probes instead of O(|dict|) map scans) —
+    # must hash-match the same oracle as entity_fix_pass.
+    from kgdata_spark.operators.entity_fix import (
+        fix_transitive_qualifiers,
+        fixed_entities_join,
+        flatten_statements,
+    )
+
+    entities, unknown, redirects = _entity_fix_fixture(spark, sf_dir)
+    promoted = fix_transitive_qualifiers(entities, transitive_props=("PT",))
+    return flatten_statements(fixed_entities_join(promoted, unknown, redirects))
 
 
 # --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
@@ -1535,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "easy_tables": q_easy_tables,
         "ntriples_parse": q_ntriples_parse,
         "entity_fix_pass": q_entity_fix_pass,
+        "entity_fix_join": q_entity_fix_join,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1544,6 +1567,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, w.word FROM documents, "
         "unnest(string_split_regex(text, '\\s+')) AS w(word) WHERE w.word <> ''"
     )
+    d = _oracle_sql_dict(words)
+    # the join-based D4 scale path must produce bit-identical flat rows
+    d["entity_fix_join"] = d["entity_fix_pass"]
+    return d
+
+
+def _oracle_sql_dict(words: str) -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -271,3 +271,63 @@ def test_flatten_statements_canonical(spark):
     r = rows[0]
     assert (r.id, r.pid, r.rank, r.vtype, r.value) == ("E4", "P1", "normal", "string", "v")
     assert r.quals == "Q1=string:x|Q2=entityid:a|Q2=entityid:b"
+
+
+def test_fixed_entities_join_equivalence(spark):
+    # the flatten→join→re-nest scale path must agree with the HOF pass
+    # (and hence the python oracle) on every edge case, plus a qualifier
+    # rename COLLISION exercising the last-map-order pin
+    from kgdata_spark.operators.entity_fix import fixed_entities_join
+
+    ents_py = dict(FIX_ENTITY)
+    ents_py["E4"] = {
+        "P5": [
+            (
+                S("qcol"),
+                {"QA": [S("a")], "RQ2": [S("b")]},  # RQ2 renames onto QA
+                ["QA", "RQ2"],
+                "normal",
+            )
+        ],
+        "P6": [],  # empty statement list -> prop dropped by both variants
+    }
+    rmap = dict(RMAP, RQ2="QA")
+    ents = to_spark_entities(spark, ents_py)
+    unknown = spark.createDataFrame([(u,) for u in sorted(UNKNOWN)], "id string")
+    redirects = spark.createDataFrame(
+        sorted(rmap.items()), "old_id string, final_id string"
+    )
+    hof = normalize(fixed_entities(attach_dicts(ents, unknown, redirects)))
+    joined = normalize(fixed_entities_join(ents, unknown, redirects))
+    assert joined == hof
+    want = norm_py(
+        {eid: py_fixed(props, UNKNOWN, rmap) for eid, props in ents_py.items()}
+    )
+    assert joined == want
+    # collision: last original map-entry order wins; order renamed in place
+    stmt = joined["E4"]["P5"][0]
+    assert stmt[1] == {"QA": [S("b")]}
+    assert stmt[2] == ["QA", "QA"]
+
+
+def test_fixed_entities_join_single_exchange(spark):
+    # the scale path's core property: ONE shuffle, no sort-merge joins —
+    # every regroup reuses the upfront id-partitioning, dict sides ride
+    # as broadcasts
+    import re
+
+    from kgdata_spark.operators.entity_fix import fixed_entities_join
+
+    ents = to_spark_entities(spark, FIX_ENTITY)
+    unknown = spark.createDataFrame([(u,) for u in sorted(UNKNOWN)], "id string")
+    redirects = spark.createDataFrame(
+        sorted(RMAP.items()), "old_id string, final_id string"
+    )
+    plan = (
+        fixed_entities_join(ents, unknown, redirects)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan
