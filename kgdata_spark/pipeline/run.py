@@ -74,69 +74,82 @@ def run_pipeline(
     sums: dict[str, str] = {}
     t = timings if timings is not None else {}
 
-    # Redirect fixpoint runs on a worker thread, overlapped with the
-    # mentions + candidate stages — its driver-side collect (~8 s at 10M
-    # files) was pure serial fraction on the triples stage's critical path
-    # (Spark schedules jobs from multiple threads concurrently).
+    # Independent stages run CONCURRENTLY on driver threads (Spark
+    # schedules jobs from multiple threads onto the same executors): the
+    # redirect fixpoint's collect, the mentions scan, and the candidate
+    # window overlap; later, edges and entity_degrees (both derived from
+    # the materialized triples) overlap too. Serial per-stage fixed costs
+    # (job setup, write commit, lineage collect) were the dominant
+    # anti-scaling term at high core counts — overlapping them keeps all
+    # cores fed, exactly as separate jobs would on a real cluster.
     def _rmap() -> DataFrame:
         return canonicalize.build_redirect_map(redirects, entities).localCheckpoint(
             eager=True
         )
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    rmap_future = pool.submit(_rmap)
-
-    t0 = _time.time()
-    mentions_df, sums["mentions"] = run_stage(
-        spark, out_dir, "mentions", lambda: extract.mentions(source)
-    )
-    t["mentions"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-    cand_df, sums["candidate_map"] = run_stage(
-        spark,
-        out_dir,
-        "candidate_map",
-        lambda: link.candidate_map(aliases),
-        deps={},
-    )
-    t["candidate_map"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-    # downstream stages consume the *materialized* parquet of upstream
-    # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
-    triples_df, sums["triples"] = run_stage(
-        spark,
-        out_dir,
-        "triples",
-        lambda: assemble_triples(
-            source, mentions_df, cand_df, redirects, entities,
-            rmap=rmap_future.result(),
-        ),
-        range_cols=["repo", "path"],
-        deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
-    )
-    pool.shutdown(wait=False)
-    t["triples"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-    # graph side-products: edges + degrees (D16/D20 analogs)
-    _, sums["edges"] = run_stage(
-        spark,
-        out_dir,
-        "edges",
-        lambda: triples_df.where(F.col("obj_kind") == "entity")
-        .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .agg(F.count("*").alias("weight")),
-        deps={"triples": sums["triples"]},
-    )
-    t["edges"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-    _, sums["entity_degrees"] = run_stage(
-        spark,
-        out_dir,
-        "entity_degrees",
-        lambda: entity_degrees(triples_df),
-        deps={"triples": sums["triples"]},
-    )
-    t["entity_degrees"] = round(_time.time() - t0, 2)
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        t0 = _time.time()
+        rmap_future = pool.submit(_rmap)
+        f_mentions = pool.submit(
+            run_stage, spark, out_dir, "mentions", lambda: extract.mentions(source)
+        )
+        f_cand = pool.submit(
+            run_stage,
+            spark,
+            out_dir,
+            "candidate_map",
+            lambda: link.candidate_map(aliases),
+            None,
+            {},
+        )
+        mentions_df, sums["mentions"] = f_mentions.result()
+        t["mentions"] = round(_time.time() - t0, 2)
+        cand_df, sums["candidate_map"] = f_cand.result()
+        t["candidate_map"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+        # downstream stages consume the *materialized* parquet of upstream
+        # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
+        triples_df, sums["triples"] = run_stage(
+            spark,
+            out_dir,
+            "triples",
+            lambda: assemble_triples(
+                source, mentions_df, cand_df, redirects, entities,
+                rmap=rmap_future.result(),
+            ),
+            range_cols=["repo", "path"],
+            deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
+        )
+        t["triples"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+        # graph side-products: edges + degrees (D16/D20 analogs), overlapped
+        f_edges = pool.submit(
+            run_stage,
+            spark,
+            out_dir,
+            "edges",
+            lambda: triples_df.where(F.col("obj_kind") == "entity")
+            .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .agg(F.count("*").alias("weight")),
+            None,
+            {"triples": sums["triples"]},
+        )
+        f_degrees = pool.submit(
+            run_stage,
+            spark,
+            out_dir,
+            "entity_degrees",
+            lambda: entity_degrees(triples_df),
+            None,
+            {"triples": sums["triples"]},
+        )
+        _, sums["edges"] = f_edges.result()
+        t["edges"] = round(_time.time() - t0, 2)
+        _, sums["entity_degrees"] = f_degrees.result()
+        t["entity_degrees"] = round(_time.time() - t0, 2)
+    finally:
+        pool.shutdown(wait=False)
     return sums
 
 
