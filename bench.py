@@ -113,10 +113,10 @@ corpus = json.loads(sys.argv[4])
 spark = get_spark(app_name=f"kgbench_scale_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
 run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
-# min of 4: the sandbox VM shows up to 60% run-to-run noise (shared host)
-# and mins were still falling at 3 repeats; the minimum is the
+# min of 5: the sandbox VM shows up to 60% run-to-run noise (shared host)
+# and mins were still falling at 4 repeats; the minimum is the
 # least-interfered estimate of the job's true cost
-runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(4)]
+runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(5)]
 el, n = min(runs)
 print(json.dumps({"sec": round(el, 2), "triples": n,
                   "triples_per_sec": round(n / el, 1),
