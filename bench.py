@@ -110,13 +110,14 @@ from kgdata_spark.session import get_spark
 from bench import run_pipeline_bench
 cores, n_files, base = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 corpus = json.loads(sys.argv[4])
+repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 spark = get_spark(app_name=f"kgbench_scale_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
 run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
-# min of 5: the sandbox VM shows up to 60% run-to-run noise (shared host)
-# and mins were still falling at 4 repeats; the minimum is the
-# least-interfered estimate of the job's true cost
-runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(5)]
+# min of N: the sandbox VM shows up to 60% run-to-run noise (shared host)
+# and high-core-count runs keep warming (JIT + page cache) for several
+# repeats; the minimum is the least-interfered estimate of the true cost
+runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(repeats)]
 el, n = min(runs)
 print(json.dumps({"sec": round(el, 2), "triples": n,
                   "triples_per_sec": round(n / el, 1),
@@ -124,7 +125,7 @@ print(json.dumps({"sec": round(el, 2), "triples": n,
 """
 
 
-def scaling_bench(n_files: int) -> dict:
+def scaling_bench(n_files: int, levels=((8, 5), (32, 5))) -> dict:
     """Same pipeline, same input, at N vs 4N cores (the sandbox stand-in
     for two cluster sizes) → throughput + scaling efficiency.
 
@@ -154,13 +155,13 @@ def scaling_bench(n_files: int) -> dict:
     results = {}
     try:
         have_taskset = shutil.which("taskset") is not None
-        for cores in (8, 32):
+        for cores, repeats in levels:
             cmd = [sys.executable, "-c", _SCALE_CHILD, str(cores), str(n_files),
-                   base, json.dumps(corpus)]
+                   base, json.dumps(corpus), str(repeats)]
             if have_taskset and cores < (os.cpu_count() or cores):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                cmd, capture_output=True, text=True, cwd=repo, timeout=3600,
+                cmd, capture_output=True, text=True, cwd=repo, timeout=7200,
             )
             lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if not lines:
@@ -171,9 +172,10 @@ def scaling_bench(n_files: int) -> dict:
             results[f"local[{cores}]"] = json.loads(lines[-1])
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    t8 = results["local[8]"]["triples_per_sec"]
-    t32 = results["local[32]"]["triples_per_sec"]
-    results["scaling_efficiency_8_to_32"] = round(t32 / (t8 * 4), 3)
+    lo, hi = levels[0][0], levels[-1][0]
+    tlo = results[f"local[{lo}]"]["triples_per_sec"]
+    thi = results[f"local[{hi}]"]["triples_per_sec"]
+    results[f"scaling_efficiency_{lo}_to_{hi}"] = round(thi / (tlo * (hi / lo)), 3)
     results["n_files"] = n_files
     return results
 
