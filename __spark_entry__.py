@@ -1284,7 +1284,7 @@ def q_easy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.html import (
         easy_table_pred,
         extract_html_tables,
-        inject_link_entities,
+        inject_link_entities_join,
     )
 
     tables = extract_html_tables(_order_table_html(spark, sf_dir, with_total=False))
@@ -1293,7 +1293,9 @@ def q_easy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("http://ex.org/o/%d", F.col("o_orderkey")).alias("href"),
         F.format_string("E%d", F.col("o_orderkey")).alias("entity"),
     ).distinct()
-    linked = inject_link_entities(tables, mapping)
+    # join-based injection: the mapping is one row per ORDER (sf-
+    # proportional), far past the one-row map column's linear-probe budget
+    linked = inject_link_entities_join(tables, mapping, ["o_custkey", "table_idx"])
     return (
         linked.where(easy_table_pred(F.col("rows")))
         .select("o_custkey", (F.size("rows") - 1).alias("n_data_rows"))

@@ -441,3 +441,98 @@ def inject_link_entities(tables: DataFrame, mapping: DataFrame) -> DataFrame:
         ),
     )
     return with_m.withColumn("rows", rows2).drop("_m")
+
+
+def inject_link_entities_join(
+    tables: DataFrame,
+    mapping: DataFrame,
+    key_cols: list[str],
+    rows_col: str = "rows",
+    use_broadcast: bool | None = None,
+) -> DataFrame:
+    """`inject_link_entities` for mappings too large for a one-row map
+    column (whose per-link probe is an O(|mapping|) linear scan — at 150k
+    hrefs the sf0.1 query ran minutes instead of seconds): flatten
+    rows→cells→links with positional identity, hash-join the mapping
+    (size-conditional broadcast by default; AQE picks the strategy when
+    it can't be proven small), and re-nest. `key_cols` must uniquely
+    identify a table row.
+
+    Same plan discipline as entity_fix.fixed_entities_join: the input is
+    repartitioned by `key_cols` once, posexplode_outer sentinels preserve
+    empty rows/cells/links at every level, and every regroup keys on a
+    superset of `key_cols` — so the whole rebuild re-uses one exchange."""
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    m = mapping.select(F.col("href").alias("_href"), F.col("entity").alias("_ent"))
+    if use_broadcast is None:
+        m = maybe_broadcast(m)
+    elif use_broadcast:
+        m = F.broadcast(m)
+
+    keep = [c for c in tables.columns if c != rows_col]
+    t = tables.repartition(*[F.col(k) for k in key_cols])
+    r = t.select(*keep, F.posexplode_outer(rows_col).alias("_ridx", "_cells"))
+    c = r.select(
+        *keep, "_ridx", F.posexplode_outer("_cells").alias("_cidx", "_cell")
+    )
+    l = c.select(
+        *keep, "_ridx", "_cidx", "_cell",
+        F.posexplode_outer(F.col("_cell.links")).alias("_lidx", "_l"),
+    )
+    j = l.join(m, F.col("_l.href") == F.col("_href"), "left")
+    lrow = F.when(
+        F.col("_l").isNotNull(),
+        F.struct(
+            F.col("_lidx").alias("lidx"),
+            F.struct(
+                F.col("_l.href").alias("href"),
+                F.col("_l.text").alias("text"),
+                F.col("_l.start").alias("start"),
+                F.col("_l.end").alias("end"),
+                F.coalesce(F.col("_ent"), F.col("_l.entity")).alias("entity"),
+            ).alias("l"),
+        ),
+    )
+    cells = j.groupBy(*keep, "_ridx", "_cidx").agg(
+        F.first("_cell").alias("_cell"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(lrow), lambda a, b: a["lidx"] - b["lidx"]
+            ),
+            lambda x: x["l"],
+        ).alias("_links"),
+    )
+    cell2 = F.when(
+        F.col("_cidx").isNotNull(),
+        F.struct(
+            F.col("_cidx").alias("cidx"),
+            F.struct(
+                F.col("_cell.text").alias("text"),
+                F.col("_cell.is_header").alias("is_header"),
+                F.col("_cell.colspan").alias("colspan"),
+                F.col("_links").alias("links"),
+            ).alias("c"),
+        ),
+    )
+    rows = cells.groupBy(*keep, "_ridx").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(cell2), lambda a, b: a["cidx"] - b["cidx"]
+            ),
+            lambda x: x["c"],
+        ).alias("_row")
+    )
+    row2 = F.when(
+        F.col("_ridx").isNotNull(),
+        F.struct(F.col("_ridx").alias("ridx"), F.col("_row").alias("r")),
+    )
+    out = rows.groupBy(*keep).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(row2), lambda a, b: a["ridx"] - b["ridx"]
+            ),
+            lambda x: x["r"],
+        ).alias(rows_col)
+    )
+    return out.select(*tables.columns)
