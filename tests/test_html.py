@@ -164,3 +164,61 @@ def test_inject_link_entities(spark):
         .ok
         is False
     )
+
+
+def test_inject_link_entities_join_equivalence(spark):
+    # the flatten→join→re-nest scale path must agree with the HOF version
+    from kgdata_spark.operators.html import inject_link_entities_join
+
+    tables = _tbl(spark, _good_rows(entity=None)).withColumn("tid", F.lit(1))
+    mapping = spark.createDataFrame(
+        [(f"http://e/{i}", f"E{i}") for i in range(0, 12, 2)],
+        "href string, entity string",
+    )
+    hof = inject_link_entities(tables, mapping).collect()
+    joined = inject_link_entities_join(tables, mapping, ["tid"]).collect()
+    assert len(hof) == len(joined) == 1
+    assert hof[0].asDict(recursive=True) == joined[0].asDict(recursive=True)
+
+
+def test_inject_join_preserves_empty_tables(spark):
+    # a table with zero rows / cells without links must survive re-nesting
+    from kgdata_spark.operators.html import LINK_T, inject_link_entities_join
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("tid", T.IntegerType()),
+            T.StructField(
+                "rows",
+                T.ArrayType(
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("text", T.StringType()),
+                                T.StructField("is_header", T.BooleanType()),
+                                T.StructField("colspan", T.IntegerType()),
+                                T.StructField("links", T.ArrayType(LINK_T)),
+                            ]
+                        )
+                    )
+                ),
+            ),
+        ]
+    )
+    tables = spark.createDataFrame(
+        [
+            (1, []),  # no rows
+            (2, [[]]),  # one empty row
+            (3, [[("x", False, 1, [])]]),  # one cell, no links
+        ],
+        schema,
+    )
+    mapping = spark.createDataFrame([("h", "E")], "href string, entity string")
+    got = {
+        r.tid: r.rows
+        for r in inject_link_entities_join(tables, mapping, ["tid"]).collect()
+    }
+    assert got[1] == []
+    assert got[2] == [[]]
+    assert len(got[3]) == 1 and got[3][0][0].text == "x" and got[3][0][0].links == []
