@@ -509,6 +509,38 @@ def q_sql_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D2 end-to-end (page_ids.py:30-71): mysqldump INSERT lines → tuple
+    # parse → (page_id, entity_id) keeping only rows whose target is a
+    # real entity id (^[QPL]\d+$ — entity_ids.py:14-24 drops user pages
+    # etc.), the reference's extract_id + is_entity_id filter composed
+    # with the full P4 grammar
+    from kgdata_spark.functions.sqldump import parse_insert_values, sql_quote
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    title = F.when(k % 3 == 0, F.concat(F.lit("User:"), F.col("c_name"))).otherwise(
+        F.concat(F.lit("Q"), k)
+    )
+    tup = F.format_string("(%d,0,%s)", k, sql_quote(title))
+    lines = (
+        c.groupBy((k % 20).alias("g"))
+        .agg(
+            F.concat(
+                F.lit("INSERT INTO `page` VALUES "),
+                F.array_join(F.array_sort(F.collect_list(tup)), ","),
+                F.lit(";"),
+            ).alias("line")
+        )
+        .drop("g")
+    )
+    parsed = parse_insert_values(lines)
+    return parsed.select(
+        F.element_at("fields", 1).cast("bigint").alias("page_id"),
+        F.element_at("fields", 3).alias("entity_id"),
+    ).where(F.col("entity_id").rlike(r"^[QPL][0-9]+$"))
+
+
 def q_sql_values_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P4 MediaWiki SQL INSERT parser (page_ids.py:76-107): build an
     # INSERT..VALUES statement per region, then parse it back to rows
@@ -1536,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_values": q_typed_values,
         "sql_values_parse": q_sql_values_parse,
         "sql_dump_parse": q_sql_dump_parse,
+        "page_ids": q_page_ids,
         "xml_pages_parse": q_xml_pages_parse,
         "meta_graph_stats": q_meta_graph_stats,
         "pred_cooccurrence": q_pred_cooccurrence,
@@ -1943,6 +1976,11 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                    CASE WHEN vtype = 'globecoordinate'
                         THEN CAST(regexp_extract(s, '^Point\(([-0-9.]+) ([-0-9.]+)\)$', 2) AS DOUBLE) END AS lat
             FROM typed
+        """,
+        "page_ids": """
+            -- non-entity (User:) pages are filtered by the id check
+            SELECT c_custkey AS page_id, 'Q' || c_custkey AS entity_id
+            FROM customer WHERE c_custkey % 3 <> 0
         """,
         "sql_dump_parse": """
             -- the serialize→parse round trip restores the injected
