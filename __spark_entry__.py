@@ -1513,6 +1513,20 @@ def q_entity_fix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal (rows-only check: decode is stubbed, P6/P7 analog) -----------
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL multimodal decode (no stubs): distributed generation of valid
+    # 24-bit BMPs + 16-bit PCM WAVs, parsed back per format spec with
+    # stdlib struct/wave in an Arrow-batched mapInPandas. The fixture's
+    # closed-form pixel/sample functions let DuckDB verify the decoded
+    # sums without parsing a single byte.
+    from kgdata_spark.operators.multimodal import (
+        decode_media_features,
+        synthetic_real_media,
+    )
+
+    return decode_media_features(synthetic_real_media(spark, 2000))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched feature extraction over opaque binary media payloads;
     # the deterministic fake decode is pure byte math, so the DuckDB oracle
@@ -1600,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_fix_pass": q_entity_fix_pass,
         "entity_fix_join": q_entity_fix_join,
         "multimodal_features": q_multimodal_features,
+        "media_decode": q_media_decode,
     }
 
 
@@ -2377,6 +2392,27 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                             '') AS quals
             FROM rewritten r LEFT JOIN fixed_quals fq ON fq.k = r.sid
             GROUP BY r.id, r.sid, r.pid, r.rank, r.vtype, r.value
+        """,
+        "media_decode": """
+            WITH ids AS (SELECT r AS id FROM range(2000) t(r)),
+            img AS (
+                SELECT 'm' || i.id AS media_id, 'image' AS kind,
+                       CAST(16 AS BIGINT) AS dim1,
+                       CAST(8 + i.id % 8 AS BIGINT) AS dim2,
+                       CAST(SUM((3 * x.v + 7 * y.v + i.id) % 256) AS BIGINT) AS agg
+                FROM ids i, range(16) x(v), range(16) y(v)
+                WHERE i.id % 2 = 0 AND y.v < 8 + i.id % 8
+                GROUP BY i.id),
+            aud AS (
+                SELECT 'm' || i.id AS media_id, 'audio' AS kind,
+                       CAST(500 + i.id % 100 AS BIGINT) AS dim1,
+                       CAST(8000 AS BIGINT) AS dim2,
+                       CAST(SUM(((j.v * (i.id + 1)) % 2003 - 1001)
+                                * ((j.v * (i.id + 1)) % 2003 - 1001)) AS BIGINT) AS agg
+                FROM ids i, range(600) j(v)
+                WHERE i.id % 2 = 1 AND j.v < 500 + i.id % 100
+                GROUP BY i.id)
+            SELECT * FROM img UNION ALL SELECT * FROM aud
         """,
         "multimodal_features": """
             WITH m AS (

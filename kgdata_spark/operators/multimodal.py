@@ -155,3 +155,159 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return frames.withColumn(
         "frame_ref", F.concat_ws("#", "media_id", F.col("frame_idx").cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib decoders: BMP (struct) and 16-bit PCM WAV (wave module).
+# The PIL/torchaudio stubs above cover compressed formats; these two
+# formats need nothing beyond the standard library, so the decode step is
+# genuinely implemented and oracle-checked — bytes are parsed per the
+# format spec, not trusted from metadata.
+
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("dim1", T.LongType(), False),  # image: width | audio: n_samples
+        T.StructField("dim2", T.LongType(), False),  # image: height | audio: frame rate
+        T.StructField("agg", T.LongType(), False),  # image: Σpixel | audio: Σsample²
+    ]
+)
+
+
+def make_bmp(width: int, height: int, pix_val) -> bytes:
+    """Valid 24-bit bottom-up BMP; pix_val(x, y) -> 0..255 grey level."""
+    import struct
+
+    row_size = (3 * width + 3) & ~3
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = pix_val(x, y) & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, sum of blue-channel values) from a 24-bit BMP —
+    header offsets, row padding and bottom-up layout handled per spec."""
+    import struct
+
+    magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    height = abs(height)
+    row_size = (3 * width + 3) & ~3
+    total = 0
+    for y in range(height):
+        base = offset + y * row_size
+        row = payload[base : base + 3 * width]
+        total += sum(row[0::3])  # blue channel (BGR order)
+    return width, height, total
+
+
+def make_wav(samples: list[int], rate: int) -> bytes:
+    """16-bit PCM mono WAV via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """(n_samples, frame_rate, sum of sample²) from a 16-bit PCM WAV."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("expected 16-bit mono PCM")
+        n = w.getnframes()
+        rate = w.getframerate()
+        frames = w.readframes(n)
+    vals = struct.unpack(f"<{n}h", frames)
+    return n, rate, sum(v * v for v in vals)
+
+
+def synthetic_real_media(spark, n: int) -> DataFrame:
+    """Deterministic REAL media table, generated distributed (mapInPandas
+    over a range): even ids → 16×(8+id%8) BMP with grey (3x+7y+id)%256,
+    odd ids → (500+id%100)-sample 8kHz WAV with s_i=((i·(id+1))%2003)−1001.
+    Closed-form content makes decoded features DuckDB-checkable without
+    the oracle parsing any bytes."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for i in pdf["id"]:
+                i = int(i)
+                out["media_id"].append(f"m{i}")
+                if i % 2 == 0:
+                    out["kind"].append("image")
+                    out["payload"].append(
+                        make_bmp(16, 8 + i % 8, lambda x, y, i=i: (3 * x + 7 * y + i) % 256)
+                    )
+                else:
+                    out["kind"].append("audio")
+                    samples = [
+                        ((j * (i + 1)) % 2003) - 1001 for j in range(500 + i % 100)
+                    ]
+                    out["payload"].append(make_wav(samples, 8000))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode dispatching on kind; payload dropped on
+    output so the wide binary column never shuffles onward."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "dim1": [], "dim2": [], "agg": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if kind == "image":
+                    w, h, s = decode_bmp(b)
+                elif kind == "audio":
+                    w, h, s = decode_wav(b)
+                else:
+                    raise ValueError(f"no stdlib decoder for kind {kind}")
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["dim1"].append(w)
+                rows["dim2"].append(h)
+                rows["agg"].append(s)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, MEDIA_DECODE_SCHEMA
+    )

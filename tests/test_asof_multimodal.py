@@ -65,3 +65,34 @@ def test_frame_sample_plan(spark):
     vids = {r.media_id for r in media.where(F.col("kind") == "video").collect()}
     assert kinds == vids
     assert all(r.frame_ref == f"{r.media_id}#{r.frame_idx}" for r in rows)
+
+
+def test_bmp_wav_codec_roundtrip(spark):
+    # real stdlib decode: BMP row padding (width not ÷4), WAV sample² sum
+    from kgdata_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media_features,
+        decode_wav,
+        make_bmp,
+        make_wav,
+        synthetic_real_media,
+    )
+
+    b = make_bmp(5, 3, lambda x, y: (11 * x + y) % 256)  # row padding = 1 byte
+    assert decode_bmp(b) == (
+        5, 3, sum((11 * x + y) % 256 for x in range(5) for y in range(3))
+    )
+    samples = [((j * 9) % 2003) - 1001 for j in range(41)]
+    assert decode_wav(make_wav(samples, 44100)) == (
+        41, 44100, sum(v * v for v in samples)
+    )
+
+    got = {r.media_id: r for r in decode_media_features(
+        synthetic_real_media(spark, 6)
+    ).collect()}
+    assert len(got) == 6
+    assert got["m0"].kind == "image" and (got["m0"].dim1, got["m0"].dim2) == (16, 8)
+    assert got["m1"].kind == "audio" and (got["m1"].dim1, got["m1"].dim2) == (501, 8000)
+    assert got["m2"].agg == sum(
+        (3 * x + 7 * y + 2) % 256 for x in range(16) for y in range(10)
+    )
