@@ -1527,6 +1527,49 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(synthetic_real_media(spark, 2000))
 
 
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain document cap (C4/Gopher-style mixture control): keep the
+    # 50 largest docs per source, deterministic ties
+    from kgdata_spark.operators.curation import cap_per_domain
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_domain(d, max_per_domain=50).select("doc_id", "source", "n_chars")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction: deterministic email/phone injection, regex scrub,
+    # span counts + digest of the scrubbed text
+    from kgdata_spark.operators.curation import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = F.when(
+        k % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.format_string(" user%d@mail.com call 555-123-4567", k),
+        ),
+    ).otherwise(F.col("text"))
+    n_em, n_ph = pii_counts(injected)
+    return d.select(
+        "doc_id",
+        n_em.cast("bigint").alias("n_emails"),
+        n_ph.cast("bigint").alias("n_phones"),
+        F.md5(scrub_pii(injected)).alias("digest"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: drop train docs sharing any 5-gram with
+    # the held-out set (doc_id % 97 == 0); shingle equi-join, no all-pairs
+    from kgdata_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, ngram=5).select("doc_id", "source")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched feature extraction over opaque binary media payloads;
     # the deterministic fake decode is pure byte math, so the DuckDB oracle
@@ -1615,6 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_fix_join": q_entity_fix_join,
         "multimodal_features": q_multimodal_features,
         "media_decode": q_media_decode,
+        "domain_caps": q_domain_caps,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2392,6 +2438,46 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                             '') AS quals
             FROM rewritten r LEFT JOIN fixed_quals fq ON fq.k = r.sid
             GROUP BY r.id, r.sid, r.pid, r.rank, r.vtype, r.value
+        """,
+        "domain_caps": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 50
+        """,
+        "pii_scrub": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || ' user' || doc_id ||
+                                 '@mail.com call 555-123-4567'
+                            ELSE text END AS t
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}'))
+                        AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                           regexp_replace(t, '[a-z0-9]+@[a-z]+\\.[a-z]+',
+                                          '<EMAIL>', 'g'),
+                           '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS digest
+            FROM inj
+        """,
+        "decontaminate": """
+            WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+            tw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM tr),
+            bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents WHERE doc_id % 97 = 0),
+            tsh AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i.v AS INT):CAST(i.v + 4 AS INT)], ' ') AS g
+                    FROM tw, range(1, 10000) i(v) WHERE i.v <= len(w) - 4),
+            bsh AS (SELECT DISTINCT array_to_string(w[CAST(i.v AS INT):CAST(i.v + 4 AS INT)], ' ') AS g
+                    FROM bw, range(1, 10000) i(v) WHERE i.v <= len(w) - 4),
+            dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
+            SELECT doc_id, source FROM tr
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
         "media_decode": """
             WITH ids AS (SELECT r AS id FROM range(2000) t(r)),

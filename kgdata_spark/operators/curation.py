@@ -1,0 +1,92 @@
+"""Training-data curation operators: domain caps, PII scrubbing,
+benchmark decontamination.
+
+Standard pretraining-pipeline stages (public C4/Gopher/GPT-3-style data
+rules): cap documents per source/domain so no single site dominates the
+mixture, redact PII spans before training, and drop training documents
+sharing long n-grams with an evaluation/benchmark set. All three are
+pure Catalyst — window/regex/shingle-join — with the same scale shapes
+as the dedup family (`operators/dedup.py`): the decontamination join is
+an equi-join on shingle, never an all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_per_domain: int = 100,
+) -> DataFrame:
+    """Keep at most `max_per_domain` docs per domain, preferring the
+    largest `order_col` (quality proxy), ties broken by id for
+    determinism. One shuffle on the domain key; a skewed mega-domain is
+    bounded by the cap itself (the window discards its tail)."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+
+
+def scrub_pii(
+    text: Column, email_re: str = EMAIL_RE, phone_re: str = PHONE_RE
+) -> Column:
+    """Redact email/phone spans (vectorized regexp_replace, JVM-side)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+
+
+def pii_counts(
+    text: Column, email_re: str = EMAIL_RE, phone_re: str = PHONE_RE
+) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in `text`."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(email_re), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(phone_re), F.lit(0))),
+    )
+
+
+def _shingles(text: Column, n: int) -> Column:
+    words = F.split(F.trim(text), r"\s+")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs
+    # shorter than n words must yield an empty shingle list instead
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> DataFrame:
+    """Drop training docs sharing any `ngram`-word shingle with the
+    benchmark set (eval-set decontamination). Distinct shingles on both
+    sides, equi-join on the shingle string, left_anti back onto train —
+    P·t rows shuffle once, never pairwise doc comparison. At 100 TB hash
+    the shingle (xxhash64) instead of carrying the string through the
+    shuffle."""
+    t_sh = train.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    b_sh = benchmark.select(
+        F.explode(_shingles(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    dirty = t_sh.join(b_sh, "g", "left_semi").select(id_col).distinct()
+    return train.join(dirty, id_col, "left_anti")

@@ -1,0 +1,58 @@
+"""Curation ops: domain caps, PII scrub, decontamination (+ shingle guard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.curation import (
+    _shingles,
+    cap_per_domain,
+    decontaminate,
+    pii_counts,
+    scrub_pii,
+)
+
+
+def test_cap_per_domain_deterministic(spark):
+    rows = [(i, "a" if i < 6 else "b", 100 - (i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = sorted(
+        r.doc_id for r in cap_per_domain(df, max_per_domain=2).collect()
+    )
+    # domain a: n_chars 100 at ids 0,3 -> keep 0,3 (ties by id); b: 6 has 100, 7 has 99
+    assert got == [0, 3, 6, 7]
+
+
+def test_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail me at bob7@site.org or 555-123-4567 now",), ("clean",)], "t string"
+    )
+    n_em, n_ph = pii_counts(F.col("t"))
+    out = df.select(scrub_pii(F.col("t")).alias("s"), n_em.alias("e"), n_ph.alias("p")).collect()
+    assert out[0].s == "mail me at <EMAIL> or <PHONE> now"
+    assert (out[0].e, out[0].p) == (1, 1)
+    assert (out[1].s, out[1].e, out[1].p) == ("clean", 0, 0)
+
+
+def test_shingles_short_doc_guard(spark):
+    # a doc shorter than n words must yield NO shingles (sequence(1,0)
+    # would otherwise generate a descending [1,0])
+    df = spark.createDataFrame([("one two",), ("a b c d e",)], "t string")
+    got = df.select(F.size(_shingles(F.col("t"), 5)).alias("n")).collect()
+    assert [r.n for r in got] == [0, 1]
+
+
+def test_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-gram w/ bench
+            (2, "totally different words here entirely now"),
+            (3, "tiny"),  # too short for any shingle -> kept
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "X alpha beta gamma delta epsilon Y")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in decontaminate(train, bench, ngram=5).collect())
+    assert kept == [2, 3]
