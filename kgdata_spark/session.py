@@ -61,6 +61,12 @@ def get_spark(
         # 128 MB input splits: matches the reference's 64MB-partition policy
         # (extended_rdd.py:343-363) scaled for parquet's better compression.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Compress persisted/spilled RDD blocks (DISK_ONLY staging in
+        # write_stage): trades abundant CPU for scarce memory/IO bandwidth
+        # — at high core counts the storage path is the bottleneck
+        # (measured: 3M-file pipeline at local[32] 31.1s → 28.3s). Shuffle
+        # blocks are already lz4 by default; this covers persist + spill.
+        .config("spark.rdd.compress", "true")
     )
     # Shuffle/spill dirs on the RAM-backed fs when available: the sandbox
     # has ONE virtio disk, so 32 concurrent shuffle writers serialize on it
