@@ -13,9 +13,14 @@ decoding split into:
     semantics: segments between literal ``\\\\`` can be replaced naively,
     then re-joined with a single backslash);
   * full ``\\uXXXX`` / ``\\UXXXXXXXX`` codepoint escapes, decoded by an
-    Arrow-batched pandas UDF — only when ``unicode_escapes=True``, since
-    real dumps rarely use them and the JVM path is ~an order of magnitude
-    cheaper.
+    Arrow-batched pandas UDF. This is ON by default: canonical N-Triples
+    dumps (Wikidata truthy included) are ASCII-only with every non-ASCII
+    codepoint mandatorily ``\\u``-escaped, so skipping them silently
+    corrupts literals. A JVM-side ``rlike`` pre-filter keeps literals
+    without a ``\\u``/``\\U`` sequence on the cheap built-in path — only
+    rows that actually carry codepoint escapes take the Python decode.
+    Pass ``unicode_escapes=False`` only for dumps known to be raw-UTF-8
+    without codepoint escapes.
 
 Blank lines and ``#`` comments are skipped (ntriples_parser.py:134-136);
 other unparseable lines are *dropped* by parse_ntriples and surfaced by
@@ -97,7 +102,7 @@ def parse_ntriples(
     df: DataFrame,
     col: str = "line",
     bnode_scope: str | None = None,
-    unicode_escapes: bool = False,
+    unicode_escapes: bool = True,
 ) -> DataFrame:
     """Parse N-Triples lines → (subj, subj_kind, pred, obj_kind, obj_value,
     obj_lang, obj_datatype). Kinds: 'uri' | 'bnode' | 'literal'. Comments,
@@ -106,7 +111,14 @@ def parse_ntriples(
     g = lambda i: F.regexp_extract(c, NT_PATTERN, i)  # noqa: E731
 
     if unicode_escapes:
-        unescape = _unescape_full_udf()
+        full = _unescape_full_udf()
+
+        def unescape(raw: Column) -> Column:
+            # rlike pre-filter: only literals carrying a codepoint escape
+            # take the Arrow/Python decode; the rest stay on the JVM path
+            return F.when(raw.rlike(r"\\[uU]"), full(raw)).otherwise(
+                unescape_short(raw)
+            )
     else:
         unescape = unescape_short
 

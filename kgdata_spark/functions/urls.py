@@ -14,21 +14,48 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _url_path(url: Column) -> Column:
+    """Total path extraction (urlparse-shaped): text between the authority
+    and the first '?' or '#'. Returns '' when the URL has no //authority."""
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+
+
+def _url_host(url: Column) -> Column:
+    """Total host extraction: authority minus userinfo/port."""
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
+    )
+
+
 def url_to_title(url: Column, prefix: str = "/wiki/") -> Column:
     """'' when the URL's path does not carry the prefix, else the decoded,
-    underscore-to-space, trimmed title."""
-    path = F.parse_url(url, F.lit("PATH"))
-    title = F.trim(
-        F.regexp_replace(
-            F.url_decode(F.substring(path, len(prefix) + 1, 1 << 20)), "_", " "
-        )
+    underscore-to-space, trimmed title.
+
+    Decode semantics pinned to the reference's ``urllib.parse.unquote``
+    (misc.py:20), NOT form decoding: a literal '+' stays '+', and invalid
+    percent sequences pass through verbatim instead of raising. url_decode
+    alone gets both wrong ('+'→' '; raises on a stray '%'), so the input is
+    pre-armored JVM-side: '+' → %2B and any '%' not followed by two hex
+    digits → %25 — after which url_decode is total and byte-exact with
+    unquote (tests parity-check against urllib).
+
+    Path extraction is a regex, not ``parse_url``: parse_url routes through
+    java.net.URI, which THROWS on malformed escapes anywhere in the URL
+    (one dirty href would fail the whole job — the reference's python
+    urlparse is lenient), while the regex is total."""
+    path = _url_path(url)
+    raw = F.substring(path, len(prefix) + 1, 1 << 20)
+    armored = F.regexp_replace(
+        F.regexp_replace(raw, r"\+", "%2B"), r"%(?![0-9A-Fa-f]{2})", "%25"
     )
+    title = F.trim(F.regexp_replace(F.url_decode(armored), "_", " "))
     return F.when(path.startswith(prefix), title).otherwise(F.lit(""))
 
 
 def is_wikipedia_url(url: Column, lang: str | None = None) -> Column:
-    """Host check for *.wikipedia.org (misc.py:45-60 analog)."""
-    host = F.parse_url(url, F.lit("HOST"))
+    """Host check for *.wikipedia.org (misc.py:45-60 analog). Regex host
+    extraction for the same totality reason as url_to_title."""
+    host = _url_host(url)
     if lang is not None:
         return host == f"{lang}.wikipedia.org"
     return host.endswith(".wikipedia.org")

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+# Case-insensitive via explicit classes (portable across Java regex and
+# DuckDB's RE2 — no inline flags), dotted/plus-tagged locals, multi-label
+# hosts. Same string is embedded in the pii_scrub DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
 PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 
 
@@ -25,16 +28,34 @@ def cap_per_domain(
     order_col: str = "n_chars",
     id_col: str = "doc_id",
     max_per_domain: int = 100,
+    pre_salt: int = 16,
 ) -> DataFrame:
     """Keep at most `max_per_domain` docs per domain, preferring the
-    largest `order_col` (quality proxy), ties broken by id for
-    determinism. One shuffle on the domain key; a skewed mega-domain is
-    bounded by the cap itself (the window discards its tail)."""
-    w = Window.partitionBy(domain_col).orderBy(
-        F.desc(order_col), F.asc(id_col)
-    )
+    largest `order_col` (quality proxy), ties broken by id for determinism.
+
+    A single window over the domain key would sort an entire mega-domain in
+    ONE task — per-task memory O(|domain|), not O(cap). So phase 1 runs the
+    top-K per (domain, hash-salt) bucket, shrinking the worst task to
+    ~|domain|/pre_salt rows, and phase 2 re-ranks the ≤ cap·pre_salt
+    survivors per domain (a small, bounded partition). Results are
+    identical to the single-window form (the global top-K is a subset of
+    the union of per-bucket top-Ks); the residual skew is |domain|/pre_salt
+    per task — raise `pre_salt` for harder skew, or 0/1 to disable the
+    pre-phase."""
+    w = Window.partitionBy(domain_col).orderBy(F.desc(order_col), F.asc(id_col))
+    pre = docs
+    if pre_salt and pre_salt > 1:
+        wsalt = Window.partitionBy(domain_col, "_salt").orderBy(
+            F.desc(order_col), F.asc(id_col)
+        )
+        pre = (
+            docs.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(pre_salt)))
+            .withColumn("_prn", F.row_number().over(wsalt))
+            .where(F.col("_prn") <= max_per_domain)
+            .drop("_salt", "_prn")
+        )
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
+        pre.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_per_domain)
         .drop("_rn")
     )

@@ -89,17 +89,66 @@ def _dedup_entries_last_wins(entries: Column, entry_type: str) -> Column:
     """Key-dedup an entry array keeping the LAST occurrence — the
     reference's ``props[new] = props.pop(old)`` overwrite semantics —
     without depending on spark.sql.mapKeyDedupPolicy (the driver's session
-    may run with the default EXCEPTION policy). O(k²) in entries per row,
-    where k is the per-entity property count."""
-    return F.aggregate(
+    may run with the default EXCEPTION policy).
+
+    O(k log k) per row (k = entries): position-tag, sort by (key, pos),
+    keep the last element of each equal-key run via a zip against the
+    1-shifted array, then restore original positional order. The naive
+    fold (concat + filter per element) was O(k²) and unbounded for
+    pathological entities with thousands of properties — a 10k-property
+    entity now completes in bounded time (tests/test_entity_fix.py)."""
+    tagged_t = f"struct<e:{entry_type},i:int>"
+    n = F.size(entries)
+    tagged = F.zip_with(
         entries,
-        F.array().cast(f"array<{entry_type}>"),
-        lambda acc, x: F.concat(F.filter(acc, lambda y: y["key"] != x["key"]), F.array(x)),
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda e, i: F.struct(e.alias("e"), i.alias("i")),
+    )
+    srt = F.array_sort(
+        tagged,
+        lambda a, b: F.when(a["e"]["key"] < b["e"]["key"], -1)
+        .when(a["e"]["key"] > b["e"]["key"], 1)
+        .otherwise(a["i"] - b["i"]),
+    )
+    # neighbor = srt shifted left by one; the last element pairs with null
+    neighbor = F.concat(
+        F.slice(srt, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast(tagged_t)),
+    )
+    kept = F.transform(
+        F.filter(
+            F.zip_with(
+                srt,
+                neighbor,
+                lambda cur, nxt: F.struct(
+                    cur.alias("t"),
+                    (nxt.isNull() | (nxt["e"]["key"] != cur["e"]["key"])).alias("keep"),
+                ),
+            ),
+            lambda z: z["keep"],
+        ),
+        lambda z: z["t"],
+    )
+    ordered = F.array_sort(kept, lambda a, b: a["i"] - b["i"])
+    # n == 0 guard: zip_with pads the empty side with nulls, so the main
+    # expression would fabricate a {e: null} element from an empty input
+    return F.when(n > 0, F.transform(ordered, lambda t: t["e"])).otherwise(
+        F.array().cast(f"array<{entry_type}>")
     )
 
 
+# Above this many rows the one-row map columns of attach_dicts turn every
+# probe into a >10^5-element linear scan — the quadratic regime that hung
+# entity_fix_pass for 40+ min in round 2 when a fixture dict scaled with sf.
+# The join-based path (fixed_entities_join) has no such bound.
+ATTACH_DICTS_MAX_ROWS = 100_000
+
+
 def attach_dicts(
-    entities: DataFrame, unknown: DataFrame, redirects: DataFrame
+    entities: DataFrame,
+    unknown: DataFrame,
+    redirects: DataFrame,
+    max_dict_rows: int = ATTACH_DICTS_MAX_ROWS,
 ) -> DataFrame:
     """Attach `_unk` (map<id,bool>) and `_rmap` (map<old,new>) one-row map
     columns via broadcast cross joins — the DataFrame form of the
@@ -107,7 +156,27 @@ def attach_dicts(
 
     `unknown` must have column ``id``; `redirects` columns
     ``old_id, final_id`` (post-fixpoint, e.g. from
-    canonicalize.build_redirect_map)."""
+    canonicalize.build_redirect_map).
+
+    Both dict sides are bounds-checked (one cheap limit-probe each): map
+    columns are array-backed, so every ``try_element_at`` probe in the fix
+    pass is a linear scan of the whole dict — an sf-proportional dict makes
+    the pass quadratic. Past `max_dict_rows` this raises and points at
+    `fixed_entities_join`, which handles unbounded dicts with hash joins."""
+    from kgdata_spark.operators.joins import assert_bounded
+
+    unknown = assert_bounded(
+        unknown,
+        max_dict_rows,
+        "attach_dicts unknown set (O(|dict|) per probe as a map column; "
+        "use fixed_entities_join for large dicts)",
+    )
+    redirects = assert_bounded(
+        redirects,
+        max_dict_rows,
+        "attach_dicts redirect map (O(|dict|) per probe as a map column; "
+        "use fixed_entities_join for large dicts)",
+    )
     u = unknown.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("id").alias("key"), F.lit(True).alias("value")))
@@ -536,6 +605,30 @@ def fixed_entities_join(
         extra = ent.drop(props_col)
         nested = extra.join(nested, "id", "left")
     return nested.select(*entities.columns)
+
+
+def extract_invalid_qualifiers(
+    entities: DataFrame, props_col: str = "props"
+) -> DataFrame:
+    """The D4 sibling diagnostic dataset (extract_invalid_qualifier,
+    /root/reference/kgdata/wikidata/datasets/entities.py:288-303): entities
+    reduced to just the statements carrying a *self-qualifier* (a qualifier
+    whose qid equals the statement's pid — the malformed shape the
+    transitive fix pass deletes), quarantined for inspection BEFORE any fix
+    pass runs. Statements are kept verbatim (all their qualifiers, the
+    invalid one included); properties that keep no statement are dropped;
+    entities that keep no property are dropped. Pure Catalyst HOFs."""
+    props = F.col(props_col)
+    only_invalid = F.transform_values(
+        props,
+        lambda pid, stmts: F.filter(
+            stmts, lambda s: F.try_element_at(s["qualifiers"], pid).isNotNull()
+        ),
+    )
+    cleaned = F.map_filter(only_invalid, lambda _pid, stmts: F.size(stmts) > 0)
+    return entities.withColumn(props_col, cleaned).where(
+        F.size(F.col(props_col)) > 0
+    )
 
 
 def child_entity_ids(entities: DataFrame, props_col: str = "props") -> DataFrame:

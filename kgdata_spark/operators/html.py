@@ -321,24 +321,44 @@ def extract_html_tables(
 # Catalyst-side table predicates
 
 
-def n_header_rows(rows: Column) -> Column:
-    """Leading rows whose cells are ALL headers (get_n_headers,
-    easy_tables.py:77-86) — a fold that stops counting at the first
-    non-header row."""
+def _n_header_prefix(rows: Column, row_is_header) -> Column:
+    """Leading rows satisfying `row_is_header` — a fold that stops counting
+    at the first non-qualifying row."""
     return F.aggregate(
         rows,
         F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
         lambda acc, r: F.when(
-            acc["go"] & (F.size(r) > 0) & F.forall(r, lambda c: c["is_header"]),
+            acc["go"] & (F.size(r) > 0) & row_is_header(r),
             F.struct((acc["n"] + 1).alias("n"), F.lit(True).alias("go")),
         ).otherwise(F.struct(acc["n"].alias("n"), F.lit(False).alias("go"))),
     )["n"]
 
 
+def n_header_rows(rows: Column) -> Column:
+    """Leading rows whose cells are ALL headers — the counting rule of
+    is_relational_table (relational_tables.py:29-38), used by the
+    relational-shape predicate."""
+    return _n_header_prefix(rows, lambda r: F.forall(r, lambda c: c["is_header"]))
+
+
+def n_header_rows_first_cell(rows: Column) -> Column:
+    """Leading rows whose FIRST cell is a header — get_n_headers
+    (easy_tables.py:78-87) checks only ``row.get_cell(0).is_header``, and
+    every easy-table test keys its header count off this rule; a header
+    row mixing th/td still counts here (the all-cells rule differs)."""
+    return _n_header_prefix(
+        rows, lambda r: F.element_at(r, 1)["is_header"]
+    )
+
+
 def is_relational(rows: Column) -> Column:
     """Header-prefix shape: ≥1 leading all-header row, then NO header cell
-    anywhere (relational_tables.py:29-46)."""
-    nh = n_header_rows(rows)
+    anywhere (is_relational_table, relational_tables.py:29-47). The
+    reference scans only ``range(len(rows)-1)`` when counting headers, so
+    an ALL-header table keeps its last row as "data" and fails the
+    no-header-below check — i.e. at least one non-header data row is
+    required; the cap reproduces that."""
+    nh = F.least(n_header_rows(rows), F.size(rows) - 1)
     data = F.slice(rows, nh + 1, F.greatest(F.size(rows) - nh, F.lit(0)))
     return (nh > 0) & F.forall(
         data, lambda r: F.forall(r, lambda c: ~c["is_header"])
@@ -350,8 +370,15 @@ def easy_table_pred(rows: Column) -> Column:
     (easy_tables.py:34-45, thresholds :91-94), as one Catalyst expression
     over the parsed grid. Links count as "existing" when their entity field
     is set (see inject_link_entities) — the analog of the reference's
-    wdentity check."""
-    nh = n_header_rows(rows)
+    wdentity check.
+
+    Header counting follows get_n_headers (FIRST cell only, easy_tables.py:
+    78-87) — not the all-cells rule of is_relational — so a header row
+    mixing th/td still counts as a header row here; the no_spanning_header
+    conjunct then rejects such tables, mirroring the reference's
+    no_spanning_header_columns (easy_tables.py:104-124), which returns
+    False when any cell of a header row carries no actual <th> element."""
+    nh = n_header_rows_first_cell(rows)
     data = F.slice(rows, nh + 1, F.greatest(F.size(rows) - nh, F.lit(0)))
     nrows = F.size(data)
     ncols = F.when(F.size(rows) > 0, F.size(F.element_at(rows, 1))).otherwise(F.lit(0))
@@ -360,7 +387,9 @@ def easy_table_pred(rows: Column) -> Column:
     )
 
     only_first_row_header = nh == 1
-    no_spanning_header = F.forall(header, lambda c: c["colspan"] <= 1)
+    no_spanning_header = F.forall(
+        header, lambda c: c["is_header"] & (c["colspan"] <= 1)
+    )
     min_rows = nrows >= MIN_ROWS
     has_link = F.exists(data, lambda r: F.exists(r, lambda c: F.size(c["links"]) > 0))
 

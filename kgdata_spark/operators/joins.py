@@ -168,7 +168,9 @@ def fk_denormalize_join(
         # collect_list array order varying between re-executions), separate
         # executions would digest the same logical row differently — the
         # same failure class as the monotonically_increasing_id bug above.
-        r1k = r1.withColumn("_rid", rid).localCheckpoint(eager=True)
+        from kgdata_spark.operators.graph import _checkpoint
+
+        r1k = _checkpoint(r1.withColumn("_rid", rid))
         rid = F.col("_rid")
     exploded = r1k.select(rid.alias("_rid"), F.explode_outer(fk_list_col).alias("_fk")).distinct()
     r2s = r2.select(F.col(r2_key).alias("_fk"), F.struct(*r2.columns).alias("_r2"))

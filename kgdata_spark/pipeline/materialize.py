@@ -56,8 +56,19 @@ def write_stage(
     stage: str,
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
+    lineage_executor=None,
 ) -> str:
-    """Write df as a checkpointed stage dataset; returns its checksum."""
+    """Write df as a checkpointed stage dataset; returns its checksum.
+
+    The dataset checksum is computed DURING the write via ``observe()``
+    (count + commutative digest sum collected as the rows stream through
+    the writer — zero extra jobs), so downstream stages can launch with
+    the dep checksum immediately. The per-partition lineage pass + the
+    manifest write then run synchronously by default, or on
+    `lineage_executor` (a ThreadPoolExecutor) to come OFF the critical
+    path — this pass was a measurable serial fraction at high core counts.
+    Resume stays correct either way: the stage only counts as complete
+    once the manifest exists, i.e. after lineage lands."""
     data_dir = os.path.join(out_dir, stage)
     out = df
     staged = None
@@ -76,43 +87,78 @@ def write_stage(
 
         staged = out.persist(StorageLevel.DISK_ONLY)
         out = staged.repartitionByRange(*range_cols)
+
+    # checksum rides the write itself: count + commutative 60-bit digest
+    # sum observed post-shuffle (attached ABOVE the range exchange so the
+    # sampler's second child execution cannot double-count)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    chunk = F.conv(F.substring(row_digest(out), 1, 15), 16, 10).cast("decimal(38,0)")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(chunk), F.lit(0).cast("decimal(38,0)")).alias("total"),
+    )
     out.write.mode("overwrite").parquet(data_dir)
     if staged is not None:
         staged.unpersist()
+    m = obs.get
+    checksum = f"{m['n']}:{int(m['total'])}"
 
-    # One re-read pass computes per-partition lineage; the dataset checksum
-    # is the (commutative) sum of the partition hashes — no second scan.
     spark = df.sparkSession
-    written = spark.read.parquet(data_dir)
-    lineage_rows = partition_lineage(written, stage).collect()
-    n = sum(r.row_count for r in lineage_rows)
-    total = sum(int(r.content_hash) for r in lineage_rows)
-    checksum = f"{n}:{total}"
 
-    # lineage is a handful of rows — write it driver-side with pyarrow
-    # instead of a Spark job (a coalesce(1) parquet write is a full
-    # scheduler round-trip per stage; 5 stages × ~1s of fixed cost was
-    # pure serial fraction in the scaling runs)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    def _lineage_and_manifest() -> None:
+        # One re-read pass computes per-partition lineage rows; written
+        # driver-side with pyarrow instead of a Spark job (a coalesce(1)
+        # parquet write is a full scheduler round-trip per stage — pure
+        # serial fraction in the scaling runs).
+        written = spark.read.parquet(data_dir)
+        lineage_rows = partition_lineage(written, stage).collect()
 
-    lineage_dir = os.path.join(out_dir, stage + "_lineage")
-    os.makedirs(lineage_dir, exist_ok=True)
-    table = pa.table(
-        {
-            "stage": pa.array([r.stage for r in lineage_rows], pa.string()),
-            "partition_id": pa.array(
-                [r.partition_id for r in lineage_rows], pa.int32()
-            ),
-            "row_count": pa.array([r.row_count for r in lineage_rows], pa.int64()),
-            "content_hash": pa.array(
-                [r.content_hash for r in lineage_rows], pa.string()
-            ),
-        }
-    )
-    pq.write_table(table, os.path.join(lineage_dir, "part-00000.parquet"))
-    with open(os.path.join(data_dir, MANIFEST), "w") as f:
-        json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # clear any previous lineage first: earlier revisions wrote
+        # uuid-named part files via Spark, and a fixed-name pyarrow file
+        # dropped NEXT TO leftovers would double-count rows on read-back
+        import shutil
+
+        lineage_dir = os.path.join(out_dir, stage + "_lineage")
+        shutil.rmtree(lineage_dir, ignore_errors=True)
+        os.makedirs(lineage_dir, exist_ok=True)
+        table = pa.table(
+            {
+                "stage": pa.array([r.stage for r in lineage_rows], pa.string()),
+                "partition_id": pa.array(
+                    [r.partition_id for r in lineage_rows], pa.int32()
+                ),
+                "row_count": pa.array(
+                    [r.row_count for r in lineage_rows], pa.int64()
+                ),
+                "content_hash": pa.array(
+                    [r.content_hash for r in lineage_rows], pa.string()
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(lineage_dir, "part-00000.parquet"))
+        # sanity: the streamed checksum and the lineage-derived one must
+        # agree (same digests, commutative sum)
+        n = sum(r.row_count for r in lineage_rows)
+        total = sum(int(r.content_hash) for r in lineage_rows)
+        assert f"{n}:{total}" == checksum, (
+            f"lineage/observe checksum mismatch for stage {stage}: "
+            f"{n}:{total} != {checksum}"
+        )
+        with open(os.path.join(data_dir, MANIFEST), "w") as f:
+            json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
+
+    if lineage_executor is None:
+        _lineage_and_manifest()
+    else:
+        # caller owns the executor and must drain it (shutdown(wait=True))
+        # before treating the run as durable
+        lineage_executor.submit(_lineage_and_manifest)
     return checksum
 
 
@@ -134,6 +180,7 @@ def run_stage(
     build: Callable[[], DataFrame],
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
+    lineage_executor=None,
 ) -> tuple[DataFrame, str]:
     """Resumable stage runner: reuse on valid manifest, else rebuild."""
     data_dir = os.path.join(out_dir, stage)
@@ -141,5 +188,5 @@ def run_stage(
         with open(os.path.join(data_dir, MANIFEST)) as f:
             checksum = json.load(f)["checksum"]
         return spark.read.parquet(data_dir), checksum
-    checksum = write_stage(build(), out_dir, stage, range_cols, deps)
+    checksum = write_stage(build(), out_dir, stage, range_cols, deps, lineage_executor)
     return spark.read.parquet(data_dir), checksum

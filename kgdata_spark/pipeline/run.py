@@ -83,16 +83,32 @@ def run_pipeline(
     # anti-scaling term at high core counts — overlapping them keeps all
     # cores fed, exactly as separate jobs would on a real cluster.
     def _rmap() -> DataFrame:
-        return canonicalize.build_redirect_map(redirects, entities).localCheckpoint(
-            eager=True
-        )
+        # reliable checkpoint when the session has a checkpoint dir (real
+        # clusters: survives executor loss), else localCheckpoint
+        from kgdata_spark.operators.graph import _checkpoint
+
+        return _checkpoint(canonicalize.build_redirect_map(redirects, entities))
 
     pool = ThreadPoolExecutor(max_workers=3)
+    # per-partition lineage + manifest writes run here, OFF the critical
+    # path: each stage's checksum is already known at write time (observe()
+    # inside write_stage), so downstream stages launch immediately and the
+    # lineage re-read passes fill scheduler gaps instead of serializing
+    # between stages. Drained before returning — a stage is durable (resume
+    # sees its manifest) only once its lineage landed.
+    lineage_pool = ThreadPoolExecutor(max_workers=2)
     try:
         t0 = _time.time()
         rmap_future = pool.submit(_rmap)
         f_mentions = pool.submit(
-            run_stage, spark, out_dir, "mentions", lambda: extract.mentions(source)
+            run_stage,
+            spark,
+            out_dir,
+            "mentions",
+            lambda: extract.mentions(source),
+            None,
+            None,
+            lineage_pool,
         )
         f_cand = pool.submit(
             run_stage,
@@ -102,6 +118,7 @@ def run_pipeline(
             lambda: link.candidate_map(aliases),
             None,
             {},
+            lineage_pool,
         )
         mentions_df, sums["mentions"] = f_mentions.result()
         t["mentions"] = round(_time.time() - t0, 2)
@@ -120,6 +137,7 @@ def run_pipeline(
             ),
             range_cols=["repo", "path"],
             deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
+            lineage_executor=lineage_pool,
         )
         t["triples"] = round(_time.time() - t0, 2)
         t0 = _time.time()
@@ -134,6 +152,7 @@ def run_pipeline(
             .agg(F.count("*").alias("weight")),
             None,
             {"triples": sums["triples"]},
+            lineage_pool,
         )
         f_degrees = pool.submit(
             run_stage,
@@ -143,6 +162,7 @@ def run_pipeline(
             lambda: entity_degrees(triples_df),
             None,
             {"triples": sums["triples"]},
+            lineage_pool,
         )
         _, sums["edges"] = f_edges.result()
         t["edges"] = round(_time.time() - t0, 2)
@@ -150,6 +170,8 @@ def run_pipeline(
         t["entity_degrees"] = round(_time.time() - t0, 2)
     finally:
         pool.shutdown(wait=False)
+        # durability barrier: all deferred lineage/manifest writes land
+        lineage_pool.shutdown(wait=True)
     return sums
 
 

@@ -1,0 +1,303 @@
+"""Round-3 hardening: dedup-last-wins scaling, attach_dicts guard,
+invalid-qualifier extraction, unquote-parity URL decode, first-cell header
+semantics, salted domain caps, broadened PII regex, default NT unicode
+escapes.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.parse
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.entity_fix import (
+    PROPS_T,
+    attach_dicts,
+    extract_invalid_qualifiers,
+    fixed_entities,
+)
+from tests.test_entity_fix import E, S, normalize, to_spark_entities
+
+
+# ---------------------------------------------------------------------------
+# _dedup_entries_last_wins: O(k log k) + last-wins semantics at scale
+
+
+def test_dedup_last_wins_10k_props_bounded_time(spark):
+    # 10k-property entity with rename collisions: the old O(k²) fold never
+    # finished this in reasonable time; the sorted rewrite must.
+    n = 10_000
+    ent = {
+        f"RX{i}": [(S(f"v{i}"), {}, [], "normal")] for i in range(n)
+    }
+    ents = to_spark_entities(spark, {"E1": ent})
+    unknown = spark.createDataFrame([("NOPE",)], "id string")
+    # every pair RX{2j}, RX{2j+1} renames onto the same target P{j}:
+    # 5k collisions, later map-entry order wins
+    redirects = spark.createDataFrame(
+        [(f"RX{i}", f"P{i // 2}") for i in range(n)], "old_id string, final_id string"
+    )
+    # the STORED map-entry order (pickle path hashes dict keys arbitrarily)
+    # defines "later" for the last-wins rule — derive expectations from it
+    stored = ents.select(F.map_keys("props").alias("k")).head().k
+    pos = {k: i for i, k in enumerate(stored)}
+    t0 = time.time()
+    out = normalize(
+        fixed_entities(attach_dicts(ents, unknown, redirects))
+    )
+    elapsed = time.time() - t0
+    props = out["E1"]
+    assert len(props) == n // 2
+    for j in (0, 1, n // 4, n // 2 - 1):
+        a, b = f"RX{2 * j}", f"RX{2 * j + 1}"
+        winner = a if pos[a] > pos[b] else b
+        assert props[f"P{j}"] == [(S(f"v{winner[2:]}"), {}, [], "normal")], j
+    assert elapsed < 120, f"dedup fold took {elapsed:.0f}s — quadratic regression?"
+
+
+def test_dedup_last_wins_preserves_original_order(spark):
+    # keys without collisions keep original map-entry order after the pass
+    ents = to_spark_entities(
+        spark,
+        {
+            "E1": {
+                "P3": [(S("a"), {}, [], "normal")],
+                "P1": [(S("b"), {}, [], "normal")],
+                "P2": [(S("c"), {}, [], "normal")],
+            }
+        },
+    )
+    unknown = spark.createDataFrame([("NOPE",)], "id string")
+    redirects = spark.createDataFrame([("X", "Y")], "old_id string, final_id string")
+    # createDataFrame may itself normalize python-dict key order — the
+    # invariant under test is that the fix pass PRESERVES the stored order
+    in_keys = ents.select(F.map_keys("props").alias("k")).head().k
+    fixed = fixed_entities(attach_dicts(ents, unknown, redirects))
+    keys = fixed.select(F.map_keys("props").alias("k")).head().k
+    assert keys == in_keys and len(keys) == 3
+
+
+# ---------------------------------------------------------------------------
+# attach_dicts bound guard
+
+
+def test_attach_dicts_guard_raises_past_bound(spark):
+    ents = to_spark_entities(spark, {"E1": {"P1": [(S("x"), {}, [], "normal")]}})
+    big = spark.range(500).select(F.concat(F.lit("U"), "id").alias("id"))
+    redirects = spark.createDataFrame([("X", "Y")], "old_id string, final_id string")
+    with pytest.raises(ValueError, match="fixed_entities_join"):
+        attach_dicts(ents, big, redirects, max_dict_rows=100)
+    # below the bound: unchanged behavior
+    out = attach_dicts(ents, big, redirects, max_dict_rows=1000)
+    assert {"_unk", "_rmap"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# extract_invalid_qualifiers (entities.py:288-303)
+
+
+def test_extract_invalid_qualifiers(spark):
+    ents = to_spark_entities(
+        spark,
+        {
+            "E1": {
+                # stmt 0 has a self-qualifier -> kept verbatim; stmt 1 clean
+                "P1": [
+                    (S("bad"), {"P1": [E("Q1")], "Q9": [S("z")]}, ["P1", "Q9"], "normal"),
+                    (S("ok"), {"Q9": [S("z")]}, ["Q9"], "normal"),
+                ],
+                "P2": [(S("clean"), {"Q1": [S("x")]}, ["Q1"], "normal")],
+            },
+            "E2": {"P3": [(S("clean"), {}, [], "normal")]},  # entity dropped
+        },
+    )
+    out = normalize(extract_invalid_qualifiers(ents))
+    assert set(out) == {"E1"}
+    assert set(out["E1"]) == {"P1"}
+    assert out["E1"]["P1"] == [
+        (S("bad"), {"P1": [E("Q1")], "Q9": [S("z")]}, ["P1", "Q9"], "normal")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# url_to_title: urllib.unquote parity (ADVICE r2)
+
+
+def test_url_to_title_unquote_parity(spark):
+    from kgdata_spark.functions.urls import url_to_title
+
+    paths = [
+        "C%2B%2B",            # encoded '+' -> '+'
+        "A+B",                # literal '+' must SURVIVE (not form-decode)
+        "100%25_sure",        # encoded '%'
+        "50%_raw",            # raw '%' with invalid tail -> verbatim
+        "%zz_bad",            # invalid hex -> verbatim
+        "caf%C3%A9",          # multibyte utf-8
+        "Ed%fcard",           # truncated/latin-1 junk -> must not raise
+        "End%2",              # dangling '%2' at end -> verbatim
+    ]
+    urls = spark.createDataFrame(
+        [(f"https://en.wikipedia.org/wiki/{p}",) for p in paths], "url string"
+    )
+    got = {
+        r.url.rsplit("/wiki/", 1)[1]: r.t
+        for r in urls.select("url", url_to_title(F.col("url")).alias("t")).collect()
+    }
+    for p in paths:
+        expected = urllib.parse.unquote(p).replace("_", " ").strip()
+        assert got[p] == expected, (p, got[p], expected)
+
+
+# ---------------------------------------------------------------------------
+# first-cell header counting + all-header relational rejection (ADVICE r2)
+
+
+def _rows_df(spark, rows):
+    # rows: list[list[(text, is_header)]]
+    from kgdata_spark.operators.html import CELL_T
+
+    payload = [
+        [
+            {"text": t, "is_header": h, "colspan": 1, "links": []}
+            for (t, h) in row
+        ]
+        for row in rows
+    ]
+    schema = f"rows array<array<{CELL_T.simpleString()}>>"
+    return spark.createDataFrame([(payload,)], schema)
+
+
+def test_header_counting_first_cell_vs_all_cells(spark):
+    from kgdata_spark.operators.html import (
+        is_relational,
+        n_header_rows,
+        n_header_rows_first_cell,
+    )
+
+    mixed = _rows_df(
+        spark,
+        [
+            [("h", True), ("x", False)],  # th + td: get_n_headers counts it
+            [("a", False), ("b", False)],
+        ],
+    )
+    r = mixed.select(
+        n_header_rows(F.col("rows")).alias("all_cells"),
+        n_header_rows_first_cell(F.col("rows")).alias("first_cell"),
+        is_relational(F.col("rows")).alias("rel"),
+    ).head()
+    assert r.all_cells == 0
+    assert r.first_cell == 1
+    assert r.rel is False  # all-cells rule: no full header row
+
+    all_header = _rows_df(
+        spark, [[("h1", True), ("h2", True)], [("h3", True), ("h4", True)]]
+    )
+    r2 = all_header.select(is_relational(F.col("rows")).alias("rel")).head()
+    # reference scans range(len-1): an ALL-header table is NOT relational
+    assert r2.rel is False
+
+    normal = _rows_df(
+        spark, [[("h1", True), ("h2", True)], [("a", False), ("b", False)]]
+    )
+    assert normal.select(is_relational(F.col("rows")).alias("rel")).head().rel is True
+
+
+def test_easy_table_rejects_mixed_header_row(spark):
+    from kgdata_spark.operators.html import easy_table_pred
+
+    # 12 data rows with links in col 1 so every other conjunct passes
+    def data_row(i):
+        return [
+            {
+                "text": f"x{i}",
+                "is_header": False,
+                "colspan": 1,
+                "links": [
+                    {"href": "/wiki/A", "text": f"x{i}", "start": 0,
+                     "end": 2, "entity": "Q1"}
+                ],
+            },
+            {"text": f"y{i}", "is_header": False, "colspan": 1, "links": []},
+        ]
+
+    from kgdata_spark.operators.html import CELL_T
+
+    schema = f"rows array<array<{CELL_T.simpleString()}>>"
+
+    def table(header):
+        return spark.createDataFrame(
+            [([header] + [data_row(i) for i in range(12)],)], schema
+        )
+
+    good_header = [
+        {"text": "H1", "is_header": True, "colspan": 1, "links": []},
+        {"text": "H2", "is_header": True, "colspan": 1, "links": []},
+    ]
+    mixed_header = [
+        {"text": "H1", "is_header": True, "colspan": 1, "links": []},
+        {"text": "H2", "is_header": False, "colspan": 1, "links": []},
+    ]
+    assert table(good_header).select(
+        easy_table_pred(F.col("rows")).alias("p")
+    ).head().p is True
+    # first cell is <th> so nh=1 (get_n_headers), but no_spanning_header
+    # rejects the non-th cell — reference returns False for such tables
+    assert table(mixed_header).select(
+        easy_table_pred(F.col("rows")).alias("p")
+    ).head().p is False
+
+
+# ---------------------------------------------------------------------------
+# curation: salted cap equivalence + broadened EMAIL_RE
+
+
+def test_cap_per_domain_salted_equals_unsalted(spark):
+    from kgdata_spark.operators.curation import cap_per_domain
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id") % 7).alias("source"),
+        (F.col("id") * 37 % 1000).alias("n_chars"),
+    )
+    plain = cap_per_domain(docs, max_per_domain=25, pre_salt=0)
+    salted = cap_per_domain(docs, max_per_domain=25, pre_salt=8)
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+    assert len(a) == 7 * 25
+
+
+def test_email_re_broadened(spark):
+    from kgdata_spark.operators.curation import scrub_pii
+
+    cases = {
+        "mail First.Last+tag@sub.example.co.uk now": "mail <EMAIL> now",
+        "UPPER@EXAMPLE.COM too": "<EMAIL> too",
+        "plain user1@mail.com x": "plain <EMAIL> x",
+        "not-an-email @ example.com": "not-an-email @ example.com",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "t string")
+    got = {r.t: r.s for r in df.select("t", scrub_pii(F.col("t")).alias("s")).collect()}
+    for k, v in cases.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples: unicode escapes decoded BY DEFAULT (ADVICE r2)
+
+
+def test_ntriples_unicode_escapes_default_on(spark):
+    from kgdata_spark.functions.ntriples import parse_ntriples
+
+    lines = [
+        '<http://s> <http://p> "caf\\u00e9" .',
+        '<http://s> <http://p> "smile \\U0001F600" .',
+        '<http://s> <http://p> "tab\\there" .',
+        '<http://s> <http://p> "plain" .',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    vals = sorted(r.obj_value for r in parse_ntriples(df).collect())
+    assert vals == sorted(["café", "smile \U0001F600", "tab\there", "plain"])

@@ -1,0 +1,164 @@
+"""Monolithic-dump boundary split + zstd ingestion (sources/splitter.py).
+
+Covers the reference's three awkward intake shapes: one giant compressed
+ndjson/JSON-array dump (splitter.py:40-150), one giant multi-line-record
+XML dump (page_article_dump.py:145-204), and .zst dumps (common.py:569-599).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import shutil
+import subprocess
+
+import pytest
+
+from kgdata_spark.sources.splitter import (
+    read_boundary_records,
+    read_split_parts,
+    read_zstd_dump,
+    split_dump,
+)
+
+
+def _page(i: int) -> str:
+    return f"<page>\n  <title>T{i}</title>\n  <id>{i}</id>\n</page>"
+
+
+def _xml_dump_text(n: int) -> str:
+    return "<wiki>\n" + "\n".join(_page(i) for i in range(n)) + "\n</wiki>\n"
+
+
+def test_split_dump_lines_gz_roundtrip(spark, tmp_path):
+    lines = [f'{{"id": {i}, "v": "x{i}"}}' for i in range(1000)]
+    dump = str(tmp_path / "dump.ndjson.gz")
+    with gzip.open(dump, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    n_rec, n_parts = split_dump(dump, str(tmp_path / "parts"), records_per_part=64)
+    assert n_rec == 1000
+    assert n_parts == 16  # ceil(1000/64)
+    df = read_split_parts(spark, str(tmp_path / "parts"))
+    # the single non-splittable gz became independently-readable parts; the
+    # scan fans out (Spark may still pack tiny files, but >1 task is real)
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(r.value for r in df.collect())
+    assert got == sorted(lines)
+
+
+def test_split_dump_record_end_multiline(spark, tmp_path):
+    dump = str(tmp_path / "dump.xml.gz")
+    with gzip.open(dump, "wt") as f:
+        f.write(_xml_dump_text(200))
+    n_rec, n_parts = split_dump(
+        dump, str(tmp_path / "parts"), records_per_part=16, record_end="</page>"
+    )
+    assert n_rec == 200 and n_parts == 13
+    whole = read_split_parts(spark, str(tmp_path / "parts"), whole_records=True)
+    assert whole.count() == n_parts
+    # every part carries whole records; epilogue (</wiki>) was dropped
+    import re
+
+    total = sum(
+        len(re.findall(r"(?s)<page>.*?</page>", r.value)) for r in whole.collect()
+    )
+    assert total == 200
+    assert not any("</wiki>" in r.value for r in whole.collect())
+
+
+@pytest.mark.parametrize("codec", ["plain", "bz2"])
+def test_read_boundary_records_parallel(spark, tmp_path, codec):
+    text = _xml_dump_text(500)
+    if codec == "plain":
+        path = str(tmp_path / "dump.xml")
+        open(path, "w").write(text)
+    else:
+        path = str(tmp_path / "dump.xml.bz2")
+        with bz2.open(path, "wt") as f:
+            f.write(text)
+    df = read_boundary_records(spark, path, "</page>", min_partitions=6)
+    # the scan itself is parallel: N line-oriented tasks over ONE file
+    # (uncompressed byte ranges / splittable bz2 blocks)
+    assert df.rdd.getNumPartitions() > 1
+    recs = [r.value for r in df.collect()]
+    assert len(recs) == 500
+    # boundary resync must not duplicate, split, or reorder record content
+    ids = sorted(int(r.split("<id>")[1].split("</id>")[0]) for r in recs)
+    assert ids == list(range(500))
+    for r in recs:
+        body = r.removeprefix("<wiki>\n")  # record 0 carries the prologue line
+        assert body.startswith("<page>") and body.endswith("</page>")
+
+
+def test_read_boundary_records_markerless_partitions(spark, tmp_path):
+    # records far larger than a partition: most partitions carry no end
+    # marker at all, exercising the multi-fragment glue path
+    big = "\n".join(f"<page>\n{'x' * 5000}\nline{i}\n</page>" for i in range(5))
+    path = str(tmp_path / "big.xml")
+    open(path, "w").write(big + "\nEPILOGUE-NO-MARKER")
+    df = read_boundary_records(spark, path, "</page>", min_partitions=12)
+    recs = [r.value for r in df.collect()]
+    assert len(recs) == 5
+    assert all(r.endswith("</page>") for r in recs)
+    assert not any("EPILOGUE" in r for r in recs)
+
+
+def _have_zstd() -> bool:
+    try:
+        import zstandard  # noqa: F401
+
+        return True
+    except ImportError:
+        return shutil.which("zstd") is not None
+
+
+@pytest.mark.skipif(not _have_zstd(), reason="no zstandard module or zstd binary")
+def test_read_zstd_dump_roundtrip(spark, tmp_path):
+    lines = [f"row\t{i}\tv{i}" for i in range(300)]
+    for p in range(3):
+        txt = tmp_path / f"part-{p}.txt"
+        txt.write_text("\n".join(lines[p * 100 : (p + 1) * 100]) + "\n")
+        try:
+            import zstandard
+
+            (tmp_path / f"part-{p}.zst").write_bytes(
+                zstandard.ZstdCompressor().compress(txt.read_bytes())
+            )
+        except ImportError:
+            subprocess.run(
+                [shutil.which("zstd"), "-q", "-f", str(txt), "-o",
+                 str(tmp_path / f"part-{p}.zst")],
+                check=True,
+            )
+        txt.unlink()
+    df = read_zstd_dump(spark, str(tmp_path / "*.zst"))
+    got = sorted(r.value for r in df.collect())
+    assert got == sorted(lines)
+    # one task per file: 3 files -> at least 3 input partitions pre-repartition
+    assert df.rdd.getNumPartitions() >= 1
+
+
+@pytest.mark.skipif(not _have_zstd(), reason="no zstandard module or zstd binary")
+def test_split_dump_reads_zst_input(spark, tmp_path):
+    # a monolithic .zst dump goes through the same one-pass splitter
+    lines = [f"rec-{i}" for i in range(50)]
+    txt = tmp_path / "dump.txt"
+    txt.write_text("\n".join(lines) + "\n")
+    try:
+        import zstandard
+
+        (tmp_path / "dump.zst").write_bytes(
+            zstandard.ZstdCompressor().compress(txt.read_bytes())
+        )
+    except ImportError:
+        subprocess.run(
+            [shutil.which("zstd"), "-q", "-f", str(txt), "-o",
+             str(tmp_path / "dump.zst")],
+            check=True,
+        )
+    n_rec, n_parts = split_dump(
+        str(tmp_path / "dump.zst"), str(tmp_path / "parts"), records_per_part=20
+    )
+    assert (n_rec, n_parts) == (50, 3)
+    got = sorted(r.value for r in read_split_parts(spark, str(tmp_path / "parts")).collect())
+    assert got == sorted(lines)

@@ -1,0 +1,54 @@
+"""Reliable-checkpoint path for iterative loops (VERDICT r2 §Next #7).
+
+`graph._checkpoint` switches from localCheckpoint (executor-local blocks —
+lost with the executor) to reliable `checkpoint()` whenever the session has
+a checkpoint dir. This file sets one and exercises the iterative operators
+through the reliable path.
+
+Named test_zz_* so it runs LAST: setCheckpointDir is sticky on the shared
+SparkContext, and earlier tests should keep exercising the default
+(localCheckpoint) path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_reliable_checkpoint_used_when_dir_set(spark, tmp_path):
+    from kgdata_spark.operators.fixpoint import resolve_redirect_fixpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+    # an 8-hop chain forces ≥3 pointer-jumping rounds through _checkpoint
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+    df = spark.createDataFrame(chain, "old_id string, new_id string")
+    out = {
+        r.old_id: r.final_id
+        for r in resolve_redirect_fixpoint(df, checkpoint=True).collect()
+    }
+    assert out == {f"n{i}": "n8" for i in range(8)}
+
+    # evidence the RELIABLE path ran: checkpoint files exist on disk
+    found = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert found, "no reliable checkpoint files written under the checkpoint dir"
+
+
+def test_pagerank_under_reliable_checkpoint(spark, tmp_path):
+    from kgdata_spark.operators.graph import pagerank
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
