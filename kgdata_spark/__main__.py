@@ -39,12 +39,34 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate a deterministic synthetic corpus instead of reading inputs")
     p.add_argument("--out", required=True, help="output directory for stage datasets")
     p.add_argument("--master", default=None, help="spark master (default: env/local)")
+    p.add_argument("--rebalance", metavar="IN_DIR", default=None,
+                   help="re-partition an existing parquet dataset into --out "
+                        "at ~--target-mb per file, then exit (reference "
+                        "dataset.py:626-667 CLI)")
+    p.add_argument("--target-mb", type=int, default=64,
+                   help="target output file size for --rebalance (MB)")
     args = p.parse_args(argv)
 
     from kgdata_spark.session import get_spark
     from kgdata_spark.pipeline.run import run_pipeline
 
     spark = get_spark(app_name="kgdata_spark_pipeline", master=args.master)
+
+    if args.rebalance:
+        from kgdata_spark.pipeline.materialize import rebalance_dataset
+
+        t0 = time.time()
+        n, checksum = rebalance_dataset(
+            spark, args.rebalance, args.out, target_mb=args.target_mb
+        )
+        print(json.dumps({
+            "rebalanced": args.rebalance,
+            "out": args.out,
+            "n_partitions": n,
+            "checksum": checksum,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
 
     if args.synthetic is not None:
         from kgdata_spark.sources import synthetic

@@ -173,6 +173,38 @@ def has_complete_data(out_dir: str, stage: str, deps: dict[str, str] | None = No
     return manifest.get("deps", {}) == (deps or {})
 
 
+def dataset_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes of a dataset directory, via the Hadoop FS API so
+    it works on any filesystem Spark can read (local, HDFS, S3A...)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
+
+
+def rebalance_dataset(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_mb: int = 64,
+    min_parts: int = 1,
+    max_parts: int = 100_000,
+) -> tuple[int, str]:
+    """Re-partition an existing stage dataset to ~`target_mb` output files —
+    the reference's `-p MB` rebalance CLI (dataset.py:626-667) and its
+    64MB/partition save policy (extended_rdd.py:236-239). The rewritten
+    copy goes through write_stage, so it gets a fresh manifest + lineage
+    and its checksum must equal the input's (content-preserving).
+    Returns (n_partitions, checksum)."""
+    df = spark.read.parquet(in_dir)
+    total = dataset_size_bytes(spark, in_dir)
+    n = max(min_parts, min(max_parts, -(-total // (target_mb << 20))))
+    stage = os.path.basename(out_dir.rstrip("/"))
+    parent = os.path.dirname(out_dir.rstrip("/")) or "."
+    checksum = write_stage(df.repartition(n), parent, stage)
+    return n, checksum
+
+
 def run_stage(
     spark: SparkSession,
     out_dir: str,

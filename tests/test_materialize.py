@@ -74,3 +74,28 @@ def test_range_partitioned_stage_roundtrip(spark, df, tmp_path):
     assert written.count() == 100
     # content is intact after the staged (persist) range write
     assert written.selectExpr("sum(v)").first()[0] == sum(i * 2 for i in range(100))
+
+
+def test_rebalance_dataset_preserves_content(spark, tmp_path):
+    from kgdata_spark.operators.checksum import dataset_checksum
+    from kgdata_spark.pipeline.materialize import rebalance_dataset, write_stage
+
+    df = spark.range(20_000).selectExpr(
+        "cast(id as string) as k", "repeat('x', 64) as payload"
+    )
+    in_checksum = write_stage(df, str(tmp_path), "orig")
+    n, out_checksum = rebalance_dataset(
+        spark,
+        str(tmp_path / "orig"),
+        str(tmp_path / "rebalanced"),
+        target_mb=1,
+    )
+    assert n >= 1
+    out = spark.read.parquet(str(tmp_path / "rebalanced"))
+    # content-preserving: identical commutative checksum, new layout
+    assert out_checksum == in_checksum
+    assert dataset_checksum(out) == in_checksum
+    import glob
+
+    files = glob.glob(str(tmp_path / "rebalanced" / "part-*"))
+    assert len(files) == n
