@@ -859,9 +859,12 @@ def q_entity_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = ents.select(
         F.concat(F.to_json(F.struct("id", "props")), F.lit(",")).alias("line")
     )
-    framed = (
-        spark.createDataFrame([("[",), ("]",)], "line string").unionByName(lines)
+    # bracket lines via range+explode (a createDataFrame python list is a
+    # pickled-RDD plan that spawns a python worker per core on every scan)
+    brackets = spark.range(1).select(
+        F.explode(F.array(F.lit("["), F.lit("]"))).alias("line")
     )
+    framed = brackets.unionByName(lines)
     return flatten_statements(parse_entity_json(clean_dump_lines(framed)))
 
 
@@ -948,7 +951,12 @@ def q_ttl_resource_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line")
     )
-    triples = parse_ntriples(lines, "line").select("subj", "pred", F.col("obj_value").alias("obj"))
+    # unicode_escapes=False: these generated lines are raw UTF-8 with no
+    # \\u sequences — the documented fast path; the default-on codepoint
+    # decode is exercised by ntriples_parse (which carries \\u literals)
+    triples = parse_ntriples(lines, "line", unicode_escapes=False).select(
+        "subj", "pred", F.col("obj_value").alias("obj")
+    )
     res = group_resource(triples)
     return res.select("id", F.explode("props").alias("pred", "objs")).select(
         "id", "pred", F.array_join("objs", ",").alias("objs_csv")
@@ -1360,6 +1368,14 @@ def q_ntriples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key,
                     name,
                 ),
+                # \u-escaped literal: canonical dumps are ASCII-only with
+                # non-ASCII mandatorily escaped — exercises the default-on
+                # codepoint decode (ADVICE r2)
+                F.format_string(
+                    '<http://ex/n%d> <http://ex/accent> "caf\\u00e9 n%d \\U0001F600" .',
+                    key,
+                    key,
+                ),
                 F.format_string("# comment %d", key),
             )
         ).alias("line")
@@ -1452,10 +1468,18 @@ def _entity_fix_fixture(spark: SparkSession, sf_dir: str):
         F.map_from_entries(F.collect_list(F.struct("pid", "stmts"))).alias("props")
     )
 
+    # extra rows via range+explode, NOT createDataFrame(<python list>): the
+    # pickled-RDD plan behind a local list spawns a python worker per core
+    # on EVERY job that scans it (~5s/job at local[32]) — and the
+    # attach_dicts bound probes added two such jobs in round 3
     unknown = (
         spark.range(97)
         .select(F.concat(F.lit("U"), "id").alias("id"))
-        .unionByName(spark.createDataFrame([("PU",), ("QU",)], "id string"))
+        .unionByName(
+            spark.range(1).select(
+                F.explode(F.array(F.lit("PU"), F.lit("QU"))).alias("id")
+            )
+        )
     )
     # the redirect map is FIXED-SIZE (252 entries) at every sf: the HOF
     # fix pass probes it as a one-row map column with O(|dict|) linear
@@ -1469,9 +1493,20 @@ def _entity_fix_fixture(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("E"), "id").alias("final_id"),
         )
         .unionByName(
-            spark.createDataFrame(
-                [("RP", "P9"), ("RQ", "Q9")], "old_id string, final_id string"
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("RP").alias("old_id"), F.lit("P9").alias("final_id")
+                        ),
+                        F.struct(
+                            F.lit("RQ").alias("old_id"), F.lit("Q9").alias("final_id")
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.old_id", "e.final_id")
         )
     )
     return entities, unknown, redirects
@@ -2639,6 +2674,10 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             UNION ALL
             SELECT 'http://ex/n' || n_nationkey, 'uri', 'http://ex/motto', 'literal',
                    'say "' || n_name || '" \\ done', NULL, NULL
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'uri', 'http://ex/accent', 'literal',
+                   'café n' || n_nationkey || ' ' || chr(128512), NULL, NULL
             FROM nation
         """,
         "entity_fix_pass": """

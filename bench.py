@@ -95,8 +95,16 @@ def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
 
+    qs = entry_mod.queries()
+    # JIT/codegen warmup, same policy as the pipeline warmup above: the
+    # FIRST query otherwise absorbs the session's cold-codegen cost
+    # (measured 16.5s cold vs 6.9s warm for the HOF-heavy entity_fix_pass,
+    # which the registry now puts first) — run it once untimed
+    first = next(iter(qs), None)
+    if first is not None:
+        qs[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for name, fn in qs.items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -85,18 +85,40 @@ def _rewrite_value(rmap: Column, v: Column) -> Column:
     ).otherwise(v)
 
 
-def _dedup_entries_last_wins(entries: Column, entry_type: str) -> Column:
+def _dedup_entries_last_wins(
+    entries: Column, entry_type: str, wide_rows: bool = False
+) -> Column:
     """Key-dedup an entry array keeping the LAST occurrence — the
     reference's ``props[new] = props.pop(old)`` overwrite semantics —
     without depending on spark.sql.mapKeyDedupPolicy (the driver's session
     may run with the default EXCEPTION policy).
 
-    O(k log k) per row (k = entries): position-tag, sort by (key, pos),
-    keep the last element of each equal-key run via a zip against the
-    1-shifted array, then restore original positional order. The naive
-    fold (concat + filter per element) was O(k²) and unbounded for
-    pathological entities with thousands of properties — a 10k-property
-    entity now completes in bounded time (tests/test_entity_fix.py)."""
+    Two plans, chosen at PLAN time (a runtime `when` dispatch was tried
+    and measured ~3× slower on the common path — the unused branch still
+    bloats codegen past JIT limits):
+
+      * wide_rows=False (default): the simple fold (concat + filter per
+        element). O(k²) in the per-entity property/qualifier count k, with
+        a tiny constant — k is almost always single digits. This is the
+        documented bound of the HOF fix pass: for pathological entities
+        (thousands of properties) pass wide_rows=True or use the join path
+        (`fixed_entities_join`).
+      * wide_rows=True: O(k log k) — position-tag, sort by (key, pos),
+        keep the last element of each equal-key run via a zip against the
+        1-shifted array, restore positional order. A 10k-property entity
+        completes in bounded time (tests/test_round3_fixes.py)."""
+    if wide_rows:
+        return _dedup_entries_last_wins_sorted(entries, entry_type)
+    return F.aggregate(
+        entries,
+        F.array().cast(f"array<{entry_type}>"),
+        lambda acc, x: F.concat(
+            F.filter(acc, lambda y: y["key"] != x["key"]), F.array(x)
+        ),
+    )
+
+
+def _dedup_entries_last_wins_sorted(entries: Column, entry_type: str) -> Column:
     tagged_t = f"struct<e:{entry_type},i:int>"
     n = F.size(entries)
     tagged = F.zip_with(
@@ -253,10 +275,20 @@ def fix_transitive_qualifiers(
     )
 
 
-def fixed_entities(entities_with_dicts: DataFrame, props_col: str = "props") -> DataFrame:
+def fixed_entities(
+    entities_with_dicts: DataFrame,
+    props_col: str = "props",
+    wide_rows: bool = False,
+) -> DataFrame:
     """The D4 fix pass (entities.py:179-260) over entities carrying `_unk`
     and `_rmap` columns (see attach_dicts). Returns the input columns with
-    `props` rewritten and the dict columns dropped."""
+    `props` rewritten and the dict columns dropped.
+
+    `wide_rows=True` switches the rename-collision dedup from the O(k²)
+    fold (fast constant, k = per-entity property/qualifier count, fine for
+    the normal single-digit k) to the O(k log k) sorted plan — use it for
+    corpora with pathological entities carrying thousands of properties
+    (see _dedup_entries_last_wins)."""
     unk = F.col("_unk")
     rmap = F.col("_rmap")
 
@@ -284,7 +316,7 @@ def fixed_entities(entities_with_dicts: DataFrame, props_col: str = "props") -> 
         )
         q4 = F.map_from_entries(
             _dedup_entries_last_wins(
-                renamed, f"struct<key:string,value:array<{VALUE_T}>>"
+                renamed, f"struct<key:string,value:array<{VALUE_T}>>", wide_rows
             )
         )
         # order: drop deleted qids, then rename in place (entities.py:234-245)
@@ -321,7 +353,9 @@ def fixed_entities(entities_with_dicts: DataFrame, props_col: str = "props") -> 
         ),
     )
     props4 = F.map_from_entries(
-        _dedup_entries_last_wins(renamed, f"struct<key:string,value:array<{STMT_T}>>")
+        _dedup_entries_last_wins(
+            renamed, f"struct<key:string,value:array<{STMT_T}>>", wide_rows
+        )
     )
     out_cols = [c for c in entities_with_dicts.columns if c not in ("_unk", "_rmap")]
     return entities_with_dicts.withColumn(props_col, props4).select(*out_cols)

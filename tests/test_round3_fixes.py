@@ -45,7 +45,7 @@ def test_dedup_last_wins_10k_props_bounded_time(spark):
     pos = {k: i for i, k in enumerate(stored)}
     t0 = time.time()
     out = normalize(
-        fixed_entities(attach_dicts(ents, unknown, redirects))
+        fixed_entities(attach_dicts(ents, unknown, redirects), wide_rows=True)
     )
     elapsed = time.time() - t0
     props = out["E1"]
@@ -77,6 +77,38 @@ def test_dedup_last_wins_preserves_original_order(spark):
     fixed = fixed_entities(attach_dicts(ents, unknown, redirects))
     keys = fixed.select(F.map_keys("props").alias("k")).head().k
     assert keys == in_keys and len(keys) == 3
+
+
+def test_dedup_fold_and_sorted_plans_agree(spark):
+    from kgdata_spark.operators.entity_fix import _dedup_entries_last_wins
+
+    et = "struct<key:string,value:string>"
+    df = spark.createDataFrame(
+        [
+            ([("a", "1"), ("b", "2"), ("a", "3"), ("c", "4"), ("b", "5")],),
+            ([("x", "1")],),
+            ([],),
+        ],
+        f"entries array<{et}>",
+    )
+    fold = [
+        r.d
+        for r in df.select(
+            _dedup_entries_last_wins(F.col("entries"), et, wide_rows=False).alias("d")
+        ).collect()
+    ]
+    srt = [
+        r.d
+        for r in df.select(
+            _dedup_entries_last_wins(F.col("entries"), et, wide_rows=True).alias("d")
+        ).collect()
+    ]
+    assert fold == srt
+    assert [[tuple(x) for x in row] for row in fold] == [
+        [("a", "3"), ("c", "4"), ("b", "5")],
+        [("x", "1")],
+        [],
+    ]
 
 
 # ---------------------------------------------------------------------------
