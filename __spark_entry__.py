@@ -1773,6 +1773,60 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The north star's TF-IDF/Jaccard scoring slot (resolve_mentions_scored):
+    # among a mention's candidates, argmax of 0.3·norm_prior + 0.7·jaccard
+    # (mention tokens vs entity label tokens). The fixture is built so the
+    # jaccard term OVERTURNS the prior for 2/3 of the vocabulary — a plain
+    # best-prior resolution would produce different rows, so the oracle
+    # genuinely checks the scoring, not just the join.
+    from kgdata_spark.pipeline.link import candidate_map, resolve_mentions_scored
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    j = k % 40
+    nm = F.format_string("item %d", j)
+    mention_df = c.select(
+        F.format_string("f%d", k).alias("file_id"),
+        nm.alias("mention"),
+        nm.alias("norm_mention"),
+        F.format_string("r%d", k % 7).alias("repo"),
+        F.format_string("p%d", k).alias("path"),
+        F.sha2(F.format_string("c%d", k), 256).alias("content_sha256"),
+    )
+    r = F.col("id")
+    voc = spark.range(40)
+    # EA: high prior, label shares only the number token (jac 1/3)
+    # EB: low prior, label equals the mention (jac 1) — except every 3rd,
+    # whose label shares nothing (jac 0), so EA wins those
+    aliases = voc.select(
+        F.format_string("item %d", r).alias("alias"),
+        F.format_string("EA%d", r).alias("entity"),
+        F.lit(2).alias("prior"),
+    ).unionByName(
+        voc.select(
+            F.format_string("item %d", r).alias("alias"),
+            F.format_string("EB%d", r).alias("entity"),
+            F.lit(1).alias("prior"),
+        )
+    )
+    entities = voc.select(
+        F.format_string("EA%d", r).alias("entity"),
+        F.format_string("thing %d", r).alias("label"),
+    ).unionByName(
+        voc.select(
+            F.format_string("EB%d", r).alias("entity"),
+            F.when(r % 3 == 0, F.lit("misc stuff"))
+            .otherwise(F.format_string("item %d", r))
+            .alias("label"),
+        )
+    )
+    out = resolve_mentions_scored(mention_df, candidate_map(aliases), entities)
+    return out.select(
+        "subj", "pred", "obj", "obj_kind", "repo", "path", "content_sha256"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
@@ -1811,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_split_parse": q_dump_split_parse,
         "zstd_dump_parse": q_zstd_dump_parse,
         "kg_triples": q_kg_triples,
+        "kg_triples_scored": q_kg_triples_scored,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -1836,8 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "pivot_status": q_pivot_status,
         "event_props_agg": q_event_props_agg,
-        "orders_cube": q_orders_cube,
         # ------------------------------------------------------- slot 50 --
+        "orders_cube": q_orders_cube,
         "resource_view": q_resource_view,
         "pagerank_supplier_part": q_pagerank_supplier_part,
         "hierarchy_closure": q_hierarchy_closure,
@@ -1927,6 +1982,37 @@ def oracle_sql() -> dict[str, str]:
     """
     d["zstd_dump_parse"] = """
         SELECT c_custkey, c_name, c_nationkey FROM customer
+    """
+    # kg_triples_scored: replay the 0.3·norm_prior + 0.7·jaccard argmax.
+    # Token sets are tiny and fixed by construction, so the jaccard values
+    # are closed-form: EA labels ('thing j') share one of three union
+    # tokens with mention 'item j' → 1/3; EB labels equal the mention →
+    # 1, except j%3==0 ('misc stuff') → 0. Identical double arithmetic on
+    # both engines keeps the ordering bit-stable.
+    d["kg_triples_scored"] = """
+        WITH m AS (
+            SELECT c_custkey AS k, c_custkey % 40 AS j FROM customer),
+        scored AS (
+            SELECT k, j, e.entity,
+                   0.3 * (e.prior / 2.0) + 0.7 * e.jac AS score
+            FROM m, LATERAL (
+                SELECT 'EA' || j AS entity, 2 AS prior, 1.0/3.0 AS jac
+                UNION ALL
+                SELECT 'EB' || j, 1,
+                       CASE WHEN j % 3 = 0 THEN 0.0 ELSE 1.0 END
+            ) e),
+        best AS (
+            SELECT k, entity FROM (
+                SELECT k, entity,
+                       ROW_NUMBER() OVER (PARTITION BY k
+                                          ORDER BY round(score, 9) DESC,
+                                                   entity ASC) AS rk
+                FROM scored) t
+            WHERE rk = 1)
+        SELECT 'f' || k AS subj, 'mentions' AS pred, entity AS obj,
+               'entity' AS obj_kind, 'r' || (k % 7) AS repo,
+               'p' || k AS path, sha256('c' || k) AS content_sha256
+        FROM best
     """
     # kg_triples: the synthetic corpus is pure arithmetic on the row id, so
     # the oracle regenerates it and replays extract → link (best candidate
