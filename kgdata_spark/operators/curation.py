@@ -111,3 +111,63 @@ def decontaminate(
     ).distinct()
     dirty = t_sh.join(b_sh, "g", "left_semi").select(id_col).distinct()
     return train.join(dirty, id_col, "left_anti")
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition quality signals (Gopher-style data rules;
+    Rae et al. 2021 §A1.1 use duplicate-line/-n-gram fractions to drop
+    degenerate docs):
+
+      dup_token_frac  1 − distinct_tokens / tokens
+      dup_ngram_frac  1 − distinct_n-grams / n-grams  (word n-grams, 0 if
+                      the doc has fewer than n tokens)
+      top_token_frac  occurrences of the most frequent token / tokens
+
+    All three are per-row higher-order-function expressions — no shuffle,
+    no python: repetition is a property of ONE document, so the operator is
+    embarrassingly parallel and survives any scale the scan survives. The
+    top-token pass is O(distinct·k) per row, bounded by document length
+    (the same per-row bound as the n-gram build).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    k = F.size(toks)
+    n_ngrams = k - n + 1
+    # sequence() must not see stop < start (it would count DOWN); the
+    # when-guard never reads the branch for short docs, but greatest()
+    # keeps the expression total anyway
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_ngrams, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    zero = F.lit(0.0)
+    return docs.select(
+        F.col(id_col),
+        F.when(
+            k > 0,
+            F.round(1 - F.size(F.array_distinct(toks)).cast("double") / k, 6),
+        )
+        .otherwise(zero)
+        .alias("dup_token_frac"),
+        F.when(
+            k >= n,
+            F.round(
+                1 - F.size(F.array_distinct(grams)).cast("double") / n_ngrams, 6
+            ),
+        )
+        .otherwise(zero)
+        .alias("dup_ngram_frac"),
+        F.when(k > 0, F.round(top.cast("double") / k, 6))
+        .otherwise(zero)
+        .alias("top_token_frac"),
+    )

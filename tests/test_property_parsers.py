@@ -1,0 +1,215 @@
+"""Property-based roundtrip tests (hypothesis) for the boundary parsers.
+
+The reference ships no property tests (SURVEY §5.4 — fixtures only); these
+fuzz the grammar corners fixtures miss: arbitrary-unicode escape nesting in
+N-Triples literals (functions/ntriples.py), quote/paren/comma soup inside
+MySQL INSERT tuples (functions/sqldump.py), and percent-decode parity with
+``urllib.parse.unquote`` on adversarial hrefs (functions/urls.py — the
+reference decodes with unquote at misc.py:20, so parity IS the spec).
+
+Each hypothesis example is one small batch → ONE Spark job, keeping the
+whole module in the seconds range at local[4].
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# ---------------------------------------------------------------- N-Triples
+
+
+def nt_escape(text: str) -> str:
+    """Canonical N-Triples literal encoding: short escapes for the five
+    specials, \\uXXXX / \\UXXXXXXXX for every other char outside printable
+    ASCII (the ASCII-only form Wikidata truthy dumps use)."""
+    out = []
+    for ch in text:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            o = ord(ch)
+            if 0x20 <= o < 0x7F:
+                out.append(ch)
+            elif o <= 0xFFFF:
+                out.append("\\u%04X" % o)
+            else:
+                out.append("\\U%08X" % o)
+    return "".join(out)
+
+
+nt_text = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    max_size=40,
+)
+nt_suffix = st.one_of(
+    st.none(),                                   # plain literal
+    st.sampled_from(["en", "de", "zh-hans"]),    # @lang
+    st.sampled_from(["<http://www.w3.org/2001/XMLSchema#string>",
+                     "<http://dt/x>"]),          # ^^<datatype>
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(recs=st.lists(st.tuples(nt_text, nt_suffix), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_ntriples_literal_roundtrip(spark, recs):
+    from kgdata_spark.functions.ntriples import parse_ntriples
+
+    lines = []
+    for i, (text, suf) in enumerate(recs):
+        lit = f'"{nt_escape(text)}"'
+        if suf is None:
+            pass
+        elif suf.startswith("<"):
+            lit += f"^^{suf}"
+        else:
+            lit += f"@{suf}"
+        lines.append((i, f"<http://s/{i}> <http://p/x> {lit} ."))
+
+    df = spark.createDataFrame(lines, "i int, line string")
+    got = {
+        r["i"]: (r["obj_value"], r["obj_lang"], r["obj_datatype"])
+        for r in parse_ntriples(df).collect()
+    }
+    assert len(got) == len(recs)
+    for i, (text, suf) in enumerate(recs):
+        lang = suf if suf is not None and not suf.startswith("<") else None
+        dt = suf[1:-1] if suf is not None and suf.startswith("<") else None
+        assert got[i] == (text, lang, dt), f"record {i}: {text!r}"
+
+
+@pytest.mark.usefixtures("spark")
+@given(texts=st.lists(nt_text, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_ntriples_errors_disjoint(spark, texts):
+    """A serialized valid line never lands in the quarantine set, and a
+    line missing its final '.' always does — whatever the literal body."""
+    from kgdata_spark.functions.ntriples import ntriples_errors, parse_ntriples
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((i, f'<http://s/{i}> <http://p> "{nt_escape(t)}" .'))
+        rows.append((1000 + i, f'<http://s/{i}> <http://p> "{nt_escape(t)}"'))
+    df = spark.createDataFrame(rows, "i int, line string")
+    ok = {r["i"] for r in parse_ntriples(df).select("i").collect()}
+    bad = {r["i"] for r in ntriples_errors(df).select("i").collect()}
+    assert ok == {i for i, _ in enumerate(texts)}
+    assert bad == {1000 + i for i, _ in enumerate(texts)}
+
+
+# ------------------------------------------------------------ MySQL INSERT
+
+sql_field = st.one_of(
+    st.none(),
+    st.integers(-(10**9), 10**9),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+        max_size=20,
+    ),
+)
+
+
+def sql_serialize(f) -> str:
+    if f is None:
+        return "NULL"
+    if isinstance(f, int):
+        return str(f)
+    return "'" + f.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_expected(f):
+    # decode_field maps NULL and '' (the dumps' chr(0)-marker slot) to null
+    if f is None or f == "":
+        return None
+    return str(f)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    lines=st.lists(
+        st.lists(  # tuples per INSERT line
+            st.lists(sql_field, min_size=1, max_size=5),  # fields per tuple
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_sqldump_roundtrip(spark, lines):
+    from kgdata_spark.functions.sqldump import parse_insert_values
+
+    rows = []
+    for i, tuples in enumerate(lines):
+        body = ",".join(
+            "(" + ",".join(sql_serialize(f) for f in tup) + ")" for tup in tuples
+        )
+        rows.append((i, f"INSERT INTO `page` VALUES {body};"))
+    df = spark.createDataFrame(rows, "i int, line string")
+    out = parse_insert_values(df).groupBy("i").agg(
+        F.collect_list("fields").alias("tups")
+    )
+    got = {r["i"]: r["tups"] for r in out.collect()}
+    for i, tuples in enumerate(lines):
+        expect = [[sql_expected(f) for f in tup] for tup in tuples]
+        # collect_list order within a single source row is the explode order
+        assert got[i] == expect, f"line {i}"
+
+
+# --------------------------------------------------------- URL title decode
+
+# fragments that canonical hrefs are made of, plus the two classes the
+# armoring exists for: literal '+' and stray '%' not starting a hex pair
+url_fragment = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20,
+            max_codepoint=0x2FF,
+            exclude_characters="%?#",
+        ),
+        max_size=12,
+    ).map(lambda s: quote(s, safe="+_()!*'&,:;@$=~-.")),
+    st.sampled_from(["%", "%Z1", "%5", "++", "%%", "_", "%20", "%C3%A9"]),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(frags=st.lists(st.lists(url_fragment, max_size=5).map("".join),
+                      min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_url_to_title_matches_urllib(spark, frags):
+    from kgdata_spark.functions.urls import url_to_title
+
+    rows = [(i, f"https://en.wikipedia.org/wiki/{f}") for i, f in enumerate(frags)]
+    df = spark.createDataFrame(rows, "i int, url string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", url_to_title(F.col("url")).alias("t")).collect()
+    }
+    for i, f in enumerate(frags):
+        # the reference's semantics (misc.py:5-42): unquote (NOT form
+        # decode), then underscores to spaces, then trim
+        expect = unquote(f).replace("_", " ").strip(" ")
+        assert got[i] == expect, f"fragment {f!r}"
