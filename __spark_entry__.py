@@ -1605,6 +1605,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, ngram=5).select("doc_id", "source")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style global exact line dedup: 50 shared lines + 1 unique line
+    # per doc; every shared line must survive only at its first
+    # (doc_id, pos) occurrence, including within-doc repeats (k % 25 == 0
+    # docs carry the same shared line twice)
+    from kgdata_spark.operators.dedup import dedup_lines_global
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    docs = c.select(
+        k.alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.format_string("shared line %d", k % 50),
+            F.format_string("shared line %d", (k * 7) % 50),
+            F.format_string("unique line %d", k),
+        ).alias("text"),
+    )
+    return dedup_lines_global(docs)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-doc repetition quality signals (Gopher-style data rules):
     # dup-token / dup-3-gram / top-token fractions, all per-row HOFs
@@ -1875,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_triples_scored": q_kg_triples_scored,
         "doc_repetition": q_doc_repetition,
+        "dedup_lines": q_dedup_lines,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -1898,8 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "kmeans_assign": q_kmeans_assign,
         "asof_latest_order": q_asof_latest_order,
-        "pivot_status": q_pivot_status,
         # ------------------------------------------------------- slot 50 --
+        "pivot_status": q_pivot_status,
         "event_props_agg": q_event_props_agg,
         "orders_cube": q_orders_cube,
         "resource_view": q_resource_view,
@@ -2895,6 +2917,34 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
             SELECT doc_id, source FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # dedup_lines: replay first-occurrence-wins with a window (oracle
+        # scale doesn't matter); string_agg skips the NULLed removed lines
+        "dedup_lines": r"""
+            WITH d AS (
+                SELECT c_custkey AS doc_id,
+                       'shared line ' || (c_custkey % 50) || chr(10) ||
+                       'shared line ' || ((c_custkey * 7) % 50) || chr(10) ||
+                       'unique line ' || c_custkey AS text
+                FROM customer),
+            l AS (
+                SELECT doc_id, CAST(i.v - 1 AS INT) AS pos,
+                       ls[CAST(i.v AS INT)] AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+                     range(1, 100) i(v)
+                WHERE i.v <= len(ls)),
+            w AS (
+                SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rk
+                FROM l)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rk = 1 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text,
+                   CAST(count(CASE WHEN rk = 1 THEN 1 END) AS INT) AS n_kept,
+                   CAST(count(CASE WHEN rk > 1 THEN 1 END) AS BIGINT) AS n_removed
+            FROM w
+            GROUP BY doc_id
         """,
         # doc_repetition: same per-row arithmetic as the Spark HOFs —
         # integer counts ratioed as DOUBLE then round(,6) on both engines

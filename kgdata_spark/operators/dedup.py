@@ -299,3 +299,58 @@ def exact_dup_groups(
     return fp.groupBy("fp").agg(
         F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-global exact line dedup (Raffel et al. 2020 §2.2
+    discard duplicated three-sentence spans; the line-granular variant is
+    the common production form): every distinct line is kept ONLY at its
+    first corpus occurrence — ordered by (doc id, line position) — and
+    documents are reassembled from their surviving lines.
+
+    Returns (id, clean_text, n_kept, n_removed); documents whose every
+    line was claimed elsewhere come back with clean_text = '' rather than
+    dropping (the caller decides the empty-doc policy).
+
+    Scale shape: the first-occurrence winner is a groupBy(line).min(struct)
+    — partial-aggregated map-side, so a line duplicated across millions of
+    docs costs one combiner cell per task, NOT a single-task window sort
+    (a row_number() over partitionBy(line) would funnel the corpus' most
+    common line through one reducer). The join back to the exploded lines
+    is a plain equi-join on line, skew-handled by AQE.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    first = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_first")
+    )
+    marked = lines.join(first, "line").withColumn(
+        "_keep",
+        (F.col("_first.d") == F.col(id_col)) & (F.col("_first.p") == F.col("pos")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "line")).otherwise(None)
+                )
+            ).alias("_kept"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["line"]), sep
+            ).alias("clean_text"),
+            F.size("_kept").alias("n_kept"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )

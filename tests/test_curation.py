@@ -56,3 +56,45 @@ def test_decontaminate(spark):
     )
     kept = sorted(r.doc_id for r in decontaminate(train, bench, ngram=5).collect())
     assert kept == [2, 3]
+
+
+def test_dedup_lines_global(spark):
+    from kgdata_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup\nkeep1\ndup"),   # within-doc repeat: 2nd 'dup' removed
+            (2, "dup\nkeep2"),        # cross-doc: 'dup' already claimed by doc 1
+            (3, "dup"),               # loses its only line -> empty, still present
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in dedup_lines_global(docs).collect()
+    }
+    assert got == {
+        1: ("dup\nkeep1", 2, 1),
+        2: ("keep2", 1, 1),
+        3: ("", 0, 1),
+    }
+
+
+def test_repetition_signals(spark):
+    from kgdata_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),         # 1 distinct of 4; 3-grams: 'a a a' x2
+            (2, "w x y z"),         # no repetition at all
+            (3, "  "),              # blank -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_token_frac, r.dup_ngram_frac, r.top_token_frac)
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[1] == (0.75, 0.5, 1.0)
+    assert got[2] == (0.0, 0.0, 0.25)
+    assert got[3] == (0.0, 0.0, 0.0)
