@@ -1802,6 +1802,50 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming-path twin of kg_triples: the SAME synthetic corpus lands as
+    # parquet files in two arrival waves; two availableNow drains of the
+    # incremental writer (streaming/kg.py — checkpointed exactly-once file
+    # pickup, foreachBatch running the batch stages) must together emit
+    # exactly the batch pipeline's triples. Same DuckDB oracle as
+    # kg_triples, so the driver value-hash-checks the streaming path too.
+    import os
+    import shutil
+    import tempfile
+
+    from kgdata_spark.sources import synthetic
+    from kgdata_spark.streaming.kg import (
+        incremental_kg_writer,
+        read_incremental_output,
+    )
+
+    n = KG_TRIPLES_N_FILES
+    n_ent = synthetic.n_entities_for(n)
+    src = synthetic.source_files(spark, n)
+    aliases = synthetic.aliases(spark, n_ent)
+    redirects = synthetic.redirects(spark, n_ent)
+    entities = synthetic.entities(spark, n_ent)
+
+    base = os.path.join(tempfile.gettempdir(), "kgdata_spark_inc_query")
+    shutil.rmtree(base, ignore_errors=True)
+    sdir, odir, cdir = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+
+    wave1 = src.where(F.crc32("path") % 2 == 0)
+    wave2 = src.where(F.crc32("path") % 2 == 1)
+    wave1.write.mode("overwrite").parquet(sdir)
+    incremental_kg_writer(
+        spark, sdir, aliases, redirects, entities, odir, cdir
+    ).start().awaitTermination()
+    wave2.write.mode("append").parquet(sdir)
+    incremental_kg_writer(
+        spark, sdir, aliases, redirects, entities, odir, cdir
+    ).start().awaitTermination()
+
+    return read_incremental_output(spark, odir).select(
+        "subj", "pred", "obj", "obj_kind", "repo", "path", "content_sha256"
+    )
+
+
 def q_kg_triples_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The north star's TF-IDF/Jaccard scoring slot (resolve_mentions_scored):
     # among a mention's candidates, argmax of 0.3·norm_prior + 0.7·jaccard
@@ -1894,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_split_parse": q_dump_split_parse,
         "zstd_dump_parse": q_zstd_dump_parse,
         "kg_triples": q_kg_triples,
+        "kg_triples_incremental": q_kg_triples_incremental,
         "kg_triples_scored": q_kg_triples_scored,
         "doc_repetition": q_doc_repetition,
         "dedup_lines": q_dedup_lines,
@@ -1919,8 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embed_near_dups": q_embed_near_dups,
         "kmeans_assign": q_kmeans_assign,
-        "asof_latest_order": q_asof_latest_order,
         # ------------------------------------------------------- slot 50 --
+        "asof_latest_order": q_asof_latest_order,
         "pivot_status": q_pivot_status,
         "event_props_agg": q_event_props_agg,
         "orders_cube": q_orders_cube,
@@ -2107,6 +2152,10 @@ def oracle_sql() -> dict[str, str]:
                    repo, path, sha FROM s
         )
     """
+    # the streaming path must emit EXACTLY the batch triples (union of
+    # per-wave distinct sets == global distinct set: every row is
+    # file-scoped via repo/path/sha, and a file lands in exactly one wave)
+    d["kg_triples_incremental"] = d["kg_triples"]
     return d
 
 

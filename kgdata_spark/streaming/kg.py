@@ -76,5 +76,10 @@ def incremental_kg_writer(
 
 
 def read_incremental_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All triples emitted so far (union over batch directories)."""
-    return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    """All triples emitted so far (union over batch directories). Concrete
+    paths rather than a glob: FileStreamSink probes glob paths for a
+    streaming-metadata dir and warns on every read."""
+    import glob
+
+    parts = sorted(glob.glob(f"{out_dir}/batch=*"))
+    return spark.read.option("basePath", out_dir).parquet(*parts)
