@@ -1,0 +1,161 @@
+"""Property tests (hypothesis) for the HTML table extractor's grid algebra.
+
+`_parse_tables` is pure Python (the pandas-UDF body), so these run without
+Spark at full hypothesis volume. Invariants fuzzed:
+
+  * simple tables roundtrip exactly (text, th/td flag), entities decoded;
+  * with arbitrary rowspan/colspan soup the output grid is RECTANGULAR
+    (auto_span + auto_pad — html_tables.py:55-60 semantics) and a
+    colspan-c cell occupies c consecutive columns of its starting row;
+  * link char offsets always slice the cell text to the link's text, and
+    relative hrefs resolve against the page url;
+  * nested tables never surface as separate tables (depth-1 only).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.html import _parse_tables
+
+SETTINGS = dict(max_examples=120, deadline=None)
+
+cell_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+    max_size=12,
+)
+
+
+def esc(s: str) -> str:
+    return html_mod.escape(s, quote=False)
+
+
+# ------------------------------------------------------------- simple grid
+
+
+@given(
+    grid=st.lists(
+        st.lists(st.tuples(cell_text, st.booleans()), min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_simple_table_roundtrip(grid):
+    body = "".join(
+        "<tr>"
+        + "".join(
+            f"<{'th' if h else 'td'}>{esc(t)}</{'th' if h else 'td'}>"
+            for t, h in row
+        )
+        + "</tr>"
+        for row in grid
+    )
+    [table] = _parse_tables("http://x/page", f"<table>{body}</table>")
+    rows = table["rows"]
+    width = max(len(r) for r in grid)
+    assert len(rows) == len(grid)
+    for got, want in zip(rows, grid):
+        assert len(got) == width  # auto_pad
+        for (gt, gh, _gc, _gl), (wt, wh) in zip(got, want):
+            assert gt == wt and gh == wh
+        for gt, gh, _gc, _gl in got[len(want):]:
+            assert gt == "" and gh is False  # padding cells
+
+
+# ------------------------------------------------------------- span algebra
+
+
+@given(
+    grid=st.lists(
+        st.lists(
+            st.tuples(cell_text, st.integers(1, 3), st.integers(1, 3)),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_span_soup_yields_rectangular_grid(grid):
+    body = "".join(
+        "<tr>"
+        + "".join(
+            f'<td colspan="{c}" rowspan="{r}">{esc(t)}</td>' for t, c, r in row
+        )
+        + "</tr>"
+        for row in grid
+    )
+    [table] = _parse_tables("http://x/", f"<table>{body}</table>")
+    rows = table["rows"]
+    assert rows, "span soup lost the table"
+    widths = {len(r) for r in rows}
+    assert len(widths) == 1, f"ragged grid: {sorted(widths)}"
+    # a colspan-c cell occupies c consecutive columns where it starts
+    for i, row in enumerate(grid):
+        got = [t for t, _h, _c, _l in rows[i]]
+        for t, c, _r in row:
+            if t:  # padding cells are '' — only check identifiable text
+                assert t in got
+                first = got.index(t)
+                assert got[first:first + c] == [t] * c
+
+
+def test_rowspan_repeats_down_rows():
+    htm = (
+        "<table>"
+        '<tr><td rowspan="3">left</td><td>a</td></tr>'
+        "<tr><td>b</td></tr>"
+        "<tr><td>c</td></tr>"
+        "</table>"
+    )
+    [table] = _parse_tables("http://x/", htm)
+    col0 = [r[0][0] for r in table["rows"]]
+    col1 = [r[1][0] for r in table["rows"]]
+    assert col0 == ["left", "left", "left"]
+    assert col1 == ["a", "b", "c"]
+
+
+# ------------------------------------------------------------------- links
+
+
+@given(
+    parts=st.lists(
+        st.tuples(cell_text, st.one_of(st.none(), st.sampled_from(
+            ["/wiki/Rel", "sub/page", "http://abs/x"]))),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_link_offsets_slice_cell_text(parts):
+    frag = "".join(
+        esc(t) if href is None else f'<a href="{href}">{esc(t)}</a>'
+        for t, href in parts
+    )
+    [table] = _parse_tables(
+        "http://host/base/page", f"<table><tr><td>{frag}</td></tr></table>"
+    )
+    (text, _h, _c, links) = table["rows"][0][0]
+    assert text == "".join(t for t, _ in parts)
+    assert len(links) == sum(1 for _, href in parts if href is not None)
+    for href, ltext, start, end, entity in links:
+        assert text[start:end] == ltext
+        assert entity is None
+        assert "://" in href  # relative hrefs resolved against the page url
+
+
+def test_nested_tables_are_skipped():
+    htm = (
+        "<table><tr><td>outer"
+        "<table><tr><td>inner</td></tr></table>"
+        "</td><td>x</td></tr></table>"
+    )
+    tables = _parse_tables("http://x/", htm)
+    assert len(tables) == 1
+    texts = [c[0] for r in tables[0]["rows"] for c in r]
+    assert "inner" not in texts and "x" in texts
