@@ -1802,6 +1802,27 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alias_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The north star's full alias-canonicalization composition — MinHash-LSH
+    # blocking over char-3-gram shingles → exact Jaccard verify → union-find
+    # connected components → lexicographic-min canonical form — gated with a
+    # closed-form fixture: the 3 variants of group g are rotations of the
+    # doubled string s_g+s_g, so their LINEAR 3-gram sets all equal the
+    # CYCLIC 3-gram set of s_g (identical sets ⇒ identical signatures ⇒
+    # all within-group pairs found, jaccard 1), while any two groups share
+    # at most 2 of 8 grams (jaccard 0.25 < 0.7 ⇒ filtered). The cluster
+    # outcome is therefore exact: every variant maps to its group's min.
+    from kgdata_spark.pipeline.canonicalize import canonicalize_aliases
+
+    base = spark.range(450)
+    g = (F.col("id") % 150).cast("int")
+    k = (F.col("id") / 150).cast("int")
+    s = F.format_string("g%03dx", g)
+    rot = F.concat(F.substring(s, k + 1, 5 - k), F.substring(s, 1, k))
+    aliases = base.select(F.concat(rot, rot).alias("alias"))
+    return canonicalize_aliases(aliases, jaccard_threshold=0.7)
+
+
 def q_kg_triples_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming-path twin of kg_triples: the SAME synthetic corpus lands as
     # parquet files in two arrival waves; two availableNow drains of the
@@ -1942,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_scored": q_kg_triples_scored,
         "doc_repetition": q_doc_repetition,
         "dedup_lines": q_dedup_lines,
+        "alias_canonicalize": q_alias_canonicalize,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -2151,6 +2173,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('E%d', x), 'subclass_of', printf('E%d', y), 'entity',
                    repo, path, sha FROM s
         )
+    """
+    # alias_canonicalize: the fixture construction (see q_alias_canonicalize)
+    # pins the LSH+CC outcome exactly — each variant maps to the min of its
+    # rotation group — so the oracle just regenerates groups and takes mins
+    d["alias_canonicalize"] = """
+        WITH v AS (
+            SELECT CAST(r % 150 AS INT) AS g, CAST(r // 150 AS INT) AS k
+            FROM range(450) t(r)),
+        a AS (
+            SELECT g,
+                   substr(printf('g%03dx', g), k + 1, 5 - k)
+                   || substr(printf('g%03dx', g), 1, k) AS rot
+            FROM v),
+        dd AS (SELECT g, rot || rot AS alias FROM a),
+        canon AS (SELECT g, min(alias) AS canonical_alias FROM dd GROUP BY g)
+        SELECT alias, canonical_alias FROM dd JOIN canon USING (g)
     """
     # the streaming path must emit EXACTLY the batch triples (union of
     # per-wave distinct sets == global distinct set: every row is

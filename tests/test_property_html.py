@@ -82,6 +82,12 @@ def test_simple_table_roundtrip(grid):
 )
 @settings(**SETTINGS)
 def test_span_soup_yields_rectangular_grid(grid):
+    # uniquify cell texts (cell coordinates as suffix) so the consecutive-
+    # columns assertion below can locate each source cell unambiguously
+    grid = [
+        [(f"{t}#{i}.{j}", c, r) for j, (t, c, r) in enumerate(row)]
+        for i, row in enumerate(grid)
+    ]
     body = "".join(
         "<tr>"
         + "".join(
@@ -99,10 +105,9 @@ def test_span_soup_yields_rectangular_grid(grid):
     for i, row in enumerate(grid):
         got = [t for t, _h, _c, _l in rows[i]]
         for t, c, _r in row:
-            if t:  # padding cells are '' — only check identifiable text
-                assert t in got
-                first = got.index(t)
-                assert got[first:first + c] == [t] * c
+            assert t in got
+            first = got.index(t)
+            assert got[first:first + c] == [t] * c
 
 
 def test_rowspan_repeats_down_rows():
