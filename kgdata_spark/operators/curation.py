@@ -80,14 +80,22 @@ def pii_counts(
     )
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams of a token array as n whole-array slices zipped in one
+    pass. The obvious transform(sequence(1, k-n+1), i -> slice(words, i, n))
+    issues k-n+1 interpreted slice calls per row (HOF lambdas are not
+    codegen'd) and measured ~3.6x slower; every slice here has length
+    max(k-n+1, 0), so arrays_zip never null-pads, and short inputs yield
+    an empty list."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+
+
 def _shingles(text: Column, n: int) -> Column:
-    words = F.split(F.trim(text), r"\s+")
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs
-    # shorter than n words must yield an empty shingle list instead
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return word_ngrams(F.split(F.trim(text), r"\s+"), n)
 
 
 def decontaminate(
@@ -146,16 +154,7 @@ def repetition_signals(
     toks = F.col("_toks")
     k = F.size(toks)
     n_ngrams = k - n + 1
-    # n-gram build: n whole-array slices zipped in ONE pass. The obvious
-    # transform(sequence(1, k-n+1), i -> array_join(slice(toks, i, n)))
-    # issues k-n+1 interpreted slice CALLS per row (HOF lambdas are not
-    # codegen'd) and measured 3.6x slower on the bench corpus. Each slice
-    # here has length max(k-n+1, 0), so arrays_zip never null-pads.
-    m = F.greatest(n_ngrams, F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
-    )
+    grams = word_ngrams(toks, n)
     # longest run in the sorted token array == max token multiplicity;
     # initial prev='' can never match (empty tokens are filtered above)
     def _step(a: Column, x: Column) -> Column:
