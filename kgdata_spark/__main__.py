@@ -37,8 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--entities", help="parquet path: (entity, label)")
     p.add_argument("--synthetic", type=int, default=None, metavar="N_FILES",
                    help="generate a deterministic synthetic corpus instead of reading inputs")
-    p.add_argument("--out", required=True, help="output directory for stage datasets")
+    p.add_argument("--out", default=None,
+                   help="output directory for stage datasets (required "
+                        "except with --diff)")
     p.add_argument("--master", default=None, help="spark master (default: env/local)")
+    p.add_argument("--diff", nargs=2, metavar=("LEFT", "RIGHT"), default=None,
+                   help="compare two parquet datasets by commutative row "
+                        "digest and exit: prints matching checksums or the "
+                        "first divergent row digests per side (reference "
+                        "dataset.py:470-558 comparer CLI)")
     p.add_argument("--rebalance", metavar="IN_DIR", default=None,
                    help="re-partition an existing parquet dataset into --out "
                         "at ~--target-mb per file, then exit (reference "
@@ -51,6 +58,36 @@ def main(argv: list[str] | None = None) -> int:
     from kgdata_spark.pipeline.run import run_pipeline
 
     spark = get_spark(app_name="kgdata_spark_pipeline", master=args.master)
+
+    if args.diff:
+        from kgdata_spark.operators.checksum import dataset_checksum, diff_datasets
+
+        left = spark.read.parquet(args.diff[0])
+        right = spark.read.parquet(args.diff[1])
+        if sorted(left.columns) != sorted(right.columns):
+            print(json.dumps({
+                "equal": False,
+                "schema_mismatch": {"left": sorted(left.columns),
+                                    "right": sorted(right.columns)},
+            }))
+            return 1
+        lsum, rsum = dataset_checksum(left), dataset_checksum(right)
+        if lsum == rsum:
+            print(json.dumps({"equal": True, "checksum": lsum}))
+            return 0
+        rows = diff_datasets(left, right).collect()
+        print(json.dumps({
+            "equal": False,
+            "left_checksum": lsum,
+            "right_checksum": rsum,
+            "sample_only_digests": [
+                {"digest": r["digest"], "side": r["side"]} for r in rows[:20]
+            ],
+        }))
+        return 1
+
+    if args.out is None:
+        p.error("--out is required except with --diff")
 
     if args.rebalance:
         from kgdata_spark.pipeline.materialize import rebalance_dataset

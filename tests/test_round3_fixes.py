@@ -333,3 +333,32 @@ def test_ntriples_unicode_escapes_default_on(spark):
     df = spark.createDataFrame([(l,) for l in lines], "line string")
     vals = sorted(r.obj_value for r in parse_ntriples(df).collect())
     assert vals == sorted(["café", "smile \U0001F600", "tab\there", "plain"])
+
+
+def test_diff_cli(spark, tmp_path, capsys):
+    """--diff: equal -> rc 0, divergent -> rc 1 + per-side digests,
+    schema mismatch -> rc 1 + column listing (dataset.py:470-558 CLI)."""
+    import json
+
+    from kgdata_spark.__main__ import main
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df.write.parquet(a)
+    df.where(F.col("id") < 40).write.parquet(b)
+    df.select("id").write.parquet(c)
+
+    assert main(["--diff", a, a]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["equal"] is True
+
+    assert main(["--diff", a, b]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["equal"] is False and out["sample_only_digests"]
+    assert {d["side"] for d in out["sample_only_digests"]} == {"left"}
+
+    assert main(["--diff", a, c]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["schema_mismatch"]["left"] == ["id", "v"]
