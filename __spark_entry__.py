@@ -1626,6 +1626,26 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(docs)
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixture-weights downsampling: per-source token budgets derived from
+    # the source suffix (rates span capped 1.0 and fractional values);
+    # membership is md5-hash-deterministic so DuckDB replays it exactly
+    from kgdata_spark.operators.curation import sample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    targets = d.select("source").distinct().select(
+        "source",
+        (
+            F.lit(300)
+            + F.lit(400) * (F.substring("source", 4, 10).cast("int") % 4)
+        ).alias("target_weight"),
+    )
+    out = sample_mixture(d, targets)
+    return out.select(
+        "doc_id", "source", F.round("keep_rate", 6).alias("keep_rate")
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-doc repetition quality signals (Gopher-style data rules):
     # dup-token / dup-3-gram / top-token fractions, all per-row HOFs
@@ -1964,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "dedup_lines": q_dedup_lines,
         "alias_canonicalize": q_alias_canonicalize,
+        "sample_mixture": q_sample_mixture,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3004,6 +3025,27 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
             SELECT doc_id, source FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # sample_mixture: replay per-source rate = min(1, target/actual) and
+        # the md5-uniform membership test; the WHERE uses the UNROUNDED
+        # rate (as the operator does) — rounding only in the projection
+        "sample_mixture": r"""
+            WITH w AS (
+                SELECT doc_id, source,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS wt
+                FROM documents),
+            tot AS (SELECT source, SUM(wt) AS actual FROM w GROUP BY source),
+            tgt AS (SELECT source,
+                           300 + 400 * (CAST(substr(source, 4) AS INT) % 4) AS t
+                    FROM (SELECT DISTINCT source FROM documents)),
+            r AS (SELECT source,
+                         least(1.0, CAST(t AS DOUBLE) / actual) AS kr
+                  FROM tot JOIN tgt USING (source))
+            SELECT doc_id, source, round(kr, 6) AS keep_rate
+            FROM w JOIN r USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS DOUBLE) / 4294967296.0 < kr
         """,
         # dedup_lines: replay first-occurrence-wins with a window (oracle
         # scale doesn't matter); string_agg skips the NULLed removed lines

@@ -191,3 +191,57 @@ def repetition_signals(
         .otherwise(zero)
         .alias("top_token_frac"),
     )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    targets: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic mixture sampling: downsample each source to its token
+    budget (the pretraining mixture-weights stage — e.g. GPT-3 / Pile
+    recipes sample sources at different rates to hit a target blend).
+
+    `targets` is a (source, target_weight) table in the same unit as
+    `weight_col` (default: whitespace token count of `text`). Each source
+    with actual weight W and target T keeps a document iff
+    uniform_hash(doc id) < min(1, T/W) — an expected-T sample that is
+
+      * deterministic and engine-independent (the uniform variate is the
+        first 8 md5 hex chars of the id, scaled by 2^32 — bit-replayable
+        in any engine with md5, so the DuckDB oracle matches exactly);
+      * a single groupBy (per-source weights, map-side partial agg) + a
+        broadcastable rates join + a stateless filter — no shuffle of the
+        corpus itself, any scale the scan survives;
+      * stable under re-runs and resumable pipelines: membership depends
+        only on the doc id, never on partitioning or row order.
+
+    Returns the surviving rows with a `keep_rate` column attached.
+    """
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    w = (
+        weight_col
+        if weight_col is not None
+        else F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    )
+    weighted = docs.withColumn("_w", w)
+    totals = weighted.groupBy(source_col).agg(F.sum("_w").alias("_actual"))
+    rates = totals.join(maybe_broadcast(targets), source_col, "inner").select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.col("target_weight").cast("double") / F.col("_actual")
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        weighted.join(maybe_broadcast(rates), source_col, "inner")
+        .where(u < F.col("keep_rate"))
+        .drop("_w")
+    )

@@ -98,3 +98,27 @@ def test_repetition_signals(spark):
     assert got[1] == (0.75, 0.5, 1.0)
     assert got[2] == (0.0, 0.0, 0.25)
     assert got[3] == (0.0, 0.0, 0.0)
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    from kgdata_spark.operators.curation import sample_mixture
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("source"),
+        F.lit("one two three four").alias("text"),  # 4 tokens each
+    )
+    targets = spark.createDataFrame(
+        [("big", 80), ("small", 10_000)], "source string, target_weight long"
+    )
+    out = sample_mixture(docs, targets).cache()
+    rates = {r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()}
+    # big: 200 docs x 4 tokens = 800 actual -> rate 0.1; small: capped at 1.0
+    assert rates == {"big": 0.1, "small": 1.0}
+    n_small = out.where(F.col("source") == "small").count()
+    assert n_small == 200  # rate 1.0 keeps everything
+    n_big = out.where(F.col("source") == "big").count()
+    assert 0 < n_big < 200  # expected ~20
+    # deterministic: same membership on re-run
+    again = sample_mixture(docs, targets)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
