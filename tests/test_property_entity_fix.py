@@ -1,0 +1,99 @@
+"""Hypothesis fuzz of the D4 entity-fix pass against the pure-Python oracle.
+
+The golden tests (test_entity_fix.py) pin hand-picked edge cases; this
+module generates random nested entities, unknown sets, and redirect maps
+and asserts BOTH implementations — the HOF pass (`fixed_entities`) and
+the flatten→join→re-nest scale path (`fixed_entities_join`) — match the
+committed pure-Python oracle (`py_fixed`, the reference-semantics spec of
+entities.py:179-286) on every draw.
+
+Generation invariants (mirroring real dump data): qualifiers_order lists
+exactly the statement's qualifier keys; ids come from a small universe so
+unknown-drops / redirect-rewrites / rename-collisions occur often rather
+than almost never.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.entity_fix import (
+    attach_dicts,
+    fixed_entities,
+    fixed_entities_join,
+)
+from tests.test_entity_fix import normalize, norm_py, py_fixed, to_spark_entities
+
+UNIVERSE = [f"N{i}" for i in range(8)]
+PIDS = [f"P{i}" for i in range(5)]
+QIDS = [f"Q{i}" for i in range(4)]
+RANKS = ["normal", "preferred", "deprecated"]
+
+ids = st.sampled_from(UNIVERSE)
+val = st.one_of(
+    st.tuples(st.just("entityid"), ids),
+    st.tuples(st.just("string"), st.sampled_from(["s1", "s2", "s3"])),
+)
+
+
+@st.composite
+def statements(draw):
+    value = draw(val)
+    quals = draw(
+        st.dictionaries(
+            st.sampled_from(QIDS + UNIVERSE[:3]),
+            st.lists(val, min_size=1, max_size=2),
+            max_size=2,
+        )
+    )
+    return (value, quals, list(quals.keys()), draw(st.sampled_from(RANKS)))
+
+
+entity_props = st.dictionaries(
+    st.sampled_from(PIDS + UNIVERSE[:2]),
+    st.lists(statements(), min_size=1, max_size=2),
+    min_size=1,
+    max_size=3,
+)
+entities_strat = st.dictionaries(
+    st.sampled_from(["E1", "E2", "E3"]), entity_props, min_size=1, max_size=2
+)
+unknown_strat = st.sets(st.sampled_from(UNIVERSE + PIDS + QIDS), max_size=3)
+# redirect targets drawn from a disjoint pool of 'final' ids so a rewrite
+# is visible; keys may overlap pids/qids/values to hit every rewrite site
+rmap_strat = st.dictionaries(
+    st.sampled_from(UNIVERSE + PIDS + QIDS),
+    st.sampled_from(["F1", "F2", "P1", "Q1"]),
+    max_size=3,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(ents=entities_strat, unknown=unknown_strat, rmap=rmap_strat)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_fix_pass_fuzz_vs_python_oracle(spark, ents, unknown, rmap):
+    # ids can't be both unknown and redirected: the oracle checks unknown
+    # first, and real dumps never list a redirected id as missing
+    rmap = {k: v for k, v in rmap.items() if k not in unknown}
+
+    want = norm_py({eid: py_fixed(props, unknown, rmap) for eid, props in ents.items()})
+
+    sents = to_spark_entities(spark, ents)
+    unknown_df = spark.createDataFrame(
+        [(u,) for u in sorted(unknown)], "id string"
+    )
+    redirects_df = spark.createDataFrame(
+        sorted(rmap.items()), "old_id string, final_id string"
+    )
+
+    hof = normalize(fixed_entities(attach_dicts(sents, unknown_df, redirects_df)))
+    assert hof == want, f"HOF pass diverged (unknown={unknown}, rmap={rmap})"
+
+    joined = normalize(fixed_entities_join(sents, unknown_df, redirects_df))
+    assert joined == want, f"join pass diverged (unknown={unknown}, rmap={rmap})"
