@@ -1,0 +1,95 @@
+"""Hypothesis fuzz of the label/alias merge (P11) against a Python model.
+
+The model mirrors the reference semantics the module documents
+(triple_truthy_dump_derivatives.py:496-595): per-lang min() fold, the
+null-lang literal backing the default language, a guaranteed default
+entry, and reduce_size dropping languages that duplicate the default.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.functions.labels import (
+    LABEL_PREDS,
+    merge_entity_aliases,
+    merge_entity_labels,
+)
+
+row = st.tuples(
+    st.sampled_from(["A", "B"]),                        # id
+    st.sampled_from(LABEL_PREDS + ("other:pred",)),     # pred (one ignored)
+    st.sampled_from(["v1", "v2", "v3", ""]),            # value
+    st.sampled_from(["en", "de", "zh", None]),          # lang (None = untagged)
+)
+
+
+def py_merge_labels(rows, default="en", reduce_size=True):
+    per: dict[str, dict] = {}
+    for i, p, v, l in rows:
+        if p not in LABEL_PREDS:
+            continue
+        key = l if l is not None else "\x00"
+        d = per.setdefault(i, {})
+        d[key] = min(d[key], v) if key in d else v
+    out = {}
+    for i, m in per.items():
+        resolved = m.get(default, m.get("\x00", ""))
+        m2 = {k: v for k, v in m.items() if k not in ("\x00", default)}
+        m2[default] = resolved
+        if reduce_size:
+            m2 = {k: v for k, v in m2.items() if k == default or v != resolved}
+        out[i] = (resolved, m2)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=st.lists(row, min_size=1, max_size=12),
+       reduce_size=st.booleans())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_merge_labels_matches_model(spark, rows, reduce_size):
+    df = spark.createDataFrame(rows, "id string, pred string, value string, lang string")
+    got = {
+        r.id: (r.label, dict(r.labels))
+        for r in merge_entity_labels(df, reduce_size=reduce_size).collect()
+    }
+    assert got == py_merge_labels(rows, reduce_size=reduce_size)
+
+
+def py_merge_aliases(rows, default="en"):
+    per: dict[str, dict] = {}
+    for i, p, v, l in rows:
+        if p != "skos:altLabel":
+            continue
+        key = l if l is not None else default  # null folds INTO default
+        per.setdefault(i, {}).setdefault(key, []).append(v)
+    out = {}
+    for i, m in per.items():
+        m2 = {k: sorted(v) for k, v in m.items()}
+        m2.setdefault(default, [])
+        out[i] = m2
+    return out
+
+
+alias_row = st.tuples(
+    st.sampled_from(["A", "B"]),
+    st.sampled_from(["skos:altLabel", "other:pred"]),
+    st.sampled_from(["a1", "a2", "a3"]),
+    st.sampled_from(["en", "de", None]),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=st.lists(alias_row, min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_merge_aliases_matches_model(spark, rows):
+    df = spark.createDataFrame(rows, "id string, pred string, value string, lang string")
+    got = {
+        r.id: {k: list(v) for k, v in r.aliases.items()}
+        for r in merge_entity_aliases(df).collect()
+    }
+    assert got == py_merge_aliases(rows)
