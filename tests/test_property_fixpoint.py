@@ -1,0 +1,84 @@
+"""Hypothesis fuzz of the union-find / fixpoint operators vs Python models.
+
+connected_components (hash-min label propagation — the north rule's
+union-find with iterative self-joins) is checked against a plain DSU over
+random edge lists, including multi-edges, self-loops, chains, and
+disconnected node islands. resolve_redirect_fixpoint is checked against
+Python chain-following over random redirect maps (no cycles — the
+generator builds maps pointing strictly 'downhill' so chains always
+terminate, matching real redirect data).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+NODES = [f"n{i}" for i in range(10)]
+
+
+def dsu_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.usefixtures("spark")
+@given(edges=st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1, max_size=15,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_fuzz(spark, edges):
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint=False).collect()
+    }
+    assert got == dsu_components(edges)
+
+
+@pytest.mark.usefixtures("spark")
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_resolve_redirects_fuzz(spark, data):
+    from kgdata_spark.operators.fixpoint import resolve_redirect_fixpoint
+
+    # acyclic by construction: ni may only redirect to nj with j > i
+    pairs = []
+    for i in range(len(NODES) - 1):
+        if data.draw(st.booleans(), label=f"has_redirect_{i}"):
+            j = data.draw(st.integers(i + 1, len(NODES) - 1), label=f"target_{i}")
+            pairs.append((NODES[i], NODES[j]))
+    if not pairs:
+        pairs = [(NODES[0], NODES[1])]
+
+    rmap = dict(pairs)
+
+    def follow(x):
+        while x in rmap:
+            x = rmap[x]
+        return x
+
+    df = spark.createDataFrame(pairs, "old_id string, new_id string")
+    got = {
+        r.old_id: r.final_id
+        for r in resolve_redirect_fixpoint(df, checkpoint=False).collect()
+    }
+    assert got == {o: follow(o) for o in rmap}
