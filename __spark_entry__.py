@@ -1626,6 +1626,20 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(docs)
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-scan per-column QA profile over orders; o_totalprice excluded:
+    # Spark and DuckDB render large doubles differently (1.0E7 vs
+    # 10000000.0), so its min/max strings can't hash-match — profile the
+    # bigint/string/timestamp columns, which render identically
+    from kgdata_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"]
+    )
+
+
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixture-weights downsampling: per-source token budgets derived from
     # the source suffix (rates span capped 1.0 and fractional values);
@@ -1985,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "alias_canonicalize": q_alias_canonicalize,
         "sample_mixture": q_sample_mixture,
+        "profile_table": q_profile_table,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3025,6 +3040,40 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
             SELECT doc_id, source FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # profile_table: one UNION ALL branch per profiled column; casts
+        # to VARCHAR render identically for bigint/string/timestamp
+        "profile_table": """
+            SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS n_null,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+                   COUNT(DISTINCT o_orderdate),
+                   CAST(MIN(o_orderdate) AS VARCHAR),
+                   CAST(MAX(o_orderdate) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR),
+                   CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
         """,
         # sample_mixture: replay per-source rate = min(1, target/actual) and
         # the md5-uniform membership test; the WHERE uses the UNROUNDED

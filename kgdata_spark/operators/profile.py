@@ -1,0 +1,48 @@
+"""Table profiling: per-column QA statistics in ONE scan.
+
+The data-quality pass a production pipeline runs before/after every big
+job (the reference's equivalent is its scattered in-pipeline asserts —
+are_records_unique, count preservation; SURVEY §5.2 — this makes the
+whole check a first-class operator). For every column: row count, null
+count, distinct count, min, max — computed as a single multi-aggregate
+pass (one scan, map-side partial aggregation, one tiny shuffle), then
+unpivoted driver-lessly with `stack` into one row per column.
+
+Values are rendered as strings so heterogeneous column types fit one
+result schema (the usual profiling-table shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) — one
+    output row per profiled column, one input scan total.
+
+    `n_distinct` is exact (count(distinct col)); swap to
+    approx_count_distinct at extreme cardinalities if a ±2% estimate is
+    acceptable — exact distinct is the only part of this plan whose state
+    grows with cardinality."""
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column, n_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
