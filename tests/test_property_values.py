@@ -1,0 +1,73 @@
+"""Hypothesis fuzz of the typed-value classifier (P10) vs a Python model.
+
+The model replays the same first-match-wins chain with Python `re` — the
+property pins Java-regex/Python-regex agreement across generated valid
+examples of every variant plus near-miss junk (the adversarial class:
+strings one character away from a variant boundary).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.functions.values import (
+    ENTITY_RE,
+    MONO_RE,
+    POINT_RE,
+    QUANTITY_RE,
+    TIME_RE,
+    parse_value,
+)
+
+from pyspark.sql import functions as F
+
+
+def py_classify(s: str) -> str:
+    for pat, name in [
+        (ENTITY_RE, "entityid"),
+        (POINT_RE, "globecoordinate"),
+        (TIME_RE, "time"),
+        (QUANTITY_RE, "quantity"),
+        (MONO_RE, "monolingualtext"),
+    ]:
+        if re.search(pat, s):
+            return name
+    return "string"
+
+
+valid = st.one_of(
+    st.integers(0, 999).map(lambda i: f"E{i}"),
+    st.tuples(st.floats(-180, 180, allow_nan=False),
+              st.floats(-90, 90, allow_nan=False)).map(
+        lambda t: f"Point({round(t[0], 4)} {round(t[1], 4)})"),
+    st.dates().map(str),
+    st.integers(-10**9, 10**9).map(str),
+    st.tuples(st.sampled_from(["hi", "a b", ""]),
+              st.sampled_from(["en", "de", "nan"])).map(
+        lambda t: f'"{t[0]}"@{t[1]}'),
+)
+near_miss = st.sampled_from([
+    "E", "E1x", "e42", " E42", "Point(1,2)", "Point(a b)", "Point(1 2",
+    "2024-1-31", "2024-01-31T10:00", "2024-13-99", "12.", "+-3", "1.2.3",
+    '"x"@e', '"x"@english', '"x"@EN', 'x"@en', '""@', "--5", "∞", "",
+])
+
+
+@pytest.mark.usefixtures("spark")
+@given(vals=st.lists(st.one_of(valid, near_miss, st.text(max_size=10)),
+                     min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_value_classification_matches_python_model(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, raw string")
+    got = {
+        r.i: r.p.vtype
+        for r in df.select("i", parse_value(F.col("raw")).alias("p")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == py_classify(v), f"{v!r}: spark={got[i]}"
