@@ -79,3 +79,27 @@ def test_incremental_matches_batch_and_picks_up_only_new_files(spark, dirs):
     # union over batches == batch pipeline over the full corpus
     assert _rows(out) == _rows(build_triples(source, aliases, redirects, entities,
                                              checkpoint_fixpoint=False))
+
+
+def test_backlog_splits_into_bounded_batches(spark, dirs):
+    from kgdata_spark.pipeline.run import build_triples
+    from kgdata_spark.sources import synthetic
+    from kgdata_spark.streaming.kg import incremental_kg_writer, read_incremental_output
+
+    n = 200
+    ne = synthetic.n_entities_for(n)
+    source = synthetic.source_files(spark, n)
+    # a 4-file backlog; maxFilesPerTrigger=1 must drain it as 4 batches
+    source.repartition(4).write.mode("overwrite").parquet(dirs["src"])
+    writer = incremental_kg_writer(
+        spark, dirs["src"], synthetic.aliases(spark, ne),
+        synthetic.redirects(spark, ne), synthetic.entities(spark, ne),
+        dirs["out"], dirs["ckpt"], max_files_per_batch=1,
+    )
+    q = writer.start()
+    q.awaitTermination()
+    out = read_incremental_output(spark, dirs["out"])
+    assert out.select("batch").distinct().count() == 4
+    assert _rows(out) == _rows(build_triples(
+        source, synthetic.aliases(spark, ne), synthetic.redirects(spark, ne),
+        synthetic.entities(spark, ne), checkpoint_fixpoint=False))
