@@ -96,6 +96,9 @@ def meta_graph(
             F.coalesce("qualifiers", empty_qmap).alias("qualifiers"),
         ).alias("ms"),
     )
+    # custom comparator REQUIRED here: ms carries a map column, and the
+    # default struct ordering type-checks every field's orderability at
+    # analysis time (INVALID_ORDERING_TYPE) even though sidx alone decides
     per_pid = meta_stmt.groupBy("id", "pid").agg(
         F.transform(
             F.array_sort(
