@@ -1,0 +1,62 @@
+"""Property tests for the commutative dataset checksum and row-digest diff.
+
+The checksum's contract IS an invariance claim — identical under any
+partitioning, row order, and column order — so that is what gets fuzzed,
+plus sensitivity (any single-row change must move it) and diff symmetry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.checksum import dataset_checksum, diff_datasets
+
+rows_strat = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from(["x", "y", "z"])),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=rows_strat, nparts=st.integers(1, 5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_checksum_invariant_under_layout(spark, rows, nparts):
+    df = spark.createDataFrame(rows, "k long, v string")
+    base = dataset_checksum(df)
+    assert dataset_checksum(df.repartition(nparts)) == base
+    assert dataset_checksum(df.orderBy(F.desc("k"), "v")) == base
+    assert dataset_checksum(df.select("v", "k")) == base  # column order
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=rows_strat)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_checksum_sensitive_to_any_row_change(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v string")
+    changed = spark.createDataFrame(
+        [(99999, "mutant")] + rows[1:], "k long, v string"
+    )
+    assert dataset_checksum(df) != dataset_checksum(changed)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=rows_strat, drop=st.integers(0, 11))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_diff_sides_are_symmetric(spark, rows, drop):
+    drop = min(drop, len(rows) - 1)
+    left = spark.createDataFrame(rows, "k long, v string")
+    right = spark.createDataFrame(rows[: len(rows) - drop] or rows[:1],
+                                  "k long, v string")
+    lr = {(r.digest, r.side) for r in diff_datasets(left, right).collect()}
+    rl = {(r.digest, r.side) for r in diff_datasets(right, left).collect()}
+    # swapping inputs flips every side label, digest set unchanged
+    flip = {"left": "right", "right": "left"}
+    assert {(d, flip[s]) for d, s in lr} == rl
