@@ -1,0 +1,86 @@
+"""Fuzz the 'fast path equals reference path' equivalence claims.
+
+Three operators ship a skew/scale variant whose docstring claims result
+equality with the straightforward form — that equality is the contract,
+so it gets fuzzed directly:
+
+  * salted_join == plain join (random key multisets, hot threshold 2 so
+    salting actually engages);
+  * near_dup_pairs collapse_exact=True == False when max_bucket is None
+    ("provably identical", dedup.py);
+  * cap_per_domain pre_salt on == off (two-phase top-K subset claim).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    lkeys=st.lists(st.sampled_from(["a", "b", "hub"]), min_size=1, max_size=12),
+    rkeys=st.lists(st.sampled_from(["a", "b", "hub", "miss"]), min_size=1, max_size=6),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, lkeys, rkeys):
+    from kgdata_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(lkeys)], "k string, lv long"
+    )
+    right = spark.createDataFrame(
+        [(k, i * 10) for i, k in enumerate(rkeys)], "k string, rv long"
+    )
+    got = salted_join(left, right, "k", hot_threshold=2)
+    want = left.join(right, "k")
+    rows = lambda df: sorted(tuple(r) for r in df.select("k", "lv", "rv").collect())  # noqa: E731
+    assert rows(got) == rows(want)
+
+
+@pytest.mark.usefixtures("spark")
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=4)
+    .map(" ".join),
+    min_size=2, max_size=8,
+))
+@settings(**SETTINGS)
+def test_collapse_exact_mode_is_lossless(spark, texts):
+    from kgdata_spark.operators.dedup import near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("id_a", "id_b", "jaccard").collect()
+    )
+    a = rows(near_dup_pairs(docs, threshold=0.4, collapse_exact=True))
+    b = rows(near_dup_pairs(docs, threshold=0.4, collapse_exact=False))
+    assert a == b
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["d1", "d2"]), st.integers(0, 30)),
+    min_size=1, max_size=14,
+))
+@settings(**SETTINGS)
+def test_domain_cap_presalt_is_invariant(spark, rows):
+    from kgdata_spark.operators.curation import cap_per_domain
+
+    docs = spark.createDataFrame(
+        [(f"id{i}", d, n) for i, (d, n) in enumerate(rows)],
+        "doc_id string, source string, n_chars long",
+    )
+    pick = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("doc_id", "source").collect()
+    )
+    with_salt = cap_per_domain(docs, max_per_domain=3, pre_salt=4)
+    without = cap_per_domain(docs, max_per_domain=3, pre_salt=0)
+    assert pick(with_salt) == pick(without)
