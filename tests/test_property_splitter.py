@@ -1,0 +1,51 @@
+"""Fuzz the boundary-resync reader: arbitrary record shapes × partitionings.
+
+read_boundary_records glues ≤2 fragments per task across task edges — the
+code whose bugs depend on WHERE the byte-range split lands. Random record
+sets (varying line counts, empty lines, marker position) are written to
+one file and read back at several forced partition counts; the result
+must always be exactly the original records, independent of partitioning,
+with any epilogue after the last marker dropped.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+END = "##END##"
+
+body_line = st.sampled_from(["alpha", "bb bb", "", "x" * 30, "line4"])
+record = st.lists(body_line, min_size=0, max_size=3).map(
+    lambda ls: "\n".join(ls + [END])
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    records=st.lists(record, min_size=1, max_size=12),
+    epilogue=st.sampled_from(["", "tail-junk", "two\njunk\nlines"]),
+    nparts=st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_boundary_resync_is_partitioning_independent(
+    spark, tmp_path, records, epilogue, nparts
+):
+    from kgdata_spark.sources.splitter import read_boundary_records
+
+    path = tmp_path / "dump.txt"
+    content = "\n".join(records)
+    if epilogue:
+        content += "\n" + epilogue
+    path.write_text(content)
+
+    got = sorted(
+        r.value
+        for r in read_boundary_records(
+            spark, str(path), END, min_partitions=nparts
+        ).collect()
+    )
+    assert got == sorted(records)
