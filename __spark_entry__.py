@@ -1626,6 +1626,27 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(docs)
 
 
+def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end near-dup removal over a closed-form fixture: group g's
+    # docs carry the SAME token set in rotated order (identical signatures
+    # ⇒ all in-group LSH pairs, jaccard 1), groups are token-disjoint
+    # (no cross pairs) — so exactly the min doc id per group survives
+    from kgdata_spark.operators.dedup import drop_near_dups
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    g = k % 40
+    toks = [F.format_string(f"t%d{s}", g) for s in ("a", "b", "c")]
+    rot = k % 3
+    text = (
+        F.when(rot == 0, F.concat_ws(" ", *toks))
+        .when(rot == 1, F.concat_ws(" ", toks[1], toks[2], toks[0]))
+        .otherwise(F.concat_ws(" ", toks[2], toks[0], toks[1]))
+    )
+    docs = c.select(k.alias("doc_id"), text.alias("text"))
+    return drop_near_dups(docs, threshold=0.8).select("doc_id")
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-scan per-column QA profile over orders; o_totalprice excluded:
     # Spark and DuckDB render large doubles differently (1.0E7 vs
@@ -2000,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_canonicalize": q_alias_canonicalize,
         "sample_mixture": q_sample_mixture,
         "profile_table": q_profile_table,
+        "drop_near_dups": q_drop_near_dups,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3040,6 +3062,15 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))
             SELECT doc_id, source FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        # drop_near_dups: the fixture construction (see q_drop_near_dups)
+        # makes the surviving set exactly min(doc id) per rotation group
+        "drop_near_dups": """
+            SELECT c_custkey AS doc_id
+            FROM (SELECT c_custkey,
+                         MIN(c_custkey) OVER (PARTITION BY c_custkey % 40) AS m
+                  FROM customer)
+            WHERE c_custkey = m
         """,
         # profile_table: one UNION ALL branch per profiled column; casts
         # to VARCHAR render identically for bigint/string/timestamp

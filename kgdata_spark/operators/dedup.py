@@ -354,3 +354,36 @@ def dedup_lines_global(
             F.col("n_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+def drop_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: `near_dup_pairs` proposes verified
+    pairs, connected components clusters them (pair graphs are transitive
+    chains in practice — A~B, B~C must collapse together even if A~C
+    scored below threshold), and every cluster keeps exactly its
+    lexicographic-min member. Returns the surviving doc rows unchanged.
+
+    This is the operation a pipeline actually runs; the pair list is the
+    intermediate. Scale shape adds one CC fixpoint (O(cluster-diameter)
+    rounds, tiny input: only the pair edges) and one left_anti join on the
+    corpus — the corpus itself still never all-pairs-compares.
+    """
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    pairs = near_dup_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        **near_dup_kwargs,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -25,6 +25,7 @@ DRIVER_WINDOW = 50
 # check_oracle.py). Adding a NEW query past slot 50 without listing it here
 # (and without prior driver rows) fails test_new_queries_inside_window.
 DOCUMENTED_OVERFLOW = {
+    "cosine_topk",
     "ivf_topk",
     "embed_near_dups",
     "kmeans_assign",
