@@ -1647,6 +1647,18 @@ def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_near_dups(docs, threshold=0.8).select("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk sequence packing: documents laid end-to-end in
+    # doc_id order, cut every 512 tokens; one row per (doc, chunk)
+    # intersection with both offsets. Global prefix sum is the two-level
+    # distributed scan (range buckets + broadcast offsets), never a
+    # single-task window — see operators/packing.py
+    from kgdata_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, context_len=512, num_buckets=16)
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-scan per-column QA profile over orders; o_totalprice excluded:
     # Spark and DuckDB render large doubles differently (1.0E7 vs
@@ -2022,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "profile_table": q_profile_table,
         "drop_near_dups": q_drop_near_dups,
+        "pack_sequences": q_pack_sequences,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3071,6 +3084,41 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                          MIN(c_custkey) OVER (PARTITION BY c_custkey % 40) AS m
                   FROM customer)
             WHERE c_custkey = m
+        """,
+        # pack_sequences: serial window replay of the concat-and-chunk
+        # packing — token counts from the same words CTE proven by
+        # doc_token_stats; `//` is integer floor-div (start >= 0)
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ({words}) GROUP BY doc_id
+            ),
+            cum AS (
+                SELECT doc_id, n,
+                       CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS start
+                FROM toks WHERE n > 0
+            ),
+            spans AS (
+                SELECT doc_id, n, start,
+                       start // 512 AS c0, (start + n - 1) // 512 AS c1
+                FROM cum
+            ),
+            expl AS (
+                SELECT doc_id, n, start,
+                       unnest(generate_series(c0, c1)) AS chunk_id
+                FROM spans
+            )
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+                   CAST(GREATEST(0, chunk_id * 512 - start) AS BIGINT)
+                       AS doc_offset,
+                   CAST(GREATEST(0, start - chunk_id * 512) AS BIGINT)
+                       AS chunk_offset,
+                   CAST(LEAST(n, (chunk_id + 1) * 512 - start)
+                        - GREATEST(0, chunk_id * 512 - start) AS BIGINT)
+                       AS n_tokens
+            FROM expl
         """,
         # profile_table: one UNION ALL branch per profiled column; casts
         # to VARCHAR render identically for bigint/string/timestamp

@@ -1,0 +1,159 @@
+"""Sequence packing: concat-and-chunk documents into fixed context windows.
+
+The standard GPT-style pretraining prep step: order the corpus
+deterministically, lay the token stream end-to-end, and cut it every
+`context_len` tokens; a document may span a chunk boundary. The output is
+the (chunk, doc, offsets) assignment map a data loader needs — which token
+range of which document lands where in which training sequence.
+
+The only non-trivial part at scale is the global exclusive prefix sum of
+token counts. The naive form — `sum(n).over(Window.orderBy(id))` with no
+partitionBy — collapses the whole corpus into ONE task (Spark warns
+"No Partition Defined for Window operation"); at 10^12 files that is the
+job. `distributed_cumsum` instead runs the classic two-level scan:
+
+  1. range-repartition on the order key (a distributed sort shuffle — the
+     same machinery as `orderBy`, parallel by construction), cumsum
+     *within* each range bucket via a per-bucket window;
+  2. per-bucket totals (num_buckets rows, bounded) come back to the
+     driver, turn into exclusive bucket offsets, and broadcast-join back.
+
+One wide shuffle + one window whose partitions are the balanced range
+buckets + one broadcast join — no single-task stage anywhere. The
+repartitioned frame is persisted so the offsets pass and the final pass
+see the SAME sampled range boundaries (range-partitioner boundaries are
+re-sampled per execution; persisting pins one bucketing for both uses,
+and a lost-block recompute replays the pinned shuffle stage rather than
+re-sampling).
+
+Reference analog: kgdata has no packing stage (it feeds a KG store, not a
+trainer); this is part of the training-data toolkit the mission brief
+makes first-class. The chunk/offset semantics follow the public
+concat-and-chunk recipe (GPT-2/3 data prep, HuggingFace `group_texts`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.text import token_count
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exclusive prefix sum of `value_col` in `order_col` order, without a
+    global single-partition window.
+
+    Returns `df` plus `out_col` = sum of `value_col` over all rows strictly
+    before this row in `order_col` order. `order_col` must be unique (it is
+    the total order); any orderable type works. `num_buckets` bounds the
+    size of the driver-side offset table (one row per bucket).
+    """
+    bucketed = (
+        df.repartitionByRange(num_buckets, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded driver collect: num_buckets rows — same class as the
+    # fixpoint driver_threshold guards, not a corpus collect.
+    totals = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_bucket"]):
+        offsets.append((row["_bucket"], running))
+        running += row["_tot"] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        pd.DataFrame(offsets, columns=["_bucket", "_offset"])
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        bucketed.withColumn("_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "_bucket")
+        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("bigint"))
+        .drop("_bucket", "_local", "_offset")
+    )
+    return out
+
+
+def pack_chunks(
+    docs: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Assign every document's token range to fixed-size context chunks.
+
+    Documents are laid end-to-end in `id_col` order and the stream is cut
+    every `context_len` tokens (concat-and-chunk; docs may straddle a
+    boundary). Output, one row per (doc, chunk) intersection:
+
+      chunk_id        which training sequence (0-based)
+      doc_id          the document
+      doc_offset      first token of the doc that lands in this chunk
+      chunk_offset    position of that token inside the chunk
+      n_tokens        how many tokens of the doc land in this chunk
+
+    Invariants (tested): per-doc n_tokens sums to the doc's token count;
+    every chunk except the last holds exactly `context_len` tokens; a doc
+    spans ceil-bounded consecutive chunks. Zero-token docs are dropped
+    (they occupy no stream positions).
+
+    `tokens_col` may name a precomputed token-count column; otherwise the
+    whitespace `token_count` of `text_col` is used. The chunk explosion is
+    `sequence()` + explode — pure Catalyst, and each doc explodes into at
+    most ceil(n/context_len)+1 rows, so the fan-out is proportional to the
+    token volume, never quadratic.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    if tokens_col is None:
+        docs = docs.withColumn("_n", token_count(F.col(text_col)))
+    else:
+        docs = docs.withColumn("_n", F.col(tokens_col).cast("bigint"))
+    sized = docs.select(id_col, "_n").where(F.col("_n") > 0)
+    cum = distributed_cumsum(sized, id_col, "_n", "start", num_buckets)
+    ctx = F.lit(context_len)
+    first_c = F.floor(F.col("start") / ctx)
+    last_c = F.floor((F.col("start") + F.col("_n") - 1) / ctx)
+    out = (
+        cum.withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
+        .withColumn(
+            "doc_offset",
+            F.greatest(F.lit(0), F.col("chunk_id") * ctx - F.col("start")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "chunk_offset",
+            F.greatest(F.lit(0), F.col("start") - F.col("chunk_id") * ctx).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "n_tokens",
+            (
+                F.least(F.col("_n"), (F.col("chunk_id") + 1) * ctx - F.col("start"))
+                - F.col("doc_offset")
+            ).cast("bigint"),
+        )
+        .select("chunk_id", id_col, "doc_offset", "chunk_offset", "n_tokens")
+    )
+    return out

@@ -58,6 +58,7 @@ DOCUMENTED_OVERFLOW = {
     "rank_stats",
     "dataset_diff",
     "url_titles",
+    "doc_fingerprint",
 }
 
 

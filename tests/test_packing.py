@@ -1,0 +1,118 @@
+"""Sequence packing (concat-and-chunk) + distributed prefix sum.
+
+Checks the operator against a pure-Python model of the public
+concat-and-chunk recipe, plus the structural invariants a data loader
+relies on (chunk fullness, per-doc token conservation, contiguity), and
+that `distributed_cumsum` is invariant to the bucket count (the scale
+knob must never change the answer).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.packing import distributed_cumsum, pack_chunks
+
+
+def _docs(spark, counts):
+    # doc_id i has counts[i] single-char tokens ("x x x ...")
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(counts)), "text": [" ".join("x" * 1 for _ in range(c)) for c in counts]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _model(counts, ctx):
+    """Pure-Python concat-and-chunk over (doc_id -> token count)."""
+    out, start = [], 0
+    for doc_id, n in enumerate(counts):
+        if n <= 0:
+            continue
+        pos = 0
+        while pos < n:
+            chunk = (start + pos) // ctx
+            take = min(n - pos, (chunk + 1) * ctx - (start + pos))
+            out.append(
+                {
+                    "chunk_id": chunk,
+                    "doc_id": doc_id,
+                    "doc_offset": pos,
+                    "chunk_offset": (start + pos) - chunk * ctx,
+                    "n_tokens": take,
+                }
+            )
+            pos += take
+        start += n
+    return sorted(out, key=lambda r: (r["chunk_id"], r["doc_id"], r["doc_offset"]))
+
+
+def _collect(df):
+    return sorted(
+        (r.asDict() for r in df.collect()),
+        key=lambda r: (r["chunk_id"], r["doc_id"], r["doc_offset"]),
+    )
+
+
+def test_pack_matches_python_model(spark):
+    counts = [3, 7, 1, 0, 12, 2, 2, 9, 1, 1, 30, 4]
+    got = _collect(pack_chunks(_docs(spark, counts), context_len=8, num_buckets=4))
+    assert got == _model(counts, 8)
+
+
+def test_pack_invariants(spark):
+    counts = [5, 17, 3, 9, 1, 1, 40, 2, 6, 11]
+    ctx = 10
+    df = pack_chunks(_docs(spark, counts), context_len=ctx, num_buckets=3)
+    rows = _collect(df)
+    # per-doc conservation
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    assert per_doc == {i: c for i, c in enumerate(counts) if c > 0}
+    # every chunk except the last is exactly full
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + r["n_tokens"]
+    last = max(per_chunk)
+    assert set(per_chunk) == set(range(last + 1))  # no chunk gaps
+    for c, tot in per_chunk.items():
+        assert tot == ctx or (c == last and 0 < tot <= ctx)
+    # doc pieces are contiguous in both doc and chunk coordinates
+    for r in rows:
+        assert 0 <= r["chunk_offset"] < ctx
+        assert r["n_tokens"] >= 1
+        assert r["chunk_offset"] + r["n_tokens"] <= ctx
+
+
+def test_cumsum_bucket_invariance(spark):
+    pdf = pd.DataFrame({"k": [f"id{i:04d}" for i in range(200)], "v": [(i * 7) % 13 for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    expected = None
+    for buckets in (1, 3, 32):
+        got = {
+            r["k"]: r["c"]
+            for r in distributed_cumsum(df, "k", "v", "c", num_buckets=buckets).collect()
+        }
+        if expected is None:
+            expected = got
+        assert got == expected
+    # spot-check against the serial definition
+    run, model = 0, {}
+    for _, row in pdf.sort_values("k").iterrows():
+        model[row["k"]] = run
+        run += row["v"]
+    assert expected == model
+
+
+def test_cumsum_no_single_task_window(spark):
+    """The plan must not contain a partition-less window (the global
+    sort-into-one-task shape this operator exists to avoid)."""
+    df = _docs(spark, [3] * 50)
+    sized = df.withColumn("_n", F.length("text"))
+    plan = distributed_cumsum(sized, "doc_id", "_n")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # Spark prints windows as Window [..], [_bucket#..], [doc_id#.. ASC..]
+            # a global window would have an empty partition spec `], [],`
+            assert "], [], [" not in line.replace(" ", "")
