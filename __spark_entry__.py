@@ -1647,6 +1647,42 @@ def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_near_dups(docs, threshold=0.8).select("doc_id")
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full curation composition (quality gate -> exact dedup ->
+    # decontaminate -> domain cap -> PII scrub) over a fixture where every
+    # stage provably fires: doc_id%37==3 rows become punct-only (killed by
+    # the punct gate), %41==1 rows share one boilerplate text (collapsed
+    # by exact dedup to the min id), %4==0 rows carry injected PII
+    # (scrubbed in the output), %97==0 rows are the benchmark side
+    from kgdata_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    punct = " ".join(["!?#"] * 35)
+    boiler = " ".join(f"boiler{i}" for i in range(35))
+    t = (
+        F.when(k % 37 == 3, F.lit(punct))
+        .when(k % 41 == 1, F.lit(boiler))
+        .when(
+            k % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                k.cast("string"),
+                F.lit("@mail.com call 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    fix = docs.select("doc_id", "source", t.alias("text"))
+    bench = docs.where(k % 97 == 0).select("doc_id", "source", "text")
+    corpus = fix.where(k % 97 != 0)
+    out = curate_corpus(
+        corpus, bench, min_tokens=30, max_punct=0.25, max_per_domain=15, ngram=5
+    )
+    return out.withColumn("n_chars", F.col("n_chars").cast("bigint"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk sequence packing: documents laid end-to-end in
     # doc_id order, cut every 512 tokens; one row per (doc, chunk)
@@ -2035,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "drop_near_dups": q_drop_near_dups,
         "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3084,6 +3121,68 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                          MIN(c_custkey) OVER (PARTITION BY c_custkey % 40) AS m
                   FROM customer)
             WHERE c_custkey = m
+        """,
+        # curate_corpus: serial replay of the five-stage curation
+        # composition; fixture injection CASE mirrors q_curate_corpus
+        # exactly (punct gate victims, boilerplate dup group, PII rows)
+        "curate_corpus": """
+            WITH fix AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 37 = 3
+                                 THEN '"""
+        + " ".join(["!?#"] * 35)
+        + """'
+                            WHEN doc_id % 41 = 1
+                                 THEN '"""
+        + " ".join(f"boiler{i}" for i in range(35))
+        + """'
+                            WHEN doc_id % 4 = 0
+                                 THEN text || ' contact user' || doc_id ||
+                                      '@mail.com call 555-123-4567'
+                            ELSE text END AS text
+                FROM documents),
+            bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+            corpus AS (SELECT * FROM fix WHERE doc_id % 97 <> 0),
+            q AS (
+                SELECT * FROM corpus
+                WHERE (CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END) >= 30
+                  AND (CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                 AS DOUBLE) / length(text)
+                       END) <= 0.25),
+            ded AS (
+                SELECT q.* FROM q
+                JOIN (SELECT text, MIN(doc_id) AS doc_id FROM q GROUP BY text) m
+                  ON q.text = m.text AND q.doc_id = m.doc_id),
+            tw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ded),
+            bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w FROM bench),
+            tsh AS (SELECT DISTINCT doc_id,
+                           array_to_string(w[CAST(i.v AS INT):CAST(i.v + 4 AS INT)], ' ') AS g
+                    FROM tw, range(1, 10000) i(v) WHERE i.v <= len(w) - 4),
+            bsh AS (SELECT DISTINCT
+                           array_to_string(w[CAST(i.v AS INT):CAST(i.v + 4 AS INT)], ' ') AS g
+                    FROM bw, range(1, 10000) i(v) WHERE i.v <= len(w) - 4),
+            clean AS (
+                SELECT * FROM ded
+                WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (g))),
+            capped AS (
+                SELECT doc_id, source, text FROM (
+                    SELECT d.*,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY length(text) DESC,
+                                                       doc_id ASC) AS rn
+                    FROM clean d)
+                WHERE rn <= 15)
+            SELECT doc_id, source,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS text
+            FROM capped
         """,
         # pack_sequences: serial window replay of the concat-and-chunk
         # packing — token counts from the same words CTE proven by

@@ -245,3 +245,56 @@ def sample_mixture(
         .where(u < F.col("keep_rate"))
         .drop("_w")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 10,
+    max_punct: float = 0.3,
+    max_per_domain: int = 100,
+    ngram: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full curation pass, end-to-end — the composition a pretraining
+    pipeline actually runs, in the standard order:
+
+      1. quality gate: >= `min_tokens` whitespace tokens AND punct ratio
+         <= `max_punct` (cheap stateless filters first, before anything
+         that shuffles);
+      2. exact dedup: one survivor per identical text, min id wins
+         (groupBy-min + semi-join — no window over a mega-dup key);
+      3. benchmark decontamination (`decontaminate`, shingle equi-join);
+      4. per-domain cap (`cap_per_domain`, salted two-phase top-K);
+      5. PII scrub on the survivors' text (scrub last: only survivors pay
+         the regex pass).
+
+    Every stage is an operator proven on its own elsewhere in this module
+    / `dedup.py`; this function pins the composition order and the
+    inter-stage column contract. Returns (id, source, n_chars of the raw
+    text, scrubbed text).
+    """
+    from kgdata_spark.functions.text import punct_ratio, token_count
+
+    q = docs.where(
+        (token_count(F.col(text_col)) >= min_tokens)
+        & (punct_ratio(F.col(text_col)) <= max_punct)
+    )
+    keep = q.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    deduped = q.join(keep, [text_col, id_col], "left_semi")
+    clean = decontaminate(deduped, benchmark, text_col, id_col, ngram)
+    capped = cap_per_domain(
+        clean.withColumn("_len", F.length(text_col)),
+        domain_col=source_col,
+        order_col="_len",
+        id_col=id_col,
+        max_per_domain=max_per_domain,
+    )
+    return capped.select(
+        id_col,
+        source_col,
+        F.length(text_col).alias("n_chars"),
+        scrub_pii(F.col(text_col)).alias("text"),
+    )

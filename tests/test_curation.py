@@ -122,3 +122,48 @@ def test_sample_mixture_rates_and_determinism(spark):
     # deterministic: same membership on re-run
     again = sample_mixture(docs, targets)
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_curate_corpus_composition(spark):
+    from kgdata_spark.operators.curation import curate_corpus
+
+    long = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        # two exact dups of a good doc -> min id (1) survives
+        (1, "a", long),
+        (2, "a", long),
+        # punct-heavy but token-rich -> killed by the punct gate
+        (3, "a", " ".join(["!?#"] * 40)),
+        # too short -> killed by the token gate
+        (4, "a", "tiny doc"),
+        # PII carrier -> survives, scrubbed
+        (5, "b", long + " x" * 0 + " mail me bob.smith+x@corp.example.org now " + " ".join(f"u{i}" for i in range(30))),
+        # shares a 5-gram window with the benchmark -> decontaminated
+        (6, "b", long.replace("w0", "b0").replace("w1", "b1") + " q5 q6 q7 q8 q9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(99, "z", "q5 q6 q7 q8 q9")], "doc_id long, source string, text string")
+    out = curate_corpus(docs, bench, min_tokens=10, max_punct=0.25,
+                        max_per_domain=10, ngram=5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 5}
+    assert "<EMAIL>" in got[5].text and "@" not in got[5].text
+    # n_chars is the RAW length (pre-scrub)
+    assert got[5].n_chars == len(rows[4][2])
+
+
+def test_curate_corpus_cap_applies_after_dedup(spark):
+    from kgdata_spark.operators.curation import curate_corpus
+
+    # 5 distinct good docs + 5 dups of the first, cap=4: dedup first means
+    # the cap sees 5 candidates and keeps the 4 longest, NOT 4-of-10
+    mk = lambda i, pad: (i, "s", " ".join(f"t{i}_{j}" for j in range(12 + pad)))
+    rows = [mk(i, i) for i in range(5)] + [(10 + i, "s", mk(0, 0)[2]) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(99, "z", "nothing shared here at all")],
+                                  "doc_id long, source string, text string")
+    out = curate_corpus(docs, bench, min_tokens=5, max_punct=0.5,
+                        max_per_domain=4, ngram=5)
+    ids = {r.doc_id for r in out.collect()}
+    # longest four of the five distinct docs: pads 4,3,2,1 -> ids 4,3,2,1
+    assert ids == {1, 2, 3, 4}

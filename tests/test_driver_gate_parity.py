@@ -59,6 +59,7 @@ DOCUMENTED_OVERFLOW = {
     "dataset_diff",
     "url_titles",
     "doc_fingerprint",
+    "lang_id",
 }
 
 
