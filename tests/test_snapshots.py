@@ -1,0 +1,96 @@
+"""Snapshot layer: atomic commit, time travel, rollback, crash safety,
+expiry — the Iceberg-semantics contract on plain parquet dirs."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kgdata_spark.pipeline.snapshots import (
+    expire_snapshots,
+    latest_version,
+    read_snapshot,
+    rollback,
+    snapshot_history,
+    snapshot_write,
+)
+
+
+def _df(spark, n, tag):
+    return spark.range(n).selectExpr("id", f"'{tag}' AS tag")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    t = str(tmp_path)
+    v0, c0 = snapshot_write(_df(spark, 5, "a"), t, "ents")
+    v1, c1 = snapshot_write(_df(spark, 8, "b"), t, "ents")
+    assert (v0, v1) == (0, 1) and c0 != c1
+    assert latest_version(t, "ents") == 1
+    assert _ids(read_snapshot(spark, t, "ents")) == list(range(8))
+    # time travel
+    old = read_snapshot(spark, t, "ents", version=0)
+    assert _ids(old) == list(range(5))
+    assert [h["version"] for h in snapshot_history(t, "ents")] == [0, 1]
+    assert snapshot_history(t, "ents")[-1]["is_latest"]
+
+
+def test_crashed_writer_is_invisible_and_reaped(spark, tmp_path):
+    t = str(tmp_path)
+    snapshot_write(_df(spark, 5, "a"), t, "ents")
+    # simulate a writer that died mid-write: data without manifest/pointer
+    orphan = os.path.join(t, "ents", "snap-000001", "data")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("garbage, never committed")
+    # readers still see v0 only
+    assert latest_version(t, "ents") == 0
+    assert _ids(read_snapshot(spark, t, "ents")) == list(range(5))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, "ents", version=1)
+    # next write reaps the orphan and commits as version 1
+    v, _ = snapshot_write(_df(spark, 3, "b"), t, "ents")
+    assert v == 1
+    assert _ids(read_snapshot(spark, t, "ents")) == list(range(3))
+
+
+def test_rollback_then_new_write(spark, tmp_path):
+    t = str(tmp_path)
+    snapshot_write(_df(spark, 5, "a"), t, "ents")
+    snapshot_write(_df(spark, 8, "b"), t, "ents")
+    rollback(t, "ents", 0)
+    assert latest_version(t, "ents") == 0
+    assert _ids(read_snapshot(spark, t, "ents")) == list(range(5))
+    # a write after rollback REAPS the rolled-back-over v1 (it is above
+    # the pointer, i.e. no longer committed) and becomes the new v1
+    v, _ = snapshot_write(_df(spark, 2, "c"), t, "ents")
+    assert v == 1
+    assert _ids(read_snapshot(spark, t, "ents")) == [0, 1]
+    with pytest.raises(FileNotFoundError):
+        rollback(t, "ents", 7)
+
+
+def test_expiry_keeps_pointer_and_tail(spark, tmp_path):
+    t = str(tmp_path)
+    for i in range(4):
+        snapshot_write(_df(spark, i + 1, f"v{i}"), t, "ents")
+    removed = expire_snapshots(t, "ents", keep_last=2)
+    assert removed == [0, 1]
+    assert [h["version"] for h in snapshot_history(t, "ents")] == [2, 3]
+    # the pointed snapshot survives even when keep_last would drop it
+    rollback(t, "ents", 2)
+    assert expire_snapshots(t, "ents", keep_last=1) == []
+    assert _ids(read_snapshot(spark, t, "ents")) == [0, 1, 2]
+
+
+def test_pointer_file_is_json_with_checksum(spark, tmp_path):
+    t = str(tmp_path)
+    _, c = snapshot_write(_df(spark, 5, "a"), t, "ents")
+    with open(os.path.join(t, "ents", "_LATEST")) as f:
+        ptr = json.load(f)
+    assert ptr == {"version": 0, "checksum": c}
