@@ -19,6 +19,12 @@ Local/sandbox usage (synthetic corpus):
 Every stage is checkpointed (manifest + per-partition lineage); re-running
 with the same inputs skips completed stages — kill it mid-run and it
 resumes (reference semantics: dataset.py:367-428).
+
+Snapshot publishing (Iceberg-snapshot contract, pipeline/snapshots.py):
+`--publish TABLE_DIR` commits the final triples atomically (pointer swap
+after manifest verify — a crashed publish never clobbers the last good
+table); `--history TABLE_DIR STAGE` lists committed versions;
+`--rollback TABLE_DIR STAGE V` re-points.
 """
 
 from __future__ import annotations
@@ -50,12 +56,35 @@ def main(argv: list[str] | None = None) -> int:
                    help="re-partition an existing parquet dataset into --out "
                         "at ~--target-mb per file, then exit (reference "
                         "dataset.py:626-667 CLI)")
+    p.add_argument("--publish", metavar="TABLE_DIR", default=None,
+                   help="after the pipeline run, commit the final triples "
+                        "dataset as a new atomic snapshot of stage 'triples' "
+                        "under TABLE_DIR (crash-safe pointer-swap publish; "
+                        "inspect with --history, undo with --rollback)")
+    p.add_argument("--history", nargs=2, metavar=("TABLE_DIR", "STAGE"),
+                   default=None, help="print committed snapshot history")
+    p.add_argument("--rollback", nargs=3, metavar=("TABLE_DIR", "STAGE", "V"),
+                   default=None, help="re-point STAGE at snapshot V")
     p.add_argument("--target-mb", type=int, default=64,
                    help="target output file size for --rebalance (MB)")
     args = p.parse_args(argv)
 
     from kgdata_spark.session import get_spark
     from kgdata_spark.pipeline.run import run_pipeline
+
+    if args.history:
+        from kgdata_spark.pipeline.snapshots import snapshot_history
+
+        print(json.dumps(snapshot_history(args.history[0], args.history[1])))
+        return 0
+
+    if args.rollback:
+        from kgdata_spark.pipeline.snapshots import rollback
+
+        rollback(args.rollback[0], args.rollback[1], int(args.rollback[2]))
+        print(json.dumps({"rolled_back": args.rollback[1],
+                          "to_version": int(args.rollback[2])}))
+        return 0
 
     spark = get_spark(app_name="kgdata_spark_pipeline", master=args.master)
 
@@ -128,12 +157,22 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     checksums = run_pipeline(spark, source, aliases, redirects, entities,
                              args.out, timings=timings)
-    print(json.dumps({
+    result = {
         "out": args.out,
         "wall_sec": round(time.time() - t0, 2),
         "stage_sec": timings,
         "stage_checksums": checksums,
-    }))
+    }
+    if args.publish:
+        import os
+
+        from kgdata_spark.pipeline.snapshots import snapshot_write
+
+        triples = spark.read.parquet(os.path.join(args.out, "triples"))
+        version, checksum = snapshot_write(triples, args.publish, "triples")
+        result["published"] = {"table_dir": args.publish, "stage": "triples",
+                               "version": version, "checksum": checksum}
+    print(json.dumps(result))
     return 0
 
 
