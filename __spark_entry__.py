@@ -1647,6 +1647,36 @@ def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_near_dups(docs, threshold=0.8).select("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup removal of an arriving batch against a persisted corpus
+    # index. Closed-form fixture: old docs (even ids) cover token groups
+    # k%40, new docs (odd ids) token groups k%50 — a new doc in groups
+    # 0..39 always collides with the corpus (dropped), groups 40..49 are
+    # corpus-free so exactly the min new doc per group survives
+    from kgdata_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_drop_near_dups,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def text(g, rot):
+        ts = [F.format_string(f"t%d{s}", g) for s in ("a", "b", "c")]
+        return (
+            F.when(rot == 0, F.concat_ws(" ", *ts))
+            .when(rot == 1, F.concat_ws(" ", ts[1], ts[2], ts[0]))
+            .otherwise(F.concat_ws(" ", ts[2], ts[0], ts[1]))
+        )
+
+    old = c.select((k * 2).cast("bigint").alias("doc_id"),
+                   text(k % 40, k % 3).alias("text"))
+    new = c.select((k * 2 + 1).cast("bigint").alias("doc_id"),
+                   text(k % 50, (k + 1) % 3).alias("text"))
+    out = incremental_drop_near_dups(new, build_dedup_index(old), threshold=0.8)
+    return out.select("doc_id")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full curation composition (quality gate -> exact dedup ->
     # decontaminate -> domain cap -> PII scrub) over a fixture where every
@@ -2072,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_near_dups": q_drop_near_dups,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
+        "incremental_dedup": q_incremental_dedup,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3121,6 +3152,13 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                          MIN(c_custkey) OVER (PARTITION BY c_custkey % 40) AS m
                   FROM customer)
             WHERE c_custkey = m
+        """,
+        # incremental_dedup: the fixture construction (q_incremental_dedup)
+        # makes the survivor set exactly min new doc per corpus-free group
+        "incremental_dedup": """
+            SELECT CAST(2 * MIN(c_custkey) + 1 AS BIGINT) AS doc_id
+            FROM customer WHERE c_custkey % 50 >= 40
+            GROUP BY c_custkey % 50
         """,
         # curate_corpus: serial replay of the five-stage curation
         # composition; fixture injection CASE mirrors q_curate_corpus

@@ -387,3 +387,199 @@ def drop_near_dups(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Persistable near-dup index: ONE row per doc carrying everything a
+    future batch needs to dedup against this corpus without rescanning it —
+    (id, bands: array<struct<band_no, band_val>>, toks, sz).
+
+    At 100 TB this is the production shape: re-running LSH over the whole
+    corpus per arriving increment is O(corpus) per batch; the index is
+    written once (snapshot-published like any stage) and each increment
+    only scans itself plus an equi-join against the index. One shuffle:
+    the minhash aggregates and the sorted token set come out of the SAME
+    groupBy; band values are derived column expressions on top.
+    """
+    tokens = doc_tokens(docs, id_col, text_col)
+    toks_arr = F.sort_array(F.collect_set("token"))
+    if max_tokens is not None:
+        toks_arr = F.slice(toks_arr, 1, max_tokens)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ] + [
+        toks_arr.alias("toks"),
+        (
+            F.least(F.count("*"), F.lit(max_tokens))
+            if max_tokens is not None
+            else F.count("*")
+        ).alias("sz"),
+    ]
+    per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        tokens.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, bands.alias("bands"), "toks", "sz")
+    )
+
+
+def _index_jaccard(pairs: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+    """jaccard for (id_a, id_b) pairs from two index tables' token arrays."""
+    a = left.select(F.col(left.columns[0]).alias("id_a"),
+                    F.col("toks").alias("_ta"), F.col("sz").alias("sz_a"))
+    b = right.select(F.col(right.columns[0]).alias("id_b"),
+                     F.col("toks").alias("_tb"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6)
+                .alias("jaccard"))
+    )
+
+
+def incremental_drop_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Drop near-dups from an arriving batch against an existing corpus
+    `index` (from `build_dedup_index`) — the incremental form of
+    `drop_near_dups`, equivalent to re-running the batch operator over
+    (indexed corpus ∪ new batch) and keeping only new-batch survivors,
+    whenever the indexed corpus is internally dup-free and its ids sort
+    below the batch's (both hold for a corpus the batch operator built).
+
+    Rules (matching what the batch global run would decide):
+      * a new-new near-dup component that touches ANY indexed doc — even
+        through a chain — is dropped entirely (the batch cluster's
+        representative is the older indexed doc);
+      * an untouched new-new component keeps exactly its min-id member;
+      * unpaired new docs survive.
+
+    Cost per batch: O(batch) scan + band equi-joins against the index —
+    the corpus itself is never rescanned or repaired.
+    """
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    new_idx = build_dedup_index(
+        new_docs, id_col, text_col, max_tokens=max_tokens
+    )
+    # Exact-collapse both sides first (textbook order, mirroring
+    # near_dup_pairs' collapse_exact): identical token sets ⇒ identical
+    # signatures ⇒ jaccard-1 near-dups, so ONE representative per set
+    # goes through banding/verify and the group expands afterwards.
+    # Without this, K copies of one token set put K rows in every band
+    # bucket → K² candidate pairs (measured 60s at sf0.1 on the
+    # group-structured fixture; collapsed it is linear in K).
+    sig = F.md5(F.concat_ws("\x1f", F.col("toks")))
+    oid = index.columns[0]
+    new_g = new_idx.withColumn("_sig", sig).join(
+        new_idx.withColumn("_sig", sig)
+        .groupBy("_sig")
+        .agg(F.min(id_col).alias("_rep")),
+        "_sig",
+    )
+    new_rep_idx = new_g.where(F.col(id_col) == F.col("_rep")).drop("_sig", "_rep")
+    old_rep_idx = (
+        index.withColumn("_sig", sig)
+        .join(
+            index.withColumn("_sig", sig)
+            .groupBy("_sig")
+            .agg(F.min(oid).alias("_rep")),
+            "_sig",
+        )
+        .where(F.col(oid) == F.col("_rep"))
+        .drop("_sig", "_rep")
+    )
+    nb = new_rep_idx.select(
+        F.col(id_col), F.explode("bands").alias("b")
+    ).select(id_col, "b.band_no", "b.band_val")
+    ob = old_rep_idx.select(
+        F.col(oid).alias("_oid"), F.explode("bands").alias("b")
+    ).select("_oid", "b.band_no", "b.band_val")
+    if max_bucket is not None:
+        width = (
+            nb.select(F.col(id_col).alias("_x"), "band_no", "band_val")
+            .unionByName(ob.select(F.col("_oid").alias("_x"), "band_no", "band_val"))
+            .groupBy("band_no", "band_val")
+            .agg(F.count("*").alias("_w"))
+            .where(F.col("_w") <= max_bucket)
+            .select("band_no", "band_val")
+        )
+        nb = nb.join(width, ["band_no", "band_val"], "left_semi")
+        ob = ob.join(width, ["band_no", "band_val"], "left_semi")
+    # new-vs-old candidates -> verified -> the "dirty" new ids
+    cand_no = (
+        nb.join(ob, ["band_no", "band_val"])
+        .select(F.col(id_col).alias("id_a"), F.col("_oid").alias("id_b"))
+        .distinct()
+    )
+    ver_no = _index_jaccard(cand_no, new_rep_idx, old_rep_idx).where(
+        F.col("jaccard") >= threshold
+    )
+    dirty = ver_no.select(F.col("id_a").alias(id_col)).distinct()
+    # new-vs-new candidates -> verified -> components over the batch
+    a = nb.select(F.col(id_col).alias("id_a"), "band_no", "band_val")
+    b = nb.select(F.col(id_col).alias("id_b"), "band_no", "band_val")
+    cand_nn = (
+        a.join(b, ["band_no", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ver_nn = _index_jaccard(cand_nn, new_rep_idx, new_rep_idx).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(
+        ver_nn.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # singleton dirty docs (no new-new pair) form their own component
+    comp_full = comp.unionByName(
+        dirty.join(comp.select(F.col("node").alias(id_col)), id_col, "left_anti")
+        .select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    )
+    dirty_comps = (
+        comp_full.join(dirty.withColumnRenamed(id_col, "node"), "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    rep_losers = comp_full.join(dirty_comps, "component", "left_semi").select(
+        F.col("node").alias(id_col)
+    ).unionByName(
+        # clean components: every rep but the min id
+        comp_full.join(dirty_comps, "component", "left_anti")
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    # expand the collapse: a non-rep member's fate is its rep's, except
+    # that even a surviving rep's exact dups lose (they are jaccard-1
+    # near-dups of it) — i.e. every non-rep member loses
+    member_losers = new_g.where(F.col(id_col) != F.col("_rep")).select(id_col)
+    losers = rep_losers.unionByName(member_losers).distinct()
+    return new_docs.join(losers, id_col, "left_anti")

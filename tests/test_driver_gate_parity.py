@@ -60,6 +60,7 @@ DOCUMENTED_OVERFLOW = {
     "url_titles",
     "doc_fingerprint",
     "lang_id",
+    "doc_quality",
 }
 
 

@@ -1,0 +1,116 @@
+"""Incremental near-dup removal vs the batch operator.
+
+The contract: incremental over (index, new batch) == batch over the union,
+restricted to the batch — including chains that touch the corpus only
+transitively. Also: the index survives a parquet roundtrip (it is the
+persistable artifact).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kgdata_spark.operators.dedup import (
+    build_dedup_index,
+    drop_near_dups,
+    incremental_drop_near_dups,
+)
+
+
+def _toks(*groups):
+    return " ".join(groups)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def _fixture(spark):
+    t = [f"t{i}" for i in range(10)]
+    old = _mk(
+        spark,
+        [
+            (1, " ".join(t)),                      # A
+            (2, "alpha beta gamma delta"),         # unrelated old doc
+        ],
+    )
+    new = _mk(
+        spark,
+        [
+            # B ~ A directly (9 shared of 11)
+            (10, " ".join(t[:9] + ["x"])),
+            # C ~ B but NOT ~ A (8 shared of 12 with A) -> dropped only
+            # through the chain
+            (11, " ".join(t[:8] + ["x", "y"])),
+            # D,E,F: clean new-new cluster, min id (12) survives
+            (12, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0"),
+            (13, "u1 u2 u3 u4 u5 u6 u7 u8 u9 z1"),
+            (14, "u1 u2 u3 u4 u5 u6 u7 u8 z1 u0"),
+            # G: unpaired, survives
+            (15, "totally distinct content here"),
+        ],
+    )
+    return old, new
+
+
+def test_incremental_matches_batch(spark):
+    old, new = _fixture(spark)
+    idx = build_dedup_index(old)
+    inc = {r.doc_id for r in incremental_drop_near_dups(new, idx).collect()}
+    batch = {
+        r.doc_id
+        for r in drop_near_dups(old.unionByName(new)).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == batch
+    assert inc == {12, 15}
+
+
+def test_chain_through_corpus_drops_whole_component(spark):
+    old, new = _fixture(spark)
+    idx = build_dedup_index(old)
+    out = {r.doc_id for r in incremental_drop_near_dups(new, idx).collect()}
+    # 11 never matches an old doc directly, yet must fall with 10
+    assert 11 not in out and 10 not in out
+
+
+def test_index_parquet_roundtrip(spark, tmp_path):
+    old, new = _fixture(spark)
+    p = str(tmp_path / "idx")
+    build_dedup_index(old).write.parquet(p)
+    idx = spark.read.parquet(p)
+    out = {r.doc_id for r in incremental_drop_near_dups(new, idx).collect()}
+    assert out == {12, 15}
+
+
+def test_empty_batch_and_no_matches(spark):
+    old, _ = _fixture(spark)
+    idx = build_dedup_index(old)
+    fresh = _mk(spark, [(20, "nothing in common one"), (21, "nothing shared two")])
+    out = {r.doc_id for r in incremental_drop_near_dups(fresh, idx).collect()}
+    assert out == {20, 21}
+
+
+def test_exact_dups_in_batch_collapse_and_expand(spark):
+    old, new = _fixture(spark)
+    idx = build_dedup_index(old)
+    extra = _mk(
+        spark,
+        [
+            # exact dup of new doc 12 (the clean-cluster survivor):
+            # collapses into 12's group, loses on expansion
+            (16, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0"),
+            # exact dup of the dirty doc 10: falls with it
+            (17, " ".join([f"t{i}" for i in range(9)] + ["x"])),
+        ],
+    )
+    batch2 = new.unionByName(extra)
+    inc = {r.doc_id for r in incremental_drop_near_dups(batch2, idx).collect()}
+    full = {
+        r.doc_id
+        for r in drop_near_dups(old.unionByName(batch2)).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full == {12, 15}
