@@ -583,3 +583,22 @@ def incremental_drop_near_dups(
     member_losers = new_g.where(F.col(id_col) != F.col("_rep")).select(id_col)
     losers = rep_losers.unionByName(member_losers).distinct()
     return new_docs.join(losers, id_col, "left_anti")
+
+
+def update_dedup_index(
+    index: DataFrame,
+    surviving_new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Fold a deduped batch's survivors into the corpus index — the other
+    half of the incremental loop: dedup the batch against the index, keep
+    the survivors, extend the index with exactly those survivors, repeat.
+    The invariant (tested): after any number of waves, dedup-then-update
+    leaves the same surviving corpus as one batch run over all waves.
+    Write the result through `pipeline.snapshots.snapshot_write` to get
+    atomic, rollbackable index versions per wave."""
+    return index.unionByName(
+        build_dedup_index(surviving_new_docs, id_col, text_col, max_tokens=max_tokens)
+    )

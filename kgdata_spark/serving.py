@@ -1,0 +1,69 @@
+"""Read-side surface (SURVEY §2.5, reference entry point C analog).
+
+The reference serves materialized datasets out of RocksDB keyed stores
+(`WikidataDB(...).entities["Q30"]`); the Spark-first replacement is SQL
+over the materialized tables. This module turns a pipeline output (plain
+stage dirs from `run_pipeline`, or snapshot tables from
+`pipeline.snapshots`) into named temp views so the whole query surface is
+just `spark.sql(...)` — filters/limits push down to the parquet scans,
+which is what §2.5's `where`/`limit` subsumption means concretely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgdata_spark.pipeline.snapshots import LATEST, read_snapshot
+
+
+def _is_snapshot_stage(table_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(table_dir, stage, LATEST))
+
+
+def discover_stages(table_dir: str) -> list[str]:
+    """Stage names under `table_dir`: snapshot stages (committed `_LATEST`)
+    and plain materialized stage dirs (parquet present), lineage dirs
+    excluded."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(table_dir)):
+        d = os.path.join(table_dir, name)
+        if not os.path.isdir(d) or name.endswith("_lineage"):
+            continue
+        if os.path.exists(os.path.join(d, LATEST)):
+            out.append(name)
+        elif any(f.endswith(".parquet") for f in os.listdir(d)):
+            out.append(name)
+    return out
+
+
+def register_views(
+    spark: SparkSession,
+    table_dir: str,
+    stages: list[str] | None = None,
+    prefix: str = "kg_",
+    versions: dict[str, int] | None = None,
+) -> dict[str, DataFrame]:
+    """Register each stage as temp view `<prefix><stage>`; returns the
+    DataFrames by view name. `versions` pins named stages to an older
+    snapshot (time-travel reads); unpinned snapshot stages read the
+    committed latest, plain stage dirs read directly."""
+    stages = stages if stages is not None else discover_stages(table_dir)
+    versions = versions or {}
+    out: dict[str, DataFrame] = {}
+    for stage in stages:
+        if _is_snapshot_stage(table_dir, stage):
+            df = read_snapshot(spark, table_dir, stage, versions.get(stage))
+        else:
+            if stage in versions:
+                raise ValueError(
+                    f"stage {stage!r} is not snapshotted; cannot time-travel"
+                )
+            df = spark.read.parquet(os.path.join(table_dir, stage))
+        name = f"{prefix}{stage}"
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -114,3 +114,42 @@ def test_exact_dups_in_batch_collapse_and_expand(spark):
         if r.doc_id >= 10
     }
     assert inc == full == {12, 15}
+
+
+def test_multi_wave_loop_matches_one_batch_run(spark):
+    """dedup wave_i vs index; fold survivors in; repeat — must equal one
+    global batch run, wave by wave."""
+    from kgdata_spark.operators.dedup import update_dedup_index
+
+    t = [f"t{i}" for i in range(10)]
+    waves = [
+        [(1, " ".join(t)), (2, "alpha beta gamma delta")],
+        [(10, " ".join(t[:9] + ["x"])),            # ~1 directly
+         (11, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m0")],   # new cluster seed
+        [(20, "m1 m2 m3 m4 m5 m6 m7 m8 m9 z9"),    # ~11 (survivor of w2)
+         (21, " ".join(t[:8] + ["x", "y"])),       # ~10 (a LOSER of w2):
+                                                    # chain into the corpus
+                                                    # only via a dropped doc
+         (22, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0")],   # fresh, survives
+    ]
+    dfs = [_mk(spark, w) for w in waves]
+    # incremental loop
+    idx = build_dedup_index(dfs[0])
+    corpus_ids = {r[0] for r in waves[0]}
+    for df in dfs[1:]:
+        surv = incremental_drop_near_dups(df, idx)
+        corpus_ids |= {r.doc_id for r in surv.collect()}
+        idx = update_dedup_index(idx, surv)
+    # one batch run over everything
+    allw = dfs[0]
+    for df in dfs[1:]:
+        allw = allw.unionByName(df)
+    batch_ids = {r.doc_id for r in drop_near_dups(allw).collect()}
+    # NOTE the one documented divergence: batch sees the 10~21 pair even
+    # though 10 lost in wave 2, so 21 falls with it; the incremental loop
+    # dropped 10 from the index, so 21 no longer has a witness. Both
+    # policies are defensible; the loop's contract is "vs the SURVIVING
+    # corpus", so assert that exactly.
+    assert corpus_ids - batch_ids == {21}
+    assert batch_ids - corpus_ids == set()
+    assert corpus_ids == {1, 2, 11, 22, 21}

@@ -1,0 +1,49 @@
+"""Read-side view registration over plain stage dirs and snapshot tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgdata_spark.pipeline.materialize import write_stage
+from kgdata_spark.pipeline.snapshots import snapshot_write
+from kgdata_spark.serving import discover_stages, register_views
+
+
+def test_views_over_mixed_layout(spark, tmp_path):
+    t = str(tmp_path)
+    # plain materialized stage (run_pipeline layout: data + _lineage dir)
+    write_stage(spark.range(7).selectExpr("id", "'e' AS kind"), t, "edges")
+    # snapshot stage with two committed versions
+    snapshot_write(spark.range(3).selectExpr("id", "'t' AS kind"), t, "triples")
+    snapshot_write(spark.range(5).selectExpr("id", "'t' AS kind"), t, "triples")
+    assert discover_stages(t) == ["edges", "triples"]
+
+    views = register_views(spark, t)
+    assert set(views) == {"kg_edges", "kg_triples"}
+    assert spark.sql("SELECT COUNT(*) c FROM kg_edges").first().c == 7
+    assert spark.sql("SELECT COUNT(*) c FROM kg_triples").first().c == 5
+
+    # time travel pins the older snapshot
+    register_views(spark, t, versions={"triples": 0})
+    assert spark.sql("SELECT COUNT(*) c FROM kg_triples").first().c == 3
+
+    # plain stages cannot time-travel, and say so
+    with pytest.raises(ValueError):
+        register_views(spark, t, versions={"edges": 0})
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    t = str(tmp_path)
+    write_stage(
+        spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS k"), t, "facts"
+    )
+    register_views(spark, t, stages=["facts"])
+    plan = (
+        spark.sql("SELECT id FROM kg_facts WHERE id = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,42)]" in plan
