@@ -2054,6 +2054,58 @@ def q_kg_triples_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The TF-IDF half of the scoring slot (resolve_mentions_tfidf). The
+    # fixture makes idf the deciding factor AGAINST both baselines: EA has
+    # the higher prior and EB ties EA on plain jaccard (both share exactly
+    # one mention token), but EB's shared token is the RARE number (df=1)
+    # while EA's is "item" (df=40) — so tf-idf picks EB everywhere except
+    # j%4==0, where EB's label shares nothing and EA wins. A prior-argmax
+    # OR a plain-jaccard resolution would output EA for every row.
+    from kgdata_spark.pipeline.link import candidate_map, resolve_mentions_tfidf
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    j = k % 40
+    nm = F.format_string("item %d", j)
+    mention_df = c.select(
+        F.format_string("f%d", k).alias("file_id"),
+        nm.alias("mention"),
+        nm.alias("norm_mention"),
+        F.format_string("r%d", k % 7).alias("repo"),
+        F.format_string("p%d", k).alias("path"),
+        F.sha2(F.format_string("c%d", k), 256).alias("content_sha256"),
+    )
+    r = F.col("id")
+    voc = spark.range(40)
+    aliases = voc.select(
+        F.format_string("item %d", r).alias("alias"),
+        F.format_string("EA%d", r).alias("entity"),
+        F.lit(2).alias("prior"),
+    ).unionByName(
+        voc.select(
+            F.format_string("item %d", r).alias("alias"),
+            F.format_string("EB%d", r).alias("entity"),
+            F.lit(1).alias("prior"),
+        )
+    )
+    entities = voc.select(
+        F.format_string("EA%d", r).alias("entity"),
+        F.lit("item common").alias("label"),
+    ).unionByName(
+        voc.select(
+            F.format_string("EB%d", r).alias("entity"),
+            F.when(r % 4 == 0, F.format_string("widget x%d", r))
+            .otherwise(F.format_string("widget %d", r))
+            .alias("label"),
+        )
+    )
+    out = resolve_mentions_tfidf(mention_df, candidate_map(aliases), entities)
+    return out.select(
+        "subj", "pred", "obj", "obj_kind", "repo", "path", "content_sha256"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
@@ -2103,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "incremental_dedup": q_incremental_dedup,
+        "kg_triples_tfidf": q_kg_triples_tfidf,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -3152,6 +3205,17 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                          MIN(c_custkey) OVER (PARTITION BY c_custkey % 40) AS m
                   FROM customer)
             WHERE c_custkey = m
+        """,
+        # kg_triples_tfidf: closed-form winners (see q_kg_triples_tfidf —
+        # the rare-token idf beats the prior except where EB shares nothing)
+        "kg_triples_tfidf": """
+            WITH m AS (SELECT c_custkey AS k, c_custkey % 40 AS j FROM customer)
+            SELECT 'f' || k AS subj, 'mentions' AS pred,
+                   CASE WHEN j % 4 = 0 THEN 'EA' || j
+                        ELSE 'EB' || j END AS obj,
+                   'entity' AS obj_kind, 'r' || (k % 7) AS repo,
+                   'p' || k AS path, sha256('c' || k) AS content_sha256
+            FROM m
         """,
         # incremental_dedup: the fixture construction (q_incremental_dedup)
         # makes the survivor set exactly min new doc per corpus-free group

@@ -129,6 +129,122 @@ def resolve_mentions_scored(
     )
 
 
+def resolve_mentions_tfidf(
+    mention_df: DataFrame,
+    cand: DataFrame,
+    entities: DataFrame,
+    w_prior: float = 0.3,
+) -> DataFrame:
+    """The TF-IDF half of the north star's "TF-IDF/Jaccard scoring":
+    argmax of  w·norm_prior + (1−w)·tfidf_cosine(mention, entity label).
+
+    idf(t) = ln((N+1)/(df_t+1)) over the entity-label corpus (N labels);
+    a mention token unseen in any label gets the max idf ln(N+1). Both
+    vectors use binary tf, so cosine = Σ_{t∈m∩l} idf(t)² / (‖m‖·‖l‖).
+    Unlike plain jaccard, a shared RARE token (a distinctive name) can
+    overturn a popularity prior while shared stop-ish tokens cannot —
+    the fixture in `kg_triples_tfidf` pins exactly that behavior.
+
+    Scale shape: idf / per-label norms / per-pair overlaps are all
+    joins+groupBys over the ALIAS×ENTITY dimension (bounded, broadcast
+    via maybe_broadcast); the corpus-sized mention table only ever joins
+    against those precomputed small sides — same cost model as
+    resolve_mentions_scored, plus three dimension-side aggregations.
+    """
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    labels = entities.select(
+        F.col("entity"),
+        F.array_distinct(
+            F.split(norm_mention(F.col("label")), r"\s+")
+        ).alias("label_toks"),
+    )
+    n_row = labels.agg(F.count("*").alias("_N"))
+    lab_tok = labels.select("entity", F.explode("label_toks").alias("t"))
+    idf = (
+        lab_tok.groupBy("t")
+        .agg(F.countDistinct("entity").alias("_df"))
+        .join(F.broadcast(n_row))
+        .select(
+            "t",
+            F.log((F.col("_N") + 1) / (F.col("_df") + 1)).alias("idf"),
+        )
+    )
+    l_norm = (
+        lab_tok.join(maybe_broadcast(idf), "t")
+        .groupBy("entity")
+        .agg(F.sum(F.col("idf") * F.col("idf")).alias("_l2"))
+    )
+    # mention-side vector norms (distinct normalized mentions only)
+    m_dist = (
+        mention_df.select("norm_mention")
+        .distinct()
+        .withColumn(
+            "m_toks", F.array_distinct(F.split(F.col("norm_mention"), r"\s+"))
+        )
+    )
+    m_norm = (
+        m_dist.select("norm_mention", F.explode("m_toks").alias("t"))
+        .join(maybe_broadcast(idf), "t", "left")
+        .join(F.broadcast(n_row))
+        .withColumn("_w", F.coalesce(F.col("idf"), F.log(F.col("_N") + 1)))
+        .groupBy("norm_mention")
+        .agg(F.sum(F.col("_w") * F.col("_w")).alias("_m2"))
+    )
+    # per (norm_alias, entity) shared-token weight: only label tokens can
+    # intersect, so every intersecting token has an idf row
+    pair_ov = (
+        cand.select("norm_alias", "entity")
+        .distinct()
+        .withColumn(
+            "a_toks", F.array_distinct(F.split(F.col("norm_alias"), r"\s+"))
+        )
+        .join(maybe_broadcast(labels), "entity")
+        .select(
+            "norm_alias",
+            "entity",
+            F.explode(F.array_intersect("a_toks", "label_toks")).alias("t"),
+        )
+        .join(maybe_broadcast(idf), "t")
+        .groupBy("norm_alias", "entity")
+        .agg(F.sum(F.col("idf") * F.col("idf")).alias("_ov"))
+    )
+    cands = (
+        cand.withColumn(
+            "max_prior", F.max("prior").over(Window.partitionBy("norm_alias"))
+        )
+        .join(maybe_broadcast(pair_ov), ["norm_alias", "entity"], "left")
+        .join(maybe_broadcast(l_norm), "entity", "left")
+    )
+    scored = mention_df.join(
+        maybe_broadcast(cands), mention_df.norm_mention == cands.norm_alias, "inner"
+    ).join(maybe_broadcast(m_norm), "norm_mention")
+    cosine = F.coalesce(
+        F.col("_ov") / (F.sqrt(F.col("_m2")) * F.sqrt(F.col("_l2"))), F.lit(0.0)
+    )
+    score = (
+        F.lit(w_prior) * (F.col("prior").cast("double") / F.col("max_prior"))
+        + F.lit(1 - w_prior) * cosine
+    )
+    w = Window.partitionBy("file_id", "mention").orderBy(
+        F.desc("score"), F.asc("entity")
+    )
+    return (
+        scored.withColumn("score", F.round(score, 9))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("file_id").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("entity").alias("obj"),
+            F.lit("entity").alias("obj_kind"),
+            "repo",
+            "path",
+            "content_sha256",
+        )
+    )
+
+
 def resolve_class_pairs(pairs: DataFrame, cand: DataFrame) -> DataFrame:
     """(child_alias, parent_alias) → (E_child, subclass_of, E_parent).
 

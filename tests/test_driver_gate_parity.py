@@ -61,6 +61,7 @@ DOCUMENTED_OVERFLOW = {
     "doc_fingerprint",
     "lang_id",
     "doc_quality",
+    "simhash_wide",
 }
 
 

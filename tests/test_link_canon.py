@@ -55,3 +55,35 @@ def test_scored_linking_prefers_label_overlap(spark):
     # prior-only rank-1 is E1 (sanity that the test is discriminating)
     best = cand.where(F.col("rank") == 1).collect()[0]
     assert best.entity == "E1"
+
+
+def test_tfidf_linking_weighs_rare_tokens(spark):
+    """A shared RARE token must beat (a) a higher prior and (b) a
+    plain-jaccard tie: 'item 5' ties EA/EB at jaccard 1/3, but '5' has
+    df=1 while 'item' has df=N — tf-idf must pick EB; the jaccard scorer
+    (prior tiebreak) must pick EA on the same fixture."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.pipeline.link import (
+        candidate_map,
+        resolve_mentions_scored,
+        resolve_mentions_tfidf,
+    )
+
+    mention = spark.createDataFrame(pd.DataFrame({
+        "file_id": ["f1"], "mention": ["item 5"], "norm_mention": ["item 5"],
+        "repo": ["r"], "path": ["p"], "content_sha256": ["x"],
+    }))
+    aliases = spark.createDataFrame(pd.DataFrame({
+        "alias": ["item 5"] * 2, "entity": ["EA", "EB"], "prior": [2, 1],
+    }))
+    # many EA-like labels make 'item' common; '5' appears only in EB's
+    ents = [("EA", "item common")] + [(f"Z{i}", "item other") for i in range(8)]
+    ents.append(("EB", "widget 5"))
+    entities = spark.createDataFrame(pd.DataFrame(ents, columns=["entity", "label"]))
+    cand = candidate_map(aliases)
+    tfidf = resolve_mentions_tfidf(mention, cand, entities).first()
+    jac = resolve_mentions_scored(mention, cand, entities).first()
+    assert tfidf.obj == "EB"
+    assert jac.obj == "EA"
