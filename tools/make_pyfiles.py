@@ -1,0 +1,53 @@
+"""Build the --py-files artifact for cluster submission (north rule:
+"ships as spark-submit --py-files packages").
+
+Usage:
+    python tools/make_pyfiles.py [out.zip]    # default: kgdata_spark.zip
+
+The zip is deterministic (sorted entries, zeroed timestamps) so the same
+tree always produces the same artifact — re-submits are content-addressable
+and cacheable by the cluster's file distribution layer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out_path: str) -> list[str]:
+    pkg = os.path.join(REPO, "kgdata_spark")
+    entries = []
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((os.path.relpath(full, REPO), full))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in entries:
+            with open(full, "rb") as fh:
+                info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+                info.external_attr = 0o644 << 16
+                z.writestr(info, fh.read())
+    return [arc for arc, _ in entries]
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "kgdata_spark.zip")
+    names = build(out)
+    print(f"{out}: {len(names)} modules")
+    print(
+        "submit with:\n"
+        f"  spark-submit --py-files {out} "
+        "--conf spark.sql.adaptive.enabled=true "
+        "kgdata_spark/__main__.py --source ... --out ..."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
