@@ -74,8 +74,12 @@ def distributed_cumsum(
         offsets.append((row["_bucket"], running))
         running += row["_tot"] or 0
     spark = df.sparkSession
+    # Explicit schema: the table is legitimately empty when df has no rows
+    # (schema inference would fail), and the join key must stay IntegerType
+    # to match spark_partition_id().
     off_df = spark.createDataFrame(
-        pd.DataFrame(offsets, columns=["_bucket", "_offset"])
+        pd.DataFrame(offsets, columns=["_bucket", "_offset"]),
+        schema="_bucket int, _offset bigint",
     )
     w = (
         Window.partitionBy("_bucket")

@@ -1,0 +1,56 @@
+"""Fuzz the concat-and-chunk packer against its pure-Python model.
+
+Random token-count profiles (zeros, singletons, docs far longer than the
+context) × context lengths × bucket counts: the Spark plan must always
+reproduce the serial model exactly — the bucket count (the distributed
+prefix-sum's scale knob) must never change the answer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.packing import pack_chunks
+
+
+def _model(counts, ctx):
+    out, start = [], 0
+    for doc_id, n in enumerate(counts):
+        if n <= 0:
+            continue
+        pos = 0
+        while pos < n:
+            chunk = (start + pos) // ctx
+            take = min(n - pos, (chunk + 1) * ctx - (start + pos))
+            out.append((chunk, doc_id, pos, (start + pos) - chunk * ctx, take))
+            pos += take
+        start += n
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    counts=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    ctx=st.integers(1, 17),
+    buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_pack_chunks_matches_model(spark, counts, ctx, buckets):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(counts)),
+                "text": [" ".join("x" for _ in range(c)) for c in counts],
+            }
+        )
+    )
+    got = sorted(
+        (r.chunk_id, r.doc_id, r.doc_offset, r.chunk_offset, r.n_tokens)
+        for r in pack_chunks(docs, context_len=ctx, num_buckets=buckets).collect()
+    )
+    assert got == _model(counts, ctx)
