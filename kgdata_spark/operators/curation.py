@@ -298,3 +298,102 @@ def curate_corpus(
         F.length(text_col).alias("n_chars"),
         scrub_pii(F.col(text_col)).alias("text"),
     )
+
+
+def _md5_uniform(col: Column, seed: str = "") -> Column:
+    """Engine-independent uniform variate in [0, 1): first 8 md5 hex chars
+    of (seed || '|' || value), scaled by 2^32. Same construction as
+    `sample_mixture`'s membership test — bit-replayable in DuckDB
+    (`('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0`), never
+    dependent on partitioning, row order, or engine RNG."""
+    keyed = (
+        F.concat_ws("|", F.lit(seed), col.cast("string"))
+        if seed
+        else col.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: each document lands in
+    exactly one split, decided solely by a hash of its id.
+
+    The standard holdout stage of a pretraining pipeline. Properties a
+    100 TB run needs:
+
+      * a PARTITION of the corpus — the cumulative-threshold ladder over
+        one uniform variate makes membership mutually exclusive and
+        exhaustive by construction (no doc in two splits, none dropped);
+      * deterministic + engine-independent (md5-uniform, see
+        `_md5_uniform`): re-runs, resumes, and late-arriving shards all
+        assign identically, and the DuckDB oracle replays it bit-exactly;
+      * stateless and shuffle-free: a projection over the scan — no join,
+        no window, no collected state. Filters on `split` push down to
+        any materialized copy partitioned by it.
+
+    `fractions` is an ordered (name, fraction) list summing to ~1.0; the
+    last split absorbs the rounding tail (u < 1.0 always). Returns `docs`
+    plus a `split` column.
+    """
+    fr = fractions or [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    total = sum(f for _, f in fr)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = _md5_uniform(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    for name, frac in fr[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(fr[-1][0])
+    return docs.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    dense 0-based `shuffle_pos` in md5(seed || id) order — the "shuffle
+    the corpus before epoch 0" stage, reproducible across runs and
+    engines (no RNG, no partitioning dependence; a different `seed` gives
+    an independent order).
+
+    The global rank is a two-level distributed prefix sum
+    (`packing.distributed_cumsum`): range-bucket on the shuffle key, rank
+    within buckets, broadcast the per-bucket offsets — never a
+    single-task global window, so the plan survives any corpus size the
+    scan survives. The order key is (md5, id) so it stays total even
+    under md5 collisions.
+    """
+    from kgdata_spark.operators.packing import distributed_cumsum
+
+    keyed = (
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+        if seed
+        else F.col(id_col).cast("string")
+    )
+    skey = F.concat_ws("|", F.md5(keyed), F.col(id_col).cast("string"))
+    out = distributed_cumsum(
+        docs.withColumn("_skey", skey).withColumn("_one", F.lit(1)),
+        order_col="_skey",
+        value_col="_one",
+        out_col="shuffle_pos",
+        num_buckets=num_buckets,
+    )
+    return out.drop("_skey", "_one")

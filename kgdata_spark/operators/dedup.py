@@ -602,3 +602,143 @@ def update_dedup_index(
     return index.unionByName(
         build_dedup_index(surviving_new_docs, id_col, text_col, max_tokens=max_tokens)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Exact substring dedup, span-detection half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find every
+    maximal token span whose k-grams occur >= `min_occurrences` times in
+    the WHOLE corpus (across or within documents). The reference collapses
+    whole duplicate pages (kgdata dedups at record granularity,
+    e.g. dataset.py distinct / group-by-id); span dedup is the finer
+    instrument a pretraining corpus needs — boilerplate headers, license
+    blocks, templated paragraphs repeat inside otherwise-unique docs.
+
+    Returns (id, span_start, span_end): 1-based inclusive token intervals,
+    overlapping-or-adjacent duplicated k-gram windows merged per doc. A
+    removal policy composes on top; emitting the span map keeps the
+    operator deterministic and engine-replayable.
+
+    `keep_first=True` applies the Lee et al. policy at gram granularity:
+    the globally-first occurrence of each duplicated k-gram (min by
+    (doc, start)) is NOT reported, so `cut_spans` over this map keeps one
+    copy of every duplicated phrase. The first-occurrence argmin is an
+    aggregate (min over an encoded (doc, start) key — no per-gram window,
+    so a hub gram shared by millions of docs never lands in one task;
+    docs are assumed < 10^6 tokens for the encoding). Caveat inherent to
+    span granularity: a protected first occurrence can still lose tokens
+    to OTHER overlapping duplicated grams whose firsts are elsewhere.
+
+    Scale shape: the corpus-wide occurrence count is ONE groupBy on
+    md5(gram) — a fixed 32-char shuffle key regardless of k (the gram text
+    itself never shuffles); the per-doc interval merge is an array fold
+    over that doc's spans only (bounded by doc length, no window over the
+    corpus). Tokens are single-space splits, positions 1-based, so DuckDB
+    replays the whole thing bit-for-bit.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    n_starts = F.size("_t") - F.lit(k - 1)
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.array_join(F.slice("_t", i, k), " ")).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    enc = F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("start")
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(enc).alias("_first"))
+        .where(F.col("n") >= min_occurrences)
+        .select("gh", "_first")
+    )
+    occ = grams.join(dup, "gh")
+    if keep_first:
+        occ = occ.where(enc != F.col("_first"))
+    spans = occ.select(
+        id_col, "start", (F.col("start") + F.lit(k - 1)).alias("end")
+    )
+    iv = F.array_sort(F.collect_list(F.struct("start", "end")))
+    merged = spans.groupBy(id_col).agg(iv.alias("_iv"))
+    # fold the sorted intervals: extend the open interval while the next
+    # start is <= open.end + 1 (overlap or adjacency), else emit a new one
+    folded = F.aggregate(
+        F.slice("_iv", 2, F.greatest(F.size("_iv") - 1, F.lit(0))),
+        F.slice("_iv", 1, 1),
+        lambda acc, x: F.when(
+            x["start"] <= F.element_at(acc, -1)["end"] + 1,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(F.element_at(acc, -1)["end"], x["end"]).alias(
+                            "end"
+                        ),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return (
+        merged.select(id_col, F.explode(folded).alias("s"))
+        .select(
+            id_col,
+            F.col("s.start").alias("span_start"),
+            F.col("s.end").alias("span_end"),
+        )
+    )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a span map (id, span_start, span_end — 1-based inclusive token
+    intervals, e.g. from `duplicated_spans`) to the corpus: delete the
+    covered tokens and re-join the survivors with single spaces. Docs with
+    no spans pass through untouched (left join). The removal POLICY — cut
+    everywhere, keep the first occurrence, keep one doc per duplicate
+    cluster — is whatever produced the span map; this operator is the
+    mechanical cut, kept separate so each policy stays independently
+    testable and oracle-replayable.
+
+    Plan shape: spans aggregate to one array per doc (the only shuffle),
+    then the cut is a per-row filter over that doc's token array — a
+    Catalyst HOF, no Python, no window.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cut")
+    )
+    t = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        t,
+        lambda x, i: ~F.exists(
+            F.col("_cut"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    out_text = F.when(F.col("_cut").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    return docs.join(per_doc, id_col, "left").withColumn(
+        text_col, out_text
+    ).drop("_cut")

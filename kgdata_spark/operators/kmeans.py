@@ -46,11 +46,15 @@ def assign_clusters(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
     )
+    # Seed with the k smallest ids. orderBy().limit(k) plans as
+    # TakeOrderedAndProject — a distributed per-partition top-k merged at
+    # the driver — NOT a global window, which would drag every vector into
+    # one task. The row_number window then runs over k rows only.
+    seeds = v.orderBy("id").limit(k)
     w0 = Window.orderBy("id")
-    centroids = (
-        v.withColumn("_rn", F.row_number().over(w0))
-        .where(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).alias("cidx"), F.col("vec").alias("cvec"))
+    centroids = seeds.select(
+        (F.row_number().over(w0) - 1).alias("cidx"),
+        F.col("vec").alias("cvec"),
     )
 
     assigned = None

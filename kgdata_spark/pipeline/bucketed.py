@@ -1,0 +1,93 @@
+"""Bucketed materialization: shuffle-free repeated joins on a stable key.
+
+The KG pipeline joins on the same keys over and over — entity id for the
+fix pass / degrees / sitelinks / meta-graph, mention for linking, doc id
+for dedup verification. On one run Catalyst shuffles both sides of each
+such join; at 100 TB those exchanges ARE the job. Bucketing is Spark's
+answer (the analog of the reference pre-partitioning its persisted RDDs
+so `does_result_dir_exist` reloads land pre-keyed): write the table
+hash-clustered INTO N BUCKETS on the join key, and every later
+equi-join/aggregation on that key reads the layout instead of
+re-shuffling — the scan itself reports HashPartitioning, so Catalyst
+plans SortMergeJoin with ZERO Exchange on the bucketed sides.
+
+Shape rules this module enforces:
+  * `repartition(n_buckets, keys)` before the write — Spark's repartition
+    and its bucket-file router use the same Murmur3 hash, so each task
+    holds exactly one bucket and writes exactly ONE file per bucket.
+    Without this, k input tasks × n buckets = k·n small files, and the
+    bucketed scan loses its per-bucket sort (multi-file buckets force a
+    Sort back into every join).
+  * `sortBy(keys)` inside each bucket: with one file per bucket the scan
+    also reports the sort order, so SMJ needs neither Exchange nor Sort.
+  * external-table `path`: the catalog entry (in-memory here, Hive/Glue
+    on a cluster) carries only metadata; data lives in the given parquet
+    directory like every other stage output.
+
+Both bucket counts must match across tables meant to join (Spark can
+coalesce pow-2-ratio mismatches, but matching counts never re-shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize `df` as a bucketed external parquet table and return the
+    catalog-backed DataFrame (whose scan reports the bucket layout)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table through the catalog (required: a plain
+    `spark.read.parquet(path)` of the same files DROPS the bucket
+    metadata and re-shuffles on join)."""
+    return spark.table(table)
+
+
+def plan_of(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+_SHUFFLE_MARKERS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+)
+
+
+def assert_no_shuffle(df: DataFrame, context: str = "") -> None:
+    """Raise if the physical plan contains any SHUFFLE exchange.
+    BroadcastExchange is allowed — a broadcast build moves one small
+    relation, not the corpus, and Catalyst is free to pick it for a dim
+    side. Used by tests and by the `bucketed_join` driver query so a
+    regression that silently reintroduces the shuffle fails the
+    correctness gate, not just a benchmark."""
+    plan = plan_of(df)
+    hits = [m for m in _SHUFFLE_MARKERS if m in plan]
+    if hits:
+        raise AssertionError(
+            f"bucketed plan contains shuffle nodes {hits}"
+            f"{' (' + context + ')' if context else ''}:\n{plan}"
+        )

@@ -40,6 +40,22 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
+def has_zstd() -> bool:
+    """True when SOME zstd decompressor is available to python workers —
+    the `zstandard` module or a `zstd` binary. `read_zstd_dump` raises
+    without one; callers registering environment-dependent surface (the
+    driver-gate `zstd_dump_parse` query) gate on this instead of erroring
+    at run time in codec-less sandboxes."""
+    try:
+        import zstandard  # noqa: F401
+
+        return True
+    except ImportError:
+        import shutil as _sh
+
+        return _sh.which("zstd") is not None
+
+
 def _open_stream(path: str):
     """Binary read stream for plain/gz/bz2/xz/zst files. zstd uses the
     python module when present, else a streamed `zstd -dc` subprocess."""

@@ -1,0 +1,161 @@
+"""Bucketed co-located joins (pipeline/bucketed.py) + corpus split/shuffle
+(operators/curation.py round-3 additions).
+
+Bucketing is the Spark-native answer to the reference persisting its RDDs
+pre-partitioned on the join key (extended_rdd save/reload semantics): the
+parquet layout itself carries HashPartitioning, so repeated joins and
+aggregations on the bucket key plan with ZERO shuffle exchanges.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.curation import shuffle_corpus, split_corpus
+from kgdata_spark.pipeline.bucketed import (
+    assert_no_shuffle,
+    plan_of,
+    write_bucketed,
+)
+
+
+def _two_tables(spark, tmp_path, n=5000, buckets=8):
+    a = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    ta = write_bucketed(a, "tb_a", ["k"], buckets, str(tmp_path / "a"))
+    tb = write_bucketed(b, "tb_b", ["k"], buckets, str(tmp_path / "b"))
+    return ta, tb
+
+
+def test_bucketed_join_and_agg_no_shuffle(spark, tmp_path):
+    ta, tb = _two_tables(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ta.join(tb, "k").groupBy("k").agg(F.sum("v").alias("sv"))
+        plan = plan_of(j)
+        # the strict claim: SortMergeJoin straight over both bucketed
+        # scans, no exchange anywhere, and the downstream per-key agg
+        # reuses the same partitioning
+        assert "SortMergeJoin" in plan
+        assert_no_shuffle(j)
+        rows = j.orderBy("k").limit(5).collect()
+        assert [(r.k, r.sv) for r in rows] == [(i, 2 * i) for i in range(5)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_scan_required_for_layout(spark, tmp_path):
+    # reading the same files WITHOUT the catalog drops the bucket metadata
+    ta, tb = _two_tables(spark, tmp_path)
+    plain = spark.read.parquet(str(tmp_path / "a"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = plain.join(tb, "k")
+        assert "Exchange hashpartitioning" in plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_one_file_per_bucket(spark, tmp_path):
+    write_bucketed(
+        spark.range(0, 1000).select(F.col("id").alias("k")),
+        "tb_files",
+        ["k"],
+        4,
+        str(tmp_path / "f"),
+    )
+    files = glob.glob(str(tmp_path / "f" / "part-*.parquet"))
+    assert len(files) == 4, files
+
+
+def test_bucketed_join_correct_vs_plain(spark, tmp_path):
+    ta, tb = _two_tables(spark, tmp_path, n=2000)
+    got = (
+        ta.join(tb, "k")
+        .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == sum(2 * i + 3 * i for i in range(2000))
+
+
+# ---------------------------------------------------------------- splits --
+
+
+def _docs(spark, n=2000):
+    return spark.range(0, n).select(F.col("id").alias("doc_id"))
+
+
+def test_split_corpus_is_a_partition(spark):
+    out = split_corpus(_docs(spark), [("train", 0.75), ("val", 0.125), ("test", 0.125)])
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, no dup/drop possible
+    # roughly proportional (md5-uniform; generous bounds)
+    assert 1300 < counts["train"] < 1700
+    assert 150 < counts["val"] < 350
+    assert 150 < counts["test"] < 350
+
+
+def test_split_corpus_deterministic_and_seeded(spark):
+    d = _docs(spark, 500)
+    a = {r.doc_id: r.split for r in split_corpus(d).collect()}
+    b = {r.doc_id: r.split for r in split_corpus(d).collect()}
+    assert a == b
+    c = {r.doc_id: r.split for r in split_corpus(d, seed="other").collect()}
+    assert a != c  # a different seed reassigns some docs
+
+
+def test_split_corpus_matches_python_model(spark):
+    rows = split_corpus(_docs(spark, 300)).collect()
+    for r in rows:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        want = "train" if u < 0.98 else ("val" if u < 0.99 else "test")
+        assert r.split == want, (r.doc_id, u, r.split, want)
+
+
+def test_split_corpus_rejects_bad_fractions(spark):
+    with pytest.raises(ValueError):
+        split_corpus(_docs(spark, 10), [("a", 0.5), ("b", 0.2)])
+
+
+# --------------------------------------------------------------- shuffle --
+
+
+def test_shuffle_corpus_dense_deterministic_rank(spark):
+    d = _docs(spark, 1000)
+    out = shuffle_corpus(d, num_buckets=7)
+    got = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    assert sorted(got.values()) == list(range(1000))  # dense 0..n-1
+    order = sorted(
+        range(1000),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest() + "|" + str(i),
+    )
+    want = {doc: pos for pos, doc in enumerate(order)}
+    assert got == want
+
+
+def test_shuffle_corpus_seed_changes_order(spark):
+    d = _docs(spark, 200)
+    a = {r.doc_id: r.shuffle_pos for r in shuffle_corpus(d).collect()}
+    b = {r.doc_id: r.shuffle_pos for r in shuffle_corpus(d, seed="s1").collect()}
+    assert a != b
+
+
+def test_shuffle_corpus_no_global_single_task_window(spark):
+    # the rank must come from the bucketed two-level scan, never a
+    # partition-less window (single task at corpus scale)
+    out = shuffle_corpus(_docs(spark, 100), num_buckets=4)
+    plan = plan_of(out)
+    assert "Window" in plan  # per-bucket window is expected
+    # a global window would shuffle to a single partition first
+    assert "Exchange SinglePartition" not in plan

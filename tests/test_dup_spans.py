@@ -1,0 +1,153 @@
+"""duplicated_spans vs a pure-python model: corpus-wide duplicated k-gram
+windows, merged per doc into maximal intervals."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.dedup import duplicated_spans
+
+
+def _model(rows: list[tuple[int, str]], k: int, min_occ: int = 2):
+    grams: dict[str, int] = {}
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for did, text in rows:
+        t = text.split(" ")
+        for i in range(len(t) - k + 1):
+            g = " ".join(t[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+    for did, text in rows:
+        t = text.split(" ")
+        spans = [
+            (i + 1, i + k)
+            for i in range(len(t) - k + 1)
+            if grams[" ".join(t[i : i + k])] >= min_occ
+        ]
+        merged: list[list[int]] = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        if merged:
+            per_doc[did] = [(s, e) for s, e in merged]
+    return {
+        (did, s, e) for did, spans in per_doc.items() for s, e in spans
+    }
+
+
+CORPUS = [
+    # license boilerplate shared by docs 1 and 2, different tails
+    (1, "licensed under the apache license version two zero you may not use this file except alpha beta"),
+    (2, "licensed under the apache license version two zero you may not use this file except gamma delta"),
+    # internal repetition: the same 6-gram twice inside ONE doc
+    (3, "x1 a b c d e f x2 x3 a b c d e f x4"),
+    # unique doc: no spans
+    (4, "totally unique words nowhere else repeated in this corpus at all"),
+    # shorter than k: no grams at all
+    (5, "tiny doc"),
+    # two disjoint duplicated regions in one doc (no adjacency merge)
+    (6, "licensed under the apache license version two zero q r s t u v w a b c d e f z"),
+]
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_duplicated_spans_match_model(spark, k):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    assert got == _model(CORPUS, k)
+
+
+def test_duplicated_spans_internal_repeat_merges(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, k=6).where("doc_id = 3").collect()
+    )
+    # both occurrences of the 6-gram inside doc 3 are reported
+    assert got == [(2, 7), (10, 15)]
+
+
+def test_no_spans_for_unique_or_short_docs(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    out = duplicated_spans(df, k=4).where("doc_id in (4, 5)").collect()
+    assert out == []
+
+
+def test_cut_spans_removes_exactly_the_intervals(spark):
+    from kgdata_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s"), (3, "x y z")],
+        ["doc_id", "text"],
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 6, 7), (2, 1, 4)],
+        ["doc_id", "span_start", "span_end"],
+    )
+    got = {r["doc_id"]: r["text"] for r in cut_spans(docs, spans).collect()}
+    assert got == {1: "a d e h", 2: "", 3: "x y z"}
+
+
+def test_detect_then_cut_roundtrip(spark):
+    # cutting every duplicated span leaves a corpus whose re-detection
+    # finds nothing (all duplicated k-grams destroyed)
+    from kgdata_spark.operators.dedup import cut_spans
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    spans = duplicated_spans(df, k=4)
+    cleaned = cut_spans(df, spans)
+    assert duplicated_spans(cleaned, k=4).count() == 0
+
+
+def _model_keep_first(rows: list[tuple[int, str]], k: int, min_occ: int = 2):
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for did, text in rows:
+        t = text.split(" ")
+        for i in range(len(t) - k + 1):
+            occs.setdefault(" ".join(t[i : i + k]), []).append((did, i + 1))
+    out = set()
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for g, lst in occs.items():
+        if len(lst) < min_occ:
+            continue
+        first = min(lst)
+        for did, s in lst:
+            if (did, s) != first:
+                per_doc.setdefault(did, []).append((s, s + k - 1))
+    for did, spans in per_doc.items():
+        merged: list[list[int]] = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        for s, e in merged:
+            out.add((did, s, e))
+    return out
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_keep_first_policy_matches_model(spark, k):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, k=k, keep_first=True).collect()
+    }
+    assert got == _model_keep_first(CORPUS, k)
+
+
+def test_keep_first_protects_exactly_the_first_copy(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = duplicated_spans(df, k=6, keep_first=True)
+    rows = {(r["doc_id"], r["span_start"], r["span_end"]) for r in got.collect()}
+    # doc 1 holds the first occurrence of the license block: no span there;
+    # doc 2's copy and doc 6's copy are both reported
+    assert not any(d == 1 for d, _, _ in rows)
+    assert any(d == 2 for d, _, _ in rows)
+    assert any(d == 6 for d, _, _ in rows)
+    # doc 3's internal repeat: first window kept, second cut
+    assert (3, 10, 15) in rows and (3, 2, 7) not in rows

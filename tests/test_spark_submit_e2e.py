@@ -1,0 +1,78 @@
+"""The ship-shape gate: the north rule says the job "ships as
+spark-submit --py-files packages". This test proves it literally — it
+builds the deterministic zip artifact (tools/make_pyfiles.py), copies the
+driver script ALONE into an empty directory, and runs a real
+`spark-submit --py-files kgdata_spark.zip driver.py --synthetic ...`
+subprocess from there. The repo checkout is NOT importable from the
+subprocess (cwd is the empty dir, PYTHONPATH is scrubbed), so the run
+succeeds only if the zip carries the complete package — a missing module
+or a stray repo-relative import fails here and nowhere else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_e2e(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = str(tmp_path / "kgdata_spark.zip")
+    modules = make_pyfiles.build(zip_path)
+    assert "kgdata_spark/__main__.py" in modules
+    assert "kgdata_spark/pipeline/run.py" in modules
+
+    # driver script alone in an empty cwd: python puts the script's dir at
+    # sys.path[0], so the package can ONLY come from the --py-files zip.
+    driver = tmp_path / "driver.py"
+    shutil.copyfile(os.path.join(REPO, "kgdata_spark", "__main__.py"), driver)
+
+    out_dir = tmp_path / "kg_out"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "4"
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            str(driver),
+            "--synthetic", "300",
+            "--out", str(out_dir),
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+
+    # the driver prints ONE json result line on stdout
+    result = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            result = json.loads(line)
+    assert result is not None, f"no json line in stdout:\n{proc.stdout[-2000:]}"
+    assert result["stage_checksums"], result
+    assert "triples" in result["stage_checksums"]
+
+    # the materialized triples are a readable parquet dataset with rows
+    n = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{out_dir}/triples/*.parquet')"
+    ).fetchone()[0]
+    assert n > 0
