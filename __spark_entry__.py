@@ -2210,6 +2210,28 @@ def q_dup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch run of the STREAMING sessionizer (streaming/events.py uses
+    # native session_window, which executes in batch too — one code path
+    # for both): per-user sessions merge events < 30 min apart;
+    # sess_end = last event + gap, Spark's session_window contract. The
+    # oracle replays it as gaps-and-islands. Decimal sum keeps
+    # total_value order-independent; final cast to double for the hash.
+    from kgdata_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "user_id", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    out = sessionize(ev)
+    return out.select(
+        "sess_start",
+        "sess_end",
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
@@ -2265,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "span_cut_docs": q_span_cut_docs,
         "dup_spans_keep_first": q_dup_spans_keep_first,
+        "event_sessions": q_event_sessions,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -2443,6 +2466,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(s) AS INTEGER) AS span_start,
                CAST(MAX(e) AS INTEGER) AS span_end
         FROM isl GROUP BY doc_id, grp
+    """
+    # event_sessions: session_window semantics — a session extends while
+    # the next event is STRICTLY within the gap (diff >= gap starts a new
+    # one); sess_end = last ts + gap.
+    d["event_sessions"] = """
+        WITH s AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts - lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+            SELECT user_id, ts, value,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+            FROM s
+        )
+        SELECT MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_value
+        FROM g GROUP BY user_id, sid
     """
     # dup_spans_keep_first: same detection, minus each gram's global first
     # occurrence (argmin over the encoded doc*1e6+start key).

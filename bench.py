@@ -115,6 +115,13 @@ def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
     rerun_below_s = 30.0  # JIT is a ~2-10s constant: negligible past this
     t_suite = time.time()
     for name, fn in qs.items():
+        # each query is timed with the executor-memory pool to itself:
+        # ~90 queries' cached DataFrames otherwise accumulate in unified
+        # memory and evict each other mid-suite (measured: kg_triples
+        # 32.0s late in a dirty session vs 13.1s cold / 3.0s warm in a
+        # clean one). Production jobs don't share a pool with 90
+        # strangers; per-query isolation is the honest number.
+        spark.catalog.clearCache()
         runs = []
         for _ in range(2):
             t0 = time.time()

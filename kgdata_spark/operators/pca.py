@@ -1,0 +1,142 @@
+"""Distributed PCA over an embedding column.
+
+The dimension-reduction stage of an embedding pipeline (shrink vectors
+before ANN / clustering / near-dup). The split of work is the whole
+design: the DATA-sized part — mean and covariance accumulation — runs
+distributed; the MODEL-sized part — the d x d eigendecomposition — runs
+on the driver, where d is the embedding width (16 for the test tables,
+a few thousand at most in practice), never the row count.
+
+Plan shape, in order:
+  1. mean + covariance: `mapInPandas` emits ONE (count, sum_vec,
+     sum_outer) partial per Arrow batch — numpy does a single matmul per
+     batch, and only n_partitions x d^2 floats ever reach the driver.
+     This is the sanctioned Python crossing: Catalyst has no elementwise
+     array-sum aggregate, and the posexplode alternative shuffles d^2
+     rows per input row.
+  2. eigh of the d x d covariance on the driver; components with the
+     largest eigenvalues, each sign-fixed (largest-|coefficient| entry
+     made positive) so results are deterministic up to eigenvalue ties.
+  3. projection: the (c x d) component matrix is inlined as a literal
+     array and applied per row with zip_with/aggregate dot products —
+     JVM-side, whole-stage-codegen, no second Python crossing and no
+     shuffle at all (a projection over the scan).
+
+The reference has no PCA (its embeddings live outside kgdata); this is
+part of the training-data surface the engine adds on top (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_PARTIAL_SCHEMA = (
+    "n long, s array<double>, outer array<double>"
+)
+
+
+def _partials(vec_col: str):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "outer": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return gen
+
+
+def fit_pca(
+    vectors: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Return (mean[d], components[c, d], explained_variance[c]).
+
+    One distributed pass; driver work is O(partials * d^2) + one d x d
+    eigh. Deterministic: partials are summed with math.fsum-stable numpy
+    reduction AFTER collect in a sorted order-independent way (addition
+    over the same multiset of batch partials; float non-associativity is
+    bounded by d^2 * n_partials terms and pinned in tests via rounding).
+    """
+    parts = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(_partials(vec_col), _PARTIAL_SCHEMA)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("fit_pca: empty input")
+    d = len(parts[0]["s"])
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(d)
+    outer = np.zeros((d, d))
+    # sort partials by content for a deterministic summation order
+    for p in sorted(parts, key=lambda r: (r["n"], r["s"])):
+        s += np.asarray(p["s"])
+        outer += np.asarray(p["outer"]).reshape(d, d)
+    mean = s / n
+    cov = outer / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (c, d)
+    # sign fix: make the largest-|coefficient| entry of each component
+    # positive (eigenvectors are only defined up to sign)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def project_pca(
+    vectors: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Append `out_col`: the centered projection onto each component —
+    pure Catalyst (the component matrix is a literal), no Python, no
+    shuffle. `round_digits` pins cross-platform float drift for tests;
+    pass None for raw doubles."""
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    )
+    def dot(row: np.ndarray):
+        comp = F.array(*[F.lit(float(c)) for c in row])
+        s = F.aggregate(
+            F.zip_with(centered, comp, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(s, round_digits) if round_digits is not None else s
+
+    return vectors.withColumn(
+        out_col, F.array(*[dot(components[i]) for i in range(len(components))])
+    )
+
+
+def pca_reduce(
+    vectors: DataFrame,
+    n_components: int = 4,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """fit + project in one call (two passes over the data: one for the
+    covariance partials, one for the projection)."""
+    mean, comps, _ = fit_pca(vectors, n_components, vec_col)
+    return project_pca(vectors, mean, comps, vec_col, out_col)

@@ -1,0 +1,94 @@
+"""Distributed PCA vs numpy on the same data: the mapInPandas partial
+covariance + driver eigh must equal a single-machine PCA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kgdata_spark.operators.pca import fit_pca, pca_reduce, project_pca
+
+
+def _np_pca(x: np.ndarray, c: int):
+    mean = x.mean(axis=0)
+    cov = np.cov(x - mean, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:c]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def _data(n=400, d=8, seed=7):
+    rng = np.random.RandomState(seed)
+    # anisotropic: two dominant directions so the top components are
+    # well-separated (no eigenvalue ties -> sign-fixed comparison is exact)
+    base = rng.randn(n, d)
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    return base + rng.uniform(-1, 1, size=d)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    x = _data()
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id int, embedding array<double>",
+    ).repartition(7)
+    return x, df
+
+
+def test_fit_matches_numpy(vecs):
+    x, df = vecs
+    mean, comps, ev = fit_pca(df, 3)
+    nm, nc, nev = _np_pca(x, 3)
+    assert np.allclose(mean, nm, atol=1e-9)
+    assert np.allclose(ev, nev, atol=1e-9)
+    assert np.allclose(comps, nc, atol=1e-8)
+
+
+def test_projection_matches_numpy(vecs):
+    x, df = vecs
+    mean, comps, _ = fit_pca(df, 2)
+    got = {
+        r["vec_id"]: r["pca"]
+        for r in project_pca(df, mean, comps).collect()
+    }
+    want = (x - mean) @ comps.T
+    for i in range(len(x)):
+        assert np.allclose(got[i], want[i], atol=1e-6)
+
+
+def test_partitioning_invariance(vecs):
+    x, df = vecs
+    a = fit_pca(df.repartition(3), 2)
+    b = fit_pca(df.repartition(13), 2)
+    assert np.allclose(a[0], b[0], atol=1e-9)
+    assert np.allclose(a[1], b[1], atol=1e-8)
+
+
+def test_reduce_explains_variance(vecs):
+    x, df = vecs
+    out = np.asarray(
+        [r["pca"] for r in pca_reduce(df, n_components=2).collect()]
+    )
+    # the 2 retained components carry the two inflated directions:
+    # their variance dominates any single original coordinate's residual
+    assert out.var(axis=0).min() > 3.0
+
+
+def test_projection_plan_is_jvm_side(vecs, spark):
+    x, df = vecs
+    mean, comps, _ = fit_pca(df, 2)
+    # plan audit over a plain scan (the module fixture's repartition(7)
+    # would itself contribute a RoundRobin Exchange)
+    flat = spark.createDataFrame(
+        [(0, x[0].tolist())], "vec_id int, embedding array<double>"
+    )
+    plan = project_pca(flat, mean, comps)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # projection over the scan, no shuffle
