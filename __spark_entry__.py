@@ -2232,6 +2232,47 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE gate fixture: training is iterative (no SQL oracle can replay it),
+# but a FIXED training corpus makes the learned merges closed-form
+# constants — the query trains AT RUNTIME, asserts the result equals
+# this expectation (a trainer regression = red correctness row), then
+# applies the merges to the documents table, which the DuckDB oracle
+# replays via separator-replace.
+BPE_FIXTURE_TEXTS = [
+    "table table table scan scan scan row row",
+    "the the the the query query window window",
+    "value value column column order order",
+    "customer customer filter filter merge merge",
+]
+BPE_EXPECTED_MERGES = [
+    ("e", "r"), ("h", "e"), ("l", "u"), ("m", "er"), ("o", "w"),
+    ("t", "he"), ("a", "b"), ("a", "n"), ("ab", "l"), ("abl", "e"),
+]
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE: train on the fixture (real trainer, argmax via
+    # TakeOrderedAndProject per merge; vocab_partitions=1 because the
+    # fixture vocab is 15 words), verify the learned merge list, then
+    # re-tokenize the documents table with the Arrow-batched memoized
+    # segmenter — the production path for real merge-list sizes (the
+    # chained-Catalyst-fold twin is equivalence-tested in test_bpe.py
+    # and 30x slower here: per-word memoization beats re-folding every
+    # occurrence).
+    from kgdata_spark.operators.bpe import apply_bpe_udf, train_bpe
+
+    fix = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BPE_FIXTURE_TEXTS)], ["doc_id", "text"]
+    )
+    merges = train_bpe(fix, n_merges=10, vocab_partitions=1)
+    if merges != BPE_EXPECTED_MERGES:
+        raise AssertionError(f"BPE trainer drifted: {merges}")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return apply_bpe_udf(d, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
@@ -2288,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cut_docs": q_span_cut_docs,
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "event_sessions": q_event_sessions,
+        "bpe_token_counts": q_bpe_token_counts,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -2466,6 +2508,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(s) AS INTEGER) AS span_start,
                CAST(MAX(e) AS INTEGER) AS span_end
         FROM isl GROUP BY doc_id, grp
+    """
+    # bpe_token_counts: apply the expected merges with the
+    # separator-replace trick — each word becomes '·'-wrapped,
+    # '··'-joined symbols; replace('·a··b·' -> '·ab·') is left-to-right
+    # non-overlapping, exactly one BPE merge pass; token count = number
+    # of '··'-separated segments.
+    _wrapped = "'·' || array_to_string(string_split(word, ''), '··') || '·'"
+    for _a, _b in BPE_EXPECTED_MERGES:
+        _wrapped = f"replace({_wrapped}, '·{_a}··{_b}·', '·{_a}{_b}·')"
+    d["bpe_token_counts"] = f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), c AS (
+            SELECT doc_id, len(string_split({_wrapped}, '··')) AS n
+            FROM w WHERE word <> ''
+        )
+        SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_bpe_tokens
+        FROM c GROUP BY doc_id
     """
     # event_sessions: session_window semantics — a session extends while
     # the next event is STRICTLY within the gap (diff >= gap starts a new

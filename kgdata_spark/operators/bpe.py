@@ -1,0 +1,211 @@
+"""Distributed BPE tokenizer training + application.
+
+A pretraining pipeline trains its tokenizer on the corpus it curates;
+this is that stage, shaped for Spark:
+
+  * the DATA-sized pass is `word_freqs` — one groupBy over the corpus
+    (billions of words -> a vocab-sized table of distinct words with
+    counts). Everything after runs on the VOCAB table, which is orders
+    of magnitude smaller than the corpus.
+  * the merge loop (GPT-2-style BPE: repeatedly merge the most frequent
+    adjacent symbol pair, weighted by word frequency) iterates on the
+    vocab table: pair counts are an explode+groupBy, the argmax is
+    orderBy().limit(1) (TakeOrderedAndProject — never a global window),
+    tie-broken lexicographically so training is deterministic.
+  * applying one merge to every word is a per-row array fold (Catalyst
+    `aggregate` HOF): left-to-right, non-overlapping — the fold's
+    just-merged symbol is `a||b`, which can never equal `a` again, so
+    plain adjacency checking reproduces BPE pass semantics exactly.
+  * `apply_bpe` re-tokenizes documents with the learned merge list: the
+    same fold, one per merge, chained — pure Catalyst, no Python on the
+    corpus-sized path. (For merge lists in the tens of thousands, chain
+    depth would blow the codegen budget — segment at the word level via
+    a pandas UDF instead; `apply_bpe_udf` provides that path.)
+
+No SQL oracle can replay the iterative trainer, but a FIXED training
+fixture makes the learned merges closed-form constants — the driver
+query trains at runtime and the DuckDB oracle replays application of
+the expected merges via the separator-replace trick, so a training
+regression breaks the correctness gate, not just pytest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(
+    docs: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(word, freq) over the whitespace-tokenized corpus — the one
+    corpus-sized pass of BPE training."""
+    out = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        out = out.where(F.col("freq") >= min_freq)
+    return out
+
+
+def _chars(word: Column) -> Column:
+    # split('') yields one element per character with no empty tail in
+    # Spark 3/4 for non-empty strings
+    return F.split(word, "")
+
+
+def _merge_pass(symbols: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a symbol array: left-to-right fold,
+    non-overlapping (see module docstring for why adjacency is enough)."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 1,
+    vocab_partitions: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Deterministic:
+    ties on pair frequency break lexicographically on (a, b).
+
+    `vocab_partitions` right-sizes the vocab table for the merge loop —
+    the loop runs n_merges sequential jobs, so a tiny vocab spread over
+    32 partitions pays 32x the task overhead per iteration for nothing.
+    Leave None (natural partitioning) for corpus-scale vocabularies."""
+    vocab = word_freqs(docs, text_col, min_freq).select(
+        _chars(F.col("word")).alias("syms"), "freq"
+    )
+    if vocab_partitions:
+        vocab = vocab.repartition(vocab_partitions)
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.zip_with(
+                            F.slice("syms", 1, F.size("syms") - 1),
+                            F.slice("syms", 2, F.size("syms") - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # each iteration folds the vocab once; localCheckpoint truncates
+        # the growing lineage (reliable checkpoint on a real cluster —
+        # same policy knob as operators.graph.pagerank)
+        vocab = vocab.select(
+            _merge_pass(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array for `word` after applying `merges` in order — pure
+    Catalyst (one chained fold per merge; fine for merge lists up to a
+    few hundred, see module docstring for the UDF path beyond)."""
+    syms = _chars(word)
+    for a, b in merges:
+        syms = _merge_pass(syms, a, b)
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append `out_col`: the document's BPE token sequence (words split on
+    whitespace, each segmented independently, concatenated in order)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    return docs.withColumn(
+        out_col,
+        F.flatten(F.transform(words, lambda w: bpe_segment(w, merges))),
+    )
+
+
+def apply_bpe_udf(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Arrow-batched application for LARGE merge lists (chained Catalyst
+    folds would exceed the codegen/analysis budget at real vocab sizes).
+    Classic rank-based segmenter: repeatedly merge the best-ranked
+    adjacent pair per word, memoized across a batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def segment(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, i)
+                if best is None:
+                    break
+                a, b = merges[best[0]]
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = syms
+            return syms
+
+        return texts.map(
+            lambda t: [s for w in t.split() if w for s in segment(w)]
+        )
+
+    return docs.withColumn(out_col, seg(F.col(text_col)))

@@ -1,0 +1,99 @@
+"""Distributed BPE trainer/application vs a pure-python reference."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+
+from kgdata_spark.operators.bpe import (
+    apply_bpe,
+    apply_bpe_udf,
+    train_bpe,
+)
+
+
+def _py_train(texts: list[str], n_merges: int):
+    freqs = collections.Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freqs[w]
+        if not pairs:
+            break
+        # max count, ties broken lexicographically ascending on (a, b)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest low newer",
+    "the the the the widest lowest",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+
+
+def test_training_matches_python_reference(corpus):
+    got = train_bpe(corpus, n_merges=12)
+    want, _ = _py_train(TEXTS, 12)
+    assert got == want
+
+
+def test_application_matches_python_vocab(corpus):
+    merges = train_bpe(corpus, n_merges=10)
+    _, vocab = _py_train(TEXTS, 10)
+    rows = apply_bpe(corpus, merges).select("doc_id", "bpe_tokens").collect()
+    for r in rows:
+        want = [s for w in TEXTS[r["doc_id"]].split() for s in vocab[w]]
+        assert r["bpe_tokens"] == want
+
+
+def test_udf_path_equals_catalyst_path(corpus):
+    merges = train_bpe(corpus, n_merges=10)
+    a = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe(corpus, merges).collect()
+    }
+    b = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_udf(corpus, merges).collect()
+    }
+    assert a == b
+
+
+def test_roundtrip_reconstructs_text(corpus):
+    # BPE is lossless per word: concatenating a word's symbols restores it
+    merges = train_bpe(corpus, n_merges=8)
+    for r in apply_bpe(corpus, merges).collect():
+        assert "".join(r["bpe_tokens"]) == TEXTS[r["doc_id"]].replace(" ", "")
+
+
+def test_partitioning_invariance(corpus):
+    m1 = train_bpe(corpus.repartition(1), n_merges=6)
+    m7 = train_bpe(corpus.repartition(7), n_merges=6)
+    assert m1 == m7

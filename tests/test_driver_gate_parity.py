@@ -72,6 +72,8 @@ DOCUMENTED_OVERFLOW = {
     "doc_token_stats",
     "candidate_topk",
     "exact_dup_docs",
+    # displaced by bpe_token_counts (round 3); r1+r2 driver-green
+    "mention_freqs",
 }
 
 # Environment-gated queries: registered only where the environment
