@@ -1,0 +1,85 @@
+"""Learned quality filter: a distributed logistic-regression classifier
+over hashed token features.
+
+The GPT-3/LLaMA-style curation stage the heuristic scores
+(functions/text.py::quality_score) can't cover: label a small seed set
+(curated "good" vs crawled "bad"), train a classifier, score the whole
+corpus, keep docs above a threshold (optionally with pareto-style
+stochastic keeping — deterministic md5 variant here).
+
+Spark-shaped by construction: features are HashingTF buckets (fixed
+width, no vocabulary state to ship), training is pyspark.ml's
+LogisticRegression (L-BFGS with tree-aggregated gradients — the
+model-sized d floats cross the driver per iteration, never the corpus),
+scoring is one broadcast of the coefficient vector applied map-side.
+The labeled seed set is tiny next to the corpus; the expensive pass is
+scoring, which is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import HashingTF
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_FEATURES = 1 << 14
+
+
+def _featurize(docs: DataFrame, text_col: str, n_features: int) -> DataFrame:
+    toks = docs.withColumn("_words", F.split(F.lower(F.col(text_col)), r"\s+"))
+    tf = HashingTF(
+        inputCol="_words", outputCol="_features", numFeatures=n_features
+    )
+    return tf.transform(toks).drop("_words")
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = N_FEATURES,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> LogisticRegressionModel:
+    """Fit the classifier on a (text, label∈{0,1}) seed set. Deterministic:
+    HashingTF is stateless murmur3 bucketing and L-BFGS from a fixed zero
+    start has no RNG."""
+    feats = _featurize(labeled, text_col, n_features)
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    return lr.fit(feats)
+
+
+def score_quality(
+    docs: DataFrame,
+    model: LogisticRegressionModel,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append P(label=1): one map-side pass, coefficients broadcast."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _featurize(docs, text_col, model.numFeatures)
+    scored = model.transform(feats)
+    prob = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.withColumn(out_col, prob).drop(
+        "_features", "rawPrediction", "probability", "prediction"
+    )
+
+
+def filter_by_quality(
+    docs: DataFrame,
+    model: LogisticRegressionModel,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep docs the model scores above `threshold` (hard cut; compose
+    `curation._md5_uniform` for the pareto-style stochastic keep)."""
+    scored = score_quality(docs, model, text_col)
+    return scored.where(F.col("quality_prob") > threshold)

@@ -1,0 +1,86 @@
+"""Learned quality filter: separable seed set -> high accuracy, stable
+scores, distributed scoring path."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.quality_model import (
+    filter_by_quality,
+    score_quality,
+    train_quality_model,
+)
+
+GOOD = [
+    "the theorem follows from a careful analysis of the bounded operator",
+    "we evaluate the model on held out data and report confidence intervals",
+    "the committee reviewed the proposal and published detailed findings",
+    "a rigorous proof of convergence appears in the appendix with lemmas",
+    "experiments were repeated five times and variance is reported",
+]
+BAD = [
+    "click here buy now cheap cheap cheap best price click click",
+    "win win win free free free subscribe now now now",
+    "lorem lorem lorem lorem filler filler filler filler filler",
+    "zzz qqq xxx spam spam spam buy buy buy",
+    "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    labeled = spark.createDataFrame(
+        [(t, 1.0) for t in GOOD] + [(t, 0.0) for t in BAD],
+        ["text", "label"],
+    )
+    return train_quality_model(labeled, n_features=1 << 10, max_iter=30)
+
+
+def test_separable_seed_is_learned(spark, model):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOOD + BAD)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["quality_prob"] for r in score_quality(docs, model).collect()}
+    for i in range(len(GOOD)):
+        assert rows[i] > 0.8, (i, rows[i])
+    for i in range(len(GOOD), len(GOOD) + len(BAD)):
+        assert rows[i] < 0.2, (i, rows[i])
+
+
+def test_generalizes_to_unseen_docs(spark, model):
+    docs = spark.createDataFrame(
+        [
+            (0, "the analysis of the operator model and its proof of convergence"),
+            (1, "free free buy buy click click spam now cheap"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["quality_prob"] for r in score_quality(docs, model).collect()}
+    assert rows[0] > rows[1]
+
+
+def test_filter_keeps_only_above_threshold(spark, model):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOOD + BAD)], ["doc_id", "text"]
+    )
+    kept = {r["doc_id"] for r in filter_by_quality(docs, model, 0.5).collect()}
+    assert kept == set(range(len(GOOD)))
+
+
+def test_training_is_deterministic(spark, model):
+    labeled = spark.createDataFrame(
+        [(t, 1.0) for t in GOOD] + [(t, 0.0) for t in BAD],
+        ["text", "label"],
+    )
+    again = train_quality_model(labeled, n_features=1 << 10, max_iter=30)
+    a = model.coefficients.toArray()
+    b = again.coefficients.toArray()
+    assert abs(model.intercept - again.intercept) < 1e-9
+    assert (abs(a - b) < 1e-9).all()
+
+
+def test_scoring_keeps_input_columns(spark, model):
+    docs = spark.createDataFrame([(7, "src9", "the proof model")],
+                                 ["doc_id", "source", "text"])
+    out = score_quality(docs, model)
+    assert set(out.columns) == {"doc_id", "source", "text", "quality_prob"}
