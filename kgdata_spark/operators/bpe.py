@@ -92,9 +92,11 @@ def train_bpe(
     vocab = word_freqs(docs, text_col, min_freq).select(
         _chars(F.col("word")).alias("syms"), "freq"
     )
+    from kgdata_spark.operators.graph import _checkpoint
+
     if vocab_partitions:
         vocab = vocab.repartition(vocab_partitions)
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab = _checkpoint(vocab)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -121,12 +123,13 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        # each iteration folds the vocab once; localCheckpoint truncates
-        # the growing lineage (reliable checkpoint on a real cluster —
-        # same policy knob as operators.graph.pagerank)
-        vocab = vocab.select(
-            _merge_pass(F.col("syms"), a, b).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        # each iteration folds the vocab once; lineage truncation via the
+        # shared policy knob (reliable checkpoint() when the session has a
+        # checkpoint dir — executor-loss-safe on a real cluster — else
+        # localCheckpoint), same as operators.graph.pagerank
+        vocab = _checkpoint(
+            vocab.select(_merge_pass(F.col("syms"), a, b).alias("syms"), "freq")
+        )
     return merges
 
 

@@ -58,6 +58,29 @@ def _partials(vec_col: str):
     return gen
 
 
+def _combine():
+    """Sum a partition's (n, s, outer) partial rows into one row — the
+    tree-reduce combiner between the map pass and the driver collect."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        outer = None
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n += int(row["n"])
+                rs = np.asarray(row["s"], dtype=np.float64)
+                ro = np.asarray(row["outer"], dtype=np.float64)
+                s = rs if s is None else s + rs
+                outer = ro if outer is None else outer + ro
+        if s is not None:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "outer": [outer.tolist()]}
+            )
+
+    return gen
+
+
 def fit_pca(
     vectors: DataFrame,
     n_components: int,
@@ -71,11 +94,20 @@ def fit_pca(
     over the same multiset of batch partials; float non-associativity is
     bounded by d^2 * n_partials terms and pinned in tests via rounding).
     """
-    parts = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias(vec_col))
-        .mapInPandas(_partials(vec_col), _PARTIAL_SCHEMA)
-        .collect()
-    )
+    partials = vectors.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(_partials(vec_col), _PARTIAL_SCHEMA)
+    # tree-reduce before the collect: one partial per input partition is
+    # fine at 100 partitions, not at 100k (d=4096 -> 128MB/1k partials on
+    # the driver). Fan-in 64 per level until few enough rows remain.
+    fan_in = 64
+    n_parts = partials.rdd.getNumPartitions()
+    while n_parts > fan_in:
+        n_parts = max(1, (n_parts + fan_in - 1) // fan_in)
+        partials = partials.repartition(n_parts).mapInPandas(
+            _combine(), _PARTIAL_SCHEMA
+        )
+    parts = partials.collect()
     if not parts:
         raise ValueError("fit_pca: empty input")
     d = len(parts[0]["s"])

@@ -92,3 +92,12 @@ def test_projection_plan_is_jvm_side(vecs, spark):
     plan = project_pca(flat, mean, comps)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # projection over the scan, no shuffle
+
+
+def test_tree_reduce_path_matches(vecs):
+    # >64 input partitions triggers the combine level before the collect
+    x, df = vecs
+    a = fit_pca(df.repartition(130), 2)
+    b = fit_pca(df.repartition(3), 2)
+    assert np.allclose(a[0], b[0], atol=1e-9)
+    assert np.allclose(a[1], b[1], atol=1e-8)
