@@ -2273,6 +2273,48 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC ingestion (Common Crawl's shard format): customer rows written
+    # once as 4 gzip-member WARC shards (payloads are length-prefixed
+    # binary — framing by Content-Length, never marker scanning), then
+    # read back with one task per shard and parsed to typed columns.
+    import os
+
+    from kgdata_spark.sources.warc import read_warc, write_warc_file
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    fdir = _fixture_dir("warc", sf_dir)
+    done = os.path.join(fdir, "_DONE")
+    if not os.path.exists(done):
+        rows = c.orderBy("c_custkey").collect()
+        n_shards = 4
+        chunk = max(1, (len(rows) + n_shards - 1) // n_shards)
+        for s in range(n_shards):
+            recs = [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"http://ex.org/c/{r['c_custkey']}",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                    },
+                    f"{r['c_custkey']}|{r['c_name']}|{r['c_nationkey']}".encode(),
+                )
+                for r in rows[s * chunk : (s + 1) * chunk]
+            ]
+            if recs:
+                write_warc_file(recs, os.path.join(fdir, f"part{s}.warc.gz"))
+        open(done, "w").close()
+    w = read_warc(spark, os.path.join(fdir, "*.warc.gz"), min_partitions=4)
+    parts = F.split(F.decode(F.col("payload"), "UTF-8"), r"\|")
+    return w.select(
+        F.element_at(parts, 1).cast("bigint").alias("c_custkey"),
+        F.element_at(parts, 2).alias("c_name"),
+        F.element_at(parts, 3).cast("bigint").alias("c_nationkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
@@ -2330,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "event_sessions": q_event_sessions,
         "bpe_token_counts": q_bpe_token_counts,
+        "warc_ingest": q_warc_ingest,
         # -- representative core, driver-green in r1 AND r2 ----------------
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -2527,6 +2570,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_bpe_tokens
         FROM c GROUP BY doc_id
+    """
+    # warc_ingest: the WARC roundtrip changes the container, not the rows.
+    d["warc_ingest"] = """
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        FROM customer
     """
     # event_sessions: session_window semantics — a session extends while
     # the next event is STRICTLY within the gap (diff >= gap starts a new

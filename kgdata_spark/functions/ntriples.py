@@ -155,3 +155,79 @@ def ntriples_errors(df: DataFrame, col: str = "line") -> DataFrame:
     quarantine table, not an exception."""
     c = F.col(col)
     return df.where(~c.rlike(NT_PATTERN) & ~c.rlike(_BLANK))
+
+
+def escape_literal(col: Column, ascii_only: bool = True) -> Column:
+    """Inverse of the unescape pass: backslash first, then quote/newline/
+    CR/tab — all JVM-side regexp_replace. With `ascii_only` (canonical
+    N-Triples), non-ASCII codepoints become \\uXXXX / \\UXXXXXXXX via the
+    same rlike-gated Arrow UDF pattern as the parser: pure-ASCII literals
+    (the overwhelming majority) never leave the JVM."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    if not ascii_only:
+        return out
+
+    @F.pandas_udf("string")
+    def uescape(s: pd.Series) -> pd.Series:
+        def enc(t: str) -> str:
+            return "".join(
+                ch
+                if ord(ch) < 0x80
+                else (
+                    f"\\u{ord(ch):04X}"
+                    if ord(ch) <= 0xFFFF
+                    else f"\\U{ord(ch):08X}"
+                )
+                for ch in t
+            )
+
+        return s.map(enc)
+
+    return F.when(out.rlike("[^\\x00-\\x7F]"), uescape(out)).otherwise(out)
+
+
+def format_ntriples(
+    df: DataFrame, out_col: str = "line", ascii_only: bool = True
+) -> DataFrame:
+    """Serialize (subj, subj_kind, pred, obj_kind, obj_value, obj_lang,
+    obj_datatype) rows — the schema `parse_ntriples` emits — back to
+    N-Triples lines: the dump-egress inverse of P2 (the reference only
+    consumes dumps; an engine replacing it also has to publish them).
+    Feed the result to `textdump.write_text_dump` for a compressed dump.
+    Property-tested as parse(format(x)) == x."""
+    subj = F.when(F.col("subj_kind") == "uri",
+                  F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+                  ).otherwise(F.col("subj"))
+    lit = F.concat(
+        F.lit('"'),
+        escape_literal(F.col("obj_value"), ascii_only),
+        F.lit('"'),
+        F.when(
+            F.col("obj_lang").isNotNull(),
+            F.concat(F.lit("@"), F.col("obj_lang")),
+        )
+        .when(
+            F.col("obj_datatype").isNotNull(),
+            F.concat(F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
+        )
+        .otherwise(F.lit("")),
+    )
+    obj = (
+        F.when(F.col("obj_kind") == "uri",
+               F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
+        .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
+        .otherwise(lit)
+    )
+    line = F.concat(
+        subj, F.lit(" "),
+        F.lit("<"), F.col("pred"), F.lit("> "),
+        obj, F.lit(" ."),
+    )
+    keep = [c for c in df.columns if c not in (
+        "subj", "subj_kind", "pred", "obj_kind", "obj_value",
+        "obj_lang", "obj_datatype")]
+    return df.select(*keep, line.alias(out_col))

@@ -81,6 +81,7 @@ def train_bpe(
     text_col: str = "text",
     min_freq: int = 1,
     vocab_partitions: int | None = None,
+    checkpoint_every: int = 4,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from the corpus. Deterministic:
     ties on pair frequency break lexicographically on (a, b).
@@ -98,7 +99,7 @@ def train_bpe(
         vocab = vocab.repartition(vocab_partitions)
     vocab = _checkpoint(vocab)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for it in range(n_merges):
         pairs = (
             vocab.select(
                 F.explode(
@@ -123,13 +124,18 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        # each iteration folds the vocab once; lineage truncation via the
-        # shared policy knob (reliable checkpoint() when the session has a
-        # checkpoint dir — executor-loss-safe on a real cluster — else
-        # localCheckpoint), same as operators.graph.pagerank
-        vocab = _checkpoint(
-            vocab.select(_merge_pass(F.col("syms"), a, b).alias("syms"), "freq")
+        # each iteration folds the vocab once; lineage truncates every
+        # `checkpoint_every` merges via the shared policy knob (reliable
+        # checkpoint() when the session has a checkpoint dir —
+        # executor-loss-safe on a real cluster — else localCheckpoint,
+        # same as operators.graph.pagerank). Checkpointing EVERY merge
+        # costs one extra job each; a few chained folds between
+        # truncations are cheap, 10k chained folds are not.
+        vocab = vocab.select(
+            _merge_pass(F.col("syms"), a, b).alias("syms"), "freq"
         )
+        if (it + 1) % max(checkpoint_every, 1) == 0:
+            vocab = _checkpoint(vocab)
     return merges
 
 

@@ -1,0 +1,125 @@
+"""WARC ingestion — the container format web-scale training corpora
+arrive in (Common Crawl ships ~64k gzip WARC shards of ~1 GB per crawl).
+
+Parallelism model: ONE TASK PER SHARD. That is the production pattern —
+a crawl is tens of thousands of files, so file-level parallelism
+saturates any cluster without splitting inside a shard (WARC records are
+length-prefixed binary; a byte-range splitter cannot resync on a marker
+the way line dumps can, because payloads legally contain "WARC/1.0"
+lines — Content-Length is the only safe framing). Within a task the
+shard is stream-parsed record by record: gzip members decode
+incrementally, only one record's payload is in memory at a time.
+
+Record framing (ISO 28500): a version line `WARC/1.0`, header lines
+until an empty line, `Content-Length` octets of payload, then CRLF CRLF.
+Multi-member gzip (one member per record, the Common Crawl layout) and
+single-stream gzip both decode through Python's gzip module; plain
+`.warc` passes through.
+
+Cite: the reference ingests line dumps only (kgdata reads Wikidata/
+DBpedia dumps, common.py:569-599); WARC is part of the training-data
+surface this engine adds (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "warc_file string, record_type string, target_uri string, "
+    "warc_date string, content_length long, payload binary"
+)
+
+
+def _iter_warc_records(stream: io.BufferedIOBase):
+    """Yield (headers: dict, payload: bytes) from one WARC byte stream."""
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = h.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers.get("content-length", "0"))
+        payload = stream.read(n)
+        if len(payload) != n:
+            raise ValueError(
+                f"truncated WARC record: wanted {n} bytes, got {len(payload)}"
+            )
+        yield headers, payload
+
+
+def read_warc(
+    spark: SparkSession, path: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Parse WARC shards matching `path` (glob) into
+    (warc_file, record_type, target_uri, warc_date, content_length,
+    payload). One task per shard; payloads stream one record at a time."""
+    sc = spark.sparkContext
+    files = sc.binaryFiles(path, minPartitions=min_partitions)
+    if min_partitions and files.getNumPartitions() < min_partitions:
+        # binaryFiles' CombineFileInputFormat has a 4 MB open-cost floor
+        # that packs small shards into one split regardless of
+        # minPartitions. When the caller explicitly asked for more
+        # parallelism, spread the (path, blob) pairs — the shuffle moves
+        # each shard once, the price of parallel parsing for small-shard
+        # collections; production-sized (~1 GB) shards split per file
+        # without this.
+        files = files.repartition(min_partitions)
+
+    def parse(kv: tuple[str, bytes]) -> Iterator[tuple]:
+        name, blob = kv
+        if name.endswith(".gz"):
+            import gzip
+
+            stream: io.BufferedIOBase = gzip.GzipFile(
+                fileobj=io.BytesIO(blob)
+            )  # multi-member safe
+        else:
+            stream = io.BytesIO(blob)
+        for headers, payload in _iter_warc_records(stream):
+            yield (
+                name,
+                headers.get("warc-type"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                len(payload),
+                payload,
+            )
+
+    return spark.createDataFrame(files.flatMap(parse), WARC_SCHEMA)
+
+
+def write_warc_file(
+    records: list[tuple[dict, bytes]], path: str, gzip_members: bool = True
+) -> None:
+    """Serialize (headers, payload) records as a WARC shard — one gzip
+    member per record when `gzip_members` (the Common Crawl layout).
+    Driver-side fixture/egress helper; distributed egress is one call per
+    output partition via foreachPartition."""
+    import gzip
+
+    def one(headers: dict, payload: bytes) -> bytes:
+        head = b"WARC/1.0\r\n"
+        hs = dict(headers)
+        hs["Content-Length"] = str(len(payload))
+        for k, v in hs.items():
+            head += f"{k}: {v}\r\n".encode()
+        return head + b"\r\n" + payload + b"\r\n\r\n"
+
+    with open(path, "wb") as f:
+        for headers, payload in records:
+            raw = one(headers, payload)
+            f.write(gzip.compress(raw) if gzip_members else raw)

@@ -72,8 +72,10 @@ DOCUMENTED_OVERFLOW = {
     "doc_token_stats",
     "candidate_topk",
     "exact_dup_docs",
-    # displaced by bpe_token_counts (round 3); r1+r2 driver-green
+    # displaced by bpe_token_counts / warc_ingest (round 3); r1+r2
+    # driver-green
     "mention_freqs",
+    "latest_event_per_user",
 }
 
 # Environment-gated queries: registered only where the environment

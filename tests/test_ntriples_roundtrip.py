@@ -1,0 +1,72 @@
+"""format_ntriples is the exact inverse of parse_ntriples: a
+hypothesis-driven serialize→parse roundtrip over arbitrary term shapes."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.functions.ntriples import format_ntriples, parse_ntriples
+
+URI = st.from_regex(r"http://ex\.org/[A-Za-z0-9_]{1,12}", fullmatch=True)
+BNODE = st.from_regex(r"_:[A-Za-z0-9]{1,10}", fullmatch=True)
+LANG = st.from_regex(r"[a-z]{2}(-[A-Za-z0-9]{1,8})?", fullmatch=True)
+# literal text: any unicode except surrogates; escapes/quotes/newlines
+# and astral codepoints are exactly what the roundtrip must survive
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+TRIPLE = st.tuples(
+    st.one_of(st.tuples(URI, st.just("uri")), st.tuples(BNODE, st.just("bnode"))),
+    URI,
+    st.one_of(
+        st.tuples(st.just("uri"), URI, st.none(), st.none()),
+        st.tuples(st.just("bnode"), BNODE, st.none(), st.none()),
+        st.tuples(st.just("literal"), TEXT, st.none(), st.none()),
+        st.tuples(st.just("literal"), TEXT, LANG, st.none()),
+        st.tuples(st.just("literal"), TEXT, st.none(), URI),
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TRIPLE, min_size=1, max_size=20))
+def test_serialize_parse_roundtrip(spark, triples):
+    rows = [
+        (i, s, sk, p, ok, ov, lang, dt)
+        for i, ((s, sk), p, (ok, ov, lang, dt)) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "row_id int, subj string, subj_kind string, pred string, "
+        "obj_kind string, obj_value string, obj_lang string, "
+        "obj_datatype string",
+    )
+    lines = format_ntriples(df)
+    assert lines.columns == ["row_id", "line"]
+    back = parse_ntriples(lines, col="line").orderBy("row_id").collect()
+    assert len(back) == len(rows)
+    for got, (_, s, sk, p, ok, ov, lang, dt) in zip(back, rows):
+        assert (
+            got["subj"], got["subj_kind"], got["pred"],
+            got["obj_kind"], got["obj_value"], got["obj_lang"],
+            got["obj_datatype"],
+        ) == (s, sk, p, ok, ov, lang, dt)
+
+
+def test_ascii_only_output_is_ascii(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/s", "uri", "http://ex.org/p", "literal",
+          'naïve “q” \\ \n 😀', None, None)],
+        "subj string, subj_kind string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    line = format_ntriples(df).collect()[0]["line"]
+    assert all(ord(c) < 128 for c in line), line
+    assert "\\U0001F600" in line and "\\u00EF" in line

@@ -1,0 +1,75 @@
+"""WARC reader: framing fidelity under hostile payloads, gzip layouts,
+multi-shard parallelism."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgdata_spark.sources.warc import read_warc, write_warc_file
+
+# payloads chosen to break naive marker-based splitting: blank lines,
+# CRLFs, and a fake "WARC/1.0" version line INSIDE a payload
+RECORDS = [
+    (
+        {"WARC-Type": "response", "WARC-Target-URI": "http://ex.org/a",
+         "WARC-Date": "2024-01-01T00:00:00Z"},
+        b"hello world",
+    ),
+    (
+        {"WARC-Type": "response", "WARC-Target-URI": "http://ex.org/b",
+         "WARC-Date": "2024-01-01T00:00:01Z"},
+        b"line1\r\n\r\nWARC/1.0\r\nnot a real record\r\n\r\n",
+    ),
+    (
+        {"WARC-Type": "metadata", "WARC-Target-URI": "http://ex.org/c",
+         "WARC-Date": "2024-01-01T00:00:02Z"},
+        bytes(range(256)),  # arbitrary binary
+    ),
+    (
+        {"WARC-Type": "response", "WARC-Target-URI": "http://ex.org/d",
+         "WARC-Date": "2024-01-01T00:00:03Z"},
+        b"",  # zero-length payload
+    ),
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_single_shard(spark, tmp_path, gz):
+    p = str(tmp_path / ("s.warc.gz" if gz else "s.warc"))
+    write_warc_file(RECORDS, p, gzip_members=gz)
+    got = read_warc(spark, p).orderBy("target_uri").collect()
+    assert len(got) == len(RECORDS)
+    for row, (headers, payload) in zip(got, RECORDS):
+        assert row["record_type"] == headers["WARC-Type"]
+        assert row["target_uri"] == headers["WARC-Target-URI"]
+        assert row["warc_date"] == headers["WARC-Date"]
+        assert row["content_length"] == len(payload)
+        assert bytes(row["payload"]) == payload
+
+
+def test_multi_shard_parallelism(spark, tmp_path):
+    for i in range(4):
+        write_warc_file(
+            [({"WARC-Type": "response",
+               "WARC-Target-URI": f"http://ex.org/s{i}/r{j}"}, b"x" * j)
+             for j in range(3)],
+            str(tmp_path / f"part{i}.warc.gz"),
+        )
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"), min_partitions=4)
+    assert df.count() == 12
+    # one task per shard when asked: binaryFiles coalesces KB-sized test
+    # shards into one split by default (fine — real shards are ~1 GB and
+    # split per file); min_partitions restores per-file tasks here
+    assert df.rdd.getNumPartitions() >= 2
+    assert df.select("warc_file").distinct().count() == 4
+
+
+def test_truncated_record_fails_loudly(spark, tmp_path):
+    p = str(tmp_path / "bad.warc")
+    write_warc_file(RECORDS[:1], p, gzip_members=False)
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 8)
+    with pytest.raises(Exception, match="truncated WARC record"):
+        read_warc(spark, p).collect()
