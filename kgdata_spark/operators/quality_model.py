@@ -53,7 +53,31 @@ def train_quality_model(
         maxIter=max_iter,
         standardization=True,
     )
-    return lr.fit(feats)
+    return _strip_summary(lr.fit(feats))
+
+
+def _strip_summary(model: LogisticRegressionModel) -> LogisticRegressionModel:
+    """Return the model without its training summary. The summary holds
+    the training-predictions DataFrame, whose SparkSession reference drags
+    the session's ObservationManager (not Serializable) into the scoring
+    UDF's closure — so scoring with a summary-carrying model throws
+    'Task not serializable' in any session where a pipeline stage has run
+    an observe() (materialize.write_stage does, on every stage write).
+    A save/load roundtrip is the only summary-stripping path the public
+    pyspark.ml API offers; the artifact is just the coefficient vector."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"kgdata_spark_lrm_{uuid.uuid4().hex}"
+    )
+    try:
+        model.write().overwrite().save(d)
+        return LogisticRegressionModel.load(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def score_quality(

@@ -84,3 +84,26 @@ def test_scoring_keeps_input_columns(spark, model):
                                  ["doc_id", "source", "text"])
     out = score_quality(docs, model)
     assert set(out.columns) == {"doc_id", "source", "text", "quality_prob"}
+
+
+def test_composes_with_observed_pipeline_stages(spark, model):
+    # regression: materialize.write_stage runs observe() on every stage
+    # write; a summary-carrying model then fails scoring with 'Task not
+    # serializable' (the summary's predictions DataFrame reaches the
+    # session's ObservationManager). train_quality_model strips the
+    # summary, so observe -> train -> score works in ONE session.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    spark.range(50).observe(obs, F.sum("id").alias("s")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["s"] == 1225
+    labeled = spark.createDataFrame(
+        [(t, 1.0) for t in GOOD] + [(t, 0.0) for t in BAD],
+        ["text", "label"],
+    )
+    m = train_quality_model(labeled, n_features=1 << 10, max_iter=10)
+    docs = spark.createDataFrame([(0, GOOD[0])], ["doc_id", "text"])
+    assert score_quality(docs, m).count() == 1
