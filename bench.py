@@ -91,6 +91,41 @@ def run_pipeline_bench(spark, n_files: int, corpus: dict[str, str] | None = None
     return elapsed, n_triples
 
 
+def run_curation_bench(spark, sf_dir: str) -> tuple[float, int, int]:
+    """The training-data composition end-to-end, as one job: quality gate →
+    exact dedup → decontaminate → domain caps → PII scrub (curate_corpus),
+    then MinHash-LSH near-dup removal, leakage-free split + deterministic
+    shuffle, and sequence packing into 1024-token chunks. Returns
+    (seconds, surviving docs, packed chunks) — the docs/sec headline for
+    the curation half of the engine (the KG pipeline is the other half)."""
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.operators.curation import (
+        curate_corpus,
+        shuffle_corpus,
+        split_corpus,
+    )
+    from kgdata_spark.operators.dedup import drop_near_dups
+    from kgdata_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench_docs = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    t0 = time.time()
+    # stage boundaries materialize (production runs write_stage between
+    # these; localCheckpoint is the in-session equivalent) — the LSH +
+    # connected-components fixpoint makes MANY passes over its input, and
+    # an unmaterialized curation DAG would be recomputed per pass
+    curated = curate_corpus(docs, bench_docs).localCheckpoint(eager=True)
+    survivors = drop_near_dups(
+        curated.select("doc_id", "source", "text")
+    ).localCheckpoint(eager=True)
+    staged = shuffle_corpus(split_corpus(survivors))
+    n_docs = staged.count()
+    chunks = pack_chunks(staged.select("doc_id", "text"), context_len=1024)
+    n_chunks = chunks.select("chunk_id").distinct().count()
+    return time.time() - t0, n_docs, n_chunks
+
+
 def run_queries_bench(spark, sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -234,17 +269,31 @@ def main() -> None:
     # headline triples/sec metric — worth the extra repeat against
     # shared-host noise
     pipe_sec, n_triples = min(run_pipeline_bench(spark, n_files) for _ in range(3))
+    # the curation half's composite (same min-of-2 steady-state policy,
+    # same >=30s single-run escape hatch as the per-query loop)
+    spark.catalog.clearCache()
+    cur_runs = [run_curation_bench(spark, sf_dir)]
+    if cur_runs[0][0] < 30.0:
+        cur_runs.append(run_curation_bench(spark, sf_dir))
+    cur_sec, n_docs, n_chunks = min(cur_runs)
     timings = run_queries_bench(spark, sf_dir)
-    total = round(pipe_sec + sum(timings.values()), 3)
+    total = round(pipe_sec + cur_sec + sum(timings.values()), 3)
     out = {
         "metric": "end-to-end KG pipeline (extract→link→canonicalize→materialize) + driver queries",
         "value": total,
         "unit": "sec",
-        "queries": {"pipeline_e2e": round(pipe_sec, 3), **timings},
+        "queries": {
+            "pipeline_e2e": round(pipe_sec, 3),
+            "curation_e2e": round(cur_sec, 3),
+            **timings,
+        },
         "sf": sf,
         "n_files": n_files,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / pipe_sec, 1),
+        "curated_docs": n_docs,
+        "packed_chunks": n_chunks,
+        "curated_docs_per_sec": round(n_docs / cur_sec, 1),
         "timing": "per-query min-of-2 (steady-state; plan JIT amortizes at scale)",
     }
     print(json.dumps(out))

@@ -85,6 +85,171 @@ def _rewrite_value(rmap: Column, v: Column) -> Column:
     ).otherwise(v)
 
 
+def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
+    """Reference-true key renaming (``props[rmap[k]] = props.pop(k)`` —
+    entities.py:255-258 for pids, :239-241 for qids), replayed
+    set-oriented over the map entries:
+
+      * a RENAMED entry's content overwrites an existing unrenamed target
+        key even when the target sits LATER in map order (python dict
+        assignment overwrites regardless of position — the round-3 fuzz
+        counterexample the old 'last entry wins' pin got wrong);
+      * among MULTIPLE renamed entries landing on one target, the last in
+        original map-entry order wins (the reference iterates the
+        original snapshot and each successive assignment overwrites);
+      * an overwritten target keeps its map position; brand-new target
+        keys append after the surviving originals.
+
+    Input contract (same as attach_dicts): the redirect map comes from the
+    redirect FIXPOINT, so targets are final ids — never themselves renamed
+    (no chains) and never equal to their source (no identities). The
+    reference's own behavior on chain/identity maps is dict-mutation-order
+    dependent and unreachable from real dumps.
+
+    Cost: the among-renamed dedup is the existing last-wins machinery
+    (the O(k²) tiny-constant fold — k is per-entity property/qualifier
+    count, single digits in practice); the overwrite merge probes a map of
+    renamed winners per original entry. Zero overhead when nothing is
+    renamed (the common case). For pathological entities with thousands of
+    keys use the STAGED sorted form (fixed_entities wide_rows=True →
+    _ar_sorted/_ar_from_sorted across two projections)."""
+    # ONE rmap probe per entry: map element_at is a linear scan, so with a
+    # 10k-entry redirect map a probe costs O(|rmap|) — tag once, then
+    # partition on the tag (the tagged array materializes)
+    tagged = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            e["value"].alias("value"),
+            F.try_element_at(rmap, e["key"]).alias("tgt"),
+        ),
+    )
+    unren = F.transform(
+        F.filter(tagged, lambda e: e["tgt"].isNull()),
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+    )
+    ren = F.transform(
+        F.filter(tagged, lambda e: e["tgt"].isNotNull()),
+        lambda e: F.struct(e["tgt"].alias("key"), e["value"].alias("value")),
+    )
+    ren_w = _dedup_entries_last_wins(ren, entry_type)
+    rw_map = F.map_from_entries(ren_w)
+    merged = F.transform(
+        unren,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.coalesce(F.try_element_at(rw_map, e["key"]), e["value"]).alias(
+                "value"
+            ),
+        ),
+    )
+    un_keys = F.map_from_entries(
+        F.transform(
+            unren, lambda e: F.struct(e["key"].alias("key"), F.lit(1).alias("value"))
+        )
+    )
+    appended = F.filter(
+        ren_w, lambda e: F.try_element_at(un_keys, e["key"]).isNull()
+    )
+    return F.concat(merged, appended)
+
+
+def _ar_sorted(entries: Column, rmap: Column) -> Column:
+    """Stage 1 of the wide-rows rename: tag each entry with (final key,
+    renamed flag, original position) — ONE rmap probe per entry — and sort
+    by (key, ren, pos) with a lambda comparator (the value payload holds
+    qualifier MAPS, which are not orderable, so natural struct sort would
+    fail). Each equal-key RUN then has the content winner LAST (renamed
+    sorts after unrenamed; among renamed, larger pos) and the order
+    anchor FIRST."""
+    n = F.size(entries)
+    probed = F.zip_with(
+        entries,
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda e, i: F.struct(
+            e["key"].alias("key"),
+            e["value"].alias("value"),
+            i.alias("pos"),
+            F.try_element_at(rmap, e["key"]).alias("tgt"),
+        ),
+    )
+    tagged = F.transform(
+        probed,
+        lambda x: F.struct(
+            F.coalesce(x["tgt"], x["key"]).alias("key"),
+            x["tgt"].isNotNull().cast("int").alias("ren"),
+            x["pos"].alias("pos"),
+            x["value"].alias("value"),
+        ),
+    )
+    return F.array_sort(
+        tagged,
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .when(a["ren"] < b["ren"], -1)
+        .when(a["ren"] > b["ren"], 1)
+        .when(a["pos"] < b["pos"], -1)
+        .when(a["pos"] > b["pos"], 1)
+        .otherwise(0),
+    )
+
+
+def _ar_from_sorted(srt: Column, entries: Column) -> Column:
+    """Stage 2: run boundaries from zips against the 1-shifted sorted
+    array; winners (run ends) and anchors (run starts), both filtered from
+    the same array, are 1:1 in key order so a zip aligns them. Output
+    order: an unrenamed original keeps its slot (anchor = its position);
+    brand-new keys append after all originals by first-source position.
+
+    NOTE ON COST: `srt` is referenced FOUR times below. Expression trees
+    share nothing, so pass `srt` as a materialized COLUMN (a prior
+    withColumn projection), never the raw _ar_sorted expression — inlining
+    it here re-sorts (and re-probes) per reference, which is what blew the
+    10k-property budget (291 s vs <120 s) before the staging."""
+    n = F.size(srt)
+    nxt = F.concat(F.slice(srt, 2, F.greatest(n - 1, F.lit(0))), F.slice(srt, 1, 1))
+    prv = F.concat(F.slice(srt, 1, 1), F.slice(srt, 1, F.greatest(n - 1, F.lit(0))))
+    ends = F.filter(
+        F.zip_with(srt, nxt, lambda c, x: F.struct(c.alias("c"), x["key"].alias("nk"))),
+        lambda z, i: (i == n - 1) | (z["nk"] != z["c"]["key"]),
+    )
+    starts = F.filter(
+        F.zip_with(srt, prv, lambda c, p: F.struct(c.alias("c"), p["key"].alias("pk"))),
+        lambda z, i: (i == 0) | (z["pk"] != z["c"]["key"]),
+    )
+    paired = F.zip_with(
+        ends,
+        starts,
+        lambda w, s: F.struct(
+            s["c"]["ren"].alias("newkey"),
+            s["c"]["pos"].alias("anchor"),
+            w["c"]["key"].alias("key"),
+            w["c"]["value"].alias("value"),
+        ),
+    )
+    out = F.transform(
+        F.array_sort(
+            paired,
+            lambda a, b: F.when(a["newkey"] < b["newkey"], -1)
+            .when(a["newkey"] > b["newkey"], 1)
+            .when(a["anchor"] < b["anchor"], -1)
+            .when(a["anchor"] > b["anchor"], 1)
+            .otherwise(0),
+        ),
+        lambda p: F.struct(p["key"].alias("key"), p["value"].alias("value")),
+    )
+    # zip_with pads the shorter side with nulls: guard the empty case
+    return F.when(n == 0, entries).otherwise(out)
+
+
+def _apply_renames_sorted(entries: Column, rmap: Column) -> Column:
+    """O(k log k) wide-rows form of _apply_renames as one expression —
+    see _ar_sorted/_ar_from_sorted. For wide rows prefer the STAGED form
+    (fixed_entities does): materialize _ar_sorted in its own projection so
+    the four downstream references share one sort."""
+    return _ar_from_sorted(_ar_sorted(entries, rmap), entries)
+
+
 def _dedup_entries_last_wins(
     entries: Column, entry_type: str, wide_rows: bool = False
 ) -> Column:
@@ -308,15 +473,13 @@ def fixed_entities(
         )
         # a qualifier that lost all its values is deleted (entities.py:224-229)
         q3 = F.map_filter(q2, lambda _qid, qvals: F.size(qvals) > 0)
-        renamed = F.transform(
-            F.map_entries(q3),
-            lambda e: F.struct(
-                _redirected(rmap, e["key"]).alias("key"), e["value"].alias("value")
-            ),
-        )
+        # qualifier counts per statement are small: the fold form is right
+        # regardless of wide_rows (which targets property-count pathology)
         q4 = F.map_from_entries(
-            _dedup_entries_last_wins(
-                renamed, f"struct<key:string,value:array<{VALUE_T}>>", wide_rows
+            _apply_renames(
+                F.map_entries(q3),
+                rmap,
+                f"struct<key:string,value:array<{VALUE_T}>>",
             )
         )
         # order: drop deleted qids, then rename in place (entities.py:234-245)
@@ -346,18 +509,26 @@ def fixed_entities(
     props1 = F.map_filter(F.col(props_col), lambda pid, _: ~_is_unknown(unk, pid))
     props2 = F.transform_values(props1, per_prop)
     props3 = F.map_filter(props2, lambda _pid, stmts: F.size(stmts) > 0)
-    renamed = F.transform(
-        F.map_entries(props3),
-        lambda e: F.struct(
-            _redirected(rmap, e["key"]).alias("key"), e["value"].alias("value")
-        ),
-    )
+    out_cols = [c for c in entities_with_dicts.columns if c not in ("_unk", "_rmap")]
+    if wide_rows:
+        # STAGED projections: _ent and _srt become column attributes, so
+        # the four _srt references in _ar_from_sorted share ONE sort and
+        # ONE probe pass (expression trees share nothing — inlining the
+        # sort re-ran it 4x and blew the 10k-property time budget)
+        staged = entities_with_dicts.withColumn(
+            "_ent", F.map_entries(props3)
+        ).withColumn("_srt", _ar_sorted(F.col("_ent"), rmap))
+        props4 = F.map_from_entries(
+            _ar_from_sorted(F.col("_srt"), F.col("_ent"))
+        )
+        return staged.withColumn(props_col, props4).select(*out_cols)
     props4 = F.map_from_entries(
-        _dedup_entries_last_wins(
-            renamed, f"struct<key:string,value:array<{STMT_T}>>", wide_rows
+        _apply_renames(
+            F.map_entries(props3),
+            rmap,
+            f"struct<key:string,value:array<{STMT_T}>>",
         )
     )
-    out_cols = [c for c in entities_with_dicts.columns if c not in ("_unk", "_rmap")]
     return entities_with_dicts.withColumn(props_col, props4).select(*out_cols)
 
 
@@ -373,11 +544,13 @@ def fixed_entities_join(
     columns of `fixed_entities` (whose per-probe cost is O(|dict|)).
 
     Semantics match `fixed_entities` — verified by an equivalence test on
-    the same fixtures — including the collision pin both share: when keys
-    collide after a rename, the winner is the LAST in original map-entry
-    order (the reference's own behavior here is dict-iteration/mutation-
-    order dependent, so both variants pin the deterministic reading of
-    ``props[new] = props.pop(old)``).
+    the same fixtures — including the collision rule both share (see
+    _apply_renames): a renamed key's content overwrites an unrenamed
+    target regardless of position (python dict assignment semantics of
+    the reference's ``props[new] = props.pop(old)``), and among multiple
+    renamed keys landing on one target the last in original map-entry
+    order wins. Assumes the fixpoint-rmap contract (targets are final
+    ids — never sources).
 
     Shuffle budget: ONE exchange (asserted by a plan test). The input is
     hash-partitioned by entity id up front; every later regroup keys on a
@@ -543,13 +716,24 @@ def fixed_entities_join(
     )
 
     def build_stmt(keys_c: Column, rows_c: Column) -> Column:
-        # collision: last original map-entry order wins (same pin as
-        # fixed_entities' last-wins fold)
+        # collision rule (reference-true, see _apply_renames): a RENAMED
+        # qualifier overwrites an unrenamed target wherever it sits; among
+        # renamed, last original map-entry order wins. qren is derivable
+        # as qid != qid_final under the fixpoint-rmap contract (no
+        # identity renames).
+        def qren(k: Column) -> Column:
+            return k["qid"] != k["qid_final"]
+
+        def beats(f: Column, k: Column) -> Column:
+            return (qren(f) & ~qren(k)) | (
+                (qren(f) == qren(k)) & (f["qpos"] > k["qpos"])
+            )
+
         winners = F.filter(
             keys_c,
             lambda k: ~F.exists(
                 keys_c,
-                lambda f: (f["qid_final"] == k["qid_final"]) & (f["qpos"] > k["qpos"]),
+                lambda f: (f["qid_final"] == k["qid_final"]) & beats(f, k),
             ),
         )
         qmap = F.map_from_entries(
@@ -605,14 +789,26 @@ def fixed_entities_join(
     )
     r4 = red("_o4", "_n4")
     pren = pgrp.join(r4, pgrp["pid"] == r4["_o4"], "left").select(
-        "id", "ppos", F.coalesce("_n4", "pid").alias("pid_final"), "stmts"
+        "id",
+        "ppos",
+        F.coalesce("_n4", "pid").alias("pid_final"),
+        F.col("_n4").isNotNull().alias("pren"),
+        "stmts",
     )
-    # collision: last original map order wins among NON-EMPTY entries
-    # (empty props are deleted before the rename, as in fixed_entities,
-    # so they never occupy a slot); max_by skips null ordering keys
+    # collision rule (reference-true, see _apply_renames): renamed beats
+    # the unrenamed original target, then last original map order among
+    # renamed — ordered by the (pren, ppos) struct. Only NON-EMPTY entries
+    # compete (empty props are deleted before the rename, as in
+    # fixed_entities); max_by skips null ordering keys
     pwin = pren.groupBy("id", "pid_final").agg(
         F.max_by(
-            F.col("stmts"), F.when(F.size("stmts") > 0, F.col("ppos"))
+            F.col("stmts"),
+            F.when(
+                F.size("stmts") > 0,
+                F.struct(
+                    F.col("pren").cast("int").alias("r"), F.col("ppos").alias("p")
+                ),
+            ),
         ).alias("stmts")
     )
     empty_entries = F.array().cast(f"array<struct<key:string,value:array<{STMT_T}>>>")

@@ -190,10 +190,15 @@ def read_boundary_records(
             if record_end in line:
                 kind = "head" if not saw_marker else "rec"
                 saw_marker = True
-                yield (idx, seq, kind, "\n".join(buf))
+                yield (idx, seq, kind, "\n".join(buf), len(buf))
                 seq += 1
                 buf.clear()
-        yield (idx, seq, "tail" if saw_marker else "all", "\n".join(buf))
+        # the line COUNT rides along: a fragment of exactly one EMPTY line
+        # joins to "" — indistinguishable from an empty fragment by text
+        # alone, and dropping it would eat a record's leading blank line
+        # when a partition boundary lands right before it (found by the
+        # round-3 hypothesis fuzz)
+        yield (idx, seq, "tail" if saw_marker else "all", "\n".join(buf), len(buf))
 
     pieces = rdd.mapPartitionsWithIndex(per_partition)
     records = (
@@ -206,14 +211,17 @@ def read_boundary_records(
         pieces.filter(lambda p: p[2] != "rec").collect(),
         key=lambda p: (p[0], p[1]),
     )
+    # carry is None when NO lines are pending; "" is a REAL pending empty
+    # line (leading blank line of the next record) — the distinction the
+    # per-fragment line count preserves
     boundary: list[str] = []
-    carry = ""
-    for _idx, _seq, kind, text in frags:
+    carry: str | None = None
+    for _idx, _seq, kind, text, n_lines in frags:
         if kind == "head":
-            boundary.append(carry + ("\n" if carry else "") + text)
-            carry = ""
-        elif text:  # tail / markerless-partition content
-            carry = carry + ("\n" if carry else "") + text
+            boundary.append(text if carry is None else carry + "\n" + text)
+            carry = None
+        elif n_lines > 0:  # tail / markerless-partition content
+            carry = text if carry is None else carry + "\n" + text
     # `carry` left over at EOF has no end marker -> epilogue, dropped
     if boundary:
         import pandas as pd

@@ -73,16 +73,32 @@ def py_fixed(props: dict, unknown: set, rmap: dict) -> dict:
                 if not vv:
                     continue
                 q[qid] = vv
-            q2 = {}
-            for qid, vv in q.items():  # rename, later entry wins
-                q2[rmap.get(qid, qid)] = vv
+            q2 = _rename_keys(q, rmap)
             order2 = [rmap.get(x, x) for x in order if x in q]
             kept.append((value, q2, order2, rank))
         if kept:
             mid[pid] = kept
+    return _rename_keys(mid, rmap)
+
+
+def _rename_keys(d: dict, rmap: dict) -> dict:
+    """Reference rename semantics (props[new] = props.pop(old), iterating
+    the original snapshot): a renamed entry OVERWRITES an unrenamed target
+    key regardless of position; among multiple renamed entries landing on
+    one target, the last in original order wins. Assumes the fixpoint-rmap
+    contract (targets never sources, no identity renames) — same contract
+    as attach_dicts/fixed_entities."""
+    ren_last = {}
+    for k, v in d.items():
+        if k in rmap:
+            ren_last[rmap[k]] = v
     out = {}
-    for pid, stmts in mid.items():  # pid rename, later entry wins
-        out[rmap.get(pid, pid)] = stmts
+    for k, v in d.items():
+        if k not in rmap:
+            out[k] = ren_last.get(k, v)
+    for tgt, v in ren_last.items():
+        if tgt not in out:
+            out[tgt] = v
     return out
 
 
@@ -91,20 +107,65 @@ def py_fixed(props: dict, unknown: set, rmap: dict) -> dict:
 
 
 def to_spark_entities(spark, ents: dict[str, dict]):
+    # Maps are shipped as ARRAYS of entries and converted with
+    # map_from_entries: createDataFrame's pickle path scrambles python
+    # dict order (observed {P2,N1,P1} -> [P1,P2,N1]), and rename-collision
+    # semantics depend on map-entry order — the oracle and Spark must see
+    # the SAME order for the comparison to mean anything.
+    from kgdata_spark.operators.entity_fix import VALUE_T
+
     rows = [
         (
             eid,
-            {
-                pid: [
-                    (tuple(v), {k: [tuple(x) for x in vs] for k, vs in q.items()}, o, r)
-                    for (v, q, o, r) in stmts
-                ]
+            [
+                (
+                    pid,
+                    [
+                        (
+                            tuple(v),
+                            [(k, [tuple(x) for x in vs]) for k, vs in q.items()],
+                            o,
+                            r,
+                        )
+                        for (v, q, o, r) in stmts
+                    ],
+                )
                 for pid, stmts in props.items()
-            },
+            ],
         )
         for eid, props in ents.items()
     ]
-    return spark.createDataFrame(rows, f"id string, props {PROPS_T}")
+    qentry_t = f"struct<key:string,value:array<{VALUE_T}>>"
+    stmt_arr_t = (
+        f"struct<value:{VALUE_T},qualifiers:array<{qentry_t}>,"
+        "qualifiers_order:array<string>,rank:string>"
+    )
+    df = spark.createDataFrame(
+        rows,
+        f"id string, props array<struct<key:string,value:array<{stmt_arr_t}>>>",
+    )
+    return df.select(
+        "id",
+        F.map_from_entries(
+            F.transform(
+                "props",
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.transform(
+                        e["value"],
+                        lambda s: F.struct(
+                            s["value"].alias("value"),
+                            F.map_from_entries(s["qualifiers"]).alias(
+                                "qualifiers"
+                            ),
+                            s["qualifiers_order"].alias("qualifiers_order"),
+                            s["rank"].alias("rank"),
+                        ),
+                    ).alias("value"),
+                ),
+            )
+        ).cast(PROPS_T).alias("props"),
+    )
 
 
 def normalize(df) -> dict:

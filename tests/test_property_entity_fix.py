@@ -81,6 +81,12 @@ def test_fix_pass_fuzz_vs_python_oracle(spark, ents, unknown, rmap):
     # ids can't be both unknown and redirected: the oracle checks unknown
     # first, and real dumps never list a redirected id as missing
     rmap = {k: v for k, v in rmap.items() if k not in unknown}
+    # fixpoint-rmap contract (attach_dicts/fixed_entities input contract):
+    # redirect targets are FINAL ids — never themselves redirect sources,
+    # never identity mappings. The redirect fixpoint guarantees this on
+    # real dumps; chain/identity maps make the reference's own behavior
+    # dict-mutation-order dependent, so they're outside the spec.
+    rmap = {k: v for k, v in rmap.items() if v not in rmap and v != k}
 
     want = norm_py({eid: py_fixed(props, unknown, rmap) for eid, props in ents.items()})
 
