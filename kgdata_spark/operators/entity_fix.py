@@ -98,7 +98,11 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
         original map-entry order wins (the reference iterates the
         original snapshot and each successive assignment overwrites);
       * an overwritten target keeps its map position; brand-new target
-        keys append after the surviving originals.
+        keys append after the surviving originals, ordered by their FIRST
+        assignment (``props[new] = ...`` inserts a new dict key at its
+        first occurrence; later assignments overwrite the value in place
+        — so rmap {A:T, C:T, B:U} over [A,B,C] appends [T,U], not the
+        last-wins order [U,T]; the round-4 advice counterexample).
 
     Input contract (same as attach_dicts): the redirect map comes from the
     redirect FIXPOINT, so targets are final ids — never themselves renamed
@@ -132,7 +136,7 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
         F.filter(tagged, lambda e: e["tgt"].isNotNull()),
         lambda e: F.struct(e["tgt"].alias("key"), e["value"].alias("value")),
     )
-    ren_w = _dedup_entries_last_wins(ren, entry_type)
+    ren_w = _dedup_entries_dict_update(ren, entry_type)
     rw_map = F.map_from_entries(ren_w)
     merged = F.transform(
         unren,
@@ -148,6 +152,10 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
             unren, lambda e: F.struct(e["key"].alias("key"), F.lit(1).alias("value"))
         )
     )
+    # Brand-new target keys append in FIRST-source order with last-wins
+    # values — ren_w (the dict-update fold) already carries exactly that
+    # shape, matching the sorted form's anchor rule (_ar_from_sorted) and
+    # the join path.
     appended = F.filter(
         ren_w, lambda e: F.try_element_at(un_keys, e["key"]).isNull()
     )
@@ -280,6 +288,23 @@ def _dedup_entries_last_wins(
         lambda acc, x: F.concat(
             F.filter(acc, lambda y: y["key"] != x["key"]), F.array(x)
         ),
+    )
+
+
+def _dedup_entries_dict_update(entries: Column, entry_type: str) -> Column:
+    """Key-dedup an entry array with python DICT-UPDATE semantics: each
+    key keeps the position of its FIRST occurrence, each value is the
+    LAST occurrence's (``d[k] = v`` inserts at first assignment and
+    overwrites in place afterwards). One fold, same O(k²)-tiny-constant
+    cost class as _dedup_entries_last_wins — per element either an
+    in-place value replace (transform) or an append."""
+    return F.aggregate(
+        entries,
+        F.array().cast(f"array<{entry_type}>"),
+        lambda acc, x: F.when(
+            F.exists(acc, lambda y: y["key"] == x["key"]),
+            F.transform(acc, lambda y: F.when(y["key"] == x["key"], x).otherwise(y)),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -736,9 +761,43 @@ def fixed_entities_join(
                 lambda f: (f["qid_final"] == k["qid_final"]) & beats(f, k),
             ),
         )
-        qmap = F.map_from_entries(
+        # map-entry ORDER is python dict-update order (see _apply_renames):
+        # an overwritten unrenamed target keeps ITS slot; brand-new targets
+        # append by FIRST assignment. Anchor each winner accordingly —
+        # (had-no-unrenamed-competitor, unrenamed slot else first qpos) —
+        # and sort on it (the winner's own qpos is its CONTENT slot, which
+        # is the wrong order when a later-position entry wins the content).
+        def qanchor(k: Column) -> Column:
+            comp = F.filter(
+                keys_c, lambda f: f["qid_final"] == k["qid_final"]
+            )
+            unren = F.filter(comp, lambda f: f["qid"] == f["qid_final"])
+            return F.struct(
+                (F.size(unren) == 0).cast("int").alias("nw"),
+                F.coalesce(
+                    F.try_element_at(unren, F.lit(1))["qpos"],
+                    F.try_element_at(comp, F.lit(1))["qpos"],
+                ).alias("p"),
+            )
+
+        anchored = F.array_sort(
             F.transform(
                 winners,
+                lambda k: F.struct(
+                    qanchor(k).alias("a"),
+                    k["qpos"].alias("qpos"),
+                    k["qid_final"].alias("qid_final"),
+                ),
+            ),
+            lambda a, b: F.when(a["a"]["nw"] < b["a"]["nw"], -1)
+            .when(a["a"]["nw"] > b["a"]["nw"], 1)
+            .when(a["a"]["p"] < b["a"]["p"], -1)
+            .when(a["a"]["p"] > b["a"]["p"], 1)
+            .otherwise(0),
+        )
+        qmap = F.map_from_entries(
+            F.transform(
+                anchored,
                 lambda k: F.struct(
                     k["qid_final"].alias("key"),
                     F.transform(
@@ -800,6 +859,11 @@ def fixed_entities_join(
     # renamed — ordered by the (pren, ppos) struct. Only NON-EMPTY entries
     # compete (empty props are deleted before the rename, as in
     # fixed_entities); max_by skips null ordering keys
+    # two aggregates per final key: CONTENT (max_by — renamed beats
+    # unrenamed, then last map order) and ORDER ANCHOR (min — the
+    # unrenamed target's own slot if one exists, else the FIRST renamed
+    # assignment's slot; new keys sort after all surviving originals,
+    # python dict-update order — see _apply_renames)
     pwin = pren.groupBy("id", "pid_final").agg(
         F.max_by(
             F.col("stmts"),
@@ -809,22 +873,48 @@ def fixed_entities_join(
                     F.col("pren").cast("int").alias("r"), F.col("ppos").alias("p")
                 ),
             ),
-        ).alias("stmts")
+        ).alias("stmts"),
+        F.min(
+            F.when(
+                F.size("stmts") > 0,
+                F.struct(
+                    F.col("pren").cast("int").alias("nw"),
+                    F.col("ppos").alias("p"),
+                ),
+            )
+        ).alias("anchor"),
     )
-    empty_entries = F.array().cast(f"array<struct<key:string,value:array<{STMT_T}>>>")
+    anchored_t = (
+        f"array<struct<a:struct<nw:int,p:int>,key:string,value:array<{STMT_T}>>>"
+    )
     nested = pwin.groupBy("id").agg(
         F.map_from_entries(
-            F.coalesce(
-                F.collect_list(
-                    F.when(
-                        F.size("stmts") > 0,
-                        F.struct(
-                            F.col("pid_final").alias("key"),
-                            F.col("stmts").alias("value"),
+            F.transform(
+                F.array_sort(
+                    F.coalesce(
+                        F.collect_list(
+                            F.when(
+                                F.size("stmts") > 0,
+                                F.struct(
+                                    F.col("anchor").alias("a"),
+                                    F.col("pid_final").alias("key"),
+                                    F.col("stmts").alias("value"),
+                                ),
+                            )
                         ),
-                    )
+                        F.array().cast(anchored_t),
+                    ),
+                    # collect_list order after a shuffle is arbitrary — the
+                    # anchor sort is what makes the map order deterministic
+                    lambda a, b: F.when(a["a"]["nw"] < b["a"]["nw"], -1)
+                    .when(a["a"]["nw"] > b["a"]["nw"], 1)
+                    .when(a["a"]["p"] < b["a"]["p"], -1)
+                    .when(a["a"]["p"] > b["a"]["p"], 1)
+                    .otherwise(0),
                 ),
-                empty_entries,
+                lambda x: F.struct(
+                    x["key"].alias("key"), x["value"].alias("value")
+                ),
             )
         ).alias(props_col)
     )

@@ -57,18 +57,39 @@ def write_stage(
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
     lineage_executor=None,
-) -> str:
-    """Write df as a checkpointed stage dataset; returns its checksum.
+):
+    """Write df as a checkpointed stage dataset; returns its checksum — a
+    plain string when the lineage pass runs inline (no `lineage_executor`),
+    else a `concurrent.futures.Future[str]` resolving when the background
+    lineage/manifest pass lands (the "deferred checksum").
 
-    The dataset checksum is computed DURING the write via ``observe()``
-    (count + commutative digest sum collected as the rows stream through
-    the writer — zero extra jobs), so downstream stages can launch with
-    the dep checksum immediately. The per-partition lineage pass + the
-    manifest write then run synchronously by default, or on
-    `lineage_executor` (a ThreadPoolExecutor) to come OFF the critical
-    path — this pass was a measurable serial fraction at high core counts.
-    Resume stays correct either way: the stage only counts as complete
-    once the manifest exists, i.e. after lineage lands."""
+    Round-4 design (PERF.md §21, the A/B behind it): the content digest is
+    computed exactly ONCE, inside the post-write per-partition lineage
+    pass. Round 3 computed it twice — streamed through an ``observe()`` on
+    the write path AND again in the lineage re-read — and the write-path
+    copy alone cost ~30% of the sf0.1 pipeline (6.29 s vs 4.30 s without
+    it). Nothing downstream needs the checksum at launch time: a dep
+    checksum is only *read* when writing the downstream stage's own
+    manifest (or when probing a pre-existing manifest on resume), so a
+    Future is the right shape — stages launch immediately, digests ride
+    the background pool, and the rare resolve-wait happens off the
+    critical path. Deadlock-free: dependencies are always SUBMITTED to the
+    (FIFO) pool before their dependents, so a dependent that is running
+    can only be waiting on a task that is done or running, never queued
+    behind it. Resume stays correct: the stage only counts as complete
+    once the manifest exists, i.e. after lineage lands.
+
+    Env knobs (A/B instrumentation + cluster tuning, PERF.md §21):
+      KG_STAGE_CHECKSUM=deferred (default) | observe | lineage —
+        `observe` restores the round-3 shape (streamed write-path checksum
+        + cross-check against the lineage digest; returns str immediately);
+        `lineage` is the round-2 shape (no observe, lineage pass forced
+        synchronous).
+      KG_LINEAGE_SYNC=1 — ignore `lineage_executor` and run the lineage
+        pass inline (isolates the pool-overlap variable)."""
+    checksum_mode = os.environ.get("KG_STAGE_CHECKSUM", "deferred")
+    if checksum_mode == "lineage" or os.environ.get("KG_LINEAGE_SYNC") == "1":
+        lineage_executor = None
     data_dir = os.path.join(out_dir, stage)
     out = df
     staged = None
@@ -88,27 +109,34 @@ def write_stage(
         staged = out.persist(StorageLevel.DISK_ONLY)
         out = staged.repartitionByRange(*range_cols)
 
-    # checksum rides the write itself: count + commutative 60-bit digest
-    # sum observed post-shuffle (attached ABOVE the range exchange so the
-    # sampler's second child execution cannot double-count)
-    from pyspark.sql import Observation
+    obs = None
+    if checksum_mode == "observe":
+        # checksum rides the write itself: count + commutative 60-bit digest
+        # sum observed post-shuffle (attached ABOVE the range exchange so the
+        # sampler's second child execution cannot double-count)
+        from pyspark.sql import Observation
 
-    obs = Observation()
-    chunk = F.conv(F.substring(row_digest(out), 1, 15), 16, 10).cast("decimal(38,0)")
-    out = out.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(chunk), F.lit(0).cast("decimal(38,0)")).alias("total"),
-    )
+        obs = Observation()
+        chunk = F.conv(
+            F.substring(row_digest(out), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(chunk), F.lit(0).cast("decimal(38,0)")).alias("total"),
+        )
     out.write.mode("overwrite").parquet(data_dir)
     if staged is not None:
         staged.unpersist()
-    m = obs.get
-    checksum = f"{m['n']}:{int(m['total'])}"
+    checksum: str | None = None
+    if obs is not None:
+        m = obs.get
+        checksum = f"{m['n']}:{int(m['total'])}"
 
     spark = df.sparkSession
 
-    def _lineage_and_manifest() -> None:
+    def _lineage_and_manifest() -> str:
+        nonlocal checksum
         # One re-read pass computes per-partition lineage rows; written
         # driver-side with pyarrow instead of a Spark job (a coalesce(1)
         # parquet write is a full scheduler round-trip per stage — pure
@@ -142,35 +170,54 @@ def write_stage(
             }
         )
         pq.write_table(table, os.path.join(lineage_dir, "part-00000.parquet"))
-        # sanity: the streamed checksum and the lineage-derived one must
-        # agree (same digests, commutative sum)
         n = sum(r.row_count for r in lineage_rows)
         total = sum(int(r.content_hash) for r in lineage_rows)
-        assert f"{n}:{total}" == checksum, (
-            f"lineage/observe checksum mismatch for stage {stage}: "
-            f"{n}:{total} != {checksum}"
-        )
+        if checksum is None:
+            # lineage mode: the lineage pass IS the checksum source
+            checksum = f"{n}:{total}"
+        else:
+            # sanity: the streamed checksum and the lineage-derived one
+            # must agree (same digests, commutative sum)
+            assert f"{n}:{total}" == checksum, (
+                f"lineage/observe checksum mismatch for stage {stage}: "
+                f"{n}:{total} != {checksum}"
+            )
+        # deps may hold deferred checksums (Futures) from upstream stages:
+        # this is the first (and only) point that READS them, safely off
+        # the critical path
+        deps_resolved = {k: resolve_checksum(v) for k, v in (deps or {}).items()}
         with open(os.path.join(data_dir, MANIFEST), "w") as f:
-            json.dump({"stage": stage, "checksum": checksum, "deps": deps or {}}, f)
+            json.dump(
+                {"stage": stage, "checksum": checksum, "deps": deps_resolved}, f
+            )
+        return checksum
 
     if lineage_executor is None:
-        _lineage_and_manifest()
-    else:
-        # caller owns the executor and must drain it (shutdown(wait=True))
-        # before treating the run as durable
-        lineage_executor.submit(_lineage_and_manifest)
-    return checksum
+        return _lineage_and_manifest()
+    # caller owns the executor and must drain it (shutdown(wait=True))
+    # before treating the run as durable
+    fut = lineage_executor.submit(_lineage_and_manifest)
+    # observe mode: checksum already known — return it immediately;
+    # deferred mode: the Future IS the checksum handle
+    return checksum if checksum is not None else fut
 
 
-def has_complete_data(out_dir: str, stage: str, deps: dict[str, str] | None = None) -> bool:
+def resolve_checksum(v) -> str:
+    """A checksum handle is a str or a Future[str] (deferred mode)."""
+    return v.result() if hasattr(v, "result") else v
+
+
+def has_complete_data(out_dir: str, stage: str, deps: dict | None = None) -> bool:
     """Skip-if-valid probe: manifest exists and dependency checksums match
-    (dataset.py:367-428 semantics)."""
+    (dataset.py:367-428 semantics). Deferred dep checksums (Futures) are
+    resolved only if the manifest exists — a fresh run never blocks here."""
     path = os.path.join(out_dir, stage, MANIFEST)
     if not os.path.exists(path):
         return False
     with open(path) as f:
         manifest = json.load(f)
-    return manifest.get("deps", {}) == (deps or {})
+    resolved = {k: resolve_checksum(v) for k, v in (deps or {}).items()}
+    return manifest.get("deps", {}) == resolved
 
 
 def dataset_size_bytes(spark: SparkSession, path: str) -> int:
@@ -213,8 +260,11 @@ def run_stage(
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
     lineage_executor=None,
-) -> tuple[DataFrame, str]:
-    """Resumable stage runner: reuse on valid manifest, else rebuild."""
+) -> tuple[DataFrame, object]:
+    """Resumable stage runner: reuse on valid manifest, else rebuild.
+    The returned checksum is a str, or a Future[str] when a
+    `lineage_executor` is given (deferred mode) — pass it through to
+    downstream `deps` as-is; `resolve_checksum` turns it into a str."""
     data_dir = os.path.join(out_dir, stage)
     if has_complete_data(out_dir, stage, deps):
         with open(os.path.join(data_dir, MANIFEST)) as f:

@@ -91,11 +91,12 @@ def run_pipeline(
 
     pool = ThreadPoolExecutor(max_workers=3)
     # per-partition lineage + manifest writes run here, OFF the critical
-    # path: each stage's checksum is already known at write time (observe()
-    # inside write_stage), so downstream stages launch immediately and the
-    # lineage re-read passes fill scheduler gaps instead of serializing
-    # between stages. Drained before returning — a stage is durable (resume
-    # sees its manifest) only once its lineage landed.
+    # path: write_stage returns a DEFERRED checksum (a Future the lineage
+    # task resolves), so downstream stages launch immediately and the
+    # digest/lineage passes fill scheduler gaps instead of serializing
+    # between stages — and the digest is computed exactly once, never on
+    # the write path (PERF.md §21). Drained before returning — a stage is
+    # durable (resume sees its manifest) only once its lineage landed.
     lineage_pool = ThreadPoolExecutor(max_workers=2)
     try:
         t0 = _time.time()
@@ -172,7 +173,10 @@ def run_pipeline(
         pool.shutdown(wait=False)
         # durability barrier: all deferred lineage/manifest writes land
         lineage_pool.shutdown(wait=True)
-    return sums
+    # deferred checksums (Futures) are all resolved once the pool drained
+    from kgdata_spark.pipeline.materialize import resolve_checksum
+
+    return {k: resolve_checksum(v) for k, v in sums.items()}
 
 
 def entity_degrees(triples: DataFrame) -> DataFrame:

@@ -392,3 +392,137 @@ def test_fixed_entities_join_single_exchange(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# map-entry ORDER equivalence (round-4 advice): normalize() compares python
+# dicts, which is order-insensitive — these helpers keep map order as lists
+# so the three implementations are pinned to the reference's dict-update
+# order (props[new]=props.pop(old): overwritten targets keep their slot,
+# brand-new targets append by FIRST assignment).
+
+
+def normalize_ordered(df) -> dict:
+    # map order must be extracted JVM-SIDE (map_entries): the collect()
+    # MapType→dict conversion scrambles entry order (observed
+    # [P1,T1,U1] jvm → [U1,P1,T1] pydict)
+    flat = df.select(
+        "id",
+        F.transform(
+            F.map_entries("props"),
+            lambda e: F.struct(
+                e["key"].alias("pid"),
+                F.transform(
+                    e["value"],
+                    lambda s: F.struct(
+                        s["value"].alias("value"),
+                        F.map_entries(s["qualifiers"]).alias("qualifiers"),
+                        s["qualifiers_order"].alias("qualifiers_order"),
+                        s["rank"].alias("rank"),
+                    ),
+                ).alias("stmts"),
+            ),
+        ).alias("props"),
+    )
+    out = {}
+    for row in flat.collect():
+        out[row.id] = [
+            (
+                p.pid,
+                [
+                    (
+                        (s.value.vtype, s.value.value),
+                        [
+                            (q.key, [(v.vtype, v.value) for v in q.value])
+                            for q in s.qualifiers
+                        ],
+                        list(s.qualifiers_order),
+                        s.rank,
+                    )
+                    for s in p.stmts
+                ],
+            )
+            for p in row.props
+        ]
+    return out
+
+
+def py_fixed_ordered(props: dict, unknown: set, rmap: dict) -> list:
+    # py_fixed builds ordinary python dicts, whose insertion order IS the
+    # reference order — just flatten them to order-preserving lists
+    d = py_fixed(props, unknown, rmap)
+    return [
+        (
+            pid,
+            [
+                (v, [(k, vs) for k, vs in q.items()], list(o), r)
+                for (v, q, o, r) in stmts
+            ],
+        )
+        for pid, stmts in d.items()
+    ]
+
+
+ORDER_ENTITY = {
+    # the advice counterexample at BOTH nesting levels: rmap {A:T, C:T,
+    # B:U} over entries [A,B,C] must yield map order [T,U] (T carrying C's
+    # content), never the last-wins fold order [U,T]
+    "EO1": {
+        "A1": [(S("a"), {}, [], "normal")],
+        "B1": [(S("b"), {}, [], "normal")],
+        "C1": [(S("c"), {}, [], "normal")],
+        "P1": [
+            (
+                S("q"),
+                {"A2": [S("qa")], "B2": [S("qb")], "C2": [S("qc")]},
+                ["A2", "B2", "C2"],
+                "normal",
+            )
+        ],
+    },
+    # overwritten unrenamed target keeps its slot even when the renamed
+    # source sits EARLIER; a surviving original after it keeps order
+    "EO2": {
+        "A1": [(S("ren-src"), {}, [], "normal")],  # A1 -> T1
+        "K1": [(S("keep1"), {}, [], "normal")],
+        "T1": [(S("target"), {}, [], "normal")],  # overwritten in place
+        "K2": [(S("keep2"), {}, [], "normal")],
+    },
+}
+ORDER_RMAP = {"A1": "T1", "C1": "T1", "B1": "U1", "A2": "T2", "C2": "T2", "B2": "U2"}
+
+
+def test_rename_map_order_equivalence(spark):
+    from kgdata_spark.operators.entity_fix import fixed_entities_join
+
+    ents = to_spark_entities(spark, ORDER_ENTITY)
+    unknown = spark.createDataFrame([("UZ",)], "id string")
+    redirects = spark.createDataFrame(
+        sorted(ORDER_RMAP.items()), "old_id string, final_id string"
+    )
+    want = {
+        eid: py_fixed_ordered(props, {"UZ"}, ORDER_RMAP)
+        for eid, props in ORDER_ENTITY.items()
+    }
+    fold = normalize_ordered(fixed_entities(attach_dicts(ents, unknown, redirects)))
+    wide = normalize_ordered(
+        fixed_entities(attach_dicts(ents, unknown, redirects), wide_rows=True)
+    )
+    joined = normalize_ordered(fixed_entities_join(ents, unknown, redirects))
+    assert fold == want
+    assert wide == want
+    assert joined == want
+    # the pins themselves, independent of the oracle
+    eo1 = dict(fold["EO1"])
+    keys = [k for k, _ in fold["EO1"]]
+    assert keys == ["T1", "U1", "P1"] or keys == ["P1", "T1", "U1"]
+    # T before U (first-assignment order), T carries C1's content
+    assert keys.index("T1") < keys.index("U1")
+    assert eo1["T1"] == [(S("c"), [], [], "normal")]
+    qkeys = [k for k, _ in eo1["P1"][0][1]]
+    assert qkeys == ["T2", "U2"]
+    assert dict(eo1["P1"][0][1])["T2"] == [S("qc")]
+    # EO2: T1 overwritten IN PLACE (keeps its slot between K1 and K2)
+    keys2 = [k for k, _ in fold["EO2"]]
+    assert keys2 == ["K1", "T1", "K2"]
+    assert dict(fold["EO2"])["T1"] == [(S("ren-src"), [], [], "normal")]

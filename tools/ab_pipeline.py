@@ -1,0 +1,88 @@
+"""A/B the sf0.1 pipeline_e2e regression candidates (VERDICT r3 ask #1).
+
+Round 3 changed two things on the stage-write path:
+  1. checksum via observe() DURING the write (adds per-row digest work to
+     the write itself; round 2 digested only in the post-write lineage pass)
+  2. the lineage/manifest pass moved to a background pool (its Spark jobs
+     now overlap — and compete for cores with — the next stage)
+
+This runs the identical pipeline (same pre-materialized corpus, fresh
+process per variant per PERF.md §9, min-of-N) under:
+  head          — round-3 defaults (observe + lineage pool)
+  sync_lineage  — observe on, lineage pass synchronous (KG_LINEAGE_SYNC=1)
+  lineage_ck` — observe OFF, checksum from the sync lineage pass
+                  (KG_STAGE_CHECKSUM=lineage; the exact round-2 shape)
+
+Usage: python tools/ab_pipeline.py [n_files=100000] [repeats=5]
+Prints one JSON line per variant + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_CHILD = """
+import sys, json, time
+sys.path.insert(0, ".")
+from kgdata_spark.session import get_spark
+from bench import run_pipeline_bench
+n_files, corpus, repeats = int(sys.argv[1]), json.loads(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(app_name="kg_ab", master="local[32]", shuffle_partitions=32)
+run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
+runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(repeats)]
+el, n = min(runs)
+print(json.dumps({"sec": round(el, 2), "triples": n,
+                  "triples_per_sec": round(n / el, 1),
+                  "runs_sec": [round(e, 2) for e, _ in runs]}))
+"""
+
+VARIANTS = {
+    "head": {},
+    "sync_lineage": {"KG_LINEAGE_SYNC": "1"},
+    "lineage_ck": {"KG_STAGE_CHECKSUM": "lineage"},
+}
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    from bench import _fast_tmp, materialize_corpus
+    from kgdata_spark.session import get_spark
+
+    base = tempfile.mkdtemp(prefix="kg_ab_", dir=_fast_tmp())
+    prep = get_spark(app_name="kg_ab_prep", master="local[32]")
+    corpus = materialize_corpus(prep, n_files, base)
+    prep.stop()
+
+    out: dict[str, dict] = {}
+    try:
+        for name, env_extra in VARIANTS.items():
+            env = dict(os.environ, **env_extra)
+            r = subprocess.run(
+                [sys.executable, "-c", _CHILD, str(n_files), json.dumps(corpus),
+                 str(repeats)],
+                capture_output=True, text=True, cwd=REPO, env=env, timeout=3600,
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"variant {name} produced no result; stderr tail:\n"
+                    + r.stderr[-3000:]
+                )
+            out[name] = json.loads(lines[-1])
+            print(json.dumps({name: out[name]}), flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"n_files": n_files, "repeats": repeats, "variants": out}))
+
+
+if __name__ == "__main__":
+    main()
