@@ -2250,6 +2250,30 @@ BPE_EXPECTED_MERGES = [
 ]
 
 
+def _assert_bpe_oracle_precondition(merges: list[tuple[str, str]]) -> None:
+    """The DuckDB oracle replays merges as ONE sequential separator-replace
+    pass per merge, in merge order; the Spark segmenter applies the
+    lowest-rank mergeable pair iteratively. The two agree iff applying a
+    LATER merge can never recreate an EARLIER merge's opportunity — a
+    sufficient condition is that no merge's output symbol equals an
+    operand of any earlier merge (then a later merge's output can never
+    form an earlier pair). Asserted so the pinned fixture can't silently
+    drift into the divergent regime (round-4 advice)."""
+    for j, (a, b) in enumerate(merges):
+        out = a + b
+        for i in range(j):
+            if out in merges[i]:
+                raise AssertionError(
+                    f"BPE oracle precondition violated: merge {j} output "
+                    f"{out!r} is an operand of earlier merge {i} "
+                    f"{merges[i]!r} — the sequential-replay oracle and the "
+                    "iterative segmenter may disagree on this merge list"
+                )
+
+
+_assert_bpe_oracle_precondition(BPE_EXPECTED_MERGES)
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed BPE: train on the fixture (real trainer, argmax via
     # TakeOrderedAndProject per merge; vocab_partitions=1 because the
@@ -2560,6 +2584,10 @@ def oracle_sql() -> dict[str, str]:
     _wrapped = "'·' || array_to_string(string_split(word, ''), '··') || '·'"
     for _a, _b in BPE_EXPECTED_MERGES:
         _wrapped = f"replace({_wrapped}, '·{_a}··{_b}·', '·{_a}{_b}·')"
+    # LEFT JOIN back onto documents: a doc with no words (empty text)
+    # yields n_bpe_tokens=0 on the Spark side (size of an empty token
+    # array) and must do so here too instead of vanishing from the
+    # word-level GROUP BY (round-4 advice)
     d["bpe_token_counts"] = f"""
         WITH w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -2567,9 +2595,11 @@ def oracle_sql() -> dict[str, str]:
         ), c AS (
             SELECT doc_id, len(string_split({_wrapped}, '··')) AS n
             FROM w WHERE word <> ''
+        ), agg AS (
+            SELECT doc_id, SUM(n) AS n FROM c GROUP BY doc_id
         )
-        SELECT doc_id, CAST(SUM(n) AS INTEGER) AS n_bpe_tokens
-        FROM c GROUP BY doc_id
+        SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS INTEGER) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
     # warc_ingest: the WARC roundtrip changes the container, not the rows.
     d["warc_ingest"] = """

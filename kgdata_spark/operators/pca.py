@@ -114,8 +114,12 @@ def fit_pca(
     n = sum(p["n"] for p in parts)
     s = np.zeros(d)
     outer = np.zeros((d, d))
-    # sort partials by content for a deterministic summation order
-    for p in sorted(parts, key=lambda r: (r["n"], r["s"])):
+    # sort partials by FULL content for a deterministic summation order:
+    # (n, s) alone is not a total order — two partials with equal count
+    # and sum but different outer products would tie and keep
+    # nondeterministic collect order (round-4 advice), so the outer
+    # array joins the key
+    for p in sorted(parts, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["outer"]))):
         s += np.asarray(p["s"])
         outer += np.asarray(p["outer"]).reshape(d, d)
     mean = s / n

@@ -45,7 +45,15 @@ def has_zstd() -> bool:
     the `zstandard` module or a `zstd` binary. `read_zstd_dump` raises
     without one; callers registering environment-dependent surface (the
     driver-gate `zstd_dump_parse` query) gate on this instead of erroring
-    at run time in codec-less sandboxes."""
+    at run time in codec-less sandboxes.
+
+    DRIVER-ONLY APPROXIMATION: this probes the driver's environment, but
+    read_zstd_dump decompresses inside EXECUTOR tasks — on a heterogeneous
+    cluster where only the driver carries the codec, the query registers
+    and then fails at run time. local mode (driver == executors) is exact;
+    a cluster deployment that can't guarantee a uniform image should probe
+    an executor instead:
+    ``sc.parallelize([0], 1).map(lambda _: _probe()).first()``."""
     try:
         import zstandard  # noqa: F401
 

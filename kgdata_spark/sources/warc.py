@@ -6,9 +6,17 @@ a crawl is tens of thousands of files, so file-level parallelism
 saturates any cluster without splitting inside a shard (WARC records are
 length-prefixed binary; a byte-range splitter cannot resync on a marker
 the way line dumps can, because payloads legally contain "WARC/1.0"
-lines — Content-Length is the only safe framing). Within a task the
-shard is stream-parsed record by record: gzip members decode
-incrementally, only one record's payload is in memory at a time.
+lines — Content-Length is the only safe framing). Two intakes:
+
+  * `read_warc` — sc.binaryFiles: each task MATERIALIZES its whole shard
+    as a byte array (plus a BytesIO copy on the gzip path), then parses
+    record by record. Only the DECOMPRESSION is incremental; memory per
+    task is O(shard size), bounded by the JVM's ~2 GB byte-array ceiling.
+    Fine for the common ≲1 GB-compressed shard, and the only option when
+    shards live somewhere only Hadoop's FS layer can read.
+  * `read_warc_stream` — one task per shard PATH, opened directly on the
+    executor: true record-at-a-time streaming, O(one record) memory —
+    the pick for oversized shards on executor-visible filesystems.
 
 Record framing (ISO 28500): a version line `WARC/1.0`, header lines
 until an empty line, `Content-Length` octets of payload, then CRLF CRLF.
@@ -66,7 +74,10 @@ def read_warc(
 ) -> DataFrame:
     """Parse WARC shards matching `path` (glob) into
     (warc_file, record_type, target_uri, warc_date, content_length,
-    payload). One task per shard; payloads stream one record at a time."""
+    payload). One task per shard; the shard is materialized as one byte
+    array per task (binaryFiles), then parsed record by record — see the
+    module docstring for the memory model and `read_warc_stream` for the
+    O(one record) alternative."""
     sc = spark.sparkContext
     files = sc.binaryFiles(path, minPartitions=min_partitions)
     if min_partitions and files.getNumPartitions() < min_partitions:
@@ -100,6 +111,43 @@ def read_warc(
             )
 
     return spark.createDataFrame(files.flatMap(parse), WARC_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession, paths: str | list[str], n_partitions: int | None = None
+) -> DataFrame:
+    """True-streaming WARC intake: one task per shard PATH, the file opened
+    directly on the executor (builtin open / gzip.open), so memory per task
+    is O(one record) instead of O(shard) — no 2 GB byte-array ceiling, the
+    right intake for production-sized or oversized shards. Requires shard
+    paths readable from executor processes (local disk, NFS, fuse-mounted
+    object store); shards only Hadoop's FS layer can reach go through
+    `read_warc`. Same output schema and record framing."""
+    sc = spark.sparkContext
+    if isinstance(paths, str):
+        import glob as _glob
+
+        paths = sorted(_glob.glob(paths))
+    if not paths:
+        return spark.createDataFrame([], WARC_SCHEMA)
+    rdd = sc.parallelize(paths, n_partitions or len(paths))
+
+    def parse(path: str) -> Iterator[tuple]:
+        import gzip
+
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as stream:  # GzipFile: multi-member safe
+            for headers, payload in _iter_warc_records(stream):
+                yield (
+                    path,
+                    headers.get("warc-type"),
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    len(payload),
+                    payload,
+                )
+
+    return spark.createDataFrame(rdd.flatMap(parse), WARC_SCHEMA)
 
 
 def write_warc_file(

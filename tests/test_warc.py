@@ -73,3 +73,29 @@ def test_truncated_record_fails_loudly(spark, tmp_path):
         f.truncate(os.path.getsize(p) - 8)
     with pytest.raises(Exception, match="truncated WARC record"):
         read_warc(spark, p).collect()
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_stream_variant_equivalent(spark, tmp_path, gz):
+    # read_warc_stream (O(one record) memory, opens paths on the executor)
+    # must produce the same rows as the binaryFiles-based read_warc
+    from kgdata_spark.sources.warc import read_warc_stream
+
+    ext = "warc.gz" if gz else "warc"
+    for i in range(3):
+        write_warc_file(
+            [({"WARC-Type": "response",
+               "WARC-Target-URI": f"http://ex.org/s{i}/r{j}"}, b"p" * (j * 7))
+             for j in range(4)],
+            str(tmp_path / f"part{i}.{ext}"),
+            gzip_members=gz,
+        )
+    glob = str(tmp_path / f"*.{ext}")
+    key = ["target_uri", "content_length"]
+    a = [(r.target_uri, r.content_length, bytes(r.payload))
+         for r in read_warc(spark, glob).orderBy(*key).collect()]
+    b = [(r.target_uri, r.content_length, bytes(r.payload))
+         for r in read_warc_stream(spark, glob).orderBy(*key).collect()]
+    assert a == b and len(a) == 12
+    # one task per path: file-level parallelism without materializing shards
+    assert read_warc_stream(spark, glob).rdd.getNumPartitions() == 3
