@@ -116,8 +116,14 @@ def run_curation_bench(spark, sf_dir: str) -> tuple[float, int, int]:
     # connected-components fixpoint makes MANY passes over its input, and
     # an unmaterialized curation DAG would be recomputed per pass
     curated = curate_corpus(docs, bench_docs).localCheckpoint(eager=True)
+    # ngram=5: the production MinHash shingle width. The round-3 composite
+    # used word UNIGRAMS, and the synthetic corpus's ~30-word vocabulary
+    # made every doc's unigram set ≈ the vocabulary — jaccard ≈ 1 across
+    # the board, one giant cluster, 1 surviving doc and a meaningless
+    # docs/sec headline. 5-word shingles measure the work a real corpus
+    # pays without the degenerate collapse.
     survivors = drop_near_dups(
-        curated.select("doc_id", "source", "text")
+        curated.select("doc_id", "source", "text"), ngram=5
     ).localCheckpoint(eager=True)
     staged = shuffle_corpus(split_corpus(survivors))
     n_docs = staged.count()

@@ -27,8 +27,30 @@ N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 
 
-def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (id, token) rows — the shingle set (word unigrams)."""
+def doc_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Distinct (id, token) rows — the shingle set. `ngram=1` (default)
+    shingles on word unigrams; `ngram>1` on word n-grams (the production
+    MinHash config — e.g. 5-word shingles — which keeps docs over a SMALL
+    shared vocabulary from degenerating into one giant jaccard-1 cluster:
+    unigram sets saturate to the vocabulary, n-gram sets don't)."""
+    if ngram > 1:
+        from kgdata_spark.operators.curation import word_ngrams
+
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        return (
+            docs.select(
+                F.col(id_col),
+                F.explode(
+                    word_ngrams(F.filter(toks, lambda t: t != ""), ngram)
+                ).alias("token"),
+            )
+            .distinct()
+        )
     return (
         docs.select(
             F.col(id_col),
@@ -151,8 +173,11 @@ def near_dup_pairs(
     collapse_exact: bool = True,
     max_bucket: int | None = None,
     max_tokens: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash-LSH blocking + exact Jaccard verify ≥ threshold.
+    `ngram` picks the shingle width (see doc_tokens) — word unigrams by
+    default, n-word shingles for production corpora.
 
     With `collapse_exact` (default), docs with *identical token sets* are
     collapsed to one representative before LSH and expanded afterwards —
@@ -168,7 +193,7 @@ def near_dup_pairs(
     (many exact dups) the collapse turns the dominant quadratic verify into
     cheap pair expansion.
     """
-    tokens = doc_tokens(docs, id_col, text_col)
+    tokens = doc_tokens(docs, id_col, text_col, ngram=ngram)
     if not collapse_exact:
         pairs = lsh_candidate_pairs(
             lsh_bands(minhash_signatures(tokens, id_col), id_col), id_col, max_bucket

@@ -1,0 +1,111 @@
+"""Round-4 regression tests: n-gram shingles for MinHash dedup, the
+deferred stage checksum, and the curation-composite degeneracy fix."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.dedup import doc_tokens, drop_near_dups, near_dup_pairs
+
+
+def _small_vocab_docs(spark, n=30, vocab_size=12, words_per_doc=60, seed=7):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    rows = [
+        (i, "src", " ".join(rng.choice(vocab) for _ in range(words_per_doc)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_ngram_shingles_break_vocab_saturation(spark):
+    # over a tiny vocabulary every doc's UNIGRAM set saturates to the
+    # vocabulary (jaccard ~1 -> one giant cluster: the round-3 curation_e2e
+    # degeneracy), while 5-gram shingle sets of random texts stay disjoint
+    docs = _small_vocab_docs(spark)
+    uni_survivors = drop_near_dups(docs).count()
+    five_survivors = drop_near_dups(docs, ngram=5).count()
+    assert uni_survivors <= 3  # saturated: (almost) everything collapses
+    assert five_survivors == docs.count()  # random texts: no 0.8-jaccard pairs
+
+
+def test_ngram_tokens_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a  b"), (3, ""), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.token)
+        for r in doc_tokens(docs, ngram=2).collect()
+    }
+    assert got == {(1, "a b"), (1, "b c"), (1, "c d"), (2, "a b")}
+    # docs shorter than the shingle width contribute no shingles
+    assert doc_tokens(docs, ngram=5).count() == 0
+
+
+def test_ngram_near_dup_detects_true_overlap(spark):
+    # two docs sharing a long run ARE 5-gram near-dups; an unrelated doc
+    # with the same vocabulary is not
+    base = " ".join(f"tok{i % 9}x{i % 7}" for i in range(80))
+    perturbed = base + " tail9 tail8"
+    rng = random.Random(3)
+    toks = base.split()
+    rng.shuffle(toks)
+    shuffled = " ".join(toks)
+    docs = spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, shuffled)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(docs, threshold=0.7, ngram=5).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_deferred_checksum_resolves_and_matches(spark, tmp_path):
+    # write_stage with an executor returns a Future checksum that resolves
+    # to the same value a synchronous write computes
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kgdata_spark.pipeline.materialize import (
+        resolve_checksum,
+        write_stage,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    sync_cs = write_stage(df, str(tmp_path), "sync")
+    assert isinstance(sync_cs, str)
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        handle = write_stage(df, str(tmp_path), "deferred", lineage_executor=pool)
+        assert hasattr(handle, "result")
+        assert resolve_checksum(handle) == sync_cs
+    finally:
+        pool.shutdown(wait=True)
+
+
+def test_deferred_deps_land_in_manifest(spark, tmp_path):
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kgdata_spark.pipeline.materialize import write_stage
+
+    df = spark.range(10).selectExpr("id")
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        up = write_stage(df, str(tmp_path), "up", lineage_executor=pool)
+        down = write_stage(
+            df, str(tmp_path), "down", deps={"up": up}, lineage_executor=pool
+        )
+        down.result()
+    finally:
+        pool.shutdown(wait=True)
+    with open(os.path.join(str(tmp_path), "down", "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    # the downstream manifest recorded the RESOLVED upstream checksum
+    assert manifest["deps"]["up"] == up.result()
+    assert isinstance(manifest["deps"]["up"], str)
