@@ -1859,6 +1859,46 @@ def q_dump_split_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delimited_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the JVM-side twin of dump_split_parse's intake: ONE uncompressed
+    # multi-line-record XML dump read via the text source's lineSep
+    # delimiter (Hadoop LineRecordReader resyncs on "</page>\n" inside the
+    # JVM) — byte-range parallel over the single file with ZERO per-line
+    # Python, the 100 TB ingest hot path. Same oracle as dump_split_parse.
+    import os
+
+    from kgdata_spark.sources.splitter import read_records_delimited
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    fdir = _fixture_dir("delimited_dump", sf_dir)
+    dump = os.path.join(fdir, "dump.xml")
+    done = os.path.join(fdir, "_DONE")
+    if not os.path.exists(done):
+        rows = c.orderBy("c_custkey").collect()
+        with open(dump, "w") as f:
+            f.write("<mediawiki>\n")
+            for r in rows:
+                f.write(
+                    f"<page>\n  <title>Cust {r.c_custkey}</title>\n"
+                    f"  <id>{r.c_custkey}</id>\n"
+                    f"  <text>{r.c_name} nation {r.c_nationkey}</text>\n</page>\n"
+                )
+            f.write("</mediawiki>\n")
+        open(done, "w").close()
+    pages = read_records_delimited(
+        spark, dump, "</page>", record_start="<page>"
+    ).select(
+        # record 0 carries the dump prologue line; strip it so every record
+        # is exactly one well-formed <page> element
+        F.regexp_replace("value", "^<mediawiki>\n", "").alias("page")
+    )
+    return pages.select(
+        F.xpath_string("page", F.lit("page/title")).alias("title"),
+        F.xpath_string("page", F.lit("page/id")).cast("bigint").alias("page_id"),
+        F.xpath_string("page", F.lit("page/text")).alias("text"),
+    )
+
+
 def q_zstd_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zstd dump ingestion (common.py:569-599 analog): 8 .zst part files →
     # binaryFiles → streamed per-file decompress (zstandard module or

@@ -242,6 +242,41 @@ def read_boundary_records(
     return records
 
 
+def read_records_delimited(
+    spark: SparkSession,
+    path: str,
+    record_end: str,
+    record_start: str,
+) -> DataFrame:
+    """JVM-only multi-line-record ingest for the common single-marker dump:
+    the text source's ``lineSep`` option makes Hadoop's LineRecordReader
+    treat ``record_end + "\\n"`` as the record delimiter, so byte-range
+    splits resync on the marker INSIDE the JVM — no per-line Python
+    crossing at all (`read_boundary_records` pays one Python call per
+    line; at 100 TB that crossing is the ingest throughput ceiling).
+    Splittability is unchanged: plain text splits by byte range, bz2 by
+    block, gzip/zstd decode as one task (pre-split with `split_dump`).
+
+    Output matches `read_boundary_records(path, record_end)` exactly
+    (equivalence-tested): each record is every line since the previous
+    marker through the marker line, newline-joined, epilogue dropped.
+
+    Contract narrower than the boundary reader in two ways, both checked
+    or documented: (1) the marker must END its line (`lineSep` splits at
+    the marker bytes, so same-line trailing content would leak into the
+    next record — the boundary reader keeps it); (2) `record_start` is
+    required to tell real records from the dump epilogue JVM-side (an
+    epilogue containing `record_start` would be kept — not a shape any
+    known dump has). Keep `read_boundary_records` for markers that don't
+    terminate their line and for fixtures without a start tag."""
+    from pyspark.sql import functions as F
+
+    pieces = spark.read.option("lineSep", record_end + "\n").text(path)
+    return pieces.where(F.col("value").contains(record_start)).select(
+        F.concat(F.col("value"), F.lit(record_end)).alias("value")
+    )
+
+
 def read_zstd_dump(
     spark: SparkSession, pattern: str, min_partitions: int | None = None
 ) -> DataFrame:

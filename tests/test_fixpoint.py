@@ -27,3 +27,42 @@ def test_connected_components_basic(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.component for r in connected_components(df, checkpoint=False).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    # a 300-hop chain: plain hash-min needs ~300 rounds (it would WRONGLY
+    # return partial labels at max_iters=25); pointer doubling must finish
+    # in O(log2(300)) ≈ 9 rounds (+1 slack for the batched convergence
+    # probe landing on an even round)
+    n = 300
+    edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # localCheckpoint per round keeps the self-joining plan from doubling
+    # in size every iteration (analysis time, not data, is the hazard)
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert len(got) == n + 1
+    assert set(got.values()) == {"n0000"}
+    assert stats["rounds"] <= 12, f"pointer doubling regressed: {stats['rounds']} rounds"
+
+
+def test_connected_components_forest_and_probe_batching(spark):
+    # several components of mixed shape; check_every=3 must return the
+    # identical labeling (monotone labels: any no-change transition is the
+    # fixpoint regardless of when it is probed)
+    edges = (
+        [(f"c{i}", f"c{i + 1}") for i in range(40)]        # chain
+        + [("hub", f"s{i}") for i in range(20)]            # star
+        + [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]       # triangle
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.component for r in connected_components(df).collect()}
+    b = {
+        r.node: r.component
+        for r in connected_components(df, check_every=3).collect()
+    }
+    assert a == b
+    assert a["c40"] == "c0" and a["s19"] == "hub" and a["t3"] == "t1"

@@ -162,3 +162,55 @@ def test_split_dump_reads_zst_input(spark, tmp_path):
     assert (n_rec, n_parts) == (50, 3)
     got = sorted(r.value for r in read_split_parts(spark, str(tmp_path / "parts")).collect())
     assert got == sorted(lines)
+
+
+def test_read_records_delimited_equivalence(spark, tmp_path):
+    # JVM lineSep path == Python boundary path, record for record, on the
+    # same single multi-line-record file (incl. blank lines inside records
+    # and an indented end-marker line)
+    from kgdata_spark.sources.splitter import read_records_delimited
+
+    pages = []
+    for i in range(300):
+        body = f"<page>\n  <title>T{i}</title>\n\n  <id>{i}</id>"
+        pages.append(body + ("\n  </page>" if i % 3 == 0 else "\n</page>"))
+    text = "<wiki>\n" + "\n".join(pages) + "\n</wiki>\n"
+    path = str(tmp_path / "dump.xml")
+    open(path, "w").write(text)
+    jvm = read_records_delimited(spark, path, "</page>", record_start="<page>")
+    py = read_boundary_records(spark, path, "</page>", min_partitions=6)
+    assert sorted(r.value for r in jvm.collect()) == sorted(
+        r.value for r in py.collect()
+    )
+    # zero Python in the JVM path's plan — that is its entire point
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapPartitions" not in plan
+
+
+def test_read_records_delimited_splits_and_drops_epilogue(spark, tmp_path):
+    from kgdata_spark.sources.splitter import read_records_delimited
+
+    text = _xml_dump_text(2000)
+    path = str(tmp_path / "dump.xml")
+    open(path, "w").write(text)
+    # force multiple byte-range splits over the ONE file: the JVM reader
+    # must resync on the marker across split edges
+    df = read_records_delimited(
+        spark.read.option("lineSep", "x").text(path).sparkSession,  # no-op
+        path,
+        "</page>",
+        record_start="<page>",
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        df2 = read_records_delimited(spark, path, "</page>", record_start="<page>")
+        assert df2.rdd.getNumPartitions() > 1
+        recs = [r.value for r in df2.collect()]
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert len(recs) == 2000
+    ids = sorted(int(r.split("<id>")[1].split("</id>")[0]) for r in recs)
+    assert ids == list(range(2000))
+    assert not any("</wiki>" in r for r in recs)
+    assert all(r.endswith("</page>") for r in recs)
+    assert df.count() == 2000
