@@ -479,6 +479,72 @@ def q_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_typed_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 at FULL reference fidelity (wdvalue.py:20-98 payloads, converter
+    # triple_truthy_dump_derivatives.py:379-493 defaults): every variant's
+    # complete field set — time {timezone,before,after,precision,
+    # calendarmodel}, quantity {upperBound,lowerBound,unit}, globe
+    # {altitude,precision,globe incl. the <URI> Point(..) prefixed form},
+    # entityid {entity_type,numeric_id}, monolingualtext {text,language}.
+    # The fixture exercises all 7 literal shapes from orders columns.
+    from kgdata_spark.functions.values import parse_value_full
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    m = k % 7
+    point = F.concat(
+        F.lit("Point("), (c % 360 - 180).cast("string"),
+        F.lit(" "), (c % 180 - 90).cast("string"), F.lit(")"),
+    )
+    lit = (
+        F.when(m == 0, F.concat(F.lit("E"), c))
+        .when(m == 1, F.concat(F.lit("P"), c % 300))
+        .when(m == 2, point)
+        .when(m == 3, F.concat(
+            F.lit("<http://www.wikidata.org/entity/Q"), (k % 3 + 2),
+            F.lit("> "), point,
+        ))
+        .when(m == 4, F.when(
+            k % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")))
+        .when(m == 5, F.concat(
+            F.when(k % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
+            (c % 100000).cast("string"), F.lit("."),
+            F.lpad((k % 100).cast("string"), 2, "0"),
+        ))
+        .otherwise(F.when(
+            k % 2 == 0,
+            F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit('"@en')),
+        ).otherwise(F.concat(F.lit("Clerk#"), c)))
+    )
+    v = parse_value_full(lit)
+    return o.select(
+        "o_orderkey",
+        v["vtype"].alias("vtype"),
+        v["string"].alias("s_value"),
+        v["entityid"]["entity_type"].alias("ent_type"),
+        v["entityid"]["id"].alias("ent_id"),
+        v["entityid"]["numeric_id"].alias("ent_numeric_id"),
+        v["time"]["time"].alias("t_time"),
+        v["time"]["timezone"].alias("t_timezone"),
+        v["time"]["before"].alias("t_before"),
+        v["time"]["after"].alias("t_after"),
+        v["time"]["precision"].alias("t_precision"),
+        v["time"]["calendarmodel"].alias("t_calendarmodel"),
+        v["quantity"]["amount"].alias("q_amount"),
+        v["quantity"]["upperBound"].alias("q_upper"),
+        v["quantity"]["lowerBound"].alias("q_lower"),
+        v["quantity"]["unit"].alias("q_unit"),
+        v["monolingualtext"]["text"].alias("m_text"),
+        v["monolingualtext"]["language"].alias("m_lang"),
+        v["globecoordinate"]["latitude"].alias("g_lat"),
+        v["globecoordinate"]["longitude"].alias("g_long"),
+        v["globecoordinate"]["altitude"].alias("g_altitude"),
+        v["globecoordinate"]["precision"].alias("g_precision"),
+        v["globecoordinate"]["globe"].alias("g_globe"),
+    )
+
+
 def q_sql_dump_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P4 full MySQL-dump grammar (page_ids.py:74-107): serialize customer
     # rows with injected quotes/backslashes/NULLs into multi-tuple INSERT
@@ -2215,6 +2281,51 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §3.3 keyed point-lookup contract: the RocksDB `entities["Q42"]` analog
+    # (reference serves materialized datasets out of keyed stores). Triples
+    # are materialized ONCE as a subj-bucketed subj-sorted table; a lookup
+    # by key must then touch ONE bucket of N — asserted via the scan's
+    # SelectedBucketsCount — with the filter pushed to parquet and zero
+    # shuffle. At 100 TB that is the difference between a point read and a
+    # full scan: 1/N of the files opened, row-group pruning inside via the
+    # per-bucket sort on subj.
+    import os
+
+    from kgdata_spark.pipeline.bucketed import (
+        assert_no_shuffle,
+        plan_of,
+        write_bucketed,
+    )
+
+    # autoBucketedScan would silently fall back to a plain (unpruned) scan
+    # for plans with no join/agg to exploit the distribution; point reads
+    # are exactly such plans, so pin bucketed scans on
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    o = _t(spark, sf_dir, "orders")
+    triples = o.select(
+        F.concat(F.lit("E"), F.col("o_custkey")).alias("subj"),
+        F.concat(F.lit("status_"), F.col("o_orderstatus")).alias("pred"),
+        F.col("o_orderkey").cast("string").alias("obj"),
+    )
+    fdir = _fixture_dir("point_lookup", sf_dir)
+    bt = write_bucketed(
+        triples, "pl_triples", ["subj"], 16,
+        os.path.join(fdir, "triples"), sort_cols=["subj", "pred", "obj"],
+    )
+    key = "E" + str(o.agg(F.min("o_custkey")).first()[0])
+    out = bt.where(F.col("subj") == key)
+    plan = plan_of(out)
+    if "SelectedBucketsCount: 1 out of 16" not in plan:
+        raise AssertionError(
+            f"point lookup did not prune to one bucket:\n{plan}"
+        )
+    if "PushedFilters: [IsNotNull(subj), EqualTo(subj," not in plan:
+        raise AssertionError(f"subj filter not pushed to parquet:\n{plan}")
+    assert_no_shuffle(out, "point_lookup driver query")
+    return out.select("subj", "pred", "obj")
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact substring dedup (Lee et al. 2022): corpus-wide duplicated
     # k-gram windows, merged per doc into maximal 1-based token intervals.
@@ -2379,70 +2490,87 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D29 end-to-end at its REAL reference shape (html_articles.py:42-110):
+    # a tar dump whose members are ndjson article files → streaming
+    # one-task-per-shard intake → from_json parse → latest-wins dedup by
+    # url THEN page_id (two max_by shuffles) + uniqueness audit. The
+    # fixture plants cross-shard duplicates: a later revision of every
+    # 3rd article lives in a different shard than its base, and every
+    # 5th article has an older draft under a second url (same page_id) —
+    # both must lose exactly per the reference's two reduceByKey passes.
+    import json
+    import os
+
+    from kgdata_spark.operators.articles import (
+        latest_html_articles,
+        parse_article_lines,
+    )
+    from kgdata_spark.sources.tar import read_tar_stream, write_tar_file
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    fdir = _fixture_dir("html_tar", sf_dir)
+    done = os.path.join(fdir, "_DONE")
+    if not os.path.exists(done):
+        rows = c.orderBy("c_custkey").collect()
+
+        def art(key, name, url, date, html):
+            return json.dumps(
+                {"url": url, "page_id": key, "name": name,
+                 "date_modified": date, "html": html}
+            )
+
+        n_shards = 3
+        shards: list[list[str]] = [[] for _ in range(n_shards)]
+        for i, r in enumerate(rows):
+            k = r.c_custkey
+            shards[i % n_shards].append(art(
+                k, f"Cust {k}", f"http://ex/wiki/Cust_{k}",
+                "2024-01-01T00:00:00", f"<p>{r.c_name}</p>",
+            ))
+            if k % 3 == 0:  # later revision, planted in ANOTHER shard
+                shards[(i + 1) % n_shards].append(art(
+                    k, f"Cust {k}", f"http://ex/wiki/Cust_{k}",
+                    "2024-02-01T00:00:00", f"<p>{r.c_name} v2</p>",
+                ))
+            if k % 5 == 0:  # older draft: unique url, same page_id
+                shards[(i + 2) % n_shards].append(art(
+                    k, f"Draft Cust {k}", f"http://ex/wiki/Draft_Cust_{k}",
+                    "2023-12-01T00:00:00", "<p>draft</p>",
+                ))
+        for s, lines in enumerate(shards):
+            mid = max(1, len(lines) // 2)
+            write_tar_file(
+                [(f"enwiki-{s}-0.ndjson", "\n".join(lines[:mid]).encode()),
+                 (f"enwiki-{s}-1.ndjson", "\n".join(lines[mid:]).encode())],
+                os.path.join(fdir, f"articles-{s}.tar"),
+            )
+        open(done, "w").close()
+    members = read_tar_stream(spark, os.path.join(fdir, "articles-*.tar"))
+    lines = members.select(
+        F.explode(F.split(F.decode("payload", "UTF-8"), "\n")).alias("value")
+    ).where(F.col("value") != "")
+    return latest_html_articles(parse_article_lines(lines)).select(
+        "url", "page_id", "name", "date_modified", "html"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
-    # 50 registry entries (CORRECTNESS_r02.json was the exact 50-entry prefix
-    # of the round-2 registry).  The 23 queries that were registered but not
-    # driver-verified in round 2 (entity_json_parse .. decontaminate,
-    # including the flagship D4 entity_fix_pass / entity_fix_join) therefore
-    # come FIRST here; the remaining slots hold a representative core of the
-    # queries already driver-green in BOTH round 1 and round 2.  Everything
-    # past slot 50 stays covered by the identical local gate
-    # (tools/check_oracle.py) and tests/test_driver_gate_parity.py.
+    # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
+    # queries whose driver rows date from round 2 come right after the two
+    # canaries (kg_triples = the flagship pipeline, entity_fix_join = the D4
+    # scale path — both driver-green in r3, kept in-window so a regression
+    # in the two most load-bearing paths is caught by EVERY round's gate),
+    # then the three queries NEW this round. Across r3+r4 every registered
+    # query then has a driver row on round-final code. Everything past slot
+    # 50 was driver-green in r3 (or is env-gated / carries committed
+    # local-gate evidence) — see tests/test_driver_gate_parity.py.
     reg = {
-        # -- driver-unverified in r2: must land in the 50-row window -------
-        "entity_fix_pass": q_entity_fix_pass,
-        "entity_fix_join": q_entity_fix_join,
-        "entity_json_parse": q_entity_json_parse,
-        "class_prop_harvest": q_class_prop_harvest,
-        "ttl_resource_extract": q_ttl_resource_extract,
-        "xml_multipage": q_xml_multipage,
-        "label_merge": q_label_merge,
-        "resource_group": q_resource_group,
-        "resource_merge": q_resource_merge,
-        "sitelinks_merge": q_sitelinks_merge,
-        "meta_graph_nest": q_meta_graph_nest,
-        "prop_connections": q_prop_connections,
-        "article_links": q_article_links,
-        "html_tables": q_html_tables,
-        "easy_tables": q_easy_tables,
-        "ntriples_parse": q_ntriples_parse,
-        "multimodal_features": q_multimodal_features,
-        "media_decode": q_media_decode,
-        "domain_caps": q_domain_caps,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        # -- new in round 3 ------------------------------------------------
-        "invalid_qualifiers": q_invalid_qualifiers,
-        "dump_split_parse": q_dump_split_parse,
+        # -- canaries: driver-green r3, re-gated every round ----------------
         "kg_triples": q_kg_triples,
-        "kg_triples_incremental": q_kg_triples_incremental,
-        "kg_triples_scored": q_kg_triples_scored,
-        "doc_repetition": q_doc_repetition,
-        "dedup_lines": q_dedup_lines,
-        "alias_canonicalize": q_alias_canonicalize,
-        "sample_mixture": q_sample_mixture,
-        "profile_table": q_profile_table,
-        "drop_near_dups": q_drop_near_dups,
-        "pack_sequences": q_pack_sequences,
-        "curate_corpus": q_curate_corpus,
-        "incremental_dedup": q_incremental_dedup,
-        "kg_triples_tfidf": q_kg_triples_tfidf,
-        "corpus_split": q_corpus_split,
-        "corpus_shuffle": q_corpus_shuffle,
-        "bucketed_join": q_bucketed_join,
-        "dup_spans": q_dup_spans,
-        "span_cut_docs": q_span_cut_docs,
-        "dup_spans_keep_first": q_dup_spans_keep_first,
-        "event_sessions": q_event_sessions,
-        "bpe_token_counts": q_bpe_token_counts,
-        "warc_ingest": q_warc_ingest,
-        # -- representative core, driver-green in r1 AND r2 ----------------
-        "pricing_summary": q_pricing_summary,
-        "revenue_per_nation": q_revenue_per_nation,
-        "customer_order_counts": q_customer_order_counts,
-        "customers_without_orders": q_customers_without_orders,
-        "top_orders_per_customer": q_top_orders_per_customer,
+        "entity_fix_join": q_entity_fix_join,
+        # -- driver rows stale since r2: refresh in this window -------------
         "latest_event_per_user": q_latest_event_per_user,
         "mention_freqs": q_mention_freqs,
         "candidate_topk": q_candidate_topk,
@@ -2459,7 +2587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embed_near_dups": q_embed_near_dups,
         "kmeans_assign": q_kmeans_assign,
-        # ------------------------------------------------------- slot 50 --
         "asof_latest_order": q_asof_latest_order,
         "pivot_status": q_pivot_status,
         "event_props_agg": q_event_props_agg,
@@ -2489,6 +2616,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_stats": q_rank_stats,
         "dataset_diff": q_dataset_diff,
         "url_titles": q_url_titles,
+        # -- NEW in round 4: first driver rows ------------------------------
+        "html_articles": q_html_articles,
+        "typed_values_full": q_typed_values_full,
+        "point_lookup": q_point_lookup,
+        # ------------------------------------------------------- slot 50 --
+        # everything below was driver-green in CORRECTNESS_r03 (or, for
+        # delimited_dump_parse, carries committed local-gate evidence in
+        # CORRECTNESS_local_r04.json) and stays covered by the identical
+        # local gate every round
+        "delimited_dump_parse": q_delimited_dump_parse,
+        "entity_fix_pass": q_entity_fix_pass,
+        "entity_json_parse": q_entity_json_parse,
+        "class_prop_harvest": q_class_prop_harvest,
+        "ttl_resource_extract": q_ttl_resource_extract,
+        "xml_multipage": q_xml_multipage,
+        "label_merge": q_label_merge,
+        "resource_group": q_resource_group,
+        "resource_merge": q_resource_merge,
+        "sitelinks_merge": q_sitelinks_merge,
+        "meta_graph_nest": q_meta_graph_nest,
+        "prop_connections": q_prop_connections,
+        "article_links": q_article_links,
+        "html_tables": q_html_tables,
+        "easy_tables": q_easy_tables,
+        "ntriples_parse": q_ntriples_parse,
+        "multimodal_features": q_multimodal_features,
+        "media_decode": q_media_decode,
+        "domain_caps": q_domain_caps,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "invalid_qualifiers": q_invalid_qualifiers,
+        "dump_split_parse": q_dump_split_parse,
+        "kg_triples_incremental": q_kg_triples_incremental,
+        "kg_triples_scored": q_kg_triples_scored,
+        "doc_repetition": q_doc_repetition,
+        "dedup_lines": q_dedup_lines,
+        "alias_canonicalize": q_alias_canonicalize,
+        "sample_mixture": q_sample_mixture,
+        "profile_table": q_profile_table,
+        "drop_near_dups": q_drop_near_dups,
+        "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
+        "incremental_dedup": q_incremental_dedup,
+        "kg_triples_tfidf": q_kg_triples_tfidf,
+        "corpus_split": q_corpus_split,
+        "corpus_shuffle": q_corpus_shuffle,
+        "bucketed_join": q_bucketed_join,
+        "dup_spans": q_dup_spans,
+        "span_cut_docs": q_span_cut_docs,
+        "dup_spans_keep_first": q_dup_spans_keep_first,
+        "event_sessions": q_event_sessions,
+        "bpe_token_counts": q_bpe_token_counts,
+        "warc_ingest": q_warc_ingest,
+        "pricing_summary": q_pricing_summary,
+        "revenue_per_nation": q_revenue_per_nation,
+        "customer_order_counts": q_customer_order_counts,
+        "customers_without_orders": q_customers_without_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -2561,6 +2746,137 @@ def oracle_sql() -> dict[str, str]:
                c_custkey AS page_id,
                c_name || ' nation ' || c_nationkey AS text
         FROM customer
+    """
+    # the JVM lineSep intake parses the identical fixture content
+    d["delimited_dump_parse"] = d["dump_split_parse"]
+    # html_articles: replay the tar fixture's article multiset and the
+    # two latest-wins passes (url, then page_id) as ROW_NUMBER windows —
+    # all date_modified values are distinct within a group, so the
+    # deterministic-tiebreak max_by and the window agree bit-for-bit
+    d["html_articles"] = """
+        WITH arts AS (
+            SELECT 'http://ex/wiki/Cust_' || c_custkey AS url,
+                   c_custkey AS page_id, 'Cust ' || c_custkey AS name,
+                   '2024-01-01T00:00:00' AS date_modified,
+                   '<p>' || c_name || '</p>' AS html
+            FROM customer
+            UNION ALL
+            SELECT 'http://ex/wiki/Cust_' || c_custkey, c_custkey,
+                   'Cust ' || c_custkey, '2024-02-01T00:00:00',
+                   '<p>' || c_name || ' v2</p>'
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT 'http://ex/wiki/Draft_Cust_' || c_custkey, c_custkey,
+                   'Draft Cust ' || c_custkey, '2023-12-01T00:00:00',
+                   '<p>draft</p>'
+            FROM customer WHERE c_custkey % 5 = 0),
+        by_url AS (
+            SELECT url, page_id, name, date_modified, html
+            FROM (SELECT a.*, ROW_NUMBER() OVER (
+                      PARTITION BY url ORDER BY date_modified DESC) AS rn
+                  FROM arts a)
+            WHERE rn = 1),
+        by_pid AS (
+            SELECT url, page_id, name, date_modified, html
+            FROM (SELECT u.*, ROW_NUMBER() OVER (
+                      PARTITION BY page_id ORDER BY date_modified DESC) AS rn
+                  FROM by_url u)
+            WHERE rn = 1)
+        SELECT url, page_id, name, date_modified, html FROM by_pid
+    """
+    d["typed_values_full"] = r"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS d,
+                   o_orderpriority AS prio
+            FROM orders),
+        lits AS (
+            SELECT k,
+                CASE k % 7
+                    WHEN 0 THEN 'E' || c
+                    WHEN 1 THEN 'P' || (c % 300)
+                    WHEN 2 THEN 'Point(' || (c % 360 - 180) || ' ' ||
+                                (c % 180 - 90) || ')'
+                    WHEN 3 THEN '<http://www.wikidata.org/entity/Q' ||
+                                (k % 3 + 2) || '> Point(' ||
+                                (c % 360 - 180) || ' ' || (c % 180 - 90) || ')'
+                    WHEN 4 THEN CASE WHEN k % 2 = 0
+                                     THEN strftime(d, '%Y-%m-%d')
+                                     ELSE strftime(d, '%Y-%m-%dT%H:%M:%S') END
+                    WHEN 5 THEN (CASE WHEN k % 2 = 0 THEN '+' ELSE '-' END) ||
+                                (c % 100000) || '.' ||
+                                lpad(CAST(k % 100 AS VARCHAR), 2, '0')
+                    ELSE CASE WHEN k % 2 = 0 THEN '"' || prio || '"@en'
+                              ELSE 'Clerk#' || c END
+                END AS v
+            FROM base),
+        typed AS (
+            SELECT k, v,
+                CASE
+                    WHEN regexp_matches(v, '^([EP])([0-9]+)$') THEN 'entityid'
+                    WHEN regexp_matches(v,
+                        '^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$')
+                        THEN 'globecoordinate'
+                    WHEN regexp_matches(v,
+                        '^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2})?$') THEN 'time'
+                    WHEN regexp_matches(v, '^[+-]?\d+(\.\d+)?$') THEN 'quantity'
+                    WHEN regexp_matches(v, '^"(.*)"@([a-z]{2,3})$')
+                        THEN 'monolingualtext'
+                    ELSE 'string'
+                END AS vtype
+            FROM lits)
+        SELECT k AS o_orderkey, vtype,
+            CASE WHEN vtype = 'string' THEN v END AS s_value,
+            CASE WHEN vtype = 'entityid' THEN
+                CASE WHEN regexp_extract(v, '^([EP])([0-9]+)$', 1) = 'E'
+                     THEN 'item' ELSE 'property' END END AS ent_type,
+            CASE WHEN vtype = 'entityid' THEN v END AS ent_id,
+            CASE WHEN vtype = 'entityid' THEN
+                CAST(regexp_extract(v, '^([EP])([0-9]+)$', 2) AS BIGINT)
+            END AS ent_numeric_id,
+            CASE WHEN vtype = 'time' THEN v END AS t_time,
+            CASE WHEN vtype = 'time' THEN 0 END AS t_timezone,
+            CASE WHEN vtype = 'time' THEN 0 END AS t_before,
+            CASE WHEN vtype = 'time' THEN 0 END AS t_after,
+            CASE WHEN vtype = 'time' THEN 11 END AS t_precision,
+            CASE WHEN vtype = 'time'
+                 THEN 'http://www.wikidata.org/entity/Q1985727'
+            END AS t_calendarmodel,
+            CASE WHEN vtype = 'quantity' THEN v END AS q_amount,
+            CASE WHEN vtype = 'quantity' THEN v END AS q_upper,
+            CASE WHEN vtype = 'quantity' THEN v END AS q_lower,
+            CASE WHEN vtype = 'quantity'
+                 THEN 'http://www.wikidata.org/entity/Q199'
+            END AS q_unit,
+            CASE WHEN vtype = 'monolingualtext'
+                 THEN regexp_extract(v, '^"(.*)"@([a-z]{2,3})$', 1)
+            END AS m_text,
+            CASE WHEN vtype = 'monolingualtext'
+                 THEN regexp_extract(v, '^"(.*)"@([a-z]{2,3})$', 2)
+            END AS m_lang,
+            CASE WHEN vtype = 'globecoordinate' THEN CAST(regexp_extract(v,
+                '^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$', 3)
+                AS DOUBLE) END AS g_lat,
+            CASE WHEN vtype = 'globecoordinate' THEN CAST(regexp_extract(v,
+                '^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$', 2)
+                AS DOUBLE) END AS g_long,
+            CAST(NULL AS DOUBLE) AS g_altitude,
+            CASE WHEN vtype = 'globecoordinate' THEN 0.000277778
+            END AS g_precision,
+            CASE WHEN vtype = 'globecoordinate' THEN
+                CASE WHEN regexp_extract(v,
+                    '^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$',
+                    1) = '' THEN 'http://www.wikidata.org/entity/Q2'
+                ELSE regexp_extract(v,
+                    '^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$',
+                    1) END END AS g_globe
+        FROM typed
+    """
+    d["point_lookup"] = """
+        SELECT 'E' || o_custkey AS subj,
+               'status_' || o_orderstatus AS pred,
+               CAST(o_orderkey AS VARCHAR) AS obj
+        FROM orders
+        WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
     """
     # corpus_split: replay the md5-uniform threshold ladder. Thresholds
     # 0.75 / 0.875 are binary-exact, so the float compares agree bit-wise.

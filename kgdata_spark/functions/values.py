@@ -39,6 +39,100 @@ def value_type(col: Column) -> Column:
     )
 
 
+# --- full-fidelity variant payloads (P10 complete) ------------------------
+# The reference's WDValue carries complete per-variant payloads
+# (wdvalue.py:20-98); its RDF→WDValue converter fills the fields a truthy
+# dump can't know with fixed defaults (triple_truthy_dump_derivatives.py:
+# 379-493). parse_value_full mirrors BOTH: parsed components where the
+# literal carries them, the converter's defaults where it doesn't.
+
+ENTITY_FULL_RE = r"^([EP])([0-9]+)$"
+# globecoordinate literal, optionally prefixed by the reference-globe URI:
+# "<http://.../Q2> Point(long lat)" (converter lines 443-452)
+GLOBE_FULL_RE = r"^(?:<([^>]+)> )?Point\((-?[0-9.Ee+-]+) (-?[0-9.Ee+-]+)\)$"
+
+DEFAULT_GLOBE = "http://www.wikidata.org/entity/Q2"
+GLOBE_PRECISION = 0.000277778  # converter line 456
+TIME_PRECISION = 11  # days — unknowable from the dump (converter line 481)
+CALENDAR_GREGORIAN = "http://www.wikidata.org/entity/Q1985727"
+UNIT_ONE = "http://www.wikidata.org/entity/Q199"  # unit-less (line 472)
+
+
+def value_type_full(col: Column) -> Column:
+    return (
+        F.when(col.rlike(ENTITY_FULL_RE), F.lit("entityid"))
+        .when(col.rlike(GLOBE_FULL_RE), F.lit("globecoordinate"))
+        .when(col.rlike(TIME_RE), F.lit("time"))
+        .when(col.rlike(QUANTITY_RE), F.lit("quantity"))
+        .when(col.rlike(MONO_RE), F.lit("monolingualtext"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def parse_value_full(col: Column) -> Column:
+    """Literal → struct(vtype, string, entityid, time, quantity,
+    monolingualtext, globecoordinate): exactly one variant struct non-null,
+    each carrying the reference's complete field set. Pure Catalyst
+    (when/otherwise + regexp_extract), no UDF anywhere.
+
+    Field-by-field reference parity:
+      entityid        {entity_type, id, numeric_id} — E→item, P→property
+                      (the Q/P analog, wdvalue.py:46-54)
+      time            {time, timezone:0, before:0, after:0, precision:11,
+                      calendarmodel:gregorian} (converter 476-489)
+      quantity        {amount AS STRING (arbitrary precision preserved),
+                      upperBound=lowerBound=amount, unit:Q199}
+                      (wdvalue.py:66-78, converter 464-474)
+      monolingualtext {text, language} (wdvalue.py:93-98)
+      globecoordinate {latitude, longitude, altitude:null (deprecated),
+                      precision:2.78e-4, globe: extracted URI or Q2}
+                      (wdvalue.py:55-64, converter 440-459)
+    """
+    vtype = value_type_full(col)
+    ent = F.struct(
+        F.when(F.regexp_extract(col, ENTITY_FULL_RE, 1) == "E", F.lit("item"))
+        .otherwise(F.lit("property"))
+        .alias("entity_type"),
+        col.alias("id"),
+        F.regexp_extract(col, ENTITY_FULL_RE, 2).cast("bigint").alias("numeric_id"),
+    )
+    tim = F.struct(
+        col.alias("time"),
+        F.lit(0).alias("timezone"),
+        F.lit(0).alias("before"),
+        F.lit(0).alias("after"),
+        F.lit(TIME_PRECISION).alias("precision"),
+        F.lit(CALENDAR_GREGORIAN).alias("calendarmodel"),
+    )
+    qty = F.struct(
+        col.alias("amount"),
+        col.alias("upperBound"),
+        col.alias("lowerBound"),
+        F.lit(UNIT_ONE).alias("unit"),
+    )
+    mono = F.struct(
+        F.regexp_extract(col, MONO_RE, 1).alias("text"),
+        F.regexp_extract(col, MONO_RE, 2).alias("language"),
+    )
+    globe_uri = F.regexp_extract(col, GLOBE_FULL_RE, 1)
+    geo = F.struct(
+        F.regexp_extract(col, GLOBE_FULL_RE, 3).cast("double").alias("latitude"),
+        F.regexp_extract(col, GLOBE_FULL_RE, 2).cast("double").alias("longitude"),
+        F.lit(None).cast("double").alias("altitude"),
+        F.lit(GLOBE_PRECISION).alias("precision"),
+        F.when(globe_uri == "", F.lit(DEFAULT_GLOBE)).otherwise(globe_uri).alias("globe"),
+    )
+    return F.struct(
+        vtype.alias("vtype"),
+        F.when(vtype == "string", col).alias("string"),
+        F.when(vtype == "entityid", ent).alias("entityid"),
+        F.when(vtype == "time", tim).alias("time"),
+        F.when(vtype == "quantity", qty).alias("quantity"),
+        F.when(vtype == "monolingualtext", mono).alias("monolingualtext"),
+        F.when(vtype == "globecoordinate", geo).alias("globecoordinate"),
+    )
+
+
 def parse_value(col: Column) -> Column:
     """struct(vtype, value, lang, lon, lat) — unused slots null."""
     vtype = value_type(col)

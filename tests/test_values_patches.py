@@ -35,3 +35,65 @@ def test_apply_patches_set_and_drop(spark):
     )
     got = {r.id: r.val for r in apply_patches(df, patches, "id").collect()}
     assert got == {"a": "X", "b": "y"}
+
+
+def test_parse_value_full_all_variants(spark):
+    from kgdata_spark.functions.values import parse_value_full
+
+    rows = [
+        ("E42",), ("P31",),
+        ("Point(12.5 41.9)",),
+        ("<http://www.wikidata.org/entity/Q111> Point(-3.25 -77.0)",),
+        ("2024-01-31",), ("2024-01-31T10:00:00",),
+        ("+3.14",), ("-7",),
+        ('"hello"@en',), ("Clerk#9",),
+    ]
+    df = spark.createDataFrame(rows, ["raw"]).select(
+        F.col("raw"), parse_value_full(F.col("raw")).alias("v")
+    )
+    got = {r.raw: r.v for r in df.collect()}
+
+    e = got["E42"]
+    assert e.vtype == "entityid"
+    assert e.entityid.asDict() == {
+        "entity_type": "item", "id": "E42", "numeric_id": 42
+    }
+    assert e.string is None and e.quantity is None
+    p = got["P31"].entityid
+    assert (p.entity_type, p.numeric_id) == ("property", 31)
+
+    g = got["Point(12.5 41.9)"].globecoordinate
+    # WKT order is Point(long lat) — converter lines 453-455
+    assert (g.longitude, g.latitude) == (12.5, 41.9)
+    assert g.altitude is None and g.precision == 0.000277778
+    assert g.globe == "http://www.wikidata.org/entity/Q2"
+    g2 = got["<http://www.wikidata.org/entity/Q111> Point(-3.25 -77.0)"]
+    assert g2.vtype == "globecoordinate"
+    assert g2.globecoordinate.globe == "http://www.wikidata.org/entity/Q111"
+    assert (g2.globecoordinate.longitude, g2.globecoordinate.latitude) == (-3.25, -77.0)
+
+    t = got["2024-01-31"].time
+    assert t.asDict() == {
+        "time": "2024-01-31", "timezone": 0, "before": 0, "after": 0,
+        "precision": 11,
+        "calendarmodel": "http://www.wikidata.org/entity/Q1985727",
+    }
+    assert got["2024-01-31T10:00:00"].vtype == "time"
+
+    q = got["+3.14"].quantity
+    # amount stays a STRING (arbitrary precision), bounds = amount, unit-less
+    assert q.asDict() == {
+        "amount": "+3.14", "upperBound": "+3.14", "lowerBound": "+3.14",
+        "unit": "http://www.wikidata.org/entity/Q199",
+    }
+    assert got["-7"].vtype == "quantity"
+
+    m = got['"hello"@en'].monolingualtext
+    assert (m.text, m.language) == ("hello", "en")
+
+    s = got["Clerk#9"]
+    assert s.vtype == "string" and s.string == "Clerk#9"
+    assert all(
+        getattr(s, f) is None
+        for f in ("entityid", "time", "quantity", "monolingualtext", "globecoordinate")
+    )

@@ -2,12 +2,22 @@
 
 Runs every `queries()` entry at sf0.01 and its `oracle_sql()` DuckDB twin,
 compares row count, column names, and an order-insensitive value hash.
-Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2] [--emit N]
+
+`--emit N` additionally writes CORRECTNESS_local_rN.json at the repo root
+in the driver gate's exact row schema ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), covering EVERY registered
+query — the committed machine-readable evidence for queries parked past
+the driver's 50-row window (VERDICT r3 §Next #10). Unlike the driver file
+it is full-registry, and tests/test_driver_gate_parity.py accepts its
+green rows as overflow evidence.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -16,6 +26,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def frame_hash(df: pd.DataFrame) -> str:
@@ -37,6 +48,11 @@ def frame_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     args = sys.argv[1:]
     only = None
+    emit = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit = args[i + 1]
+        del args[i : i + 2]
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
@@ -58,25 +74,57 @@ def main() -> int:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
+        row = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = row
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — gate must record, not die
+            row["err"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"{name:28s} ERROR {row['err'][:80]}")
+            failures.append(name)
+            continue
+        row["spark_rows"] = len(sdf)
         if name not in oracles:
+            # rows-only weak check, the driver's behavior for non-SQL ops
+            row.update(rows_match=True, schema_match=True, hash_match=True)
             print(f"{name:28s} rows={len(sdf)} (rows-only, no oracle)")
             continue
-        odf = con.execute(oracles[name]).df()
-        ok_rows = len(sdf) == len(odf)
-        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
-        ok_hash = ok_rows and ok_cols and frame_hash(sdf) == frame_hash(odf)
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
-        print(
-            f"{name:28s} {status} rows={len(sdf)}/{len(odf)} "
-            f"cols={'=' if ok_cols else sorted(sdf.columns)}"
-            f"{'' if ok_cols else sorted(odf.columns)} hash={'=' if ok_hash else 'DIFF'}"
-        )
-        if status == "FAIL":
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"oracle: {type(e).__name__}: {e}"[:500]
+            print(f"{name:28s} ORACLE-ERROR {row['err'][:80]}")
             failures.append(name)
+            continue
+        row["oracle_rows"] = len(odf)
+        row["rows_match"] = len(sdf) == len(odf)
+        row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        row["hash_match"] = (
+            row["rows_match"]
+            and row["schema_match"]
+            and frame_hash(sdf) == frame_hash(odf)
+        )
+        ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+        print(
+            f"{name:28s} {'OK' if ok else 'FAIL'} rows={len(sdf)}/{len(odf)} "
+            f"cols={'=' if row['schema_match'] else sorted(sdf.columns)}"
+            f"{'' if row['schema_match'] else sorted(odf.columns)} "
+            f"hash={'=' if row['hash_match'] else 'DIFF'}"
+        )
+        if not ok:
+            failures.append(name)
+    if emit is not None:
+        out = os.path.join(REPO, f"CORRECTNESS_local_r{emit.zfill(2)}.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out} ({len(report)} rows)")
     if failures:
         print("FAILURES:", failures)
         return 1
