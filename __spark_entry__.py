@@ -2309,9 +2309,21 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("obj"),
     )
     fdir = _fixture_dir("point_lookup", sf_dir)
-    bt = write_bucketed(
-        triples, "pl_triples", ["subj"], 16,
-        os.path.join(fdir, "triples"), sort_cols=["subj", "pred", "obj"],
+    tpath = os.path.join(fdir, "triples")
+    # materialize once per (session, sf): the POINT READ is the metric,
+    # not the table build — reuse the catalog table when it already points
+    # at THIS sf's fixture path (a same-session run at another sf must
+    # rebuild, hence the location check)
+    reuse = spark.catalog.tableExists("pl_triples") and any(
+        f.startswith("file:" + tpath) for f in spark.table("pl_triples").inputFiles()[:1]
+    )
+    bt = (
+        spark.table("pl_triples")
+        if reuse
+        else write_bucketed(
+            triples, "pl_triples", ["subj"], 16, tpath,
+            sort_cols=["subj", "pred", "obj"],
+        )
     )
     key = "E" + str(o.agg(F.min("o_custkey")).first()[0])
     out = bt.where(F.col("subj") == key)

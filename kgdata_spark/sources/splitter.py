@@ -40,20 +40,7 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
-def has_zstd() -> bool:
-    """True when SOME zstd decompressor is available to python workers —
-    the `zstandard` module or a `zstd` binary. `read_zstd_dump` raises
-    without one; callers registering environment-dependent surface (the
-    driver-gate `zstd_dump_parse` query) gate on this instead of erroring
-    at run time in codec-less sandboxes.
-
-    DRIVER-ONLY APPROXIMATION: this probes the driver's environment, but
-    read_zstd_dump decompresses inside EXECUTOR tasks — on a heterogeneous
-    cluster where only the driver carries the codec, the query registers
-    and then fails at run time. local mode (driver == executors) is exact;
-    a cluster deployment that can't guarantee a uniform image should probe
-    an executor instead:
-    ``sc.parallelize([0], 1).map(lambda _: _probe()).first()``."""
+def _zstd_probe() -> bool:
     try:
         import zstandard  # noqa: F401
 
@@ -62,6 +49,27 @@ def has_zstd() -> bool:
         import shutil as _sh
 
         return _sh.which("zstd") is not None
+
+
+def has_zstd(spark: SparkSession | None = None) -> bool:
+    """True when SOME zstd decompressor is available to python workers —
+    the `zstandard` module or a `zstd` binary. `read_zstd_dump` raises
+    without one; callers registering environment-dependent surface (the
+    driver-gate `zstd_dump_parse` query) gate on this instead of erroring
+    at run time in codec-less sandboxes.
+
+    Without a session this probes the DRIVER environment — exact in local
+    mode (driver == executors), an approximation on a heterogeneous
+    cluster where only the driver carries the codec. Pass the
+    SparkSession to probe an actual EXECUTOR instead (one 1-element task;
+    read_zstd_dump decompresses in executor tasks, so that is the
+    authoritative answer on a cluster that can't guarantee a uniform
+    image)."""
+    if spark is None:
+        return _zstd_probe()
+    return bool(
+        spark.sparkContext.parallelize([0], 1).map(lambda _: _zstd_probe()).first()
+    )
 
 
 def _open_stream(path: str):

@@ -150,24 +150,70 @@ def read_warc_stream(
     return spark.createDataFrame(rdd.flatMap(parse), WARC_SCHEMA)
 
 
+def _frame_record(headers: dict, payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n"
+    hs = dict(headers)
+    hs["Content-Length"] = str(len(payload))
+    for k, v in hs.items():
+        head += f"{k}: {v}\r\n".encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
 def write_warc_file(
     records: list[tuple[dict, bytes]], path: str, gzip_members: bool = True
 ) -> None:
     """Serialize (headers, payload) records as a WARC shard — one gzip
     member per record when `gzip_members` (the Common Crawl layout).
-    Driver-side fixture/egress helper; distributed egress is one call per
-    output partition via foreachPartition."""
+    Driver-side fixture helper; distributed egress is `write_warc`."""
     import gzip
-
-    def one(headers: dict, payload: bytes) -> bytes:
-        head = b"WARC/1.0\r\n"
-        hs = dict(headers)
-        hs["Content-Length"] = str(len(payload))
-        for k, v in hs.items():
-            head += f"{k}: {v}\r\n".encode()
-        return head + b"\r\n" + payload + b"\r\n\r\n"
 
     with open(path, "wb") as f:
         for headers, payload in records:
-            raw = one(headers, payload)
+            raw = _frame_record(headers, payload)
             f.write(gzip.compress(raw) if gzip_members else raw)
+
+
+def write_warc(
+    df: DataFrame, out_dir: str, gzip_members: bool = True
+) -> int:
+    """Distributed WARC egress: each partition of (record_type, target_uri,
+    warc_date, payload) rows streams into ONE shard
+    `out_dir/part-NNNNN.warc[.gz]` written by its own executor task —
+    record-at-a-time, O(one record) memory, no driver collect. Shard
+    count = partition count (repartition upstream to size shards; the
+    ~1 GB Common Crawl convention is the target at scale). Returns the
+    number of shards written. Inverse of `read_warc`/`read_warc_stream`
+    (roundtrip-tested). Like `read_warc_stream`, requires `out_dir` on an
+    executor-visible filesystem (local disk, NFS, fuse-mounted object
+    store); HDFS-only destinations go through a parquet stage +
+    driver-side repack."""
+    import gzip
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def write_partition(idx: int, it):
+        path = os.path.join(out_dir, f"part-{idx:05d}{ext}")
+        n = 0
+        with open(path, "wb") as f:
+            for row in it:
+                headers = {
+                    "WARC-Type": row.record_type or "resource",
+                    "WARC-Target-URI": row.target_uri or "",
+                    "WARC-Date": row.warc_date or "",
+                }
+                raw = _frame_record(headers, bytes(row.payload))
+                f.write(gzip.compress(raw) if gzip_members else raw)
+                n += 1
+        if n == 0:  # empty partition: no zero-record shard litter
+            os.remove(path)
+            return iter(())
+        return iter([(idx, n)])
+
+    written = (
+        df.select("record_type", "target_uri", "warc_date", "payload")
+        .rdd.mapPartitionsWithIndex(write_partition)
+        .collect()
+    )
+    return len(written)

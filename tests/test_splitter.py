@@ -214,3 +214,10 @@ def test_read_records_delimited_splits_and_drops_epilogue(spark, tmp_path):
     assert not any("</wiki>" in r for r in recs)
     assert all(r.endswith("</page>") for r in recs)
     assert df.count() == 2000
+
+
+def test_has_zstd_executor_probe_matches_local_mode(spark):
+    # in local mode driver == executors, so both probes must agree
+    from kgdata_spark.sources.splitter import has_zstd
+
+    assert has_zstd(spark) == has_zstd()

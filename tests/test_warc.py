@@ -99,3 +99,42 @@ def test_stream_variant_equivalent(spark, tmp_path, gz):
     assert a == b and len(a) == 12
     # one task per path: file-level parallelism without materializing shards
     assert read_warc_stream(spark, glob).rdd.getNumPartitions() == 3
+
+
+def test_write_warc_distributed_roundtrip(spark, tmp_path):
+    # distributed egress: one shard per partition, streamed record-at-a-
+    # time on the executor; read_warc over the output reproduces the rows
+    from kgdata_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        ("response", f"http://ex.org/{i}", "2024-01-01T00:00:00Z",
+         f"payload {i} \x00 binary ok".encode())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "record_type string, target_uri string, warc_date string, payload binary"
+    ).repartition(4)
+    out = str(tmp_path / "egress")
+    n_shards = write_warc(df, out, gzip_members=True)
+    assert 1 <= n_shards <= 4
+    back = read_warc(spark, out + "/*.warc.gz")
+    got = sorted(
+        (r.record_type, r.target_uri, r.warc_date, bytes(r.payload))
+        for r in back.collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_write_warc_skips_empty_partitions(spark, tmp_path):
+    import os
+
+    from kgdata_spark.sources.warc import write_warc
+
+    df = spark.createDataFrame(
+        [("resource", "u", "d", b"x")],
+        "record_type string, target_uri string, warc_date string, payload binary",
+    ).repartition(8)  # 7 partitions end up empty
+    out = str(tmp_path / "sparse")
+    n = write_warc(df, out)
+    files = os.listdir(out)
+    assert n == len(files) == 1
