@@ -260,6 +260,18 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): cluster-blocked cosine pairs →
+    # connected components → keep min id per component; the embedding-
+    # space twin of drop_near_dups. Oracle replays the pairs in DOUBLE
+    # arithmetic and the component closure as a recursive CTE.
+    from kgdata_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.33
+    ).select("vec_id", "label")
+
+
 # --- json / cube / subject-grouping ----------------------------------------
 
 
@@ -2686,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": q_customer_order_counts,
         "customers_without_orders": q_customers_without_orders,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "semantic_dedup": q_semantic_dedup,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4306,5 +4319,37 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                        ROUND(SUM(av * bv) / (sqrt(SUM(av * av)) * sqrt(SUM(bv * bv))), 6) AS score
                 FROM elems GROUP BY id_a, id_b)
             SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE
+            a AS (SELECT vec_id AS id_a, embedding AS vec_a, label AS cl FROM embeddings),
+            b AS (SELECT vec_id AS id_b, embedding AS vec_b, label AS cl FROM embeddings),
+            elems AS (
+                SELECT id_a, id_b,
+                       CAST(unnest(vec_a) AS DOUBLE) AS av,
+                       CAST(unnest(vec_b) AS DOUBLE) AS bv
+                FROM a JOIN b USING (cl) WHERE id_a < id_b),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM (SELECT id_a, id_b,
+                             ROUND(SUM(av * bv) /
+                                   (sqrt(SUM(av * av)) * sqrt(SUM(bv * bv))), 6) AS score
+                      FROM elems GROUP BY id_a, id_b)
+                WHERE score >= 0.33),
+            edges AS (
+                SELECT id_a AS s, id_b AS t FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(node, other) AS (
+                SELECT s, t FROM edges
+                UNION
+                SELECT r.node, e.t FROM reach r JOIN edges e ON e.s = r.other),
+            comp AS (
+                SELECT node, LEAST(node, MIN(other)) AS component
+                FROM reach GROUP BY node),
+            dropped AS (SELECT node FROM comp WHERE node <> component)
+            SELECT e.vec_id, e.label
+            FROM embeddings e LEFT JOIN dropped d ON d.node = e.vec_id
+            WHERE d.node IS NULL
         """,
     }

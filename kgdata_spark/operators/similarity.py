@@ -170,3 +170,35 @@ def embedding_near_dups(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are blocked by cluster, near-identical
+    pairs (cosine ≥ threshold) within a block form components, and one
+    representative per component survives (lexicographic-min id — the
+    same keep policy as `dedup.drop_near_dups`, so the two compose).
+    Returns the surviving rows of `vectors`, all columns intact.
+
+    Scale shape: pairwise work is |cluster|² per block (the clustering IS
+    the blocker — k-means via `kmeans.assign_clusters` upstream bounds
+    block sizes), components collapse transitive chains in O(log
+    diameter) rounds (pointer-doubling CC), and the final keep is one
+    left_anti join — the corpus never all-pairs-compares."""
+    from kgdata_spark.operators.fixpoint import connected_components
+
+    pairs = embedding_near_dups(
+        vectors, id_col, vec_col, cluster_col, threshold, round_digits
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return vectors.join(dropped, id_col, "left_anti")

@@ -83,6 +83,7 @@ DOCUMENTED_OVERFLOW = {
     # the 45 stale-row refreshes + 2 canaries + 3 other new queries);
     # evidenced by the committed CORRECTNESS_local_r04.json
     "delimited_dump_parse",
+    "semantic_dedup",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -109,3 +109,25 @@ def test_deferred_deps_land_in_manifest(spark, tmp_path):
     # the downstream manifest recorded the RESOLVED upstream checksum
     assert manifest["deps"]["up"] == up.result()
     assert isinstance(manifest["deps"]["up"], str)
+
+
+def test_semantic_dedup_transitive_keep_min(spark):
+    # a->b and b->c near-identical (but a-c below threshold): the whole
+    # chain is ONE component, only min id survives; the far vector and
+    # the other cluster are untouched
+    from kgdata_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.14, 0.0], 0),     # cos(1,2) ~ 0.990
+        (3, [0.95, 0.31, 0.0], 0),     # cos(2,3) ~ 0.984, cos(1,3) ~ 0.95
+        (4, [0.0, 1.0, 0.0], 0),       # same cluster, far from all
+        (5, [1.0, 0.0, 0.0], 1),       # other cluster: identical direction
+                                       # to 1 but never compared (blocked)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    got = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.98).collect()
+    )
+    # pairs at 0.98: (1,2), (2,3) -> component {1,2,3}, keep 1
+    assert got == [1, 4, 5]
