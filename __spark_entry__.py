@@ -2326,8 +2326,13 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not the table build — reuse the catalog table when it already points
     # at THIS sf's fixture path (a same-session run at another sf must
     # rebuild, hence the location check)
+    # inputFiles() URIs render as file:///…; compare path components, not
+    # string prefixes (a "file:" + path literal never matches)
+    from urllib.parse import urlparse
+
     reuse = spark.catalog.tableExists("pl_triples") and any(
-        f.startswith("file:" + tpath) for f in spark.table("pl_triples").inputFiles()[:1]
+        urlparse(f).path.startswith(tpath)
+        for f in spark.table("pl_triples").inputFiles()[:1]
     )
     bt = (
         spark.table("pl_triples")

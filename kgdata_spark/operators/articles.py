@@ -59,6 +59,13 @@ def latest_html_articles(articles: DataFrame, audit: bool = True) -> DataFrame:
     explicit raise instead of silently shipping duplicate keys."""
     out = _keep_latest(_keep_latest(articles, "url"), "page_id")
     if audit:
+        # the audit's aggregate is an eager action; persist first so the
+        # upstream plan (tar intake + parse + two shuffles) runs ONCE and
+        # the caller's consumption reads the materialized rows instead of
+        # recomputing the whole ingest
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
         r = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("url").alias("u"),

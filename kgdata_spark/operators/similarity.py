@@ -179,6 +179,7 @@ def semantic_dedup(
     cluster_col: str = "label",
     threshold: float = 0.95,
     round_digits: int = 6,
+    max_cluster: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embeddings are blocked by cluster, near-identical
@@ -191,9 +192,22 @@ def semantic_dedup(
     the blocker — k-means via `kmeans.assign_clusters` upstream bounds
     block sizes), components collapse transitive chains in O(log
     diameter) rounds (pointer-doubling CC), and the final keep is one
-    left_anti join — the corpus never all-pairs-compares."""
+    left_anti join — the corpus never all-pairs-compares. `max_cluster`
+    is the explicit valve (the LSH family's `max_bucket` analog): a
+    block past it means the upstream clustering is too coarse — raise
+    k — and failing loudly beats a silent |cluster|² executor OOM."""
     from kgdata_spark.operators.fixpoint import connected_components
 
+    biggest = (
+        vectors.groupBy(cluster_col).count()
+        .agg(F.max("count").alias("m")).first().m
+    )
+    if biggest is not None and biggest > max_cluster:
+        raise ValueError(
+            f"semantic_dedup: largest cluster has {biggest} vectors "
+            f"(> max_cluster={max_cluster}); increase upstream k-means k "
+            "or raise the valve explicitly"
+        )
     pairs = embedding_near_dups(
         vectors, id_col, vec_col, cluster_col, threshold, round_digits
     )

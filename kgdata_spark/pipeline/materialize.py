@@ -82,7 +82,9 @@ def write_stage(
     Env knobs (A/B instrumentation + cluster tuning, PERF.md §21):
       KG_STAGE_CHECKSUM=deferred (default) | observe | lineage —
         `observe` restores the round-3 shape (streamed write-path checksum
-        + cross-check against the lineage digest; returns str immediately);
+        + cross-check against the lineage digest; with a lineage_executor
+        the return is STILL the Future so a failed cross-check/manifest
+        write surfaces at resolve_checksum, never silently);
         `lineage` is the round-2 shape (no observe, lineage pass forced
         synchronous).
       KG_LINEAGE_SYNC=1 — ignore `lineage_executor` and run the lineage
@@ -197,9 +199,13 @@ def write_stage(
     # caller owns the executor and must drain it (shutdown(wait=True))
     # before treating the run as durable
     fut = lineage_executor.submit(_lineage_and_manifest)
-    # observe mode: checksum already known — return it immediately;
-    # deferred mode: the Future IS the checksum handle
-    return checksum if checksum is not None else fut
+    # ALWAYS hand back the Future, even in observe mode where the checksum
+    # value is already known: executor.shutdown(wait=True) waits but does
+    # NOT re-raise task exceptions, so a dropped Future would silently
+    # swallow the lineage/observe cross-check AssertionError or a manifest
+    # IOError — the caller's resolve_checksum() is the error surface
+    # (fut.result() == the observed checksum when one was streamed).
+    return fut
 
 
 def resolve_checksum(v) -> str:

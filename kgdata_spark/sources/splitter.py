@@ -280,8 +280,14 @@ def read_records_delimited(
     from pyspark.sql import functions as F
 
     pieces = spark.read.option("lineSep", record_end + "\n").text(path)
-    return pieces.where(F.col("value").contains(record_start)).select(
-        F.concat(F.col("value"), F.lit(record_end)).alias("value")
+    # a file ending at the marker WITHOUT a trailing newline leaves the
+    # last record as a piece that already carries its marker (the split
+    # key includes the "\n") — don't append a second one
+    val = F.col("value")
+    return pieces.where(val.contains(record_start)).select(
+        F.when(val.endswith(record_end), val)
+        .otherwise(F.concat(val, F.lit(record_end)))
+        .alias("value")
     )
 
 

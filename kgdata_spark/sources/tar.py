@@ -115,7 +115,6 @@ def write_tar_file(
     when the path ends .tar.gz/.tgz). Driver-side fixture/egress helper,
     the `write_warc_file` analog."""
     import gzip
-    import time as _time
 
     mode = "w:gz" if path.endswith((".tar.gz", ".tgz")) else "w"
     with tarfile.open(path, mode=mode) as tf:
@@ -125,5 +124,4 @@ def write_tar_file(
             info = tarfile.TarInfo(name=name)
             info.size = len(payload)
             info.mtime = 0  # deterministic shards (checksum-stable fixtures)
-            _ = _time  # kept: mtime intentionally pinned, not wall clock
             tf.addfile(info, io.BytesIO(payload))

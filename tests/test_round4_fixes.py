@@ -131,3 +131,19 @@ def test_semantic_dedup_transitive_keep_min(spark):
     )
     # pairs at 0.98: (1,2), (2,3) -> component {1,2,3}, keep 1
     assert got == [1, 4, 5]
+
+
+def test_semantic_dedup_cluster_valve(spark):
+    import pytest as _pt
+
+    from kgdata_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(12)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    with _pt.raises(ValueError, match="max_cluster"):
+        semantic_dedup(df, threshold=0.99, max_cluster=10)
+    # valve raised explicitly: runs fine (threshold > 1: cosine can never
+    # reach it, so every vector survives)
+    assert semantic_dedup(df, threshold=1.01, max_cluster=100).count() == 12

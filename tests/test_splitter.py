@@ -221,3 +221,20 @@ def test_has_zstd_executor_probe_matches_local_mode(spark):
     from kgdata_spark.sources.splitter import has_zstd
 
     assert has_zstd(spark) == has_zstd()
+
+
+def test_read_records_delimited_no_trailing_newline(spark, tmp_path):
+    # file ends EXACTLY at the marker (no trailing newline): the last
+    # record must come through once, marker not doubled
+    from kgdata_spark.sources.splitter import read_records_delimited
+
+    text = "<page>\nA\n</page>\n<page>\nB\n</page>"
+    path = str(tmp_path / "nonl.xml")
+    open(path, "w").write(text)
+    recs = sorted(
+        r.value
+        for r in read_records_delimited(
+            spark, path, "</page>", record_start="<page>"
+        ).collect()
+    )
+    assert recs == ["<page>\nA\n</page>", "<page>\nB\n</page>"]

@@ -8,10 +8,14 @@ Round 3 changed two things on the stage-write path:
 
 This runs the identical pipeline (same pre-materialized corpus, fresh
 process per variant per PERF.md §9, min-of-N) under:
-  head          — round-3 defaults (observe + lineage pool)
-  sync_lineage  — observe on, lineage pass synchronous (KG_LINEAGE_SYNC=1)
-  lineage_ck` — observe OFF, checksum from the sync lineage pass
-                  (KG_STAGE_CHECKSUM=lineage; the exact round-2 shape)
+  head          — current defaults (KG_STAGE_CHECKSUM=deferred: digest
+                  once, in the background lineage pass)
+  observe_pool  — KG_STAGE_CHECKSUM=observe: the round-3 shape (streamed
+                  write-path digest + background lineage cross-check)
+  deferred_sync — deferred digest, lineage pass synchronous
+                  (KG_LINEAGE_SYNC=1; isolates the pool-overlap variable)
+  lineage_sync  — KG_STAGE_CHECKSUM=lineage: the exact round-2 shape
+                  (no observe, sync lineage)
 
 Usage: python tools/ab_pipeline.py [n_files=100000] [repeats=5]
 Prints one JSON line per variant + a summary line.
@@ -46,8 +50,9 @@ print(json.dumps({"sec": round(el, 2), "triples": n,
 
 VARIANTS = {
     "head": {},
-    "sync_lineage": {"KG_LINEAGE_SYNC": "1"},
-    "lineage_ck": {"KG_STAGE_CHECKSUM": "lineage"},
+    "observe_pool": {"KG_STAGE_CHECKSUM": "observe"},
+    "deferred_sync": {"KG_LINEAGE_SYNC": "1"},
+    "lineage_sync": {"KG_STAGE_CHECKSUM": "lineage"},
 }
 
 
@@ -65,7 +70,12 @@ def main() -> None:
     out: dict[str, dict] = {}
     try:
         for name, env_extra in VARIANTS.items():
-            env = dict(os.environ, **env_extra)
+            env = dict(os.environ)
+            # variants are ABSOLUTE shapes — a knob inherited from the
+            # caller's shell must not leak into "head"
+            env.pop("KG_STAGE_CHECKSUM", None)
+            env.pop("KG_LINEAGE_SYNC", None)
+            env.update(env_extra)
             r = subprocess.run(
                 [sys.executable, "-c", _CHILD, str(n_files), json.dumps(corpus),
                  str(repeats)],

@@ -57,6 +57,11 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    if emit is not None and only is not None:
+        raise SystemExit(
+            "--emit writes the FULL-REGISTRY artifact; combining it with "
+            "--only would clobber committed evidence with a partial file"
+        )
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as mod
     from kgdata_spark.session import get_spark
@@ -92,8 +97,11 @@ def main() -> int:
             continue
         row["spark_rows"] = len(sdf)
         if name not in oracles:
-            # rows-only weak check, the driver's behavior for non-SQL ops
-            row.update(rows_match=True, schema_match=True, hash_match=True)
+            # rows-only weak check (the driver's behavior for non-SQL ops):
+            # recorded as rows_match only — hash_match stays False so the
+            # parity test never accepts an un-compared query as value-
+            # verified evidence
+            row.update(rows_match=True, weak="rows-only")
             print(f"{name:28s} rows={len(sdf)} (rows-only, no oracle)")
             continue
         try:
