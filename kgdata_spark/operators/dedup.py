@@ -399,13 +399,13 @@ def drop_near_dups(
     rounds, tiny input: only the pair edges) and one left_anti join on the
     corpus — the corpus itself still never all-pairs-compares.
     """
-    from kgdata_spark.operators.fixpoint import connected_components
+    from kgdata_spark.operators.fixpoint import connected_components_auto
 
     pairs = near_dup_pairs(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,
         **near_dup_kwargs,
     )
-    comp = connected_components(
+    comp = connected_components_auto(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     losers = comp.where(F.col("node") != F.col("component")).select(
@@ -510,7 +510,7 @@ def incremental_drop_near_dups(
     Cost per batch: O(batch) scan + band equi-joins against the index —
     the corpus itself is never rescanned or repaired.
     """
-    from kgdata_spark.operators.fixpoint import connected_components
+    from kgdata_spark.operators.fixpoint import connected_components_auto
 
     new_idx = build_dedup_index(
         new_docs, id_col, text_col, max_tokens=max_tokens
@@ -581,7 +581,7 @@ def incremental_drop_near_dups(
     ver_nn = _index_jaccard(cand_nn, new_rep_idx, new_rep_idx).where(
         F.col("jaccard") >= threshold
     )
-    comp = connected_components(
+    comp = connected_components_auto(
         ver_nn.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     # singleton dirty docs (no new-new pair) form their own component

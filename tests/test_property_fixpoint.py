@@ -82,3 +82,33 @@ def test_resolve_redirects_fuzz(spark, data):
         for r in resolve_redirect_fixpoint(df, checkpoint=False).collect()
     }
     assert got == {o: follow(o) for o in rmap}
+
+
+@pytest.mark.usefixtures("spark")
+@given(edges=st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1, max_size=15,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_auto_fuzz(spark, edges):
+    # the driver-side hybrid must equal the DSU model on BOTH paths:
+    # collected union-find (default threshold) and the forced distributed
+    # fallback (threshold=0)
+    from kgdata_spark.operators.fixpoint import connected_components_auto
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    expect = dsu_components(edges)
+    stats: dict = {}
+    fast = {
+        r.node: r.component
+        for r in connected_components_auto(df, stats=stats).collect()
+    }
+    assert fast == expect and stats.get("driver_resolved") is True
+    dist = {
+        r.node: r.component
+        for r in connected_components_auto(
+            df, checkpoint=False, driver_threshold=0
+        ).collect()
+    }
+    assert dist == expect
