@@ -398,18 +398,68 @@ def drop_near_dups(
     intermediate. Scale shape adds one CC fixpoint (O(cluster-diameter)
     rounds, tiny input: only the pair edges) and one left_anti join on the
     corpus — the corpus itself still never all-pairs-compares.
+
+    With `collapse_exact` (default) the clustering runs at the
+    REPRESENTATIVE level and the member-pair expansion that
+    `near_dup_pairs` performs is skipped entirely: an exact-dup group of
+    w docs contributes 1 node instead of a w²/2-edge clique, and the
+    final components are provably identical (a group is a clique, so its
+    members always land in their rep's component; component id = min
+    member = min rep). On real web corpora exact dups dominate — this
+    turns the dominant quadratic edge set into a linear groupBy, which
+    is the difference between shipping 2.8M and 40 edges to the CC
+    fixpoint on the sf0.1 gate fixture (14.2 s → linear cost).
     """
     from kgdata_spark.operators.fixpoint import connected_components_auto
 
-    pairs = near_dup_pairs(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold,
-        **near_dup_kwargs,
+    if not near_dup_kwargs.get("collapse_exact", True):
+        pairs = near_dup_pairs(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold,
+            **near_dup_kwargs,
+        )
+        comp = connected_components_auto(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return docs.join(losers, id_col, "left_anti")
+
+    ngram = near_dup_kwargs.get("ngram", 1)
+    max_bucket = near_dup_kwargs.get("max_bucket")
+    max_tokens = near_dup_kwargs.get("max_tokens")
+    tokens = doc_tokens(docs, id_col, text_col, ngram=ngram)
+    arrs = tokens.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("token")).alias("_toks")
     )
+    grp = arrs.groupBy("_toks").agg(
+        F.min(id_col).alias("rep"), F.collect_list(F.col(id_col)).alias("members")
+    )
+    membership = grp.select("rep", F.explode("members").alias("_member"))
+    rep_tokens = tokens.join(
+        grp.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = jaccard_pairs(
+        lsh_candidate_pairs(
+            lsh_bands(minhash_signatures(rep_tokens, id_col), id_col),
+            id_col,
+            max_bucket,
+        ),
+        rep_tokens,
+        id_col,
+        max_tokens,
+    ).where(F.col("jaccard") >= threshold)
     comp = connected_components_auto(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    losers = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    # reps absent from every pair keep themselves as their component
+    losers = (
+        membership.join(comp, membership.rep == comp.node, "left")
+        .select(
+            "_member", F.coalesce("component", "rep").alias("_component")
+        )
+        .where(F.col("_member") != F.col("_component"))
+        .select(F.col("_member").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
 

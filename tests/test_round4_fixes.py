@@ -147,3 +147,37 @@ def test_semantic_dedup_cluster_valve(spark):
     # valve raised explicitly: runs fine (threshold > 1: cosine can never
     # reach it, so every vector survives)
     assert semantic_dedup(df, threshold=1.01, max_cluster=100).count() == 12
+
+
+def test_drop_near_dups_rep_path_equals_expanded_path(spark):
+    # the rep-level fast path (collapse_exact=True, no member-pair
+    # expansion) must keep exactly the same survivors as clustering the
+    # fully expanded pair list — exercised over a mix of exact-dup
+    # groups (rotated token order), transitive near-dup chains, and
+    # singletons, plus a doc with no tokens at all
+    rng = random.Random(11)
+    rows = []
+    # 6 exact groups of width 1..6: same token set, rotated order
+    for g in range(6):
+        toks = [f"g{g}x{j}" for j in range(8)]
+        for m in range(g + 1):
+            rot = toks[m % len(toks):] + toks[:m % len(toks)]
+            rows.append((100 * g + m, " ".join(rot)))
+    # a transitive chain: A~B and B~C above 0.8, A~C below
+    base = [f"c{j}" for j in range(10)]
+    rows.append((900, " ".join(base)))
+    rows.append((901, " ".join(base[1:] + ["c10"])))
+    rows.append((902, " ".join(base[2:] + ["c10", "c11"])))
+    # singletons + empty doc
+    rows.append((950, "lone wolf document " + " ".join(f"s{j}" for j in range(9))))
+    rows.append((951, ""))
+    rng.shuffle(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id for r in drop_near_dups(docs).collect()}
+    slow = {
+        r.doc_id
+        for r in drop_near_dups(docs, collapse_exact=False).collect()
+    }
+    assert fast == slow
+    assert 951 in fast  # tokenless docs are never losers
+    assert {0, 100, 200, 300, 400, 500} <= fast  # group minima survive
