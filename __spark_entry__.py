@@ -2601,6 +2601,19 @@ def q_html_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style learned quality signal (Wenzek et al. 2020): score every
+    # document's perplexity under a bigram LM trained on a trusted slice
+    # (src0 plays the Wikipedia role). Per-token log-probs are quantized
+    # to integer micro-nats before the per-doc sum, so the aggregate is
+    # order-independent and engine-exact (see operators/lm.py).
+    from kgdata_spark.operators.lm import perplexity, train_bigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_counts(docs.where(F.col("source") == "src0"))
+    return perplexity(docs, model)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2722,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "semantic_dedup": q_semantic_dedup,
         "media_resize": q_media_resize,
+        "lm_perplexity": q_lm_perplexity,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4399,5 +4413,43 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN dropped d ON d.node = e.vec_id
             WHERE d.node IS NULL
+        """,
+        # lm_perplexity: replay of operators/lm.py — add-one bigram LM
+        # trained on src0, integer micro-nat log-probs (order-independent
+        # sum, engine-exact; ln/exp touch each value once)
+        "lm_perplexity": r"""
+            WITH
+            toks AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents),
+            grams AS (
+                SELECT doc_id, source, g['prev'] AS prev, g['w'] AS w FROM (
+                    SELECT doc_id, source,
+                           unnest(list_transform(arr,
+                               (x, i) -> {'prev': list_prepend('<s>', arr)[i],
+                                          'w': x})) AS g
+                    FROM toks)),
+            counts AS (
+                SELECT prev, w, count(*) AS c
+                FROM grams WHERE source = 'src0' GROUP BY 1, 2),
+            ctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS c_prev
+                    FROM counts GROUP BY 1),
+            v AS (SELECT count(DISTINCT w) AS v FROM counts),
+            scored AS (
+                SELECT doc_id,
+                       CAST(round(ln((coalesce(c, 0) + 1)
+                                     / (coalesce(c_prev, 0) + v + 1))
+                                  * 1000000) AS BIGINT) AS lp
+                FROM grams LEFT JOIN counts USING (prev, w)
+                           LEFT JOIN ctx USING (prev) CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n_tokens,
+                           CAST(sum(lp) AS BIGINT) AS logprob_micro
+                    FROM scored GROUP BY 1)
+            SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   a.logprob_micro,
+                   round(exp(-a.logprob_micro / 1000000.0 / a.n_tokens), 4) AS ppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

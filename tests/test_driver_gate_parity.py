@@ -85,6 +85,7 @@ DOCUMENTED_OVERFLOW = {
     "delimited_dump_parse",
     "semantic_dedup",
     "media_resize",
+    "lm_perplexity",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,65 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): hand-computed values,
+OOV/empty-doc policy, and the micro-nat quantization contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.lm import MICRO, perplexity, train_bigram_counts
+
+
+def _lp(p: float) -> int:
+    # Python round() is banker's; replicate Spark/DuckDB HALF_UP instead
+    x = p * 0 + math.log(p) * MICRO
+    f = math.floor(abs(x))
+    frac = abs(x) - f
+    mag = f + 1 if frac >= 0.5 else f
+    return int(math.copysign(mag, x))
+
+
+def test_perplexity_hand_computed(spark):
+    ref = spark.createDataFrame([("a b a c",)], "text string")
+    counts = {
+        (r.prev, r.w): r.c for r in train_bigram_counts(ref).collect()
+    }
+    # bigrams of [<s>, a, b, a, c]
+    assert counts == {("<s>", "a"): 1, ("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1}
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in perplexity(docs, train_bigram_counts(ref)).collect()
+    }
+    # V = |{a, b, c}| = 3; ctx: <s>->1, a->2, b->1
+    lp1 = _lp((1 + 1) / (1 + 3 + 1)) + _lp((1 + 1) / (2 + 3 + 1))
+    assert (got[1].n_tokens, got[1].logprob_micro) == (2, lp1)
+    assert got[1].ppl == round(math.exp(-lp1 / MICRO / 2), 4)
+    # OOV token and OOV context both fall back to the +1 smoothing mass
+    lp2 = _lp((0 + 1) / (1 + 3 + 1))
+    assert (got[2].n_tokens, got[2].logprob_micro) == (1, lp2)
+    # tokenless docs keep their row with NULL scores
+    assert (got[3].n_tokens, got[3].logprob_micro, got[3].ppl) == (0, None, None)
+
+
+def test_perplexity_ranks_in_domain_below_gibberish(spark):
+    ref = spark.createDataFrame(
+        [(f"the quick fox jumps over the lazy dog run {i}",) for i in range(20)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick fox jumps"), (2, "zx qv wk jj pq")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.ppl for r in perplexity(docs, train_bigram_counts(ref)).collect()}
+    assert got[1] < got[2]
+
+
+def test_perplexity_plan_stays_jvm_side(spark):
+    ref = spark.createDataFrame([("a b c",)], "text string")
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = perplexity(docs, train_bigram_counts(ref))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
