@@ -85,6 +85,17 @@ def _rewrite_value(rmap: Column, v: Column) -> Column:
     ).otherwise(v)
 
 
+def _let(bound: Column, body) -> Column:
+    """Expression-level LET: evaluate ``bound`` exactly once and hand the
+    lambda a cheap variable reference. Catalyst inlines captured
+    expression TREES into lambda bodies, re-evaluating them per element /
+    per reference (PERF.md §28); wrapping the value in a one-element
+    transform turns every use inside ``body`` into a NamedLambdaVariable
+    lookup. This is what took `fixed_entities` from 18 s back to the
+    round-2 cost class at sf0.1 (see _apply_renames)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
     """Reference-true key renaming (``props[rmap[k]] = props.pop(k)`` —
     entities.py:255-258 for pids, :239-241 for qids), replayed
@@ -119,7 +130,12 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
     _ar_sorted/_ar_from_sorted across two projections)."""
     # ONE rmap probe per entry: map element_at is a linear scan, so with a
     # 10k-entry redirect map a probe costs O(|rmap|) — tag once, then
-    # partition on the tag (the tagged array materializes)
+    # partition on the tag. Every intermediate below is LET-bound: the
+    # first cut captured rw_map (→ the dict-update fold → the tagged
+    # probes) inside the merge lambda, re-running the whole chain per
+    # unrenamed entry — O(u·k·|rmap|) per call, per STATEMENT at the
+    # qualifier level. That multiplied entity_fix_pass to 35 s at sf0.1;
+    # let-bound it is back to one pass per layer.
     tagged = F.transform(
         entries,
         lambda e: F.struct(
@@ -128,38 +144,58 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
             F.try_element_at(rmap, e["key"]).alias("tgt"),
         ),
     )
-    unren = F.transform(
-        F.filter(tagged, lambda e: e["tgt"].isNull()),
-        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
-    )
-    ren = F.transform(
-        F.filter(tagged, lambda e: e["tgt"].isNotNull()),
-        lambda e: F.struct(e["tgt"].alias("key"), e["value"].alias("value")),
-    )
-    ren_w = _dedup_entries_dict_update(ren, entry_type)
-    rw_map = F.map_from_entries(ren_w)
-    merged = F.transform(
-        unren,
-        lambda e: F.struct(
-            e["key"].alias("key"),
-            F.coalesce(F.try_element_at(rw_map, e["key"]), e["value"]).alias(
-                "value"
-            ),
-        ),
-    )
-    un_keys = F.map_from_entries(
-        F.transform(
-            unren, lambda e: F.struct(e["key"].alias("key"), F.lit(1).alias("value"))
+
+    def with_parts(t: Column) -> Column:
+        unren = F.transform(
+            F.filter(t, lambda e: e["tgt"].isNull()),
+            lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
         )
+        ren = F.transform(
+            F.filter(t, lambda e: e["tgt"].isNotNull()),
+            lambda e: F.struct(e["tgt"].alias("key"), e["value"].alias("value")),
+        )
+        return F.struct(
+            unren.alias("u"),
+            _dedup_entries_dict_update(ren, entry_type).alias("rw"),
+        )
+
+    def with_maps(b: Column) -> Column:
+        return F.struct(
+            b["u"].alias("u"),
+            b["rw"].alias("rw"),
+            F.map_from_entries(b["rw"]).alias("rwm"),
+            F.map_from_entries(
+                F.transform(
+                    b["u"],
+                    lambda e: F.struct(
+                        e["key"].alias("key"), F.lit(1).alias("value")
+                    ),
+                )
+            ).alias("ukm"),
+        )
+
+    def merge(c: Column) -> Column:
+        merged = F.transform(
+            c["u"],
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.coalesce(
+                    F.try_element_at(c["rwm"], e["key"]), e["value"]
+                ).alias("value"),
+            ),
+        )
+        # Brand-new target keys append in FIRST-source order with
+        # last-wins values — rw (the dict-update fold) already carries
+        # exactly that shape, matching the sorted form's anchor rule
+        # (_ar_from_sorted) and the join path.
+        appended = F.filter(
+            c["rw"], lambda e: F.try_element_at(c["ukm"], e["key"]).isNull()
+        )
+        return F.concat(merged, appended)
+
+    return _let(
+        tagged, lambda t: _let(with_parts(t), lambda b: _let(with_maps(b), merge))
     )
-    # Brand-new target keys append in FIRST-source order with last-wins
-    # values — ren_w (the dict-update fold) already carries exactly that
-    # shape, matching the sorted form's anchor rule (_ar_from_sorted) and
-    # the join path.
-    appended = F.filter(
-        ren_w, lambda e: F.try_element_at(un_keys, e["key"]).isNull()
-    )
-    return F.concat(merged, appended)
 
 
 def _ar_sorted(entries: Column, rmap: Column) -> Column:
@@ -815,12 +851,17 @@ def fixed_entities_join(
                 lambda k: F.struct(k["qid"].alias("key"), k["qid_final"].alias("value")),
             )
         )
-        order = F.transform(
-            F.filter(
-                F.col("order0"),
-                lambda x: F.try_element_at(qrename, x).isNotNull(),
+        # LET-bound: qrename is a transform over the keys fold — captured
+        # raw it would re-build per order0 element (PERF.md §28)
+        order = _let(
+            qrename,
+            lambda qr: F.transform(
+                F.filter(
+                    F.col("order0"),
+                    lambda x: F.try_element_at(qr, x).isNotNull(),
+                ),
+                lambda x: F.element_at(qr, x),
             ),
-            lambda x: F.element_at(qrename, x),
         )
         return F.struct(
             F.col("val").alias("value"),
@@ -829,9 +870,15 @@ def fixed_entities_join(
             F.col("rank").alias("rank"),
         )
 
+    # LET-bound call: keys (an O(k²) fold over the sorted rows) is
+    # referenced inside winners/qanchor/qrename lambdas — captured raw,
+    # each reference re-ran the fold per element (PERF.md §28)
     s2 = base.select(
         "id", "ppos", "pid", "sidx", "alive",
-        build_stmt(keys, rows).alias("stmt"),
+        _let(
+            F.struct(keys.alias("k"), rows.alias("r")),
+            lambda kr: build_stmt(kr["k"], kr["r"]),
+        ).alias("stmt"),
     )
 
     # property level: statement order restored by sidx; dead statements

@@ -63,3 +63,57 @@ def test_perplexity_plan_stays_jvm_side(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     plan = perplexity(docs, train_bigram_counts(ref))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _py_perplexity(ref_texts, docs):
+    """Pure-python oracle replaying operators/lm.py semantics."""
+    import collections
+
+    def toks(t):
+        return [w for w in t.strip().lower().split() if w]
+
+    counts: dict = collections.Counter()
+    for t in ref_texts:
+        tt = toks(t)
+        for prev, w in zip(["<s>"] + tt, tt):
+            counts[(prev, w)] += 1
+    ctx = collections.Counter()
+    for (prev, _), c in counts.items():
+        ctx[prev] += c
+    v = len({w for _, w in counts})
+    out = {}
+    for doc_id, text in docs:
+        tt = toks(text)
+        if not tt:
+            out[doc_id] = (0, None, None)
+            continue
+        total = 0
+        for prev, w in zip(["<s>"] + tt, tt):
+            p = (counts.get((prev, w), 0) + 1) / (ctx.get(prev, 0) + v + 1)
+            total += _lp(p)
+        out[doc_id] = (len(tt), total, round(math.exp(-total / MICRO / len(tt)), 4))
+    return out
+
+
+def test_perplexity_fuzz_vs_python_oracle(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "b", "cc", "dd", "e"])
+    text = st.lists(words, min_size=0, max_size=8).map(" ".join)
+
+    @given(ref=st.lists(text, min_size=1, max_size=4),
+           docs=st.lists(text, min_size=1, max_size=5))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def inner(ref, docs):
+        ref_df = spark.createDataFrame([(t,) for t in ref], "text string")
+        doc_rows = list(enumerate(docs))
+        docs_df = spark.createDataFrame(doc_rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_micro, r.ppl)
+            for r in perplexity(docs_df, train_bigram_counts(ref_df)).collect()
+        }
+        assert got == _py_perplexity(ref, doc_rows)
+
+    inner()
