@@ -480,8 +480,11 @@ def q_typed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.col("o_custkey").cast("string"))
         .otherwise(F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit('"@en')))
     )
-    v = parse_value(lit)
-    return o.select(
+    # staged projection: 5 field extractions of an inlined parse tree
+    # would re-run the parse per column (see q_typed_values_full)
+    parsed = o.select("o_orderkey", parse_value(lit).alias("_v"))
+    v = F.col("_v")
+    return parsed.select(
         "o_orderkey",
         v["vtype"].alias("vtype"),
         v["value"].alias("value"),
@@ -529,8 +532,13 @@ def q_typed_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit('"@en')),
         ).otherwise(F.concat(F.lit("Clerk#"), c)))
     )
-    v = parse_value_full(lit)
-    return o.select(
+    # TWO projections: the parse lands in a real column first — 23 field
+    # extractions of an inlined parse tree re-run the whole regex chain
+    # per column (CollapseProject keeps multi-use non-cheap aliases
+    # staged, so this sticks; same class as PERF.md §28)
+    parsed = o.select("o_orderkey", parse_value_full(lit).alias("_v"))
+    v = F.col("_v")
+    return parsed.select(
         "o_orderkey",
         v["vtype"].alias("vtype"),
         v["string"].alias("s_value"),
