@@ -108,7 +108,22 @@ def parse_ntriples(
     obj_lang, obj_datatype). Kinds: 'uri' | 'bnode' | 'literal'. Comments,
     blank lines, and malformed lines are dropped (see ntriples_errors)."""
     c = F.col(col)
-    g = lambda i: F.regexp_extract(c, NT_PATTERN, i)  # noqa: E731
+    # ONE regex execution per line, not one per group: the anchored
+    # pattern rewrites the whole line into its 8 groups NUL-joined
+    # (non-participating groups become "", exactly regexp_extract's
+    # convention), split into a STAGED column. Per-group regexp_extract
+    # re-ran the full ~12-group match per field (~12 executions/line) —
+    # on a 100 TB dump ingest that multiplier IS the hot path. Lines that
+    # legally contain a raw NUL (possible inside literals, and present in
+    # the hypothesis roundtrip corpus) fall back to per-group extraction.
+    _SEP = "\x00"
+    _fast = F.split(
+        F.regexp_replace(c, NT_PATTERN, _SEP.join(f"${i}" for i in range(1, 9))),
+        _SEP,
+        -1,
+    )
+    _slow = F.array(*[F.regexp_extract(c, NT_PATTERN, i) for i in range(1, 9)])
+    g = lambda i: F.element_at(F.col("_ntg"), i)  # noqa: E731
 
     if unicode_escapes:
         full = _unescape_full_udf()
@@ -127,7 +142,9 @@ def parse_ntriples(
             return F.concat(F.lit("_:"), label)
         return F.concat(F.lit("_:"), F.col(bnode_scope), F.lit(":"), label)
 
-    matched = df.where(c.rlike(NT_PATTERN))
+    matched = df.where(c.rlike(NT_PATTERN)).withColumn(
+        "_ntg", F.when(c.contains(_SEP), _slow).otherwise(_fast)
+    )
     subj_is_uri = g(1) != ""
     obj_kind = (
         F.when(g(4) != "", F.lit("uri"))
