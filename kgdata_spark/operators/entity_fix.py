@@ -85,15 +85,7 @@ def _rewrite_value(rmap: Column, v: Column) -> Column:
     ).otherwise(v)
 
 
-def _let(bound: Column, body) -> Column:
-    """Expression-level LET: evaluate ``bound`` exactly once and hand the
-    lambda a cheap variable reference. Catalyst inlines captured
-    expression TREES into lambda bodies, re-evaluating them per element /
-    per reference (PERF.md §28); wrapping the value in a one-element
-    transform turns every use inside ``body`` into a NamedLambdaVariable
-    lookup. This is what took `fixed_entities` from 18 s back to the
-    round-2 cost class at sf0.1 (see _apply_renames)."""
-    return F.element_at(F.transform(F.array(bound), body), 1)
+from kgdata_spark.operators.hof import let as _let  # expression-level LET
 
 
 def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:

@@ -1,0 +1,21 @@
+"""Expression-level LET for Catalyst higher-order functions.
+
+Catalyst inlines a captured expression TREE into lambda bodies and
+re-inlines multi-use aliases within a projection — every reference
+re-evaluates the whole tree, per element inside HOF lambdas (PERF.md
+§28-29: O(tokens²) bigram explode, 5× regressions in the D4 fix pass,
+23× re-parsed typed values). ``let`` binds a value exactly once by
+wrapping it in a one-element ``transform``: inside ``body`` every use is
+a NamedLambdaVariable lookup, which costs a variable read instead of a
+re-evaluation. Nest freely; bind several values at once via a struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` once; ``body`` receives a cheap reference."""
+    return F.element_at(F.transform(F.array(bound), body), 1)

@@ -378,61 +378,93 @@ def easy_table_pred(rows: Column) -> Column:
     conjunct then rejects such tables, mirroring the reference's
     no_spanning_header_columns (easy_tables.py:104-124), which returns
     False when any cell of a header row carries no actual <th> element."""
-    nh = n_header_rows_first_cell(rows)
-    data = F.slice(rows, nh + 1, F.greatest(F.size(rows) - nh, F.lit(0)))
-    nrows = F.size(data)
-    ncols = F.when(F.size(rows) > 0, F.size(F.element_at(rows, 1))).otherwise(F.lit(0))
-    header = F.when(nh >= 1, F.element_at(rows, 1)).otherwise(
-        F.array().cast(f"array<{CELL_T.simpleString()}>")
-    )
+    from kgdata_spark.operators.hof import let
 
-    only_first_row_header = nh == 1
-    no_spanning_header = F.forall(
-        header, lambda c: c["is_header"] & (c["colspan"] <= 1)
-    )
-    min_rows = nrows >= MIN_ROWS
-    has_link = F.exists(data, lambda r: F.exists(r, lambda c: F.size(c["links"]) > 0))
+    # LET-bound throughout (PERF.md §28-29): nh is a fold and data a
+    # slice over it — captured raw, per_col re-ran both per COLUMN, and
+    # each of cells' six uses re-ran the transform again
+    def shaped(rows_v: Column, nh: Column, b: Column) -> Column:
+        data = b["data"]
+        nrows = F.size(data)
+        ncols = F.when(F.size(rows_v) > 0, F.size(F.element_at(rows_v, 1))).otherwise(
+            F.lit(0)
+        )
+        header = F.when(nh >= 1, F.element_at(rows_v, 1)).otherwise(
+            F.array().cast(f"array<{CELL_T.simpleString()}>")
+        )
 
-    def per_col(ci: Column) -> Column:
-        cells = F.transform(data, lambda r: F.element_at(r, ci))
-        nlinks = F.size(F.filter(cells, lambda c: F.size(c["links"]) > 0))
-        freq_ok = (nlinks == 0) | (nlinks / nrows >= MIN_FREQ_LINKS)
-        surface = F.aggregate(
-            cells,
-            F.lit(0.0),
-            lambda acc, c: acc
-            + F.aggregate(
-                c["links"], F.lit(0.0), lambda a, l: a + (l["end"] - l["start"])
+        only_first_row_header = nh == 1
+        no_spanning_header = F.forall(
+            header, lambda c: c["is_header"] & (c["colspan"] <= 1)
+        )
+        min_rows = nrows >= MIN_ROWS
+        has_link = F.exists(
+            data, lambda r: F.exists(r, lambda c: F.size(c["links"]) > 0)
+        )
+
+        def col_ok(cells: Column) -> Column:
+            nlinks = F.size(F.filter(cells, lambda c: F.size(c["links"]) > 0))
+            freq_ok = (nlinks == 0) | (nlinks / nrows >= MIN_FREQ_LINKS)
+            surface = F.aggregate(
+                cells,
+                F.lit(0.0),
+                lambda acc, c: acc
+                + F.aggregate(
+                    c["links"], F.lit(0.0), lambda a, l: a + (l["end"] - l["start"])
+                )
+                / F.greatest(F.lit(0.1), F.length(c["text"]).cast("double")),
+            ) / nrows
+            coverage_ok = (nlinks == 0) | (surface >= MIN_LINK_SURFACE)
+            linked = F.filter(
+                cells,
+                lambda c: F.size(
+                    F.filter(c["links"], lambda l: l["end"] > l["start"])
+                ) > 0,
             )
-            / F.greatest(F.lit(0.1), F.length(c["text"]).cast("double")),
-        ) / nrows
-        coverage_ok = (nlinks == 0) | (surface >= MIN_LINK_SURFACE)
-        linked = F.filter(
-            cells,
-            lambda c: F.size(F.filter(c["links"], lambda l: l["end"] > l["start"])) > 0,
-        )
-        single_ok = F.forall(
-            linked,
-            lambda c: F.size(F.filter(c["links"], lambda l: l["end"] > l["start"])) == 1,
-        )
-        n_total = F.aggregate(cells, F.lit(0), lambda a, c: a + F.size(c["links"]))
-        n_exist = F.aggregate(
-            cells,
-            F.lit(0),
-            lambda a, c: a
-            + F.size(F.filter(c["links"], lambda l: l["entity"].isNotNull())),
-        )
-        existing_ok = (n_total == 0) | (n_exist / n_total >= MIN_EXISTING_LINKS)
-        return freq_ok & coverage_ok & single_ok & existing_ok
+            single_ok = F.forall(
+                linked,
+                lambda c: F.size(
+                    F.filter(c["links"], lambda l: l["end"] > l["start"])
+                ) == 1,
+            )
+            n_total = F.aggregate(cells, F.lit(0), lambda a, c: a + F.size(c["links"]))
+            n_exist = F.aggregate(
+                cells,
+                F.lit(0),
+                lambda a, c: a
+                + F.size(F.filter(c["links"], lambda l: l["entity"].isNotNull())),
+            )
+            existing_ok = (n_total == 0) | (n_exist / n_total >= MIN_EXISTING_LINKS)
+            return freq_ok & coverage_ok & single_ok & existing_ok
 
-    cols_ok = F.forall(F.sequence(F.lit(1), ncols), per_col)
-    return (
-        only_first_row_header
-        & no_spanning_header
-        & min_rows
-        & has_link
-        & (nrows > 0)
-        & cols_ok
+        cols_ok = F.forall(
+            F.sequence(F.lit(1), ncols),
+            lambda ci: let(
+                F.transform(data, lambda r: F.element_at(r, ci)), col_ok
+            ),
+        )
+        return (
+            only_first_row_header
+            & no_spanning_header
+            & min_rows
+            & has_link
+            & (nrows > 0)
+            & cols_ok
+        )
+
+    return let(
+        rows,
+        lambda rows_v: let(
+            n_header_rows_first_cell(rows_v),
+            lambda nh: let(
+                F.struct(
+                    F.slice(
+                        rows_v, nh + 1, F.greatest(F.size(rows_v) - nh, F.lit(0))
+                    ).alias("data"),
+                ),
+                lambda b: shaped(rows_v, nh, b),
+            ),
+        ),
     )
 
 
