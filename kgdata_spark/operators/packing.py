@@ -161,3 +161,58 @@ def pack_chunks(
         .select("chunk_id", id_col, "doc_offset", "chunk_offset", "n_tokens")
     )
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """RAG-style per-document chunking: cut each document's token stream
+    into windows of `chunk_tokens` whitespace tokens that overlap by
+    `overlap` tokens → (id, chunk_no, start_token, n_tokens, chunk_text).
+
+    The retrieval-side sibling of `pack_chunks` (which concatenates
+    ACROSS documents for pretraining): embedding/RAG pipelines chunk
+    WITHIN a document so each piece carries local context, with overlap
+    so no boundary sentence is split away from both neighbors (the
+    standard fixed-size-with-overlap recipe of retrieval preprocessing).
+
+    Scale shape: embarrassingly parallel — one projection computes the
+    token array (staged column, PERF.md §28), one explode emits chunk
+    starts via a stepped `sequence`, and the window slice/join is per
+    row. No shuffle at all: the plan is scan → project → generate.
+    Tokenless documents yield no chunks (the caller's empty-doc policy,
+    as elsewhere); a final short window is emitted iff it adds tokens
+    (its start lies inside the stream).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    staged = docs.select(id_col, toks.alias("_t")).where(F.size("_t") > 0)
+    # a window at start s>0 only ADDS tokens when s < n - overlap (the
+    # previous window already covers through s + overlap - 1); without
+    # the filter a doc slightly longer than one window emits a trailing
+    # chunk fully contained in its predecessor
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s < F.size("_t") - overlap),
+    )
+    exploded = staged.select(
+        id_col, "_t", F.posexplode(starts).alias("chunk_no", "start_token")
+    )
+    piece = F.slice(F.col("_t"), F.col("start_token") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_no",
+        "start_token",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

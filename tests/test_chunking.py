@@ -1,0 +1,63 @@
+"""RAG document chunking (packing.chunk_documents): hand-computed windows,
+the trailing-window suppression rule, and edge sizes."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.packing import chunk_documents
+
+
+def _rows(spark, texts, **kw):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=kw.get("chunk_tokens", 4),
+                             overlap=kw.get("overlap", 1)).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.chunk_no, r.start_token, r.n_tokens, r.chunk_text)
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_chunk_documents_hand_computed(spark):
+    texts = [
+        "a b c",            # n=3 < chunk -> one short chunk
+        "a b c d",          # n=4 = chunk -> exactly one
+        "a b c d e",        # n=5: start 3 adds e (3 < 5-1) -> two chunks
+        "a b c d e f g h",  # n=8: starts 0,3,6
+        "",                 # tokenless -> no rows
+    ]
+    got = _rows(spark, texts, chunk_tokens=4, overlap=1)
+    assert got[0] == [(0, 0, 3, "a b c")]
+    assert got[1] == [(0, 0, 4, "a b c d")]
+    assert got[2] == [(0, 0, 4, "a b c d"), (1, 3, 2, "d e")]
+    assert got[3] == [(0, 0, 4, "a b c d"), (1, 3, 4, "d e f g"), (2, 6, 2, "g h")]
+    assert 4 not in got
+
+
+def test_chunk_documents_suppresses_covered_tail(spark):
+    # n=5, chunk=4, overlap=3 (stride 1): starts 0..4 but s >= n-overlap=2
+    # add nothing beyond the previous window's coverage
+    got = _rows(spark, ["a b c d e"], chunk_tokens=4, overlap=3)
+    assert [x[1] for x in got[0]] == [0, 1]
+
+
+def test_chunk_documents_zero_overlap_partitions(spark):
+    got = _rows(spark, ["a b c d e f"], chunk_tokens=2, overlap=0)
+    assert got[0] == [(0, 0, 2, "a b"), (1, 2, 2, "c d"), (2, 4, 2, "e f")]
+    toks = " ".join(t for _, _, _, t in got[0]).split()
+    assert toks == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -86,6 +86,7 @@ DOCUMENTED_OVERFLOW = {
     "semantic_dedup",
     "media_resize",
     "lm_perplexity",
+    "chunk_documents",
 }
 
 # Environment-gated queries: registered only where the environment
