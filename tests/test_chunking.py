@@ -61,3 +61,54 @@ def test_chunk_documents_no_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --- hypothesis: fuzz against a pure-Python model + reconstruction rule ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _model(tokens, chunk, overlap):
+    n = len(tokens)
+    if n == 0:
+        return []
+    stride = chunk - overlap
+    starts = [s for s in range(0, n, stride) if s == 0 or s < n - overlap]
+    return [
+        (i, s, len(tokens[s : s + chunk]), " ".join(tokens[s : s + chunk]))
+        for i, s in enumerate(starts)
+    ]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    chunk=st.integers(2, 9),
+    data=st.data(),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_chunk_documents_matches_model(spark, counts, chunk, data):
+    overlap = data.draw(st.integers(0, chunk - 1))
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(c)))
+            for i, c in enumerate(counts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_no, r.start_token, r.n_tokens, r.chunk_text)
+        )
+    for i, (_, text) in enumerate(docs):
+        toks = text.split()
+        want = _model(toks, chunk, overlap)
+        assert sorted(got.get(i, [])) == want
+        if want:
+            # every chunk past the first contributes >= 1 new token, and
+            # dropping each one's first `overlap` tokens reconstructs the doc
+            rebuilt = want[0][3].split()
+            for _, _, ntok, ctext in want[1:]:
+                assert ntok > overlap
+                rebuilt += ctext.split()[overlap:]
+            assert rebuilt == toks
