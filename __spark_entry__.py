@@ -2632,6 +2632,48 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def _supplier_cooccurrence(spark: SparkSession, sf_dir: str):
+    # Supplier co-occurrence graph: suppliers filling the SAME order,
+    # density-controlled by keeping 1/100 of orders (the full graph on a
+    # dense TPC-H corpus approaches a clique, which benchmarks the
+    # degenerate case instead of the operator). One directed edge per
+    # ordered pair — callers canonicalize / symmetrize as needed.
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    return (
+        os_.alias("x")
+        .join(os_.alias("y"), "l_orderkey")
+        .where(F.col("x.l_suppkey") != F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node triangle counts in the supplier co-occurrence graph via the
+    # degree-ordered forward algorithm (wedge work bounded O(E^1.5)).
+    from kgdata_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_supplier_cooccurrence(spark, sf_dir))
+
+
+def q_supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source bounded BFS: hop distance (<= 3) from the seed suppliers
+    # (every 50th) through the symmetric co-occurrence graph; oracle is a
+    # recursive-CTE walk with min-dist collapse.
+    from kgdata_spark.operators.graph import bfs_distances
+
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 50 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_distances(
+        _supplier_cooccurrence(spark, sf_dir), seeds, max_hops=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2755,6 +2797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
+        "supplier_triangles": q_supplier_triangles,
+        "supplier_bfs": q_supplier_bfs,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4495,5 +4539,47 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                    array_to_string(arr[start_token + 1 : start_token + 32], ' ')
                        AS chunk_text
             FROM starts
+        """,
+        # supplier_triangles: id-ordered triangle enumeration x<y<z over the
+        # canonical co-occurrence edges — same triangle set the Spark side's
+        # degree-ordered forward algorithm generates, counted per corner
+        "supplier_triangles": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+            e AS (
+                SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+                FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_suppkey < y.l_suppkey),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT node, COUNT(*) AS triangles
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node
+        """,
+        # supplier_bfs: recursive-CTE walk bounded at 3 hops, min-dist per
+        # node (= BFS shortest hop distance from any seed)
+        "supplier_bfs": """
+            WITH RECURSIVE li AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+            e AS (
+                SELECT DISTINCT x.l_suppkey AS s, y.l_suppkey AS d
+                FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_suppkey <> y.l_suppkey),
+            walk AS (
+                SELECT s_suppkey AS node, 0 AS dist FROM supplier
+                WHERE s_suppkey % 50 = 0
+                UNION
+                SELECT e.d, walk.dist + 1
+                FROM walk JOIN e ON e.s = walk.node
+                WHERE walk.dist < 3)
+            SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+            FROM walk GROUP BY node
         """,
     }

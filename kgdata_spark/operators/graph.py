@@ -286,3 +286,105 @@ def property_ranges(triples: DataFrame, entity_types: DataFrame) -> DataFrame:
         .groupBy("pred", "type")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge table → (node, dist): the
+    minimum hop count from ANY seed, bounded by `max_hops` (pass both
+    edge directions for an undirected walk).
+
+    The seeded sibling of `ancestors`: closure materializes every
+    (node, ancestor) pair — O(V·reach) rows — while a seeded frontier
+    carries one row per REACHED node, the right shape when the graph is
+    huge and the question is "what is near these seeds" (neighborhood
+    sampling, contamination spread, link-distance features). Each hop is
+    one shuffle join frontier⋈edges + one left_anti against the visited
+    set; min-dist dedup is implicit because a node joins the frontier the
+    first hop it is seen and never re-enters. Cycle-safe for the same
+    reason. Early exit when a hop adds nothing.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        step = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = step.join(visited, "node", "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        if checkpoint:
+            new = _checkpoint(new)
+        if new.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(new)
+        if checkpoint:
+            visited = _checkpoint(visited)
+        frontier = new
+    return visited
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts on the undirected simple graph → (node,
+    triangles); self-loops and duplicate/reverse edges collapse first.
+
+    The forward algorithm: orient every edge from its lower-(degree, id)
+    endpoint, so each triangle is generated exactly once — at its
+    minimum-rank corner, as an out-wedge whose far pair closes. The
+    orientation is the scale move: a hub of degree d has out-degree
+    O(sqrt(E)) regardless of d (its neighbors mostly rank lower), so the
+    wedge self-join — the quadratic step — is bounded by sum C(outdeg,2)
+    = O(E^1.5) total work instead of the O(sum C(deg,2)) a naive
+    neighbor-pair expansion pays on skewed graphs. Three shuffles: degree
+    aggregate, wedge self-join on the center, closing-edge join.
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # out-wedges at each center u; the unordered far pair taken as x < y
+    # so the closing edge is already in canonical (a, b) form
+    wedges = (
+        oriented.select("u", F.col("v").alias("x"))
+        .join(oriented.select("u", F.col("v").alias("y")), "u")
+        .where(F.col("x") < F.col("y"))
+    )
+    tri = wedges.join(und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]))
+    corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

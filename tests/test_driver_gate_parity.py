@@ -87,6 +87,8 @@ DOCUMENTED_OVERFLOW = {
     "media_resize",
     "lm_perplexity",
     "chunk_documents",
+    "supplier_triangles",
+    "supplier_bfs",
 }
 
 # Environment-gated queries: registered only where the environment

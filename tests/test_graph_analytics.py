@@ -1,0 +1,136 @@
+"""Graph analytics (graph.bfs_distances, graph.triangle_counts): hand
+graphs and hypothesis fuzz against brute-force pure-Python models."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.graph import bfs_distances, triangle_counts
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _seeds_df(spark, nodes):
+    return spark.createDataFrame([(str(n),) for n in nodes], "node string")
+
+
+def _sym(pairs):
+    return list(pairs) + [(b, a) for a, b in pairs]
+
+
+# ---------------------------------------------------------------- models
+
+
+def _model_bfs(pairs, seeds, max_hops):
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(str(a), set()).add(str(b))
+    dist = {str(s): 0 for s in seeds}
+    frontier = set(dist)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        if not nxt:
+            break
+        frontier = nxt
+    return sorted(dist.items())
+
+
+def _model_triangles(pairs):
+    und = {
+        tuple(sorted((str(a), str(b)))) for a, b in pairs if str(a) != str(b)
+    }
+    nodes = sorted({n for e in und for n in e})
+    count: dict[str, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                count[n] = count.get(n, 0) + 1
+    return sorted(count.items())
+
+
+# ------------------------------------------------------------ hand cases
+
+
+def test_triangles_hand(spark):
+    # triangle 1-2-3, a second triangle 2-3-4 sharing an edge, pendant 5
+    pairs = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5), (2, 1)]
+    got = sorted(
+        (r.node, r.triangles) for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    )
+    assert got == [("1", 1), ("2", 2), ("3", 2), ("4", 1)]
+
+
+def test_bfs_hand(spark):
+    # chain 1→2→3→4→5 plus shortcut 1→4; seed {1}; hop bound cuts node 5
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    got = sorted(
+        (r.node, r.dist)
+        for r in bfs_distances(
+            _edges_df(spark, pairs), _seeds_df(spark, [1]), max_hops=2
+        ).collect()
+    )
+    assert got == [("1", 0), ("2", 1), ("3", 2), ("4", 1), ("5", 2)]
+
+
+def test_bfs_multi_seed_min(spark):
+    # two seeds; every node takes the nearer one; unreachable 9 absent
+    pairs = _sym([(1, 2), (2, 3), (3, 4), (7, 4)])
+    got = dict(
+        (r.node, r.dist)
+        for r in bfs_distances(
+            _edges_df(spark, pairs), _seeds_df(spark, [1, 7]), max_hops=6
+        ).collect()
+    )
+    assert got == {"1": 0, "7": 0, "2": 1, "4": 1, "3": 2}
+
+
+# ------------------------------------------------------------ hypothesis
+
+_edge = st.tuples(st.integers(0, 11), st.integers(0, 11))
+
+
+@pytest.mark.usefixtures("spark")
+@given(pairs=st.lists(_edge, min_size=0, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_triangles_match_model(spark, pairs):
+    pairs = pairs or [(0, 0)]  # createDataFrame needs >= 1 row
+    got = sorted(
+        (r.node, r.triangles)
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    )
+    assert got == _model_triangles(pairs)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    pairs=st.lists(_edge, min_size=1, max_size=40),
+    seeds=st.sets(st.integers(0, 11), min_size=1, max_size=3),
+    hops=st.integers(1, 5),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_bfs_matches_model(spark, pairs, seeds, hops):
+    got = sorted(
+        (r.node, r.dist)
+        for r in bfs_distances(
+            _edges_df(spark, pairs), _seeds_df(spark, seeds), max_hops=hops
+        ).collect()
+    )
+    assert got == _model_bfs(pairs, seeds, hops)
