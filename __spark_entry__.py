@@ -2674,6 +2674,36 @@ def q_supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join (granule-bucketed equi rewrite, joins.range_join): orders
+    # placed 1..90 days after a prior order by the same customer. Integer
+    # day numbers keep the comparison engine-portable and timezone-free.
+    from kgdata_spark.operators.joins import range_join
+
+    epoch = F.lit("1990-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("day"),
+    )
+    pts = o.select(
+        F.col("o_orderkey").alias("later_key"),
+        F.col("o_custkey").alias("cust"),
+        F.col("day").alias("d"),
+    )
+    ivs = o.select(
+        F.col("o_orderkey").alias("prior_key"),
+        F.col("o_custkey").alias("cust"),
+        F.col("day").alias("prior_day"),
+        (F.col("day") + 1).alias("ws"),
+        (F.col("day") + 91).alias("we"),
+    )
+    out = range_join(pts, ivs, ts="d", start="ws", end="we", key="cust", granule=90)
+    return out.select(
+        "prior_key", "later_key", (F.col("d") - F.col("prior_day")).alias("gap_days")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2799,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "supplier_triangles": q_supplier_triangles,
         "supplier_bfs": q_supplier_bfs,
+        "repeat_orders_window": q_repeat_orders_window,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4581,5 +4612,19 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                 WHERE walk.dist < 3)
             SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
             FROM walk GROUP BY node
+        """,
+        # repeat_orders_window: the range join replayed as a plain theta
+        # join (fine at oracle scale) — gap strictly positive, <= 90 days
+        "repeat_orders_window": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day
+                FROM orders)
+            SELECT a.o_orderkey AS prior_key, b.o_orderkey AS later_key,
+                   CAST(b.day - a.day AS INTEGER) AS gap_days
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND b.day >= a.day + 1 AND b.day < a.day + 91
         """,
     }

@@ -183,3 +183,66 @@ def fk_denormalize_join(
     )
     join_key = r1k[r1_key if r1_key is not None else "_rid"] == matched["_rid"]
     return r1k.join(matched, join_key, "left").select(*r1_cols, out_col)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    key: str | None = None,
+    granule: int = 86_400,
+    end_inclusive: bool = False,
+    max_granules: int = 1_024,
+) -> DataFrame:
+    """Point-in-interval join, rewritten as an equi-join: each point row
+    matches interval rows with start <= ts < end (`end_inclusive` makes
+    the upper bound <=), optionally also equal on `key`. Output = point
+    columns + interval columns (names must not collide except `key`).
+
+    Spark plans a raw theta join (p.ts BETWEEN i.start AND i.end) as a
+    broadcast-nested-loop or cartesian + filter — O(P*I) comparisons, the
+    classic 100-TB killer. The standard rewrite (the "bin" strategy of
+    range-join optimizers) buckets time into `granule`-sized bins:
+    points land in exactly ONE bin, intervals are replicated into every
+    bin they overlap, and the join becomes an equi-join on (key, bin)
+    plus a residual predicate. Each match is produced exactly once (the
+    point's bin is unique), so no dedup pass is needed. Cost: interval
+    replication = span/granule + 1 copies — pick granule near the median
+    interval length so replication is O(1); `max_granules` is the valve
+    that fails fast (JVM-side raise_error, no extra job) when one
+    pathological interval would fan out wider.
+
+    ts/start/end must be NUMERIC (cast dates to day numbers, timestamps
+    to epoch seconds first — integer comparisons are engine-portable and
+    timezone-free). Intervals with end < start match nothing and are
+    dropped. Without `key`, every point joins every co-binned interval
+    copy — fine when intervals are few, quadratic when not; prefer a key.
+    """
+    if granule <= 0:
+        raise ValueError(f"granule must be positive, got {granule}")
+    gs = F.floor(F.col(start) / granule)
+    ge = F.floor(F.col(end) / granule)
+    span = (ge - gs + F.lit(1)).cast("long")
+    guarded_span = F.when(span <= max_granules, span).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval [{start}, {end}] spans more than "
+                    f"max_granules={max_granules} granules of {granule} — "
+                    "raise the granule or split the interval: span="
+                ),
+                span.cast("string"),
+            )
+        )
+    )
+    iv = intervals.where(F.col(end) >= F.col(start)).withColumn(
+        "_g", F.explode(F.sequence(gs, gs + guarded_span - 1))
+    )
+    p = points.withColumn("_g", F.floor(F.col(ts) / granule))
+    on = ["_g", key] if key is not None else ["_g"]
+    upper = (
+        F.col(ts) <= F.col(end) if end_inclusive else F.col(ts) < F.col(end)
+    )
+    return p.join(iv, on).where((F.col(ts) >= F.col(start)) & upper).drop("_g")

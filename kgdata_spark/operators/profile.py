@@ -46,3 +46,73 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ),
         F.col("_n").alias("n_rows"),
     ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def profile_table_approx(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    numeric_quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    rsd: float = 0.02,
+    quantile_accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based profile for cardinalities where exact is too costly:
+    (column, n_rows, n_null, approx_distinct, min_value, max_value,
+    approx_quantiles) — still ONE scan.
+
+    The extreme-scale variant of `profile_table`: `approx_count_distinct`
+    is a HyperLogLog++ sketch (fixed ~kilobytes of state per column at
+    relative error `rsd`, vs exact distinct whose hash table grows with
+    cardinality — the one unbounded-state aggregate in the exact plan),
+    and `percentile_approx` is a mergeable quantile sketch of bounded size
+    `quantile_accuracy`. Both are map-side-combinable, so the shuffle
+    stays one tiny row per partition regardless of table size — at 100 TB
+    the exact profile shuffles per-column distinct sets; this shuffles
+    sketches. Quantiles are emitted for numeric columns only (null for
+    the rest), rendered to one string so heterogeneous types share the
+    output schema.
+
+    Estimates are NOT engine-portable (sketch internals differ), so this
+    op is verified by pytest tolerance against the exact profile rather
+    than a bit-exact SQL oracle — same weaker-check class as PCA.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = columns if columns is not None else df.columns
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    qs = list(numeric_quantiles)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+        if c in numeric:
+            aggs.append(
+                F.concat_ws(
+                    ",",
+                    F.percentile_approx(
+                        F.col(c), qs, accuracy=quantile_accuracy
+                    ).cast("array<string>"),
+                ).alias(f"_q_{c}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"_q_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}, _q_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column, n_null, approx_distinct, min_value, max_value, "
+            "approx_quantiles)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "column", "n_rows", "n_null", "approx_distinct",
+        "min_value", "max_value", "approx_quantiles",
+    )

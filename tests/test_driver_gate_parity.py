@@ -89,6 +89,7 @@ DOCUMENTED_OVERFLOW = {
     "chunk_documents",
     "supplier_triangles",
     "supplier_bfs",
+    "repeat_orders_window",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,60 @@
+"""Sketch profile (profile.profile_table_approx): tolerance vs the exact
+profile, quantile sanity, and the one-scan plan shape. No SQL oracle —
+sketch estimates aren't engine-portable (same weaker-check class as PCA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.profile import profile_table, profile_table_approx
+
+
+def _fixture(spark):
+    # 5000 rows: id unique, bucket 97 distinct, flag 2 distinct (10% null),
+    # val numeric uniform 0..999
+    return spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("string").alias("bucket"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") % 2).cast("string"))
+        .alias("flag"),
+        (F.col("id") * 7919 % 1000).cast("double").alias("val"),
+    )
+
+
+def test_approx_profile_matches_exact_within_tolerance(spark):
+    df = _fixture(spark)
+    exact = {r.column: r for r in profile_table(df).collect()}
+    approx = {r.column: r for r in profile_table_approx(df).collect()}
+    assert set(approx) == set(exact)
+    for c, a in approx.items():
+        e = exact[c]
+        assert a.n_rows == e.n_rows == 5000
+        assert a.n_null == e.n_null
+        assert a.min_value == e.min_value and a.max_value == e.max_value
+        # HLL++ at rsd=0.02: allow 5x the nominal rsd for small-n jitter
+        assert abs(a.approx_distinct - e.n_distinct) <= max(
+            2, 0.1 * e.n_distinct
+        ), f"{c}: {a.approx_distinct} vs exact {e.n_distinct}"
+
+
+def test_approx_profile_quantiles(spark):
+    rows = {r.column: r for r in profile_table_approx(_fixture(spark)).collect()}
+    assert rows["bucket"].approx_quantiles is None  # non-numeric
+    q25, q50, q75 = map(float, rows["val"].approx_quantiles.split(","))
+    # val is ~uniform on 0..999
+    assert 150 < q25 < 350 and 400 < q50 < 600 and 650 < q75 < 850
+    assert q25 <= q50 <= q75
+
+
+def test_approx_profile_plan_single_pass(spark):
+    df = _fixture(spark)
+    plan = (
+        profile_table_approx(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one global aggregate (partial -> single final exchange), no Python
+    assert plan.count("Exchange") <= 1 and "BatchEvalPython" not in plan

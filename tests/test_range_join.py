@@ -1,0 +1,103 @@
+"""Granule-bucketed range join (joins.range_join): hand cases, the
+max_granules valve, plan shape (equi-join, no nested loop), and
+hypothesis fuzz against the brute-force model."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.errors import SparkRuntimeException
+
+from kgdata_spark.operators.joins import range_join
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "pid long, k string, ts long")
+
+
+def _ivals(spark, rows):
+    return spark.createDataFrame(rows, "iid long, k string, s long, e long")
+
+
+def _run(spark, pts, ivs, **kw):
+    out = range_join(
+        _points(spark, pts), _ivals(spark, ivs), ts="ts",
+        start="s", end="e", **kw
+    )
+    return sorted((r.pid, r.iid) for r in out.collect())
+
+
+def _model(pts, ivs, key, end_inclusive):
+    hits = []
+    for pid, pk, ts in pts:
+        for iid, ik, s, e in ivs:
+            if key is not None and pk != ik:
+                continue
+            if ts >= s and (ts <= e if end_inclusive else ts < e):
+                hits.append((pid, iid))
+    return sorted(hits)
+
+
+def test_range_join_hand(spark):
+    pts = [(1, "a", 5), (2, "a", 10), (3, "b", 5), (4, "a", 99)]
+    ivs = [(10, "a", 0, 10), (11, "a", 10, 20), (12, "b", 5, 6)]
+    # end-exclusive: ts=10 matches [10,20) not [0,10); key separates a/b
+    assert _run(spark, pts, ivs, key="k", granule=7) == [
+        (1, 10), (2, 11), (3, 12)
+    ]
+    # end-inclusive pulls ts=10 into [0,10] too
+    assert _run(spark, pts, ivs, key="k", granule=7, end_inclusive=True) == [
+        (1, 10), (2, 10), (2, 11), (3, 12)
+    ]
+
+
+def test_range_join_keyless_and_empty_interval(spark):
+    pts = [(1, "a", 5), (2, "b", 15)]
+    ivs = [(10, "zzz", 4, 6), (11, "zzz", 14, 16), (12, "zzz", 9, 3)]
+    # no key: k columns are ignored; inverted interval 12 matches nothing
+    got = _run(spark, pts, [(i, k, s, e) for i, k, s, e in ivs], granule=5)
+    assert got == [(1, 10), (2, 11)]
+
+
+def test_range_join_valve_raises(spark):
+    pts = [(1, "a", 5)]
+    ivs = [(10, "a", 0, 10_000)]
+    with pytest.raises(SparkRuntimeException, match="max_granules"):
+        _run(spark, pts, ivs, key="k", granule=10, max_granules=3)
+    with pytest.raises(ValueError):
+        _run(spark, pts, ivs, key="k", granule=0)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    out = range_join(
+        _points(spark, [(1, "a", 5)]), _ivals(spark, [(10, "a", 0, 10)]),
+        ts="ts", start="s", end="e", key="k", granule=7,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("ab"),
+                  st.integers(-20, 40)),
+        min_size=1, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(10, 19), st.sampled_from("ab"),
+                  st.integers(-20, 40), st.integers(-20, 40)),
+        min_size=1, max_size=12),
+    granule=st.sampled_from([1, 3, 7, 100]),
+    keyed=st.booleans(),
+    incl=st.booleans(),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_range_join_matches_model(spark, pts, ivs, granule, keyed, incl):
+    pts = [(i, k, t) for i, (_, k, t) in enumerate(pts)]
+    ivs = [(100 + i, k, s, e) for i, (_, k, s, e) in enumerate(ivs)]
+    got = _run(spark, pts, ivs, key="k" if keyed else None,
+               granule=granule, end_inclusive=incl)
+    assert got == _model(pts, ivs, "k" if keyed else None, incl)
