@@ -89,3 +89,113 @@ def assign_clusters(
 
             centroids = _checkpoint(centroids)
     return assigned.select("id", F.col("cidx").alias("cluster"))
+
+def fit_centroids_grouped(
+    vectors: DataFrame,
+    group_col: str = "grp",
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fit an independent k-means per group IN ONE SET OF JOBS →
+    (group, cidx, cvec): the centroids the final assignment pass of
+    `assign_clusters` would use, per group.
+
+    The grouped form exists for product quantization (similarity.pq_*),
+    which trains M sub-codebooks — running `assign_clusters` M times
+    would serialize M×iters Spark jobs, while here every per-iteration
+    step (argmin assignment, per-dimension mean) carries the group key
+    through the same shuffles, so M codebooks cost exactly the jobs of
+    one. Same determinism contract as `assign_clusters` (seed = k
+    smallest ids per group, distances rounded to 9, means to
+    `round_digits`, ties to the lowest cluster index); for a single
+    group the outputs coincide — pinned by test.
+
+    The centroid table is UNCONDITIONALLY checkpointed at every step —
+    not just for lineage hygiene: `v ⋈ centroids` is a self-join
+    (centroids descend from v through a window), and leaving the common
+    lineage in place lets the analyzer's attribute dedup intermittently
+    resolve the group key to the SAME expression on both sides, matching
+    vectors against other groups' centroids (observed: cross-width
+    zip_with → null distance → nulls-first argmin picks a wrong-group
+    centroid). Breaking lineage on the k·|groups|-row table costs one
+    tiny eager job per iteration and removes the hazard class.
+    """
+    from kgdata_spark.operators.graph import _checkpoint
+
+    v = vectors.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    ws = Window.partitionBy("g").orderBy("id")
+    centroids = _checkpoint(
+        v.withColumn("_rn", F.row_number().over(ws))
+        .where(F.col("_rn") <= k)
+        .select("g", (F.col("_rn") - 1).alias("cidx"), F.col("vec").alias("cvec"))
+    )
+    wa = Window.partitionBy("g", "id").orderBy(F.asc("_d"), F.asc("cidx"))
+    for _ in range(iters - 1):
+        assigned = (
+            v.join(centroids, "g")
+            .withColumn("_d", F.round(_sq_dist(F.col("vec"), F.col("cvec")), 9))
+            .withColumn("_rn", F.row_number().over(wa))
+            .where(F.col("_rn") == 1)
+            .select("g", "id", "vec", "cidx")
+        )
+        dims = assigned.select("g", "cidx", F.posexplode("vec").alias("pos", "x"))
+        centroids = _checkpoint(
+            dims.groupBy("g", "cidx", "pos")
+            .agg(F.round(F.avg("x"), round_digits).alias("cx"))
+            .groupBy("g", "cidx")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("cx").alias("cx")))
+                    ),
+                    lambda s: s["cx"],
+                ).alias("cvec")
+            )
+        )
+    return centroids.select(
+        F.col("g").alias(group_col), "cidx", "cvec"
+    )
+
+
+def assign_to_centroids_grouped(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    group_col: str = "grp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group, id, cluster): argmin squared distance within each group's
+    codebook — the assignment half of `fit_centroids_grouped`, same
+    rounding/tie contract.
+
+    The join key is renamed on the centroid side and the condition made
+    explicit: callers may pass centroids that share lineage with
+    `vectors` (encode-what-you-trained-on is the normal PQ flow), which
+    is the self-join-dedup hazard described in `fit_centroids_grouped` —
+    distinct attribute names keep the analyzer from collapsing the two
+    sides."""
+    v = vectors.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    c = centroids.select(F.col(group_col).alias("_cg"), "cidx", "cvec")
+    wa = Window.partitionBy("g", "id").orderBy(F.asc("_d"), F.asc("cidx"))
+    return (
+        v.join(c, v["g"] == c["_cg"])
+        .withColumn("_d", F.round(_sq_dist(F.col("vec"), F.col("cvec")), 9))
+        .withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("cidx").alias("cluster"),
+        )
+    )

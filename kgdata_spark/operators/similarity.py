@@ -216,3 +216,155 @@ def semantic_dedup(
         F.col("node").alias(id_col)
     )
     return vectors.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compress each vector into m
+# uint8-sized codebook indices, answer top-k with asymmetric distance
+# computation (ADC) against the codes instead of the raw floats.
+
+
+def _subspaces(df: DataFrame, id_col: str, vec_col: str, m: int, d: int):
+    """(id, sub, svec): the m contiguous d-wide slices of each vector.
+
+    Ragged rows fail fast: the expected width m*d is probed from ONE row
+    (`_dim_of`), so a corpus with mixed embedding widths would otherwise
+    silently slice short/empty subvectors — the guard is a JVM-side
+    raise_error, no extra job."""
+    vec = F.when(
+        F.size(F.col(vec_col)) == m * d, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq: ragged vector width (expected {m * d}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    slices = F.array(*[F.slice(vec, s * d + 1, d) for s in range(m)])
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(slices).alias("sub", "svec")
+    )
+
+
+def _dim_of(vectors: DataFrame, vec_col: str, m: int) -> int:
+    # returns the FULL vector dimension (callers divide by m for the
+    # subspace width) after validating divisibility — one 1-row job
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("pq: empty vector table")
+    dim = row["d"]
+    if dim is None or dim <= 0 or dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible into m={m} subspaces")
+    return dim
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m sub-codebooks → (sub, cidx, cvec).
+
+    One grouped k-means over the exploded (sub, subvector) table
+    (kmeans.fit_centroids_grouped) trains ALL m codebooks in the job
+    count of one — the group key rides the same shuffles. Deterministic
+    end to end (the kmeans module's pinned contract), so retraining on
+    the same corpus reproduces the same codebooks bit-for-bit.
+
+    Memory story at scale: codes are m small ints per vector versus
+    dim floats — a 768-dim float32 embedding (3 KB) becomes m=96 bytes,
+    the difference between an ANN corpus that fits executor memory and
+    one that doesn't.
+    """
+    d = _dim_of(vectors, vec_col, m) // m
+    subs = _subspaces(vectors, id_col, vec_col, m, d)
+    from kgdata_spark.operators.kmeans import fit_centroids_grouped
+
+    return fit_centroids_grouped(
+        subs, group_col="sub", k=k, iters=iters, id_col="id", vec_col="svec"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector's nearest sub-centroid index per subspace,
+    as an array ordered by subspace. Argmin contract matches training
+    (round 9, lowest index wins ties)."""
+    m = codebooks.select(F.max("sub")).first()[0] + 1
+    d = _dim_of(vectors, vec_col, m) // m
+    subs = _subspaces(vectors, id_col, vec_col, m, d)
+    from kgdata_spark.operators.kmeans import assign_to_centroids_grouped
+
+    assigned = assign_to_centroids_grouped(
+        subs, codebooks, group_col="sub", id_col="id", vec_col="svec"
+    )
+    return assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
+            lambda s: s["cluster"],
+        ).alias("codes")
+    ).select(F.col("id").alias(id_col), "codes")
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k → (q_id, c_id, adist, rk): approximate squared distance
+    = sum over subspaces of ||q_sub − centroid[code]||², looked up from a
+    per-query distance table.
+
+    Scale shape: the distance tables are |Q|·m·k' rows (tiny — queries ×
+    codebook, no corpus term) and broadcast; the corpus side only ever
+    touches its CODES (m ints/vector), never raw floats — the join is
+    exploded-codes ⋈ broadcast(table) followed by a sum, all JVM-side.
+    Ranking rounds before ordering (ties to lowest candidate id) so
+    results are reproducible across partitionings.
+    """
+    m = codebooks.select(F.max("sub")).first()[0] + 1
+    d = _dim_of(queries, vec_col, m) // m
+    qsubs = _subspaces(queries, id_col, vec_col, m, d).select(
+        F.col("id").alias("q_id"), "sub", "svec"
+    )
+    table = qsubs.join(codebooks, "sub").select(
+        "q_id",
+        "sub",
+        F.col("cidx").alias("code"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.transform("svec", lambda x: x.cast("double")),
+                    F.transform("cvec", lambda x: x.cast("double")),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        ).alias("pd"),
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("c_id"), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("pd"), round_digits).alias("adist"))
+        .where(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

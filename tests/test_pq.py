@@ -1,0 +1,133 @@
+"""Product quantization (similarity.pq_train/pq_encode/pq_topk): grouped
+k-means equivalence to the oracle-gated assign_clusters, hand-computed ADC,
+encode fidelity, and end-to-end recall vs exact L2 — the documented
+weaker-check class (no SQL oracle: iterative training isn't
+SQL-expressible; determinism is pinned by the kmeans contract instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.kmeans import (
+    assign_clusters,
+    assign_to_centroids_grouped,
+    fit_centroids_grouped,
+)
+from kgdata_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+
+def _vecs(spark, arrs, id0=0):
+    rows = [(id0 + i, [float(x) for x in a]) for i, a in enumerate(arrs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _clustered(n=64, dim=8, n_clusters=4):
+    # deterministic "clustered" corpus: cluster base + small index offset
+    base = np.arange(n_clusters)[:, None] * 10.0 + np.arange(dim)[None, :]
+    out = []
+    for i in range(n):
+        c = i % n_clusters
+        out.append(base[c] + ((i * 37) % 5) * 0.01)
+    return np.array(out)
+
+
+def test_grouped_kmeans_matches_assign_clusters(spark):
+    arrs = _clustered(n=24, dim=4, n_clusters=3)
+    v = _vecs(spark, arrs)
+    expect = sorted(
+        (r.id, r.cluster) for r in assign_clusters(v, k=3, iters=3).collect()
+    )
+    g = v.withColumn("grp", F.lit(0))
+    cents = fit_centroids_grouped(g, group_col="grp", k=3, iters=3)
+    got = sorted(
+        (r.vec_id, r.cluster)
+        for r in assign_to_centroids_grouped(g, cents, group_col="grp").collect()
+    )
+    assert got == expect
+
+
+def test_pq_encode_recovers_centroid_vectors(spark):
+    # vectors that ARE sub-centroid concatenations encode to those indices
+    v = _vecs(spark, _clustered(n=32, dim=4, n_clusters=4))
+    books = pq_train(v, m=2, k=4, iters=2)
+    cents = {(r.sub, r.cidx): list(r.cvec) for r in books.collect()}
+    probe = _vecs(
+        spark,
+        [cents[(0, 1)] + cents[(1, 3)], cents[(0, 2)] + cents[(1, 0)]],
+        id0=1000,
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(probe, books).collect()}
+    assert got == {1000: [1, 3], 1001: [2, 0]}
+
+
+def test_pq_adc_hand_computed(spark):
+    # codebook: sub 0 centroids [0,0],[10,10]; sub 1 centroids [0,0],[5,5]
+    import pandas as pd
+
+    spark_books = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sub": [0, 0, 1, 1],
+                "cidx": [0, 1, 0, 1],
+                "cvec": [[0.0, 0.0], [10.0, 10.0], [0.0, 0.0], [5.0, 5.0]],
+            }
+        )
+    )
+    codes = spark.createDataFrame(
+        [(1, [0, 0]), (2, [1, 1]), (3, [0, 1])], "vec_id long, codes array<int>"
+    )
+    q = _vecs(spark, [[1.0, 1.0, 1.0, 1.0]], id0=100)
+    got = {
+        r.c_id: (r.adist, r.rk)
+        for r in pq_topk(q, codes, spark_books, k=3).collect()
+    }
+    # q=[1,1 | 1,1]: sub0 d(c0)=2, d(c1)=162; sub1 d(c0)=2, d(c1)=32
+    assert got == {1: (4.0, 1), 3: (34.0, 2), 2: (194.0, 3)}
+
+
+def test_pq_topk_finds_the_right_cluster(spark):
+    # PQ's resolution is the codebook cell: same-cluster members share
+    # codes, so the meaningful e2e check is that every ADC top-k hit
+    # lies in the query's own cluster (cross-cluster base distance ~100x
+    # the within-cluster jitter), not within-cluster ordering.
+    arrs = _clustered(n=64, dim=8, n_clusters=4)
+    v = _vecs(spark, arrs)
+    books = pq_train(v, m=2, k=4, iters=3)
+    codes = pq_encode(v, books)
+    queries = _vecs(spark, arrs[:6])  # first 6 corpus vectors as queries
+    got = {}
+    for r in pq_topk(queries, codes, books, k=5).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.adist))
+    for qi in range(6):
+        hits = got[qi]
+        assert len(hits) == 5
+        for c_id, adist in hits:
+            assert c_id % 4 == qi % 4, f"q{qi}: {c_id} from wrong cluster"
+            assert adist < 1.0  # same codebook cell -> near-zero ADC
+
+
+def test_pq_dim_validation(spark):
+    v = _vecs(spark, [[1.0, 2.0, 3.0]])
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(v, m=2, k=2)
+
+
+def test_pq_plan_no_python(spark):
+    v = _vecs(spark, _clustered(n=16, dim=4, n_clusters=2))
+    books = pq_train(v, m=2, k=2, iters=2)
+    out = pq_topk(_vecs(spark, _clustered(8, 4, 2), id0=500), pq_encode(v, books), books, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Cartesian" not in plan
+
+
+def test_pq_ragged_vectors_fail_fast(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    v = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(SparkRuntimeException, match="ragged"):
+        pq_train(v, m=2, k=2).collect()
