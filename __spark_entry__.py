@@ -2704,6 +2704,31 @@ def q_repeat_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product quantization with a CLOSED-FORM codebook (constant vector per
+    # (sub, cidx)) so encode + ADC are relational and DuckDB-replayable —
+    # codebook TRAINING is covered by the kmeans_assign gate + pytest
+    # (iterative k-means isn't SQL-expressible). Exercises the production
+    # scoring path end-to-end: subspace split, argmin encode, per-query
+    # distance table, codes-only ADC scan, top-k.
+    from kgdata_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    m, kk, d = 4, 4, 16
+    rows = [
+        (s, j, [float((j - 1.5) * 0.1 + s * 0.01)] * d)
+        for s in range(m)
+        for j in range(kk)
+    ]
+    books = spark.createDataFrame(rows, "sub int, cidx int, cvec array<double>")
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 5)
+    return pq_topk(q, codes, books, k=5, round_digits=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2830,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_triangles": q_supplier_triangles,
         "supplier_bfs": q_supplier_bfs,
         "repeat_orders_window": q_repeat_orders_window,
+        "pq_adc_topk": q_pq_adc_topk,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4626,5 +4652,49 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             FROM o a JOIN o b
               ON a.o_custkey = b.o_custkey
              AND b.day >= a.day + 1 AND b.day < a.day + 91
+        """,
+        # pq_adc_topk: relational replay of subspace split -> argmin encode
+        # (round 9, cidx tiebreak) -> ADC sum of the per-query distance
+        # table (round 4) -> top-5 (adist, c_id ordering)
+        "pq_adc_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            subs AS (
+                SELECT vec_id, s.sub,
+                       e[s.sub * 16 + 1 : s.sub * 16 + 16] AS svec
+                FROM emb, unnest([0, 1, 2, 3]) AS s(sub)),
+            book AS (
+                SELECT s.sub, j.cidx,
+                       (j.cidx - 1.5) * 0.1 + s.sub * 0.01 AS c
+                FROM unnest([0, 1, 2, 3]) s(sub),
+                     unnest([0, 1, 2, 3]) j(cidx)),
+            dists AS (
+                SELECT vec_id, sub, cidx,
+                       round(list_aggregate(
+                           list_transform(svec, x -> (x - c) * (x - c)),
+                           'sum'), 9) AS dist
+                FROM subs JOIN book USING (sub)),
+            codes AS (
+                SELECT vec_id, sub, cidx AS code
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id, sub
+                          ORDER BY dist, cidx) AS rn
+                      FROM dists)
+                WHERE rn = 1),
+            scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       round(SUM(q.dist), 4) AS adist
+                FROM codes c JOIN dists q
+                  ON q.sub = c.sub AND q.cidx = c.code
+                WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+                GROUP BY 1, 2)
+            SELECT q_id, c_id, adist, rk FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist, c_id) AS INT) AS rk
+                FROM scored)
+            WHERE rk <= 5
         """,
     }

@@ -101,3 +101,44 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: for each click, the same user's views
+    in the `gap` window ENDING at the click → (user_id, click_id,
+    click_ts, view_id, view_ts). The attribution-join shape ("which
+    impressions preceded this conversion").
+
+    The streaming analog of joins.range_join: in batch, the theta join is
+    rewritten to granule buckets; in streaming, Spark bounds it with
+    STATE EVICTION — both sides are watermarked and the time-range
+    condition lets the engine compute how long a buffered row can still
+    match (views older than click-watermark − gap are dropped, clicks
+    older than the view watermark likewise), so state is
+    O(rate × (gap + watermark)) regardless of stream length. Without the
+    range condition the same join would buffer both streams forever —
+    the condition IS the scale contract, not a filter.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("view_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {gap}"))
+    )
+    return c.join(v, cond).select(
+        "user_id", "click_id", "click_ts", "view_id", "view_ts"
+    )

@@ -90,6 +90,7 @@ DOCUMENTED_OVERFLOW = {
     "supplier_triangles",
     "supplier_bfs",
     "repeat_orders_window",
+    "pq_adc_topk",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -89,3 +89,36 @@ def test_running_user_totals_final_state(spark, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    from kgdata_spark.streaming.events import interval_join_stream
+
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "view"),
+        )
+
+    _run_to_memory(
+        interval_join_stream(*split(stream), gap="30 minutes"),
+        "ij_stream",
+        "append",
+    )
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("select * from ij_stream").collect()
+    }
+    bc, bv = split(batch)
+    want = {
+        (r.click_id, r.view_id)
+        for r in interval_join_stream(bc, bv, gap="30 minutes").collect()
+    }
+    # stream-stream inner join in availableNow mode emits matches as both
+    # sides arrive; on a replayed bounded source every batch match must
+    # appear, and nothing extra
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises the join
