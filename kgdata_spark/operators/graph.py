@@ -310,10 +310,14 @@ def bfs_distances(
     set; min-dist dedup is implicit because a node joins the frontier the
     first hop it is seen and never re-enters. Cycle-safe for the same
     reason. Early exit when a hop adds nothing.
+
+    `checkpoint=False` is for tiny in-test graphs only: the per-hop
+    early-exit probe plus the reuse of `new` would otherwise replay the
+    whole compounding join lineage each hop (quadratic re-execution).
     """
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .where(F.col(src) != F.col(dst))
+        .where(F.col("_s") != F.col("_d"))
         .distinct()
     )
     visited = (

@@ -90,6 +90,26 @@ def assign_clusters(
             centroids = _checkpoint(centroids)
     return assigned.select("id", F.col("cidx").alias("cluster"))
 
+def _guarded_sq_dist():
+    """Rounded squared distance vec↔cvec that FAILS on width mismatch.
+
+    zip_with null-pads the shorter array, a mismatched centroid width
+    yields _d = NULL, and ASC ranking puts nulls FIRST — every vector
+    would silently land in cluster 0 (the §30 hazard class). A JVM-side
+    raise_error turns that silent wrong answer into a loud one."""
+    ok = F.size(F.col("vec")) == F.size(F.col("cvec"))
+    return F.when(ok, F.round(_sq_dist(F.col("vec"), F.col("cvec")), 9)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmeans: vector width "),
+                F.size(F.col("vec")).cast("string"),
+                F.lit(" != centroid width "),
+                F.size(F.col("cvec")).cast("string"),
+            )
+        )
+    )
+
+
 def fit_centroids_grouped(
     vectors: DataFrame,
     group_col: str = "grp",
@@ -138,9 +158,14 @@ def fit_centroids_grouped(
     )
     wa = Window.partitionBy("g", "id").orderBy(F.asc("_d"), F.asc("cidx"))
     for _ in range(iters - 1):
+        # broadcast the k·|groups|-row centroid table: without the hint the
+        # checkpointed LogicalRDD has no size stats and the join plans as a
+        # shuffle hash-partitioned on g — |groups| reducers process the
+        # ENTIRE corpus (m=4 subspaces → 4 tasks), the skew assign_clusters
+        # avoids with its broadcast crossJoin
         assigned = (
-            v.join(centroids, "g")
-            .withColumn("_d", F.round(_sq_dist(F.col("vec"), F.col("cvec")), 9))
+            v.join(F.broadcast(centroids), "g")
+            .withColumn("_d", _guarded_sq_dist())
             .withColumn("_rn", F.row_number().over(wa))
             .where(F.col("_rn") == 1)
             .select("g", "id", "vec", "cidx")
@@ -189,8 +214,8 @@ def assign_to_centroids_grouped(
     c = centroids.select(F.col(group_col).alias("_cg"), "cidx", "cvec")
     wa = Window.partitionBy("g", "id").orderBy(F.asc("_d"), F.asc("cidx"))
     return (
-        v.join(c, v["g"] == c["_cg"])
-        .withColumn("_d", F.round(_sq_dist(F.col("vec"), F.col("cvec")), 9))
+        v.join(F.broadcast(c), v["g"] == c["_cg"])
+        .withColumn("_d", _guarded_sq_dist())
         .withColumn("_rn", F.row_number().over(wa))
         .where(F.col("_rn") == 1)
         .select(

@@ -290,6 +290,15 @@ def pq_train(
     )
 
 
+def _m_of(codebooks: DataFrame) -> int:
+    """Number of subspaces encoded in a codebook table (max sub + 1),
+    with a clear error for an empty table instead of a None+1 crash."""
+    row = codebooks.select(F.max("sub").alias("m")).first()
+    if row is None or row["m"] is None:
+        raise ValueError("pq: empty codebook table")
+    return row["m"] + 1
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -299,7 +308,7 @@ def pq_encode(
     """(id, codes): each vector's nearest sub-centroid index per subspace,
     as an array ordered by subspace. Argmin contract matches training
     (round 9, lowest index wins ties)."""
-    m = codebooks.select(F.max("sub")).first()[0] + 1
+    m = _m_of(codebooks)
     d = _dim_of(vectors, vec_col, m) // m
     subs = _subspaces(vectors, id_col, vec_col, m, d)
     from kgdata_spark.operators.kmeans import assign_to_centroids_grouped
@@ -335,7 +344,7 @@ def pq_topk(
     Ranking rounds before ordering (ties to lowest candidate id) so
     results are reproducible across partitionings.
     """
-    m = codebooks.select(F.max("sub")).first()[0] + 1
+    m = _m_of(codebooks)
     d = _dim_of(queries, vec_col, m) // m
     qsubs = _subspaces(queries, id_col, vec_col, m, d).select(
         F.col("id").alias("q_id"), "sub", "svec"
@@ -344,17 +353,31 @@ def pq_topk(
         "q_id",
         "sub",
         F.col("cidx").alias("code"),
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.transform("svec", lambda x: x.cast("double")),
-                    F.transform("cvec", lambda x: x.cast("double")),
-                    lambda x, y: (x - y) * (x - y),
+        F.when(
+            F.size("svec") == F.size("cvec"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.transform("svec", lambda x: x.cast("double")),
+                        F.transform("cvec", lambda x: x.cast("double")),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
                 ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+                9,
             ),
-            9,
+        ).otherwise(
+            # width mismatch would null-pad the zip -> null distance ->
+            # nulls-first ranking: fail loudly instead (kmeans hazard note)
+            F.raise_error(
+                F.concat(
+                    F.lit("pq: query subvector width "),
+                    F.size("svec").cast("string"),
+                    F.lit(" != codebook width "),
+                    F.size("cvec").cast("string"),
+                )
+            )
         ).alias("pd"),
     )
     exploded = codes.select(

@@ -131,3 +131,22 @@ def test_pq_ragged_vectors_fail_fast(spark):
     )
     with pytest.raises(SparkRuntimeException, match="ragged"):
         pq_train(v, m=2, k=2).collect()
+
+
+def test_pq_codebook_width_mismatch_fails_fast(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    v = _vecs(spark, _clustered(n=8, dim=4, n_clusters=2))
+    books = pq_train(v, m=2, k=2, iters=2)          # width-2 codebooks
+    wide = _vecs(spark, _clustered(n=4, dim=8, n_clusters=2), id0=50)
+    with pytest.raises(SparkRuntimeException, match="width"):
+        pq_encode(wide, books).collect()            # width-4 subvectors
+    with pytest.raises(SparkRuntimeException, match="width"):
+        pq_topk(wide, pq_encode(v, books), books, k=2).collect()
+
+
+def test_pq_empty_codebook_clear_error(spark):
+    v = _vecs(spark, _clustered(n=4, dim=4, n_clusters=2))
+    empty = spark.createDataFrame([], "sub int, cidx int, cvec array<double>")
+    with pytest.raises(ValueError, match="empty codebook"):
+        pq_encode(v, empty)
