@@ -332,6 +332,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """ADC top-k → (q_id, c_id, adist, rk): approximate squared distance
     = sum over subspaces of ||q_sub − centroid[code]||², looked up from a
@@ -343,6 +344,12 @@ def pq_topk(
     exploded-codes ⋈ broadcast(table) followed by a sum, all JVM-side.
     Ranking rounds before ordering (ties to lowest candidate id) so
     results are reproducible across partitionings.
+
+    With `cluster_col` (present on BOTH queries and codes) this becomes
+    IVF-PQ, the production ANN layout: the coarse cell prunes candidates
+    to the query's own cluster (nprobe=1, ivf_topk's trade) and PQ codes
+    score the survivors — compute per query drops from |corpus| to
+    |cell| code lookups while memory stays m ints/vector.
     """
     m = _m_of(codebooks)
     d = _dim_of(queries, vec_col, m) // m
@@ -380,11 +387,18 @@ def pq_topk(
             )
         ).alias("pd"),
     )
-    exploded = codes.select(
-        F.col(id_col).alias("c_id"), F.posexplode("codes").alias("sub", "code")
-    )
+    on = ["sub", "code"]
+    code_cols = [F.col(id_col).alias("c_id"), F.posexplode("codes").alias("sub", "code")]
+    if cluster_col is not None:
+        qcl = queries.select(
+            F.col(id_col).alias("q_id"), F.col(cluster_col).alias("_cl")
+        )
+        table = table.join(qcl, "q_id")
+        code_cols.insert(1, F.col(cluster_col).alias("_cl"))
+        on.append("_cl")
+    exploded = codes.select(*code_cols)
     scored = (
-        exploded.join(F.broadcast(table), ["sub", "code"])
+        exploded.join(F.broadcast(table), on)
         .groupBy("q_id", "c_id")
         .agg(F.round(F.sum("pd"), round_digits).alias("adist"))
         .where(F.col("q_id") != F.col("c_id"))

@@ -91,6 +91,7 @@ DOCUMENTED_OVERFLOW = {
     "supplier_bfs",
     "repeat_orders_window",
     "pq_adc_topk",
+    "ivf_pq_topk",
 }
 
 # Environment-gated queries: registered only where the environment

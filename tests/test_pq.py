@@ -150,3 +150,33 @@ def test_pq_empty_codebook_clear_error(spark):
     empty = spark.createDataFrame([], "sub int, cidx int, cvec array<double>")
     with pytest.raises(ValueError, match="empty codebook"):
         pq_encode(v, empty)
+
+
+def test_pq_topk_cluster_restriction(spark):
+    # two IVF cells; candidate 3 is ADC-nearest to query 0 but in the
+    # other cell, so the restricted top-k must skip it
+    import pandas as pd
+
+    books = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sub": [0, 0, 1, 1],
+                "cidx": [0, 1, 0, 1],
+                "cvec": [[0.0, 0.0], [10.0, 10.0], [0.0, 0.0], [5.0, 5.0]],
+            }
+        )
+    )
+    codes = spark.createDataFrame(
+        [(1, [1, 1], "a"), (2, [0, 1], "a"), (3, [0, 0], "b")],
+        "vec_id long, codes array<int>, cell string",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0, 1.0], "a")],
+        "vec_id long, embedding array<double>, cell string",
+    )
+    got = [
+        (r.c_id, r.rk)
+        for r in pq_topk(q, codes, books, k=3, cluster_col="cell").collect()
+    ]
+    # candidate 3 (adist 4.0, global best) is in cell "b": excluded
+    assert sorted(got) == [(1, 2), (2, 1)]
