@@ -26,3 +26,39 @@ def test_no_cartesian_or_row_python_udfs(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, f"forbidden plan nodes: {flagged}"
+
+
+def test_shuffle_budgets_hold(spark):
+    """Every query's static-plan Exchange count must stay within its
+    recorded budget (tests/shuffle_budgets.json) — the mechanical guard
+    against accidental shuffle regressions (a lost broadcast hint, a
+    dropped map-side combine, an extra distinct). Budgets are minted with
+    AQE OFF at this same sf (broadcast choices read file-size stats);
+    regenerate after intentional plan changes with
+    `python tools/plan_summary.py --budgets`. Counts below budget pass —
+    improvements never fail the guard."""
+    import json
+    import os
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as mod
+
+    with open(os.path.join(os.path.dirname(__file__), "shuffle_budgets.json")) as f:
+        budgets = json.load(f)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        over, missing = {}, []
+        for name, fn in mod.queries().items():
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            n = plan.count("Exchange")
+            if name not in budgets:
+                missing.append(name)
+            elif n > budgets[name]:
+                over[name] = {"plan": n, "budget": budgets[name]}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert not missing, (
+        f"queries without a shuffle budget (run "
+        f"`python tools/plan_summary.py --budgets`): {missing}"
+    )
+    assert not over, f"shuffle-count regressions vs budget: {over}"
