@@ -2752,6 +2752,21 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, codes, books, k=5, round_digits=4, cluster_col="label")
 
 
+def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-probe IVF: per query, cosine top-5 over the candidates in its
+    # 2 NEAREST cells (cell = label; quantizer = per-cell mean vectors) —
+    # the boundary-recall knob nprobe=1 ivf_topk lacks.
+    from kgdata_spark.operators.similarity import (
+        cell_centroids,
+        ivf_multiprobe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cell_centroids(emb)
+    q = emb.where(F.col("vec_id") < 5)
+    return ivf_multiprobe_topk(q, emb, cents, k=5, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2880,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_orders_window": q_repeat_orders_window,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_multiprobe_topk": q_ivf_multiprobe_topk,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4764,6 +4780,61 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT q_id, c_id, adist, rk FROM (
                 SELECT *, CAST(row_number() OVER (
                     PARTITION BY q_id ORDER BY adist, c_id) AS INT) AS rk
+                FROM scored)
+            WHERE rk <= 5
+        """,
+        # ivf_multiprobe_topk: quantizer = per-cell mean (round 6), probe
+        # = 2 nearest cells (sq dist round 9, cell tiebreak), then the
+        # ivf_topk cosine/rank replay over the probed cells' candidates
+        "ivf_multiprobe_topk": """
+            WITH emb AS (
+                SELECT vec_id, label,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            posx AS (
+                SELECT label, r.pos, e[r.pos] AS x
+                FROM emb, range(1, 65) AS r(pos)),
+            cent AS (
+                SELECT label, pos, round(avg(x), 6) AS cx
+                FROM posx GROUP BY 1, 2),
+            cv AS (
+                SELECT label, list(cx ORDER BY pos) AS cvec
+                FROM cent GROUP BY 1),
+            qd AS (
+                SELECT q.vec_id AS q_id, c.label AS cl,
+                       round(list_aggregate(
+                           list_transform(generate_series(1, 64),
+                               i -> (q.e[i] - c.cvec[i])
+                                    * (q.e[i] - c.cvec[i])),
+                           'sum'), 9) AS d
+                FROM emb q, cv c WHERE q.vec_id < 5),
+            probe AS (
+                SELECT q_id, cl FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY q_id ORDER BY d, cl) AS rn
+                    FROM qd)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT p.q_id, ce.vec_id AS c_id, qe.e AS qv, ce.e AS cvv
+                FROM probe p
+                JOIN emb ce ON ce.label = p.cl
+                JOIN emb qe ON qe.vec_id = p.q_id
+                WHERE ce.vec_id <> p.q_id),
+            elems AS (
+                SELECT q_id, c_id, unnest(qv) AS qx, unnest(cvv) AS cx2
+                FROM cand),
+            scored AS (
+                SELECT q_id, c_id,
+                       round(SUM(qx * cx2)
+                             / (sqrt(SUM(qx * qx)) * sqrt(SUM(cx2 * cx2))),
+                             4) AS score
+                FROM elems GROUP BY 1, 2)
+            SELECT q_id, c_id, score, rk FROM (
+                SELECT q_id, c_id, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY score DESC, c_id ASC) AS INT) AS rk
                 FROM scored)
             WHERE rk <= 5
         """,

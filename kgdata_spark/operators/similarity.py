@@ -405,3 +405,94 @@ def pq_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("c_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def cell_centroids(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(cluster, cvec): per-cell mean vector — the coarse quantizer an IVF
+    index implies for already-labeled data. One explode + two aggregates
+    (both map-side combinable); means rounded like the kmeans update so
+    reruns and cross-engine replays agree."""
+    dims = corpus.select(
+        F.col(cluster_col).alias("cl"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    return (
+        dims.groupBy("cl", "pos")
+        .agg(F.round(F.avg("x"), round_digits).alias("cx"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("cx").alias("cx")))),
+                lambda s: s["cx"],
+            ).alias("cvec")
+        )
+        .select(F.col("cl").alias(cluster_col), "cvec")
+    )
+
+
+def ivf_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN with nprobe > 1 → (q_id, c_id, score, rk): cosine top-k
+    over the candidates in the query's `nprobe` NEAREST cells.
+
+    The recall knob `ivf_topk` (nprobe=1) lacks: a query near a cell
+    boundary has true neighbors in the adjacent cell, which single-probe
+    never sees. Probing the P closest centroids bounds work at
+    P·|cell| — still a tiny fraction of the corpus — while recovering
+    boundary recall; P is the standard quality/throughput dial of IVF
+    indexes. Plan: queries × broadcast centroids (|cells| rows) → top-P
+    cells per query (distances rounded 9, ties to lowest cell), then ONE
+    equi-join corpus ⋈ broadcast(probes) on the cell id — each candidate
+    matches at most once because its cell is unique. Deterministic
+    end-to-end (score round + c_id tiebreak).
+    """
+    from kgdata_spark.operators.kmeans import _sq_dist
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q_vec"),
+    ).withColumn("q_n", _norm(F.col("q_vec")))
+    cents = centroids.select(F.col(cluster_col).alias("_pcl"), "cvec")
+    wp = Window.partitionBy("q_id").orderBy(F.asc("_pd"), F.asc("_pcl"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_pd", F.round(_sq_dist(F.col("q_vec"), F.col("cvec")), 9))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select("q_id", "q_vec", "q_n", F.col("_pcl").alias("cl"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("c_vec"),
+        F.col(cluster_col).alias("cl"),
+    ).withColumn("c_n", _norm(F.col("c_vec")))
+    scored = (
+        c.join(F.broadcast(probes), "cl")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

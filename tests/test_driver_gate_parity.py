@@ -92,6 +92,7 @@ DOCUMENTED_OVERFLOW = {
     "repeat_orders_window",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivf_multiprobe_topk",
 }
 
 # Environment-gated queries: registered only where the environment

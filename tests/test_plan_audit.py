@@ -45,10 +45,30 @@ def test_shuffle_budgets_hold(spark):
 
     with open(os.path.join(os.path.dirname(__file__), "shuffle_budgets.json")) as f:
         budgets = json.load(f)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin every plan-affecting knob to the generator's fresh-session value:
+    # budgets are minted in a clean get_spark session, but THIS test runs in
+    # the shared suite session where an earlier test may have drifted conf
+    # (observed: +1 Exchange on the distributed_cumsum plans mid-suite only)
+    PIN = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    }
+    saved = {}
+    for key, val in PIN.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
     try:
         over, missing = {}, []
         for name, fn in mod.queries().items():
+            # per-query cache isolation, like bench.py: operators that
+            # persist() an internal subtree (distributed_cumsum) otherwise
+            # substitute the FIRST call's InMemoryRelation into later
+            # plans, blocking exchange reuse and inflating the count
+            spark.catalog.clearCache()
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
             n = plan.count("Exchange")
             if name not in budgets:
@@ -56,6 +76,11 @@ def test_shuffle_budgets_hold(spark):
             elif n > budgets[name]:
                 over[name] = {"plan": n, "budget": budgets[name]}
     finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert not missing, (
         f"queries without a shuffle budget (run "

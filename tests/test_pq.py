@@ -180,3 +180,31 @@ def test_pq_topk_cluster_restriction(spark):
     ]
     # candidate 3 (adist 4.0, global best) is in cell "b": excluded
     assert sorted(got) == [(1, 2), (2, 1)]
+
+
+def test_ivf_multiprobe_recovers_boundary_neighbor(spark):
+    # cells 0 and 1; the query sits in cell 0 but its best cosine match
+    # lives in cell 1 — nprobe=1 misses it, nprobe=2 must find it
+    from kgdata_spark.operators.similarity import (
+        cell_centroids,
+        ivf_multiprobe_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.05], 0),   # the query
+        (1, [0.8, 0.0, 0.0, 0.0], 0),    # same-cell, decent match
+        (2, [1.0, 0.0, 0.0, 0.06], 1),   # other cell, BEST match
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.1, 0.0], 1),
+        (5, [0.0, 0.9, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = cell_centroids(emb)
+    q = emb.where(F.col("vec_id") == 0)
+    one = {r.c_id for r in ivf_multiprobe_topk(q, emb, cents, k=2, nprobe=1).collect()}
+    two = [
+        (r.rk, r.c_id)
+        for r in ivf_multiprobe_topk(q, emb, cents, k=2, nprobe=2).collect()
+    ]
+    assert 2 not in one                  # single probe can't see cell 1
+    assert sorted(two) == [(1, 2), (2, 1)]  # multi-probe ranks it first
