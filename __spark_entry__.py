@@ -2767,6 +2767,18 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_multiprobe_topk(q, emb, cents, k=5, nprobe=2)
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood ER blocking over the documents table: key = the
+    # first 24 chars, candidates = within 2 positions in key order.
+    # Composed from distributed_cumsum (rank) + range_join (pairing).
+    from kgdata_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 24).alias("bkey")
+    )
+    return sorted_neighborhood_pairs(d, "bkey", window=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2896,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_multiprobe_topk": q_ivf_multiprobe_topk,
+        "sorted_neighborhood": q_sorted_neighborhood,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4837,5 +4850,19 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                            ORDER BY score DESC, c_id ASC) AS INT) AS rk
                 FROM scored)
             WHERE rk <= 5
+        """,
+        # sorted_neighborhood: rank by (key, id), pair ranks within the
+        # window — ties totalized by doc_id exactly like the Spark struct
+        "sorted_neighborhood": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(trim(text), 1, 24), doc_id
+                       ) - 1 AS rank
+                FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rank - a.rank AS INT) AS gap
+            FROM r a JOIN r b
+              ON b.rank > a.rank AND b.rank < a.rank + 3
         """,
     }

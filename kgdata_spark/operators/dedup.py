@@ -817,3 +817,54 @@ def cut_spans(
     return docs.join(per_doc, id_col, "left").withColumn(
         text_col, out_text
     ).drop("_cut")
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) →
+    (id_a, id_b, gap): candidate pairs = records within `window`
+    positions of each other when sorted by the blocking key.
+
+    The classic entity-resolution blocking alternative to MinHash-LSH:
+    O(n·w) candidates instead of O(n²), strongest when similarity is
+    concentrated under a sortable key (names, normalized titles, URLs).
+    Composed entirely from this engine's scale primitives — rank =
+    `packing.distributed_cumsum` of 1s (two-level prefix sum, no
+    single-task global window), pairing = `joins.range_join` of each
+    rank against the interval [rank+1, rank+window) (granule equi
+    rewrite, no theta join) — so the whole plan is bounded shuffles over
+    (key, granule) and survives arbitrary n. Ties in `sort_col` are
+    totalized by `id_col`, matching the oracle's ORDER BY (key, id);
+    `gap` = position distance (1..window-1), id_a the earlier record.
+    """
+    from kgdata_spark.operators.joins import range_join
+    from kgdata_spark.operators.packing import distributed_cumsum
+
+    ranked = distributed_cumsum(
+        records.select(
+            F.col(id_col).alias("_id"),
+            F.struct(F.col(sort_col).alias("k"), F.col(id_col).alias("i")).alias(
+                "_ord"
+            ),
+        ).withColumn("_one", F.lit(1)),
+        "_ord",
+        "_one",
+        out_col="rank",
+        num_buckets=num_buckets,
+    ).select("_id", "rank")
+    pts = ranked.select(F.col("_id").alias("id_b"), F.col("rank").alias("rb"))
+    ivs = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("rank").alias("ra"),
+        (F.col("rank") + 1).alias("ws"),
+        (F.col("rank") + window).alias("we"),
+    )
+    out = range_join(pts, ivs, ts="rb", start="ws", end="we", granule=window)
+    return out.select(
+        "id_a", "id_b", (F.col("rb") - F.col("ra")).cast("int").alias("gap")
+    )

@@ -1,0 +1,61 @@
+"""Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs): hand
+case, tie handling, and hypothesis fuzz against the brute-force model."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.dedup import sorted_neighborhood_pairs
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, key string")
+
+
+def _run(spark, rows, window, num_buckets=4):
+    out = sorted_neighborhood_pairs(
+        _df(spark, rows), "key", window=window, num_buckets=num_buckets
+    )
+    return sorted((r.id_a, r.id_b, r.gap) for r in out.collect())
+
+
+def _model(rows, window):
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = []
+    for i, (ida, _) in enumerate(order):
+        for j in range(i + 1, min(i + window, len(order))):
+            out.append((ida, order[j][0], j - i))
+    return sorted(out)
+
+
+def test_sorted_neighborhood_hand(spark):
+    rows = [(1, "apple"), (2, "apply"), (3, "banana"), (4, "applu"), (5, "zzz")]
+    # sort order: apple(1) applu(4) apply(2) banana(3) zzz(5)
+    got = _run(spark, rows, window=2)
+    assert got == [(1, 4, 1), (2, 3, 1), (3, 5, 1), (4, 2, 1)]
+
+
+def test_sorted_neighborhood_ties_totalized_by_id(spark):
+    rows = [(3, "same"), (1, "same"), (2, "same")]
+    got = _run(spark, rows, window=3)
+    assert got == _model(rows, 3) == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    n=st.integers(1, 24),
+    window=st.integers(2, 5),
+    buckets=st.sampled_from([1, 3, 8]),
+    data=st.data(),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_sorted_neighborhood_matches_model(spark, n, window, buckets, data):
+    keys = data.draw(
+        st.lists(st.text(alphabet="abc", max_size=3), min_size=n, max_size=n)
+    )
+    rows = [(i, k) for i, k in enumerate(keys)]
+    assert _run(spark, rows, window, buckets) == _model(rows, window)

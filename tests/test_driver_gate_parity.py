@@ -93,6 +93,7 @@ DOCUMENTED_OVERFLOW = {
     "pq_adc_topk",
     "ivf_pq_topk",
     "ivf_multiprobe_topk",
+    "sorted_neighborhood",
 }
 
 # Environment-gated queries: registered only where the environment
