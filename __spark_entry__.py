@@ -2779,6 +2779,39 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(d, "bkey", window=3)
 
 
+def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact set-similarity join (prefix filtering, AllPairs/PPJoin): every
+    # pair with unigram-set jaccard >= 0.8, guaranteed complete. The oracle
+    # is BRUTE FORCE (no prefix filter), so the gate empirically verifies
+    # the prefix filter's completeness lemma, not just the arithmetic.
+    # Same %5 subset as lsh_near_dup_pairs: pair volume is a data property
+    # of the near-dup-saturated synthetic corpus, not an operator cost.
+    from kgdata_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return exact_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval: top-25 docs for a pinned 3-term query. IDF is
+    # micro-nat quantized (lm_perplexity pattern) so the only
+    # transcendental is engine-exact; everything else is fixed-order
+    # rational arithmetic the DuckDB oracle reproduces bit-for-bit.
+    from kgdata_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "merge", "scan"], k=25)
+
+
+def q_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 interval construction (gaps-and-islands) over the event log:
+    # the reference's D29 keep-latest dedup upgraded to full versioned
+    # history with half-open [valid_from, valid_to) intervals.
+    from kgdata_spark.operators.history import state_history
+
+    return state_history(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2909,6 +2942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_multiprobe_topk": q_ivf_multiprobe_topk,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "exact_jaccard_pairs": q_exact_jaccard_pairs,
+        "bm25_topk": q_bm25_topk,
+        "state_history": q_state_history,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4864,5 +4900,84 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                    CAST(b.rank - a.rank AS INT) AS gap
             FROM r a JOIN r b
               ON b.rank > a.rank AND b.rank < a.rank + 3
+        """,
+        # exact_jaccard_pairs: brute-force all-pairs jaccard — deliberately
+        # NO prefix filter, so the gate verifies the Spark side's prefix
+        # filtering is complete (finds every qualifying pair), not merely
+        # arithmetically consistent.
+        "exact_jaccard_pairs": f"""
+            WITH tokens AS (SELECT DISTINCT doc_id, word AS token FROM ({words})
+                            WHERE doc_id % 5 = 0),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tokens GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+                FROM tokens a JOIN tokens b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.8
+        """,
+        # bm25_topk: idf = micro-nat-quantized ln (the ONLY transcendental,
+        # same trick as lm_perplexity); per-term contributions summed in
+        # fixed query-term order — never a float aggregate — so scores are
+        # engine-exact before ROUND(,6). Literals: k1=1.2, b=0.75,
+        # k1+1=2.2, 1-b=0.25 (must match retrieval.bm25_topk's reprs).
+        "bm25_topk": f"""
+            WITH toks AS ({words}),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id,
+                     SUM(CASE WHEN word = 'hash'  THEN 1 ELSE 0 END) AS tf0,
+                     SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS tf1,
+                     SUM(CASE WHEN word = 'scan'  THEN 1 ELSE 0 END) AS tf2
+                   FROM toks WHERE word IN ('hash', 'merge', 'scan')
+                   GROUP BY doc_id),
+            dfs AS (SELECT
+                     COUNT(DISTINCT CASE WHEN word = 'hash'  THEN doc_id END) AS df0,
+                     COUNT(DISTINCT CASE WHEN word = 'merge' THEN doc_id END) AS df1,
+                     COUNT(DISTINCT CASE WHEN word = 'scan'  THEN doc_id END) AS df2
+                   FROM toks WHERE word IN ('hash', 'merge', 'scan'))
+            SELECT doc_id, ROUND(
+                (CAST(round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * 1000000.0) AS BIGINT) / 1000000.0)
+                  * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              + (CAST(round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * 1000000.0) AS BIGINT) / 1000000.0)
+                  * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              + (CAST(round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * 1000000.0) AS BIGINT) / 1000000.0)
+                  * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              , 6) AS bm25
+            FROM tf JOIN dl USING (doc_id), stats, dfs
+            ORDER BY bm25 DESC, doc_id LIMIT 25
+        """,
+        # state_history: SCD2 gaps-and-islands — runs of consecutive equal
+        # states per user (ordered by ts, event_id), half-open validity
+        # intervals, NULL valid_to on the open state.
+        "state_history": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                              OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), r AS (
+                SELECT user_id, event_type, ts,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM s
+            ), g AS (
+                SELECT user_id, run, MIN(event_type) AS event_type,
+                       MIN(ts) AS valid_from, COUNT(*) AS n_events
+                FROM r GROUP BY user_id, run
+            )
+            SELECT user_id, CAST(run AS INT) AS version, event_type,
+                   valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                       AS valid_to,
+                   n_events
+            FROM g
         """,
     }

@@ -868,3 +868,80 @@ def sorted_neighborhood_pairs(
     return out.select(
         "id_a", "id_b", (F.col("rb") - F.col("ra")).cast("int").alias("gap")
     )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008) → every pair (id_a, id_b,
+    jaccard) with token-set jaccard >= threshold, *guaranteed complete* —
+    the exact counterpart to the probabilistic `near_dup_pairs` (LSH can
+    miss pairs; this cannot).
+
+    How it scales: tokens are globally ordered rarest-first (ascending
+    corpus frequency, ties by token), and each doc emits only its first
+    p = n - ceil(t*n) + 1 tokens in that order. Two sets with jaccard >= t
+    must share their *smallest common token* inside both prefixes (if all
+    common tokens sat outside a doc's prefix, inter <= ceil(t*n) - 1 <
+    t*n <= t*union, contradiction — and any common token <= a prefix member
+    is itself in the prefix), so a self-equi-join on prefix tokens finds
+    every qualifying pair while shuffling ~(1-t) of the token stream. The
+    rarest-first order makes prefix buckets the *smallest* buckets — the
+    built-in skew defense: hub tokens land in suffixes and never join.
+    A size filter (min >= t*max, epsilon-guarded) prunes candidates before
+    the exact `jaccard_pairs` verify. ceil is epsilon-guarded downward so
+    float rounding can only lengthen prefixes (more candidates), never
+    drop a true pair.
+
+    Reference analog: the dedup slot of kgdata's article pipeline
+    (wikipedia/datasets/html_articles.py dedup-by-key), upgraded from
+    exact-key to similarity-threshold semantics.
+    """
+    tokens = doc_tokens(docs, id_col, text_col, ngram=ngram)
+    freq = tokens.groupBy("token").agg(F.count("*").alias("_f"))
+    ordered = (
+        tokens.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_f").alias("f"), F.col("token").alias("t"))
+                )
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    p = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        n.alias("_sz"),
+        F.explode(F.transform(F.slice("_ord", F.lit(1), p), lambda s: s["t"])).alias(
+            "token"
+        ),
+    )
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_na"), "token"
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_nb"), "token"
+    )
+    cands = (
+        a.join(b, "token")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("_na", "_nb")
+                >= F.lit(threshold) * F.greatest("_na", "_nb") - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(cands, tokens, id_col).where(
+        F.col("jaccard") >= threshold
+    )

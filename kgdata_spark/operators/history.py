@@ -1,0 +1,66 @@
+"""Entity state history: SCD2 (slowly-changing-dimension type 2) interval
+construction from an event log.
+
+The reference's html_articles pipeline dedups revisions keeping only the
+latest per key (wikipedia/datasets/html_articles.py:104-110 — D29); this
+is the same input shape upgraded to *full versioned history*: instead of
+discarding superseded states, collapse each key's consecutive identical
+states into runs ("gaps and islands") and emit one validity interval per
+run — the standard warehouse structure for time-travel joins against a
+mutating dimension (which entity state was live at time t?).
+
+Scale shape: everything is windowed over PARTITION BY key — one hash
+shuffle on the key, sorts local to each partition. No self-join, no
+collect; skewed keys cost one wide partition (saltable upstream if a key
+dominates, same guidance as operators/joins.salted_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def state_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, version, state, valid_from, valid_to, n_events) — one row per
+    maximal run of consecutive identical states per key, ordered by
+    (ts, id) (the unique id totalizes timestamp ties, so runs are
+    deterministic). `valid_from` = first event ts of the run, `valid_to` =
+    first ts of the NEXT run (NULL for the current/open state — half-open
+    intervals [from, to) that tile each key's timeline exactly),
+    `version` = 1-based change counter.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(state_col).over(w)
+    changed = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    runs = (
+        events.select(key_col, state_col, ts_col, id_col)
+        .withColumn("_chg", changed)
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    grouped = runs.groupBy(key_col, "_run").agg(
+        # state is constant within a run; min() is the deterministic pick
+        F.min(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    return grouped.select(
+        F.col(key_col),
+        F.col("_run").cast("int").alias("version"),
+        F.col(state_col),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("n_events"),
+    )

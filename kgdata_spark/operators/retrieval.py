@@ -1,0 +1,115 @@
+"""Lexical retrieval: BM25 scoring and top-k over a document corpus.
+
+The missing third member of the scoring family next to the TF-IDF entity
+linker (pipeline/link.py resolve_mentions_tfidf — kgdata's candidate
+ranking slot, models/multilingual.py) and the bigram-LM quality filter
+(operators/lm.py): BM25 is what a training-data pipeline uses to mine
+corpus passages for a query set (hard-negative mining, retrieval-augmented
+filtering).
+
+Engine-exactness: the only transcendental is ln(·) inside the IDF, and it
+is quantized to integer micro-nats (round(ln·1e6) as BIGINT) exactly like
+operators/lm.py — every other factor is integer/rational double arithmetic
+written in one fixed expression order, so a DuckDB oracle reproduces the
+scores bit-for-bit after round(·, 6).
+
+Scale shape: one explode+groupBy for document lengths (corpus-wide, one
+shuffle), one groupBy over the *query-term-filtered* token stream for per-
+doc TFs (the filter pushes into the scan; the shuffled stream is only docs
+containing query terms), two one-row aggregates (corpus stats, per-term
+DFs) attached via broadcast — and the final top-k is orderBy+limit, which
+Spark executes as TakeOrderedAndProject (per-partition heaps + driver
+merge of k rows, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by BM25 for a pinned bag of query terms → (id, bm25).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  [the Lucene/ATIRE variant,
+    always ≥ 0], with idf quantized to micro-nats before use. The per-term
+    contributions are summed in *query-term order* as one fixed expression
+    (never a float aggregate), so the score is engine-exact; ties at the
+    k boundary are totalized by id.
+
+    Docs containing none of the query terms score 0 and are excluded (they
+    never enter the TF aggregate) — standard retrieval semantics.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    qtoks = toks.where(F.col("token").isin(list(query_terms)))
+    tf = qtoks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    dfs = qtoks.agg(
+        *[
+            F.count_distinct(F.when(F.col("token") == t, F.col(id_col))).alias(
+                f"_df{i}"
+            )
+            for i, t in enumerate(query_terms)
+        ]
+    )
+
+    # literal factors are computed in Python and embedded as the repr the
+    # oracle must also spell (k1+1, 1-b are exact for the default 1.2/0.75
+    # in the sense that both engines parse the same decimal literal)
+    k1p1, omb = k1 + 1.0, 1.0 - b
+
+    def idf_micro(df_col):
+        return (
+            F.round(
+                F.log(
+                    (F.col("_n") - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * MICRO
+            )
+            .cast("bigint")
+        )
+
+    parts = []
+    for i in range(len(query_terms)):
+        w = (F.col(f"_tf{i}") * F.lit(k1p1)) / (
+            F.col(f"_tf{i}")
+            + F.lit(k1) * (F.lit(omb) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+        parts.append((idf_micro(F.col(f"_df{i}")) / F.lit(MICRO)) * w)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+
+    return (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )

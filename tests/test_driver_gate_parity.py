@@ -94,6 +94,9 @@ DOCUMENTED_OVERFLOW = {
     "ivf_pq_topk",
     "ivf_multiprobe_topk",
     "sorted_neighborhood",
+    "exact_jaccard_pairs",
+    "bm25_topk",
+    "state_history",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,94 @@
+"""Exact set-similarity join (dedup.exact_jaccard_pairs): completeness vs
+the brute-force all-pairs model, threshold-boundary behavior, and a
+hypothesis fuzz over adversarial token distributions (the prefix-filter
+lemma is exactly the kind of claim off-by-one float ceils break)."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.dedup import exact_jaccard_pairs
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+
+def _run(spark, docs, threshold):
+    out = exact_jaccard_pairs(_df(spark, docs), threshold=threshold)
+    return sorted((r.id_a, r.id_b, r.jaccard) for r in out.collect())
+
+
+def _model(docs, threshold):
+    sets = [set(t.split()) for t in docs]
+    out = []
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = round(len(sa & sb) / len(sa | sb), 6)
+        if j >= threshold:
+            out.append((a, b, j))
+    return sorted(out)
+
+
+def test_hand_case(spark):
+    docs = [
+        "a b c d e",
+        "a b c d f",  # jaccard 4/6 with doc0
+        "a b c d e",  # identical to doc0
+        "x y z",
+        "x y z w",  # 3/4 with doc3
+    ]
+    got = _run(spark, docs, threshold=0.75)
+    assert got == [(0, 2, 1.0), (3, 4, 0.75)]
+
+
+def test_threshold_exactly_met_is_kept(spark):
+    # jaccard exactly 0.8: |inter|=4, |union|=5
+    docs = ["a b c d e", "a b c d"]
+    assert _run(spark, docs, threshold=0.8) == [(0, 1, 0.8)]
+
+
+def test_integer_t_times_n_prefix_not_shortened(spark):
+    # t*n integral is the float-ceil trap: n=10, t=0.9 → prefix must be
+    # 10-9+1=2, but ceil(0.9*10)=ceil(9.000000000000002)=10 would give 1.
+    # Pair shares 9 of 10 tokens (union 11 → j=9/11 < 0.9), plus a pair
+    # at exactly 0.9 via containment: |a|=9, |b|=10, inter 9 → 9/10.
+    a = "t0 t1 t2 t3 t4 t5 t6 t7 t8"
+    b = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    got = _run(spark, [a, b], threshold=0.9)
+    assert got == [(0, 1, 0.9)]
+
+
+def test_empty_and_blank_docs_never_pair(spark):
+    docs = ["", "   ", "a b c", "a b c"]
+    assert _run(spark, docs, threshold=0.5) == [(2, 3, 1.0)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.6, 0.75, 0.8, 0.9, 1.0]),
+)
+def test_fuzz_matches_brute_force(spark, docs, threshold):
+    # small vocab → heavy overlap → hub tokens and saturated prefixes,
+    # the worst case for candidate pruning; completeness must hold anyway
+    assert _run(spark, docs, threshold) == _model(docs, threshold)

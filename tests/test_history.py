@@ -1,0 +1,109 @@
+"""SCD2 state history (history.state_history): hand case, half-open
+interval tiling invariants, and a hypothesis fuzz against a pure-Python
+gaps-and-islands model (timestamp ties are the classic trap — the id
+tiebreak must totalize run assignment)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.history import state_history
+
+
+def _df(spark, rows):
+    # rows: (user_id, event_type, ts, event_id)
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    )
+
+
+def _run(spark, rows):
+    out = state_history(_df(spark, rows))
+    return sorted(
+        (r.user_id, r.version, r.event_type, r.valid_from, r.valid_to, r.n_events)
+        for r in out.collect()
+    )
+
+
+def _model(rows):
+    by_user: dict[int, list[tuple]] = {}
+    for u, et, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    out = []
+    for u, evs in by_user.items():
+        evs.sort()
+        runs: list[list] = []  # [state, valid_from, n]
+        for ts, _eid, et in evs:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, ts, 1])
+        for i, (et, vf, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((u, i + 1, et, vf, vto, n))
+    return sorted(out)
+
+
+def test_hand_case(spark):
+    rows = [
+        (1, "view", 10, 1),
+        (1, "view", 20, 2),
+        (1, "buy", 30, 3),
+        (1, "view", 40, 4),
+        (2, "buy", 5, 5),
+    ]
+    assert _run(spark, rows) == [
+        (1, 1, "view", 10, 30, 2),
+        (1, 2, "buy", 30, 40, 1),
+        (1, 3, "view", 40, None, 1),
+        (2, 1, "buy", 5, None, 1),
+    ]
+
+
+def test_ts_tie_broken_by_event_id(spark):
+    # same ts, different states: event_id order decides the run sequence
+    rows = [(1, "b", 10, 2), (1, "a", 10, 1)]
+    assert _run(spark, rows) == [
+        (1, 1, "a", 10, 10, 1),
+        (1, 2, "b", 10, None, 1),
+    ]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id
+            st.sampled_from(["a", "b", "c"]),  # state
+            st.integers(0, 20),  # ts (small range → many ties)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_matches_model_and_tiles(spark, rows):
+    rows = [(u, et, ts, i) for i, (u, et, ts) in enumerate(rows)]
+    got = _run(spark, rows)
+    assert got == _model(rows)
+    # invariants: per user, versions are 1..k, each run's valid_to equals
+    # the next run's valid_from (half-open tiling), exactly one open run,
+    # and n_events sums to the user's event count
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r[0], []).append(r)
+    from collections import Counter
+
+    counts = Counter(u for u, *_ in rows)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r[1])
+        assert [r[1] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r[5] for r in rs) == counts[u]
+        assert sum(1 for r in rs if r[4] is None) == 1
+        for cur, nxt in zip(rs, rs[1:]):
+            assert cur[4] == nxt[3]
+            assert cur[2] != nxt[2]  # consecutive runs differ in state

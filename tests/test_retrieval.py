@@ -1,0 +1,88 @@
+"""BM25 top-k (retrieval.bm25_topk): hand-computed scores, ranking and
+edge semantics, and the plan shape (top-k must be TakeOrderedAndProject,
+never a global sort; no Python in the plan)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kgdata_spark.operators.retrieval import bm25_topk
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+
+def _model(docs, terms, k=25, k1=1.2, b=0.75):
+    tokenized = [d.split() for d in docs]
+    dls = {i: len(t) for i, t in enumerate(tokenized) if t}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    dfs = {
+        t: sum(1 for toks in tokenized if t in toks) for t in terms
+    }
+    out = []
+    for i, toks in enumerate(tokenized):
+        if not any(t in toks for t in terms):
+            continue
+        score = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            idf = (
+                round(math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) * 1e6)
+                / 1e6
+            )
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dls[i] / avgdl)
+            )
+        out.append((i, round(score, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_hand_case_matches_model(spark):
+    docs = [
+        "spark shuffle join join join",
+        "spark scan filter",
+        "parquet scan scan scan pushdown",
+        "unrelated words only here",
+        "join scan join",
+    ]
+    terms = ["join", "scan"]
+    got = [(r.doc_id, r.bm25) for r in bm25_topk(_df(spark, docs), terms).collect()]
+    assert got == _model(docs, terms)
+
+
+def test_docs_without_query_terms_excluded(spark):
+    docs = ["a b c", "d e f", "a a a"]
+    got = bm25_topk(_df(spark, docs), ["a"]).collect()
+    assert sorted(r.doc_id for r in got) == [0, 2]
+    # tf saturation: doc2 (tf=3) outscores doc0 (tf=1)
+    assert got[0].doc_id == 2
+
+
+def test_k_truncates_with_id_tiebreak(spark):
+    # four identical docs → identical scores; top-2 must be ids 0,1
+    docs = ["x y"] * 4
+    got = bm25_topk(_df(spark, docs), ["x"], k=2).collect()
+    assert [r.doc_id for r in got] == [0, 1]
+
+
+def test_rejects_bad_query_terms(spark):
+    df = _df(spark, ["a"])
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["a", "a"])
+
+
+def test_plan_topk_not_global_sort(spark):
+    plan = bm25_topk(
+        _df(spark, ["a b", "b c", "a c"]), ["a", "b"], k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
