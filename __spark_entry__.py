@@ -2812,6 +2812,46 @@ def q_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_history(_t(spark, sf_dir, "events"))
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-pruned fact join: the lineitem scan is filtered by a broadcast
+    # bit sketch of the (selective) part-key allowlist BEFORE any shuffle;
+    # the equi-join then removes the fpp-bounded false positives, so the
+    # result is exactly the plain join — which is also the oracle.
+    from kgdata_spark.operators.bloom import bloom_prune_join
+
+    dim = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 40 == 0)
+        .select("p_partkey", "p_brand")
+    )
+    fact = _t(spark, sf_dir, "lineitem")
+    joined = bloom_prune_join(fact, dim, "l_partkey", "p_partkey")
+    return joined.groupBy("p_partkey", "p_brand").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items")
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental aggregate maintenance: fold the "historical" 80% of
+    # orders into per-customer state, fold the "new dump" 20% separately,
+    # merge the two state tables — and the oracle recomputes from the FULL
+    # table, so a green row proves merge(state(old), state(delta)) is
+    # bit-identical to a from-scratch aggregation (the refresh-cost
+    # contract: O(delta + state), never O(history)).
+    from kgdata_spark.operators.incremental import agg_state, merge_agg_state
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 < 8)
+    delta = orders.where(F.col("o_orderkey") % 10 >= 8)
+    keys = ["o_custkey"]
+    merged = merge_agg_state(
+        agg_state(old, keys, ["o_totalprice"]),
+        agg_state(delta, keys, ["o_totalprice"]),
+        keys,
+    )
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -2945,6 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_jaccard_pairs": q_exact_jaccard_pairs,
         "bm25_topk": q_bm25_topk,
         "state_history": q_state_history,
+        "bloom_prune_join": q_bloom_prune_join,
+        "incremental_agg": q_incremental_agg,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4979,5 +5021,31 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                        AS valid_to,
                    n_events
             FROM g
+        """,
+        # bloom_prune_join: the sketch is an exactness-preserving pruning
+        # step (no false negatives; the join drops false positives), so
+        # the oracle is simply the plain join + aggregate.
+        "bloom_prune_join": """
+            SELECT p.p_partkey, p.p_brand,
+                   SUM(l.l_quantity) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey % 40 = 0
+            GROUP BY p.p_partkey, p.p_brand
+        """,
+        # incremental_agg: the oracle aggregates the FULL table from
+        # scratch — a hash match proves the old+delta state merge is
+        # bit-identical to recomputation (all columns are integer/decimal
+        # monoid folds, no float reassociation).
+        "incremental_agg": """
+            SELECT o_custkey,
+                   COUNT(*) AS n_rows,
+                   COUNT(o_totalprice) AS o_totalprice_cnt,
+                   SUM(o_totalprice) AS o_totalprice_sum,
+                   MIN(o_totalprice) AS o_totalprice_min,
+                   MAX(o_totalprice) AS o_totalprice_max
+            FROM orders
+            GROUP BY o_custkey
         """,
     }

@@ -1,0 +1,159 @@
+"""Bloom-filter semi-join pruning: shrink the fact-side shuffle with a
+fixed-size sketch when the dimension is too big to broadcast as rows.
+
+The scale gap this fills sits between the engine's two existing join
+strategies (operators/joins.py): `maybe_broadcast` needs the whole dim
+TABLE to fit in executor memory, and the shuffled path moves EVERY fact
+row to its hash partition before the join can drop non-matches. A Bloom
+filter is the middle lever — a few MB of bits summarising arbitrarily
+many join keys, broadcast as a plan literal, applied AT THE SCAN so rows
+that cannot possibly match never enter the exchange. At 100 TB the fact
+shuffle is the dominant cost of a selective join; with a 1% hit rate the
+sketch cuts it ~100x while the final equi-join removes the (bounded,
+fpp-controlled) false positives, so the composition stays EXACT — which
+is also why the DuckDB oracle is just the plain join.
+
+This mirrors what Spark's runtime row-level filtering
+(spark.sql.optimizer.runtime.bloomFilter.enabled) injects for shuffle
+joins, but as an explicit, testable operator the caller controls: the
+build side can be ANY dataframe (e.g. the output of an upstream stage,
+not just a scannable relation), the sketch is reusable across several
+fact scans of one pipeline run, and the pruning effect is assertable
+instead of depending on an optimizer heuristic firing.
+
+Reference analog: kgdata filters triple dumps against an entity-id
+allowlist by materialising the ids and semi-joining
+(/root/reference/kgdata/wikidata/datasets/entities.py:28-34 uses the
+fixed-entity id set the same way); at its 100M-entity scale the
+allowlist is exactly the "too big to broadcast, expensive to shuffle
+against" shape this operator targets.
+
+Determinism: positions come from xxhash64(key, i) for i in 0..k-1 —
+Spark's fixed-seed 64-bit hash — so the sketch is bit-identical across
+runs and partitionings; the bit array is assembled DISTRIBUTED (explode
+positions -> groupBy word -> bit_or) and only n_bits/64 longs ever reach
+the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Hard valve: 2^27 bits = 16 MiB of sketch. Bigger than any sane plan
+# literal (it is embedded in every task binary); past this, partition the
+# key space and build several sketches instead.
+MAX_BITS = 1 << 27
+
+
+def optimal_bits(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: (n_bits, n_hashes) for `n_keys` at `fpp`.
+
+    m = -n ln p / (ln 2)^2, k = (m/n) ln 2; both clamped to >= 1 and m
+    rounded up to a multiple of 64 so the word array is dense.
+    """
+    if n_keys <= 0:
+        raise ValueError(f"n_keys must be positive, got {n_keys}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    if m > MAX_BITS:
+        raise ValueError(
+            f"bloom sketch would need {m} bits > MAX_BITS={MAX_BITS}; "
+            "shard the key space into several sketches instead"
+        )
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    # xxhash64 is Spark's fixed-seed (42) 64-bit hash; mixing the probe
+    # index in as a second hashed column gives k independent-enough
+    # functions without needing a seedable API.
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+    ]
+
+
+def build_bloom(
+    keys: DataFrame, key_col: str, n_bits: int, n_hashes: int
+) -> list[int]:
+    """Distributed Bloom build -> dense word list (n_bits/64 Python ints).
+
+    One explode (n_hashes rows per key) -> groupBy word index with a
+    map-side-combinable bit_or -> collect. The driver crossing is the
+    SKETCH (n_bits/64 longs), never the keys — the same sanctioned
+    fixed-size crossing as operators/pca.py's d^2 partials.
+    """
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+    if n_bits > MAX_BITS:
+        raise ValueError(f"n_bits={n_bits} exceeds MAX_BITS={MAX_BITS}")
+    if n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
+    pos = F.explode(F.array(*_positions(F.col(key_col), n_bits, n_hashes)))
+    words = (
+        keys.select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod("_pos", F.lit(64)).cast("int")
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    dense = [0] * (n_bits // 64)
+    for row in words:
+        dense[row._w] = row._bits
+    return dense
+
+
+def might_contain(
+    key: Column, words: list[int], n_bits: int, n_hashes: int
+) -> Column:
+    """JVM-side membership test against a built sketch (no Python, no
+    shuffle): AND over the k probe bits, each an element_at into the
+    word-array literal. False positives possible, false negatives never.
+    """
+    if len(words) != n_bits // 64:
+        raise ValueError(
+            f"words has {len(words)} longs, expected {n_bits // 64} for n_bits={n_bits}"
+        )
+    arr = F.lit(words)
+    test = F.lit(True)
+    for pos in _positions(key, n_bits, n_hashes):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        test = test & (word.bitwiseAND(mask) != 0)
+    return test
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fpp: float = 0.01,
+    n_keys: int | None = None,
+) -> DataFrame:
+    """Exact inner join with the fact side Bloom-pruned before the shuffle.
+
+    Build the sketch from the dim keys (distributed; one count job sizes
+    it unless `n_keys` is given), filter the fact scan with the broadcast
+    bits, then run the ordinary equi-join — which removes the false
+    positives, so the result is row-for-row the plain `fact JOIN dim`.
+    The join itself still broadcasts if dim is small (AQE/stats decide);
+    the sketch's job is the case where it is NOT.
+    """
+    n = n_keys if n_keys is not None else dim.select(dim_key).distinct().count()
+    n_bits, n_hashes = optimal_bits(max(n, 1), fpp)
+    words = build_bloom(dim.select(dim_key), dim_key, n_bits, n_hashes)
+    pruned = fact.where(might_contain(F.col(fact_key), words, n_bits, n_hashes))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -1,0 +1,71 @@
+"""Incremental aggregate maintenance: mergeable per-key aggregate state.
+
+The 100 TB pattern: a corpus that grows by daily dumps must not be
+re-aggregated from scratch per refresh — kgdata recomputes its count
+datasets (entity_degrees, property usage: /root/reference/kgdata/wikidata/
+datasets/entity_degrees.py) over the FULL dump every snapshot, which is
+exactly what stops scaling first. The fix is the classic mergeable-state
+contract: keep a per-key state table of decomposable aggregates
+(count / sum / min / max — each a commutative monoid), aggregate ONLY the
+delta batch into the same shape, and merge the two key-aligned tables.
+Refresh cost becomes O(delta + |state|) instead of O(full history), and
+the merge is a single groupBy whose partials combine map-side.
+
+Invariant (the test + oracle gate): state(full) == merge(state(old),
+state(delta)) bit-for-bit, because every column is an integer/decimal
+monoid fold — no floating-point reassociation anywhere.
+
+Composes with the engine's other incremental surfaces: the persisted
+near-dup index (dedup.build_dedup_index), streaming foreachBatch
+(streaming/kg.py), and snapshot publishing (pipeline/snapshots.py) — a
+production refresh writes the merged state as the next snapshot version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# state columns minted per measure m: m_cnt, m_sum, m_min, m_max
+_SUFFIXES = ("cnt", "sum", "min", "max")
+
+
+def agg_state(df: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+    """Fold rows into per-key mergeable state: one groupBy, map-side
+    combinable. `n_rows` counts all rows; per-measure cnt counts non-null
+    values (so merged state reproduces COUNT(col) semantics exactly)."""
+    if not keys or not measures:
+        raise ValueError("keys and measures must be non-empty")
+    aggs = [F.count("*").alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.count(m).alias(f"{m}_cnt"),
+            F.sum(m).alias(f"{m}_sum"),
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two state tables produced by `agg_state` with the same keys
+    and measures: union -> one groupBy re-folding each monoid (sum of
+    counts/sums, min of mins, max of maxes). Output schema == input
+    schema, so merging is associative and can be chained per batch."""
+    if set(state.columns) != set(delta.columns):
+        raise ValueError(
+            f"state schemas differ: {sorted(state.columns)} vs {sorted(delta.columns)}"
+        )
+    measures = sorted(
+        {c[: -len("_sum")] for c in state.columns if c.endswith("_sum")}
+    )
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in measures:
+        aggs += [
+            F.sum(f"{m}_cnt").alias(f"{m}_cnt"),
+            F.sum(f"{m}_sum").alias(f"{m}_sum"),
+            F.min(f"{m}_min").alias(f"{m}_min"),
+            F.max(f"{m}_max").alias(f"{m}_max"),
+        ]
+    merged = state.unionByName(delta).groupBy(*keys).agg(*aggs)
+    return merged.select(state.columns)

@@ -1,0 +1,121 @@
+"""Bloom-filter semi-join pruning (operators/bloom.py).
+
+Contract under test: the pruned join is row-for-row the plain join (the
+sketch never drops a true match — no false negatives), the sketch
+actually prunes (fpp-bounded pass rate on non-matching keys), the whole
+membership test stays JVM-side, and the sizing valves raise loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.bloom import (
+    MAX_BITS,
+    bloom_prune_join,
+    build_bloom,
+    might_contain,
+    optimal_bits,
+)
+
+
+def test_prune_join_equals_plain_join(spark):
+    fact = spark.range(5000).select(
+        (F.col("id") % 700).alias("k"), (F.col("id") * 3 % 11).alias("v")
+    )
+    dim = (
+        spark.range(700)
+        .where(F.col("id") % 13 == 0)
+        .select(F.col("id").alias("dk"), F.concat(F.lit("d"), "id").alias("dv"))
+    )
+    got = bloom_prune_join(fact, dim, "k", "dk")
+    want = fact.join(dim, fact.k == dim.dk, "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_no_false_negatives_every_built_key_passes(spark):
+    keys = spark.range(2000).select((F.col("id") * 17 + 3).alias("k"))
+    n_bits, n_hashes = optimal_bits(2000, 0.01)
+    words = build_bloom(keys, "k", n_bits, n_hashes)
+    n_pass = keys.where(might_contain(F.col("k"), words, n_bits, n_hashes)).count()
+    assert n_pass == 2000
+
+
+def test_pruning_effective_on_non_members(spark):
+    # members: 0..999; probes: 100k disjoint keys. Pass rate on the
+    # probes is the realized fpp — must be well under 5% at target 1%.
+    members = spark.range(1000)
+    n_bits, n_hashes = optimal_bits(1000, 0.01)
+    words = build_bloom(members, "id", n_bits, n_hashes)
+    probes = spark.range(1_000_000, 1_100_000)
+    n_pass = probes.where(
+        might_contain(F.col("id"), words, n_bits, n_hashes)
+    ).count()
+    assert n_pass < 5000, f"fpp too high: {n_pass}/100000"
+
+
+def test_membership_test_is_jvm_side(spark):
+    members = spark.range(100)
+    n_bits, n_hashes = optimal_bits(100, 0.01)
+    words = build_bloom(members, "id", n_bits, n_hashes)
+    df = spark.range(1000).where(
+        might_contain(F.col("id"), words, n_bits, n_hashes)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_sketch_size_is_dense_word_array(spark):
+    n_bits, n_hashes = optimal_bits(500, 0.05)
+    words = build_bloom(spark.range(500), "id", n_bits, n_hashes)
+    assert len(words) == n_bits // 64
+    assert any(w != 0 for w in words)
+
+
+def test_sizing_valves():
+    with pytest.raises(ValueError, match="n_keys"):
+        optimal_bits(0)
+    with pytest.raises(ValueError, match="fpp"):
+        optimal_bits(10, 1.5)
+    with pytest.raises(ValueError, match="MAX_BITS"):
+        optimal_bits(10_000_000_000, 0.0001)
+    assert optimal_bits(1, 0.5)[0] >= 64
+
+
+def test_build_guards(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(df, "id", 100, 3)
+    with pytest.raises(ValueError, match="n_hashes"):
+        build_bloom(df, "id", 64, 0)
+    with pytest.raises(ValueError, match="exceeds MAX_BITS"):
+        build_bloom(df, "id", MAX_BITS * 2, 3)
+    with pytest.raises(ValueError, match="words has"):
+        might_contain(F.col("id"), [0, 0], 64, 1)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    members=st.sets(st.integers(-(2**40), 2**40), min_size=1, max_size=40),
+    probes=st.lists(st.integers(-(2**40), 2**40), max_size=40),
+)
+def test_fuzz_no_false_negatives(spark_hyp, members, probes):
+    spark = spark_hyp
+    n_bits, n_hashes = optimal_bits(len(members), 0.1)
+    mdf = spark.createDataFrame([(m,) for m in members], "k long")
+    words = build_bloom(mdf, "k", n_bits, n_hashes)
+    both = list(members) + probes
+    pdf = spark.createDataFrame([(p,) for p in both], "k long")
+    passed = {
+        r.k for r in pdf.where(might_contain(F.col("k"), words, n_bits, n_hashes)).collect()
+    }
+    assert members <= passed  # every member passes; extras are fp, allowed
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    # hypothesis forbids function-scoped fixtures; reuse the session one.
+    return spark

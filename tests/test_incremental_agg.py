@@ -1,0 +1,141 @@
+"""Incremental aggregate maintenance (operators/incremental.py).
+
+Contract: merge(state(a), state(b)) == state(a UNION b) exactly, merging
+is associative/chainable, nulls follow COUNT(col) semantics, and the
+merge plan stays one exchange with map-side partials.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.incremental import agg_state, merge_agg_state
+
+SCHEMA = "k long, x long, y long"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_equals_full_recompute(spark):
+    full = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"),
+        (F.col("id") * 7 % 100).alias("x"),
+        (F.col("id") * 13 % 50).alias("y"),
+    )
+    old = full.where(F.col("id") % 5 != 0)
+    delta = full.where(F.col("id") % 5 == 0)
+    merged = merge_agg_state(
+        agg_state(old, ["k"], ["x", "y"]),
+        agg_state(delta, ["k"], ["x", "y"]),
+        ["k"],
+    )
+    assert _rows(merged) == _rows(agg_state(full, ["k"], ["x", "y"]))
+
+
+def test_merge_is_chainable_three_batches(spark):
+    full = spark.range(600).select(
+        (F.col("id") % 11).alias("k"), (F.col("id") % 23).alias("x")
+    )
+    parts = [full.where(F.col("id") % 3 == i) for i in range(3)]
+    states = [agg_state(p, ["k"], ["x"]) for p in parts]
+    chained = merge_agg_state(
+        merge_agg_state(states[0], states[1], ["k"]), states[2], ["k"]
+    )
+    assert _rows(chained) == _rows(agg_state(full, ["k"], ["x"]))
+
+
+def test_null_measures_follow_count_col_semantics(spark):
+    rows = [(1, 10, None), (1, None, 5), (1, 3, None), (2, None, None)]
+    full = spark.createDataFrame(rows, SCHEMA)
+    old = spark.createDataFrame(rows[:2], SCHEMA)
+    delta = spark.createDataFrame(rows[2:], SCHEMA)
+    merged = merge_agg_state(
+        agg_state(old, ["k"], ["x", "y"]),
+        agg_state(delta, ["k"], ["x", "y"]),
+        ["k"],
+    )
+    got = {r.k: r.asDict() for r in merged.collect()}
+    assert got[1]["x_cnt"] == 2 and got[1]["x_sum"] == 13
+    assert got[1]["y_cnt"] == 1 and got[1]["y_min"] == 5
+    assert got[2]["n_rows"] == 1 and got[2]["x_cnt"] == 0
+    assert got[2]["x_sum"] is None and got[2]["x_min"] is None
+
+
+def test_key_only_in_one_side_survives(spark):
+    old = spark.createDataFrame([(1, 5, 0)], SCHEMA)
+    delta = spark.createDataFrame([(2, 7, 0)], SCHEMA)
+    merged = merge_agg_state(
+        agg_state(old, ["k"], ["x"]), agg_state(delta, ["k"], ["x"]), ["k"]
+    )
+    assert {r.k for r in merged.collect()} == {1, 2}
+
+
+def test_schema_mismatch_raises(spark):
+    a = agg_state(spark.createDataFrame([(1, 2, 3)], SCHEMA), ["k"], ["x"])
+    b = agg_state(spark.createDataFrame([(1, 2, 3)], SCHEMA), ["k"], ["y"])
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_agg_state(a, b, ["k"])
+    with pytest.raises(ValueError, match="non-empty"):
+        agg_state(a, [], ["x"])
+
+
+def test_merge_plan_one_exchange_with_partials(spark):
+    df = spark.range(100).select((F.col("id") % 7).alias("k"), F.col("id").alias("x"))
+    merged = merge_agg_state(
+        agg_state(df, ["k"], ["x"]), agg_state(df, ["k"], ["x"]), ["k"]
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the final merge fold: partial aggregates on both input sides, then
+    # one exchange for the merged groupBy (inputs each have their own)
+    assert plan.count("Exchange") <= 3
+    assert "partial" in plan.lower()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(0, 29),
+)
+def test_fuzz_merge_vs_python_model(spark_hyp, rows, cut):
+    spark = spark_hyp
+    cut = min(cut, len(rows))
+    old_rows, delta_rows = rows[:cut], rows[cut:]
+
+    def mk(rs):
+        return spark.createDataFrame(rs, SCHEMA) if rs else spark.createDataFrame([], SCHEMA)
+
+    merged = merge_agg_state(
+        agg_state(mk(old_rows), ["k"], ["x"]) if old_rows else agg_state(mk(rows[:1]), ["k"], ["x"]).limit(0),
+        agg_state(mk(delta_rows), ["k"], ["x"]) if delta_rows else agg_state(mk(rows[:1]), ["k"], ["x"]).limit(0),
+        ["k"],
+    )
+    got = {r.k: (r.n_rows, r.x_cnt, r.x_sum, r.x_min, r.x_max) for r in merged.collect()}
+    want = {}
+    for k, x, _ in rows:
+        n, c, s, lo, hi = want.get(k, (0, 0, None, None, None))
+        n += 1
+        if x is not None:
+            c += 1
+            s = x if s is None else s + x
+            lo = x if lo is None else min(lo, x)
+            hi = x if hi is None else max(hi, x)
+        want[k] = (n, c, s, lo, hi)
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    return spark
