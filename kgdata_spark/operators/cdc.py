@@ -1,0 +1,148 @@
+"""Content-defined chunking (CDC): shift-robust chunk boundaries for
+dedup of EDITED near-copies.
+
+The gap in the dedup family this closes: fixed token windows
+(dedup.duplicated_spans, packing.chunk_documents) and whole-doc
+signatures (MinHash/SimHash) both lose alignment when a prefix is
+inserted — every downstream window shifts and nothing matches. CDC (the
+rsync/LBFS trick; Muthitacharoen et al. 2001) instead places a boundary
+wherever a ROLLING HASH of the last `w` tokens hits a divisor condition,
+so boundaries are decided by LOCAL content only: an edit perturbs at most
+the ~w windows that overlap it, and every chunk further than that hashes
+identically in both copies. Group identical chunk hashes across the
+corpus and the shared tail of two diverged documents is found exactly —
+the storage/transfer dedup primitive behind every backup system, applied
+to corpus curation (detect boilerplate shared across shifted page
+versions, dedupe re-crawled documents that gained a header).
+
+Scale shape: the whole computation is per-row Catalyst HOFs (split ->
+transform -> explode) — scan, project, generate, ZERO shuffle and zero
+Python; the cross-corpus grouping the caller does afterwards shuffles
+md5 strings, never text. Engine-exactness: token values come from the
+md5-hex trick (curation._md5_uniform's integer core), the rolling hash is
+a fixed-degree polynomial mod 1e9+7 in BIGINT (no overflow: w·2^32·B^3
+< 2^63), so a DuckDB oracle replays boundaries bit-for-bit with lag
+windows.
+
+Design note: production CDC adds min/max chunk-size clamps; those make
+each boundary depend on the previous one (a sequential fold), which would
+trade the stateless shift-robustness guarantee and the O(1)-per-position
+plan for bounded chunk sizes. We keep boundaries purely content-defined
+and expose the expected size through `divisor` (mean chunk length ≈
+divisor tokens, geometric); callers needing hard caps compose
+packing.chunk_documents downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BASE = 31
+MOD = 1_000_000_007
+
+
+def _token_val(tok: Column) -> Column:
+    # first 8 md5 hex chars as a 32-bit int — the engine-portable token
+    # hash (DuckDB: ('0x' || substr(md5(t), 1, 8))::BIGINT)
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Chunk each doc at content-defined boundaries -> one row per chunk:
+    (id, chunk_idx, n_tokens, chunk_md5).
+
+    A boundary falls AFTER token i (1-based, i >= window) iff
+    poly(v[i-w+1..i]) % divisor == 0 where poly folds the w token values
+    with BASE powers mod MOD. Docs shorter than `window` tokens are one
+    chunk; empty docs produce no rows.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    df = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_vals", F.transform("_toks", _token_val)
+    )
+    n = F.size("_toks")
+
+    # rolling hash at each position i in [window, n]: a fixed w-term
+    # polynomial (window is a literal, so this is w element_at's, not a
+    # nested loop) — O(w) per position, JVM-side
+    def roll(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(window):
+            acc = acc + F.element_at("_vals", i - F.lit(j)) * F.lit(
+                BASE ** j
+            ).cast("long")
+        return F.pmod(acc, F.lit(MOD))
+
+    bpos = F.filter(
+        F.transform(
+            F.sequence(F.lit(window), n),
+            lambda i: F.when(F.pmod(roll(i), F.lit(divisor)) == 0, i).otherwise(
+                F.lit(None).cast("int")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # chunk k spans tokens (bounds[k-1], bounds[k]]; a trailing boundary
+    # at n would mint an empty chunk — filtered by end >= start. Guard:
+    # sequence(window, n) DESCENDS when n < window (Spark auto-steps -1),
+    # which would probe positions past the array — short docs have no
+    # boundary candidates at all.
+    df = df.withColumn(
+        "_bounds",
+        F.concat(
+            F.array(F.lit(0)),
+            F.when(n >= window, bpos).otherwise(F.array().cast("array<int>")),
+            F.array(n),
+        ),
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_bounds") - 1),
+            lambda k: F.struct(
+                (F.element_at("_bounds", k) + 1).alias("start"),
+                F.element_at("_bounds", k + 1).alias("end"),
+            ),
+        ),
+        lambda c: c["end"] >= c["start"],
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+        F.col("_toks"),
+    )
+    body = F.array_join(
+        F.slice("_toks", F.col("_c.start"), F.col("_c.end") - F.col("_c.start") + 1),
+        " ",
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        (F.col("_c.end") - F.col("_c.start") + 1).alias("n_tokens"),
+        F.md5(body).alias("chunk_md5"),
+    )
+
+
+def shared_chunks(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus CDC dedup signal: chunk hashes appearing in more than
+    one document -> (chunk_md5, n_docs, n_occurrences). Shuffles only
+    32-char hashes + counts; map-side combinable."""
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
