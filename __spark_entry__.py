@@ -2871,6 +2871,28 @@ def q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_chunks(cdc_chunks(_t(spark, sf_dir, "documents")))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A-ES weighted sampling without replacement: top-100 docs by
+    # micro-nat-quantized ln(u)/weight priority (weight = token count) —
+    # one scan + TakeOrderedAndProject, engine-exact, deterministic
+    # across partitionings.
+    from kgdata_spark.operators.curation import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    out = weighted_sample_topk(
+        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        F.col("n_tokens"),
+        k=100,
+        seed="mix",
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("_priority", 6).alias("priority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3008,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "cdc_chunks": q_cdc_chunks,
         "cdc_shared_chunks": q_cdc_shared_chunks,
+        "weighted_sample": q_weighted_sample,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5135,5 +5158,27 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                    COUNT(*) AS n_occurrences
             FROM chunks GROUP BY chunk_md5
             HAVING COUNT(DISTINCT doc_id) > 1
+        """,
+        # weighted_sample: replay the A-ES priority — u = (md5-int + 0.5)
+        # / 2^32, ln quantized to micro-nats (the lm_perplexity parity
+        # trick), divided by the token-count weight as exact bigint/double
+        # IEEE division; selection orders by the UNROUNDED priority.
+        "weighted_sample": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents),
+            p AS (
+                SELECT doc_id, n_tokens,
+                       CAST(round(ln(
+                           (('0x' || substr(md5('mix' || '|' ||
+                                             doc_id::VARCHAR), 1, 8))::BIGINT
+                            + 0.5) / 4294967296.0) * 1000000) AS BIGINT)
+                           / CAST(n_tokens AS DOUBLE) AS pri
+                FROM t WHERE n_tokens > 0)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   round(pri, 6) AS priority
+            FROM p ORDER BY pri DESC, doc_id LIMIT 100
         """,
     }

@@ -397,3 +397,58 @@ def shuffle_corpus(
         num_buckets=num_buckets,
     )
     return out.drop("_skey", "_one")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement as a one-pass top-k
+    (Efraimidis & Spirakis 2006, A-ES): each row gets priority
+    u^(1/w) for a per-row uniform u — the k largest priorities ARE a
+    weighted sample without replacement. Equivalently (and numerically
+    safer) rank by ln(u)/w, which we make ENGINE-EXACT the lm.py way:
+    ln(u) is quantized to integer micro-nats first, then divided by the
+    weight as exact IEEE bigint/weight division, so a DuckDB oracle
+    reproduces the selection bit-for-bit.
+
+    Why this shape at 100 TB: weighted sampling is the corpus-mixing
+    primitive (upsample high-quality sources by weight) and the naive
+    route — materialize cumulative weights, binary-search k draws — needs
+    a global prefix sum PER DRAW. A-ES is one scan + one
+    TakeOrderedAndProject (per-partition heaps of k rows, driver merges
+    k·n_partitions), no global sort, no state; and being hash-derived it
+    is deterministic across re-runs, resumes, and partitionings like
+    sample_mixture/split_corpus above.
+
+    Rows with weight <= 0 or NULL are excluded (zero-weight rows have
+    selection probability 0; negative weights are undefined). Ties at the
+    k boundary are totalized by id.
+
+    Returns the sampled rows with their `_priority` (micro-nat ln(u)/w,
+    DOUBLE) attached.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # (h + 0.5) / 2^32 keeps u strictly inside (0, 1): ln(0) is the only
+    # failure mode of the textbook formula and h == 0 happens once every
+    # 4 billion ids
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    ln_micro = F.round(F.log(u) * F.lit(1_000_000.0)).cast("bigint")
+    pri = (ln_micro / weight.cast("double")).alias("_priority")
+    return (
+        df.where(weight.isNotNull() & (weight > 0))
+        .select("*", pri)
+        .orderBy(F.col("_priority").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,95 @@
+"""Weighted reservoir sampling via A-ES top-k (curation.weighted_sample_topk).
+
+Checks: exact python-model replay (the same md5/ln/micro-nat arithmetic),
+weight-proportional inclusion frequency across seeds, exclusion of
+zero/negative/null weights, determinism across partitionings, and the
+no-global-sort plan contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.curation import weighted_sample_topk
+
+
+def _pri(id_val, w, seed=""):
+    key = f"{seed}|{id_val}" if seed else str(id_val)
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 2**32
+    return round(math.log(u) * 1_000_000) / w
+
+
+def _model(rows, k, seed=""):
+    scored = [(i, w, _pri(i, w, seed)) for i, w in rows if w and w > 0]
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    return [(i, w) for i, w, _ in scored[:k]]
+
+
+def test_matches_python_model(spark):
+    rows = [(i, (i * 7) % 50 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r.doc_id, r.w)
+        for r in weighted_sample_topk(df, F.col("w"), k=40, seed="s").collect()
+    ]
+    assert sorted(got) == sorted(_model(rows, 40, "s"))
+
+
+def test_zero_negative_null_weights_excluded(spark):
+    rows = [(1, 5), (2, 0), (3, -2), (4, None), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample_topk(df, F.col("w"), k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_weight_proportional_inclusion(spark):
+    # two strata: weight 20 vs weight 1, equal counts. Across 30 seeds,
+    # the heavy stratum must dominate the sample (p_incl rises with w).
+    rows = [(i, 20 if i < 200 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").cache()
+    heavy = light = 0
+    for s in range(30):
+        for r in weighted_sample_topk(df, F.col("w"), k=40, seed=f"t{s}").collect():
+            if r.w == 20:
+                heavy += 1
+            else:
+                light += 1
+    df.unpersist()
+    assert heavy > light * 3, (heavy, light)
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [(i, i % 13 + 1) for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, w long").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, w long").repartition(17)
+    ra = [(r.doc_id, r._priority) for r in weighted_sample_topk(a, F.col("w"), 25).collect()]
+    rb = [(r.doc_id, r._priority) for r in weighted_sample_topk(b, F.col("w"), 25).collect()]
+    assert ra == rb
+
+
+def test_no_global_sort_plan(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "doc_id long, w long")
+    plan = (
+        weighted_sample_topk(df, F.col("w"), 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_k_guard(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_topk(df, F.col("w"), 0)
+
+
+def test_k_larger_than_population(spark):
+    df = spark.createDataFrame([(i, 2) for i in range(5)], "doc_id long, w long")
+    assert weighted_sample_topk(df, F.col("w"), 50).count() == 5
