@@ -2910,6 +2910,17 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # view -> click -> purchase funnel with a 2-hour max gap per step:
+    # one shuffle + per-user JVM fold; the oracle derives the same levels
+    # through the step-wise join closure (cross-derivation check).
+    from kgdata_spark.operators.funnel import window_funnel
+
+    return window_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], 7200
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3049,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shared_chunks": q_cdc_shared_chunks,
         "weighted_sample": q_weighted_sample,
         "zorder_keys": q_zorder_keys,
+        "window_funnel": q_window_funnel,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5210,5 +5222,28 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT o_orderkey, a, b,
                    ({" | ".join(f"(((a >> {j}) & 1) << {2 * j}) | (((b >> {j}) & 1) << {2 * j + 1})" for j in range(10))}) AS zval
             FROM t
+        """,
+        # window_funnel: the join-closure derivation of the same levels —
+        # step k reachable iff a step-(k-1) completion strictly precedes
+        # it within the gap; deliberately NOT the Spark fold's shape
+        "window_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+            s2 AS (
+                SELECT DISTINCT e.user_id, e.ts
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.ts
+                  AND epoch_us(e.ts) - epoch_us(s1.ts) <= 7200000000),
+            s3 AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.ts
+                  AND epoch_us(e.ts) - epoch_us(s2.ts) <= 7200000000)
+            SELECT u.user_id,
+                   CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                        WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                        WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1
+                        ELSE 0 END AS funnel_level
+            FROM u
         """,
     }

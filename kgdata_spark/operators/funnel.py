@@ -1,0 +1,107 @@
+"""Windowed funnel analysis: the furthest step of an ordered event
+sequence each user completes under a max-gap constraint (the ClickHouse
+`windowFunnel` shape, consecutive-gap variant).
+
+Semantics: funnel_level(user) = max k such that events e1 < e2 < ... < ek
+exist with type(e_i) = steps[i], strictly increasing timestamps, and
+t_{i+1} - t_i <= gap. Users with events but no step-1 event score 0.
+
+Why a fold instead of k-1 self-joins: the join formulation shuffles the
+event stream once PER STEP and explodes on hub users; this operator
+shuffles once (groupBy user), sorts each user's events in-place, and runs
+an O(n·k) JVM fold per user. The fold tracks, per step, the latest
+completion time plus the largest one strictly below it — enough to name
+the largest completion STRICTLY BEFORE any current event, which decides
+chain existence exactly: the gap rule is an UPPER bound, so the latest
+admissible predecessor is never worse than an earlier one (greedy is
+sound and complete), and the second slot covers the equal-timestamp
+case the single latest value would wrongly exclude.
+
+State is O(events per user) during the sort — the same per-key bound as
+sessionization (streaming/events.py); pathological single-user firehoses
+should be pre-capped upstream (curation.cap_per_domain pattern).
+
+The DuckDB oracle deliberately uses the OTHER formulation (step-wise
+join closure) so a green gate row is a cross-derivation proof, not a
+replay of the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap_seconds: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel level -> (user, funnel_level). See module doc."""
+    m = len(steps)
+    if m < 2:
+        raise ValueError(f"need at least 2 steps, got {steps}")
+    if len(set(steps)) != m:
+        raise ValueError(f"steps must be distinct, got {steps}")
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    gap_us = int(gap_seconds * 1_000_000)
+
+    # the events fixture stores TIMESTAMP_NTZ; the session timezone is
+    # pinned UTC (session.py), so the cast reads the wall time as UTC —
+    # the same instant DuckDB's epoch_us assigns the naive value
+    ev = events.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_et"),
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("_us").alias("us"), F.col("_et").alias("et")))
+    )
+    # per step k: lat = latest completion time, pre = largest completion
+    # time STRICTLY below lat. Two values because the valid predecessor
+    # for an event at time t is the largest completion < t, and with
+    # equal timestamps lat itself may be == t (excluded by strictness)
+    # while an earlier completion still chains.
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        *[
+            F.struct(null_l.alias("lat"), null_l.alias("pre")).alias(f"s{k}")
+            for k in range(1, m + 1)
+        ]
+    )
+
+    def _advance(slot, t, reached):
+        # events arrive in nondecreasing t, so t >= lat always: a new
+        # completion strictly after lat shifts (lat, pre) -> (t, lat);
+        # a same-instant completion changes nothing
+        moved = reached & (slot["lat"].isNull() | (t > slot["lat"]))
+        return F.when(
+            moved, F.struct(t.alias("lat"), slot["lat"].alias("pre"))
+        ).otherwise(slot)
+
+    def merge(acc, x):
+        # all fields read the PRE-event state, so an event never serves
+        # as its own predecessor; steps are distinct, so one event
+        # advances at most one step
+        t = x["us"]
+        fields = [_advance(acc["s1"], t, x["et"] == steps[0]).alias("s1")]
+        for k in range(2, m + 1):
+            p = acc[f"s{k-1}"]
+            pred = F.when(p["lat"] < t, p["lat"]).otherwise(p["pre"])
+            ok = (
+                (x["et"] == steps[k - 1])
+                & pred.isNotNull()
+                & ((t - pred) <= F.lit(gap_us))
+            )
+            fields.append(_advance(acc[f"s{k}"], t, ok).alias(f"s{k}"))
+        return F.struct(*fields)
+
+    state = F.aggregate(arr, init, merge)
+    level = F.lit(0)
+    for k in range(1, m + 1):
+        level = F.when(state[f"s{k}"]["lat"].isNotNull(), F.lit(k)).otherwise(level)
+    return ev.groupBy(user_col).agg(level.alias("funnel_level"))

@@ -1,0 +1,128 @@
+"""Windowed funnel (operators/funnel.py).
+
+Hand-built chains exercise every rule (order, strictness, gap, restart),
+then hypothesis checks the greedy fold against a brute-force
+all-chains existence model.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from itertools import combinations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.funnel import window_funnel
+
+T0 = datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    # rows: (user, offset_seconds, type)
+    data = [(u, T0 + timedelta(seconds=s), t) for u, s, t in rows]
+    return spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+
+
+def _levels(spark, rows, steps=("A", "B", "C"), gap=100):
+    df = _df(spark, rows)
+    return {
+        r.user_id: r.funnel_level
+        for r in window_funnel(df, list(steps), gap).collect()
+    }
+
+
+def test_hand_cases(spark):
+    rows = [
+        # u1: full chain inside gaps
+        (1, 0, "A"), (1, 50, "B"), (1, 120, "C"),
+        # u2: B before A — never chains
+        (2, 0, "B"), (2, 10, "A"),
+        # u3: gap exceeded A->B
+        (3, 0, "A"), (3, 150, "B"),
+        # u4: first A->B too far, SECOND A rescues the chain
+        (4, 0, "A"), (4, 300, "A"), (4, 350, "B"), (4, 400, "C"),
+        # u5: same timestamp does not chain (strict >)
+        (5, 0, "A"), (5, 0, "B"),
+        # u6: no step-1 at all
+        (6, 0, "X"),
+        # u7: C too far from B
+        (7, 0, "A"), (7, 10, "B"), (7, 500, "C"),
+    ]
+    lv = _levels(spark, rows)
+    assert lv == {1: 3, 2: 1, 3: 1, 4: 3, 5: 1, 6: 0, 7: 2}
+
+
+def test_latest_predecessor_is_complete(spark):
+    # two A's: the EARLY one would fail the A->B gap, the late one passes;
+    # then B->C must measure from B, not from A
+    rows = [(1, 0, "A"), (1, 95, "A"), (1, 180, "B"), (1, 275, "C")]
+    assert _levels(spark, rows)[1] == 3
+
+
+def test_param_guards(spark):
+    df = _df(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError, match="at least 2"):
+        window_funnel(df, ["A"], 10)
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, ["A", "A"], 10)
+    with pytest.raises(ValueError, match="positive"):
+        window_funnel(df, ["A", "B"], 0)
+
+
+def test_single_shuffle_no_python(spark):
+    df = _df(spark, [(1, 0, "A"), (1, 1, "B")])
+    plan = (
+        window_funnel(df, ["A", "B"], 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
+
+
+def _brute_level(evts, steps, gap):
+    # existence over all candidate chains, by dynamic programming over
+    # sorted events: reach[k] = set of times step k is completed
+    evts = sorted(evts)
+    best = 0
+    reach = {0: [None]}
+    for k in range(1, len(steps) + 1):
+        reach[k] = []
+        for t, et in evts:
+            if et != steps[k - 1]:
+                continue
+            if k == 1:
+                reach[k].append(t)
+            else:
+                if any(p < t <= p + gap for p in reach[k - 1]):
+                    reach[k].append(t)
+        if reach[k]:
+            best = k
+        else:
+            break
+    return best
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    evts=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["A", "B", "C", "X"])),
+        min_size=1,
+        max_size=14,
+    ),
+    gap=st.integers(1, 30),
+)
+def test_fuzz_vs_bruteforce(spark_hyp, evts, gap):
+    spark = spark_hyp
+    rows = [(1, s, t) for s, t in evts]
+    got = _levels(spark, rows, steps=("A", "B", "C"), gap=gap)[1]
+    assert got == _brute_level(evts, ["A", "B", "C"], gap), (evts, gap)
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    return spark
