@@ -2921,6 +2921,31 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted shortest paths (<= 3 edges) from the seed suppliers over
+    # the co-occurrence graph; edge weight = floor(1000 / cnt) + 1 (more
+    # shared orders = cheaper edge, integer arithmetic so the recursive
+    # CTE oracle accumulates bit-identically).
+    from kgdata_spark.operators.graph import sssp_distances
+
+    edges = (
+        _supplier_cooccurrence(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            (F.floor(F.lit(1000.0) / F.col("cnt")) + 1).alias("w"),
+        )
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 50 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return sssp_distances(edges, seeds, max_hops=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3061,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "zorder_keys": q_zorder_keys,
         "window_funnel": q_window_funnel,
+        "supplier_sssp": q_supplier_sssp,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5245,5 +5271,32 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                         WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1
                         ELSE 0 END AS funnel_level
             FROM u
+        """,
+        # supplier_sssp: recursive-CTE walk bounded at 3 edges, min total
+        # weight per node; integer weights accumulate identically along
+        # each path in both engines
+        "supplier_sssp": """
+            WITH RECURSIVE li AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+            raw AS (
+                SELECT x.l_suppkey AS s, y.l_suppkey AS d, COUNT(*) AS cnt
+                FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_suppkey <> y.l_suppkey
+                GROUP BY 1, 2),
+            e AS (
+                SELECT s, d,
+                       CAST(floor(1000.0 / cnt) AS BIGINT) + 1 AS w
+                FROM raw),
+            seeds AS (
+                SELECT s_suppkey AS node FROM supplier
+                WHERE s_suppkey % 50 = 0),
+            walk(node, cost, hops) AS (
+                SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+                UNION ALL
+                SELECT e.d, walk.cost + e.w, walk.hops + 1
+                FROM walk JOIN e ON e.s = walk.node
+                WHERE walk.hops < 3)
+            SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
         """,
     }

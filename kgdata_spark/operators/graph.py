@@ -346,6 +346,88 @@ def bfs_distances(
     return visited
 
 
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_hops: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded at `max_hops` edges
+    -> (node, cost): min total edge weight from ANY seed over paths of at
+    most `max_hops` edges (delta-stepping-free Bellman-Ford rounds).
+
+    The weighted sibling of `bfs_distances`: each round relaxes ONLY from
+    nodes improved last round (the delta frontier), which is complete
+    because any minimal <=k-edge path has a prefix that became final at
+    some earlier round and relaxed then. Round k therefore establishes
+    every minimal <=k-edge cost; early exit once a round improves
+    nothing. Parallel edges collapse to their min weight up front;
+    negative weights are rejected (with a hop bound the costs would still
+    terminate, but "shortest" under negative weights needs the full
+    |V|-1 rounds to mean anything).
+
+    Shuffle shape per round: frontier join edges (one shuffle) + min
+    groupBy (map-side combinable) + one left-join against dist. State is
+    O(reached nodes); checkpoint breaks the compounding lineage exactly
+    like bfs_distances.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    w_ok = F.col(weight).cast("long")
+    w_checked = F.when(w_ok >= 0, w_ok).otherwise(
+        F.raise_error(
+            F.format_string("sssp_distances: negative edge weight %d", w_ok)
+        )
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            w_checked.alias("_w"),
+        )
+        .where(F.col("_s") != F.col("_d"))
+        .groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+    )
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"), (F.col("cost") + F.col("_w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        # rename the dist side outright: `cand` descends from `dist`
+        # (via frontier), and alias-frame disambiguation over a self-
+        # derived join is exactly the analyzer hazard PERF.md §30 records
+        prev = dist.select(
+            F.col("node").alias("_pn"), F.col("cost").alias("_pc")
+        )
+        improved = (
+            cand.join(prev, cand["node"] == prev["_pn"], "left")
+            .where(F.col("_pc").isNull() | (F.col("cost") < F.col("_pc")))
+            .select("node", "cost")
+        )
+        if checkpoint:
+            improved = _checkpoint(improved)
+        if improved.limit(1).count() == 0:
+            break
+        dist = dist.join(improved, "node", "left_anti").unionByName(improved)
+        if checkpoint:
+            dist = _checkpoint(dist)
+        frontier = improved
+    return dist
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts on the undirected simple graph → (node,
     triangles); self-loops and duplicate/reverse edges collapse first.

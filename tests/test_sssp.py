@@ -1,0 +1,103 @@
+"""Bounded weighted shortest paths (graph.sssp_distances).
+
+Hand graphs pin the semantics (hop bound, parallel-edge collapse, cheap-
+long-path vs expensive-short-path, multi-seed min, cycles); hypothesis
+checks against a brute-force bounded Bellman-Ford model.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.graph import sssp_distances
+
+
+def _run(spark, edges, seeds, max_hops=6):
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {
+        r.node: r.cost
+        for r in sssp_distances(e, s, max_hops=max_hops, checkpoint=False).collect()
+    }
+
+
+def test_cheap_long_path_beats_expensive_edge(spark):
+    # 0->3 direct costs 10; 0->1->2->3 costs 3
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    assert _run(spark, edges, [0]) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_hop_bound_forces_expensive_edge(spark):
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    got = _run(spark, edges, [0], max_hops=1)
+    assert got == {0: 0, 1: 1, 3: 10}
+    got2 = _run(spark, edges, [0], max_hops=2)
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 10}
+
+
+def test_parallel_edges_collapse_to_min(spark):
+    edges = [(0, 1, 7), (0, 1, 3), (0, 1, 9)]
+    assert _run(spark, edges, [0]) == {0: 0, 1: 3}
+
+
+def test_multi_seed_takes_min_and_cycles_terminate(spark):
+    edges = [(0, 1, 5), (2, 1, 1), (1, 0, 1), (0, 2, 1), (2, 0, 1)]
+    got = _run(spark, edges, [0, 2])
+    assert got[0] == 0 and got[2] == 0 and got[1] == 1
+
+
+def test_improvement_in_later_round(spark):
+    # node 2 is first reached in 1 hop at cost 100, improved at 2 hops
+    edges = [(0, 2, 100), (0, 1, 1), (1, 2, 1)]
+    assert _run(spark, edges, [0])[2] == 2
+
+
+def test_negative_weight_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    e = spark.createDataFrame([(0, 1, -5)], "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(SparkRuntimeException, match="negative edge weight"):
+        sssp_distances(e, s, checkpoint=False).collect()
+    with pytest.raises(ValueError, match="max_hops"):
+        sssp_distances(e, s, max_hops=0)
+
+
+def _brute(edges, seeds, max_hops):
+    emin = {}
+    for s, d, w in edges:
+        if s != d:
+            emin[(s, d)] = min(w, emin.get((s, d), w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for (s, d), w in emin.items():
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(0, 20)),
+        min_size=1,
+        max_size=18,
+    ),
+    seeds=st.sets(st.integers(0, 6), min_size=1, max_size=3),
+    hops=st.integers(1, 4),
+)
+def test_fuzz_vs_bruteforce(spark_hyp, edges, seeds, hops):
+    spark = spark_hyp
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1, 1)]
+    got = _run(spark, edges, sorted(seeds), max_hops=hops)
+    assert got == _brute(edges, sorted(seeds), hops), (edges, seeds, hops)
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    return spark
