@@ -97,6 +97,15 @@ DOCUMENTED_OVERFLOW = {
     "exact_jaccard_pairs",
     "bm25_topk",
     "state_history",
+    "bloom_prune_join",
+    "incremental_agg",
+    "cdc_chunks",
+    "cdc_shared_chunks",
+    "weighted_sample",
+    "zorder_keys",
+    "window_funnel",
+    "supplier_sssp",
+    "repo_dep_libs",
 }
 
 # Environment-gated queries: registered only where the environment
