@@ -2965,6 +2965,43 @@ def q_repo_dep_libs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shuffle-key skew diagnosis: the 20 heaviest customers by order
+    # count with corpus share — one map-side-combined groupBy + top-k,
+    # one scan regardless of key cardinality.
+    from kgdata_spark.operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), ["o_custkey"], top_n=20)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-count stratified sampling: 5 docs per source, picked by the
+    # smallest md5-uniform draw — deterministic and engine-replayable,
+    # unlike Bernoulli sampleBy whose per-stratum counts are random.
+    from kgdata_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "source", 5, seed="strat")
+
+
+def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hopping time windows (2-day window, 1-day slide — every event lands
+    # in exactly 2 buckets): the same F.window bucketing the streaming
+    # path uses (streaming/events.py::windowed_event_counts), gated batch-
+    # side where DuckDB can replay the epoch arithmetic.
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "n_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3107,6 +3144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "supplier_sssp": q_supplier_sssp,
         "repo_dep_libs": q_repo_dep_libs,
+        "order_skew_report": q_order_skew_report,
+        "stratified_sample": q_stratified_sample,
+        "event_hopping_counts": q_event_hopping_counts,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5332,5 +5372,49 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT lib, COUNT(DISTINCT repo) AS n_repos,
                    COUNT(*) AS n_imports
             FROM f GROUP BY lib
+        """,
+        # order_skew_report: top-20 heaviest keys; share = one double
+        # division rounded to 9 (total embedded as a subquery)
+        "order_skew_report": """
+            WITH c AS (
+                SELECT o_custkey, COUNT(*) AS key_rows FROM orders
+                GROUP BY o_custkey),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders)
+            SELECT o_custkey, key_rows,
+                   round(key_rows / t.total, 9) AS share
+            FROM c, t
+            ORDER BY key_rows DESC, o_custkey LIMIT 20
+        """,
+        # stratified_sample: rank by the md5-uniform draw inside each
+        # stratum; u = md5-int('strat|' || id) / 2^32
+        "stratified_sample": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('strat' || '|' ||
+                                        doc_id::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0 AS draw
+                FROM documents),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY draw, doc_id) AS rk
+                FROM u)
+            SELECT doc_id, source FROM r WHERE rk <= 5
+        """,
+        # event_hopping_counts: every event belongs to the 2 day-aligned
+        # windows [s, s + 2d) with s <= t < s + 2d, s = day-floor - o days
+        "event_hopping_counts": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS us, user_id FROM events),
+            x AS (
+                SELECT us, user_id,
+                       ((us // 86400000000) - o.o) * 86400000000 AS ws
+                FROM e, unnest([0, 1]) AS o(o)
+                WHERE ((us // 86400000000) - o.o) * 86400000000
+                      + 172800000000 > us)
+            SELECT make_timestamp(ws) AS win_start,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM x GROUP BY ws
         """,
     }

@@ -452,3 +452,34 @@ def weighted_sample_topk(
         .orderBy(F.col("_priority").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exact-count stratified sampling: the n_per_stratum rows with the
+    smallest md5-uniform draw per stratum (strata smaller than n keep all
+    rows). Unlike `sampleBy` (Bernoulli per row — per-stratum counts are
+    RANDOM and engine-seeded), this is deterministic, engine-independent,
+    and exact: re-runs, resumes, and a DuckDB replay all pick the same
+    rows.
+
+    Shape: one shuffle on the stratum + a per-stratum rank window. The
+    window sorts WITHIN each stratum's partition — per-stratum data must
+    fit a task's spillable sort (the same bound as candidate_topk's
+    per-mention rank); for pathological mega-strata, cap upstream or
+    sample in two stages.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    u = _md5_uniform(F.col(id_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

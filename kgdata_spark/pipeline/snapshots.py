@@ -187,3 +187,49 @@ def expire_snapshots(table_dir: str, stage: str, keep_last: int = 2) -> list[int
             shutil.rmtree(_snap_dir(table_dir, stage, v), ignore_errors=True)
             removed.append(v)
     return removed
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    stage: str,
+    target_mb: int = 64,
+    min_parts: int = 1,
+) -> tuple[int, int, str]:
+    """Small-file compaction as a NEW snapshot version (the Iceberg
+    `rewrite_data_files` maintenance action): read the committed latest,
+    rewrite at ~target_mb per file, commit — and verify the rewrite is
+    content-preserving via the commutative dataset checksum streamed by
+    the write itself; a mismatch rolls the pointer back and raises.
+
+    Why it matters at 100 TB: a streaming/incremental producer commits
+    many small files per batch, and scan cost is dominated by file-open
+    overhead + lost row-group locality long before bytes. Compaction as
+    a snapshot keeps time travel intact (the fragmented version remains
+    readable until expired) and writers/readers never block: the pointer
+    swap is the only mutation.
+
+    Returns (new_version, n_files, checksum).
+    """
+    from kgdata_spark.pipeline.materialize import dataset_size_bytes
+
+    prev_version = latest_version(table_dir, stage)
+    if prev_version is None:
+        raise FileNotFoundError(f"no committed snapshot for stage {stage!r}")
+    with open(_manifest_path(table_dir, stage, prev_version)) as f:
+        prev_checksum = json.load(f)["checksum"]
+    df = read_snapshot(spark, table_dir, stage, prev_version)
+    data_dir = os.path.join(_snap_dir(table_dir, stage, prev_version), "data")
+    total = dataset_size_bytes(spark, data_dir)
+    n = max(min_parts, -(-total // (target_mb << 20)))
+    version, checksum = snapshot_write(df.repartition(n), table_dir, stage)
+    if checksum != prev_checksum:
+        # never expose a corrupting rewrite: restore the old pointer and
+        # drop the bad snapshot before raising
+        rollback(table_dir, stage, prev_version)
+        shutil.rmtree(_snap_dir(table_dir, stage, version), ignore_errors=True)
+        raise RuntimeError(
+            f"compaction of {stage!r} changed content: {prev_checksum} -> "
+            f"{checksum}; rolled back to version {prev_version}"
+        )
+    return version, n, checksum

@@ -1,0 +1,68 @@
+"""skew_report (operators/profile.py) + stratified_sample (curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.curation import stratified_sample
+from kgdata_spark.operators.profile import skew_report
+
+
+def test_skew_report_finds_planted_hub(spark):
+    # key 7 holds half the table
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, 7).otherwise(F.col("id")).alias("k")
+    )
+    rows = skew_report(df, ["k"], top_n=3).collect()
+    assert rows[0].k == 7 and rows[0].key_rows == 500
+    assert abs(rows[0].share - 0.5) < 1e-9
+    assert rows[1].key_rows == 1
+
+
+def test_skew_report_composite_key_and_guards(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("a"), (F.col("id") % 5).alias("b")
+    )
+    rows = skew_report(df, ["a", "b"], top_n=50).collect()
+    assert len(rows) == 10 and all(r.key_rows == 10 for r in rows)
+    with pytest.raises(ValueError, match="key_cols"):
+        skew_report(df, [], 5)
+    with pytest.raises(ValueError, match="top_n"):
+        skew_report(df, ["a"], 0)
+    with pytest.raises(ValueError, match="empty table"):
+        skew_report(df.where(F.lit(False)), ["a"], 5)
+
+
+def test_skew_report_no_global_sort(spark):
+    df = spark.range(100).select((F.col("id") % 7).alias("k"))
+    plan = skew_report(df, ["k"], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("s")
+    )
+    got = stratified_sample(df, "s", 10, id_col="doc_id", seed="x")
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per[r.s] = per.get(r.s, 0) + 1
+    assert per == {k: 10 for k in range(7)}
+    # deterministic across partitionings
+    again = stratified_sample(df.repartition(13), "s", 10, id_col="doc_id", seed="x")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # different seed -> different pick (overwhelmingly)
+    other = stratified_sample(df, "s", 10, id_col="doc_id", seed="y")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, s string"
+    )
+    got = stratified_sample(df, "s", 5, id_col="doc_id")
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "s", 0)

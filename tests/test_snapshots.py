@@ -94,3 +94,32 @@ def test_pointer_file_is_json_with_checksum(spark, tmp_path):
     with open(os.path.join(t, "ents", "_LATEST")) as f:
         ptr = json.load(f)
     assert ptr == {"version": 0, "checksum": c}
+
+
+def test_compact_snapshot_merges_files_preserves_content(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import _snap_dir, compact_snapshot
+
+    t = str(tmp_path)
+    # commit a deliberately fragmented snapshot (32 tiny files)
+    frag = _df(spark, 2000, "a").repartition(32)
+    v0, c0 = snapshot_write(frag, t, "ents")
+
+    def n_files(v):
+        d = os.path.join(_snap_dir(t, "ents", v), "data")
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert n_files(v0) == 32
+    v1, n, c1 = compact_snapshot(spark, t, "ents", target_mb=64)
+    assert v1 == v0 + 1 and n == 1 and n_files(v1) == 1
+    assert c1 == c0  # content-preserving, enforced internally too
+    assert latest_version(t, "ents") == v1
+    assert _ids(read_snapshot(spark, t, "ents")) == list(range(2000))
+    # the fragmented version stays time-travelable until expired
+    assert _ids(read_snapshot(spark, t, "ents", version=v0)) == list(range(2000))
+
+
+def test_compact_snapshot_requires_committed_stage(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import compact_snapshot
+
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        compact_snapshot(spark, str(tmp_path), "nope")
