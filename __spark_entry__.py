@@ -3002,6 +3002,16 @@ def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact rank-based decile binning of order prices: global rank via the
+    # two-level distributed prefix sum (never a single-task window), bin =
+    # floor(rank*10/n) — zero sketch error, engine-replayable.
+    from kgdata_spark.operators.binning import quantile_bins
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return quantile_bins(o, "o_totalprice", 10, id_col="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3147,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_skew_report": q_order_skew_report,
         "stratified_sample": q_stratified_sample,
         "event_hopping_counts": q_event_hopping_counts,
+        "order_price_deciles": q_order_price_deciles,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5416,5 +5427,21 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
                    COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users
             FROM x GROUP BY ws
+        """,
+        # order_price_deciles: rank in the (value, id) total order, bin =
+        # floor(rank*10/n) — integer // here, double floor Spark-side;
+        # they agree because rank*k < 2^53 (exact double) and correctly-
+        # rounded division can't cross an integer boundary when the true
+        # remainder is >= 1/n >> ulp
+        "order_price_deciles": """
+            WITH r AS (
+                SELECT o_orderkey, o_totalprice,
+                       row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                           - 1 AS rk,
+                       COUNT(*) OVER () AS n
+                FROM orders)
+            SELECT o_orderkey, o_totalprice,
+                   CAST((rk * 10) // n AS INT) AS bin
+            FROM r
         """,
     }

@@ -1,0 +1,51 @@
+"""Exact rank-based quantile binning (feature discretization).
+
+bin(row) = floor(rank * k / n) where rank is the row's position in the
+(value, id) total order — bins of size differing by at most one, fully
+deterministic, no sampling error. The standard discretizer
+(pyspark.ml.QuantileDiscretizer) bins against APPROXIMATE quantiles
+(epsilon-sketch) whose boundaries move with partitioning and epsilon;
+this one is exact and engine-replayable, which is what a feature
+pipeline needs when train/serve skew must be zero.
+
+Scale shape: the global rank comes from packing.distributed_cumsum (two-
+level prefix sum — range partition + per-bucket offsets), never a
+single-task global window; the bin arithmetic is one integer multiply/
+divide. Cost: one range shuffle + one count job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.packing import distributed_cumsum
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str,
+    out_col: str = "bin",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Attach `out_col` = this row's exact k-quantile bin of `value_col`
+    (ties totalized by `id_col`). Requires unique ids; n == 0 raises."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot bin an empty table")
+    ranked = distributed_cumsum(
+        df.withColumn("_ord", F.struct(F.col(value_col), F.col(id_col)))
+        .withColumn("_one", F.lit(1)),
+        "_ord",
+        "_one",
+        out_col="_rank",
+        num_buckets=num_buckets,
+    )
+    return ranked.withColumn(
+        out_col,
+        F.floor(F.col("_rank") * F.lit(k) / F.lit(n)).cast("int"),
+    ).drop("_ord", "_one", "_rank")

@@ -496,3 +496,84 @@ def ivf_multiprobe_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    diversified top-k — each step picks argmax of
+        lam * cos(q, d) - (1 - lam) * max_{s in selected} cos(d, s)
+    (ties totalized by id). Returns [(id, mmr_score), ...] in pick order.
+
+    The retrieval-diversity stage of a curation pipeline (dedupe the
+    RESULT LIST, not the corpus): plain top-k returns k near-copies of
+    the best hit; MMR forces coverage.
+
+    Scale shape: greedy MMR is inherently sequential in k, so the loop
+    runs k ROUNDS, each one distributed pass over the corpus — relevance
+    is precomputed ONCE (one scan), each round adds a single penalty term
+    against the one vector selected last round (incremental max), and
+    the round's argmax is a 1-row TakeOrderedAndProject. Driver traffic:
+    k rows + k job round-trips, never the corpus. The corpus dataframe is
+    persisted for the duration of the loop and released after.
+
+    k is a result-list size (10..100), not a corpus bound — for corpus-
+    scale diversification use semantic_dedup/kmeans upstream instead.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    qv = F.lit([float(x) for x in query_vec])
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    ).withColumn(
+        "_rel", F.round(_dot(F.col("_v"), qv) / (F.col("_n") * _norm(qv)), round_digits)
+    )
+    # penalty state: running max cosine against the selected set, updated
+    # incrementally with only the LAST pick each round
+    state = base.withColumn("_pen", F.lit(None).cast("double")).persist()
+    state.count()
+    picked: list[tuple] = []
+    try:
+        for _ in range(k):
+            pen = F.coalesce(F.col("_pen"), F.lit(0.0))
+            score = F.round(
+                F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * pen, round_digits
+            )
+            top = (
+                state.select("_id", "_v", score.alias("_mmr"))
+                .orderBy(F.col("_mmr").desc(), F.col("_id"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            picked.append((row._id, row._mmr))
+            sv = F.lit([float(x) for x in row._v])
+            sim_last = F.round(
+                _dot(F.col("_v"), sv) / (F.col("_n") * _norm(sv)), round_digits
+            )
+            nxt = (
+                state.where(F.col("_id") != F.lit(row._id))
+                .withColumn("_pen2", F.greatest(F.coalesce("_pen", F.lit(-1.0)), sim_last))
+                .drop("_pen")
+                .withColumnRenamed("_pen2", "_pen")
+                .persist()
+            )
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return picked

@@ -106,6 +106,10 @@ DOCUMENTED_OVERFLOW = {
     "window_funnel",
     "supplier_sssp",
     "repo_dep_libs",
+    "order_skew_report",
+    "stratified_sample",
+    "event_hopping_counts",
+    "order_price_deciles",
 }
 
 # Environment-gated queries: registered only where the environment

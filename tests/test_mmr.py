@@ -1,0 +1,104 @@
+"""MMR diversified re-ranking (similarity.mmr_rerank).
+
+No SQL oracle (greedy k-round iteration — same documented weaker-check
+class as PCA/kmeans training); instead: exact equivalence against a
+pure-python greedy model, plus the diversity property MMR exists for.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.similarity import mmr_rerank
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def _py_mmr(vecs, q, k, lam, nd=6):
+    rel = {i: round(_cos(v, q), nd) for i, v in vecs.items()}
+    pen = {i: None for i in vecs}
+    out = []
+    rest = set(vecs)
+    for _ in range(min(k, len(vecs))):
+        scored = sorted(
+            ((round(lam * rel[i] - (1 - lam) * (pen[i] or 0.0), nd), i) for i in rest),
+            key=lambda t: (-t[0], t[1]),
+        )
+        s, i = scored[0]
+        out.append((i, s))
+        rest.remove(i)
+        for j in rest:
+            sim = round(_cos(vecs[j], vecs[i]), nd)
+            pen[j] = sim if pen[j] is None else max(pen[j], sim)
+    return out
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_diversifies_near_duplicate_cluster(spark):
+    # 0,1,2 are near-copies closest to q; 3 and 4 point elsewhere.
+    vecs = {
+        0: [1.0, 0.01, 0.0],
+        1: [1.0, 0.02, 0.0],
+        2: [1.0, 0.03, 0.0],
+        3: [0.2, 1.0, 0.0],
+        4: [0.2, 0.0, 1.0],
+    }
+    q = [1.0, 0.1, 0.1]
+    plain = sorted(vecs, key=lambda i: (-_cos(vecs[i], q), i))[:3]
+    assert set(plain) == {0, 1, 2}  # relevance-only returns the clones
+    got = [i for i, _ in mmr_rerank(_df(spark, vecs), q, k=3, lam=0.5)]
+    assert got[0] in {0, 1, 2}
+    assert len({*got} & {3, 4}) >= 1  # diversity forced coverage
+
+
+def test_matches_python_model(spark):
+    vecs = {i: [((i * 7 + j * 3) % 11) + 1.0 for j in range(4)] for i in range(12)}
+    q = [1.0, 2.0, 3.0, 4.0]
+    got = mmr_rerank(_df(spark, vecs), q, k=5, lam=0.7)
+    assert got == _py_mmr(vecs, q, 5, 0.7)
+
+
+def test_k_exceeds_corpus_and_guards(spark):
+    vecs = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    got = mmr_rerank(_df(spark, vecs), [1.0, 1.0], k=10, lam=0.5)
+    assert len(got) == 2
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(_df(spark, vecs), [1.0, 1.0], k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(_df(spark, vecs), [1.0, 1.0], k=1, lam=1.5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(2, 8),
+    seed=st.integers(0, 10_000),
+    lam=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+def test_fuzz_vs_python_model(spark_hyp, n, seed, lam):
+    spark = spark_hyp
+    vecs = {
+        i: [((seed + i * 13 + j * 5) % 17) + 1.0 for j in range(3)] for i in range(n)
+    }
+    q = [(seed % 7) + 1.0, 2.0, (seed % 3) + 1.0]
+    got = mmr_rerank(_df(spark, vecs), q, k=4, lam=lam)
+    assert got == _py_mmr(vecs, q, 4, lam), (vecs, q, lam)
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    return spark
