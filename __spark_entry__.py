@@ -3012,6 +3012,28 @@ def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(o, "o_totalprice", 10, id_col="o_orderkey")
 
 
+def q_edge_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Link-prediction negative sampling: 3 hash-derived corrupted tails
+    # per co-occurrence edge, guaranteed real nodes (dense index), never
+    # actual edges (left_anti), deterministic across runs/partitionings.
+    from kgdata_spark.operators.graph import negative_edge_samples
+
+    nodes = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    return negative_edge_samples(
+        _supplier_cooccurrence(spark, sf_dir), nodes, k=3, seed="neg"
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation detection (Church & Hanks 1990): top-50 adjacent token
+    # pairs by micro-nat-quantized PMI with a min-count guard.
+    from kgdata_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3158,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "event_hopping_counts": q_event_hopping_counts,
         "order_price_deciles": q_order_price_deciles,
+        "edge_negative_samples": q_edge_negative_samples,
+        "pmi_collocations": q_pmi_collocations,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5443,5 +5467,75 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT o_orderkey, o_totalprice,
                    CAST((rk * 10) // n AS INT) AS bin
             FROM r
+        """,
+        # edge_negative_samples: replay the hash-derived candidate stream —
+        # pos = md5-int('neg|s|d|try') % |V|, dense node index by id order,
+        # drop self/true-tail, anti-join real edges, first 3 in try order
+        "edge_negative_samples": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+            e AS (
+                SELECT DISTINCT x.l_suppkey AS s, y.l_suppkey AS d
+                FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_suppkey <> y.l_suppkey),
+            nn AS (SELECT COUNT(*) AS n FROM supplier),
+            dense AS (
+                SELECT s_suppkey AS nid,
+                       row_number() OVER (ORDER BY s_suppkey) - 1 AS pos
+                FROM supplier),
+            cand AS (
+                SELECT e.s, e.d, t.t AS tr,
+                       ('0x' || substr(md5('neg' || '|' || e.s::VARCHAR ||
+                                        '|' || e.d::VARCHAR || '|' ||
+                                        t.t::VARCHAR), 1, 8))::BIGINT
+                           % nn.n AS pos
+                FROM e, nn, unnest(generate_series(0, 11)) AS t(t)),
+            c2 AS (
+                SELECT cand.s, cand.d, cand.tr, dense.nid AS cn
+                FROM cand JOIN dense ON dense.pos = cand.pos
+                WHERE dense.nid <> cand.d AND dense.nid <> cand.s),
+            surv AS (
+                SELECT c2.* FROM c2
+                LEFT JOIN e e2 ON e2.s = c2.s AND e2.d = c2.cn
+                WHERE e2.s IS NULL),
+            r AS (
+                SELECT s, d, cn, tr,
+                       row_number() OVER (PARTITION BY s, d ORDER BY tr) AS rk
+                FROM surv)
+            SELECT s AS src, d AS dst, cn AS dst_neg,
+                   CAST(rk - 1 AS INT) AS neg_rank
+            FROM r WHERE rk <= 3
+        """,
+        # pmi_collocations: same token stream as lm_perplexity (lowered,
+        # split on \s+), adjacent pairs without BOS; pmi_micro =
+        # round(ln((c_xy*N)/(c_x*c_y)) * 1e6) in the identical expression
+        # order
+        "pmi_collocations": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents),
+            unis AS (
+                SELECT u.w FROM toks, unnest(arr) AS u(w)),
+            uc AS (SELECT w, COUNT(*) AS c FROM unis GROUP BY w),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens FROM unis),
+            pairs AS (
+                SELECT arr[i.i] AS w1, arr[i.i + 1] AS w2, COUNT(*) AS pair_count
+                FROM toks, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+                WHERE len(arr) >= 2
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 5)
+            SELECT w1, w2, pair_count,
+                   CAST(round(ln((CAST(pair_count AS DOUBLE) * n.n_tokens)
+                                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS pmi_micro
+            FROM pairs
+            JOIN uc u1 ON u1.w = pairs.w1
+            JOIN uc u2 ON u2.w = pairs.w2
+            CROSS JOIN n
+            ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
         """,
     }

@@ -474,3 +474,103 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     tri = wedges.join(und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]))
     corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    seed: str = "",
+    max_tries: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training data:
+    per positive edge (s, d), up to `k` corrupted tails (s, d') that are
+    NOT edges -> (src, dst_neg, neg_rank).
+
+    The data-prep step every KG-embedding trainer (TransE et al.) runs
+    over the emitted triples. Determinism matters for the same reason as
+    split_corpus: re-runs and resumes must regenerate identical training
+    files, so candidates are hash-derived (md5 of (seed, s, d, try)), not
+    RNG-drawn. Tail ids come from hashing into a dense [0, |V|) index of
+    the node table (one rank materialization), so candidates are always
+    REAL nodes, never phantom ids.
+
+    Shape: k·max_tries candidates explode per edge (Generate, no
+    shuffle), one left_anti against the edge table (the only join; md5
+    strings never shuffle — only (s, cand)), then a per-edge rank keeps
+    the first k survivors in try order. With uniform hashing the miss
+    probability per try is the graph density — vanishing at KG scale —
+    so max_tries=4 over-provisions; callers needing hard-k guarantees
+    raise max_tries instead of resampling a tail that collided.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0 or max_tries <= 0:
+        raise ValueError(f"k and max_tries must be positive, got {k}, {max_tries}")
+    n_idx = (
+        nodes.select(F.col(node).alias("_nid"))
+        .distinct()
+        .withColumn("_one", F.lit(1))
+    )
+    from kgdata_spark.operators.packing import distributed_cumsum
+
+    dense = distributed_cumsum(n_idx, "_nid", "_one", out_col="_pos").drop("_one")
+    n_nodes = dense.count()
+    if n_nodes < 2:
+        raise ValueError("need at least 2 nodes to corrupt tails")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    tries = F.sequence(F.lit(0), F.lit(k * max_tries - 1))
+    cand = e.select(
+        "_s",
+        "_d",
+        F.posexplode(tries).alias("_try", "_t"),
+    ).select(
+        "_s",
+        "_d",
+        "_try",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.col("_s").cast("string"),
+                            F.col("_d").cast("string"),
+                            F.col("_try").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_nodes),
+        ).alias("_pos"),
+    )
+    cand = (
+        cand.join(dense, "_pos")
+        .select("_s", "_d", "_try", F.col("_nid").alias("_cand"))
+        # a corrupted tail equal to the true tail or the head is useless
+        .where((F.col("_cand") != F.col("_d")) & (F.col("_cand") != F.col("_s")))
+    )
+    survivors = cand.join(
+        e.select(F.col("_s").alias("_cs"), F.col("_d").alias("_cd")),
+        (F.col("_s") == F.col("_cs")) & (F.col("_cand") == F.col("_cd")),
+        "left_anti",
+    )
+    w = Window.partitionBy("_s", "_d").orderBy("_try")
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.col("_s").alias("src"),
+            F.col("_d").alias("dst"),
+            F.col("_cand").alias("dst_neg"),
+            (F.col("_rk") - 1).alias("neg_rank"),
+        )
+    )

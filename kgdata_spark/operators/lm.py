@@ -145,3 +145,74 @@ def perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information ->
+    (w1, w2, pair_count, pmi_micro).
+
+    PMI(x,y) = ln( P(xy) / (P(x)·P(y)) ) with all probabilities over the
+    same token total N: ln( (c_xy · N) / (c_x · c_y) ) — the classic
+    collocation detector (Church & Hanks 1990), the corpus-analysis
+    sibling of the bigram LM above (same token stream, association
+    instead of prediction). `min_count` filters the low-frequency pairs
+    whose PMI is pathologically inflated (the standard guard).
+
+    Engine-exactness: the ln argument is one fixed-order double
+    expression over exact integer counts, and ln is quantized to integer
+    micro-nats like `perplexity` — a DuckDB oracle reproduces the ranking
+    bit-for-bit. Shape: two map-side-combinable groupBys over the
+    exploded stream (unigrams, adjacent bigrams — NO BOS sentinel here:
+    collocation is about real adjacency), two joins on token strings,
+    top-k via TakeOrderedAndProject.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    base = docs.select(_tokens(F.col(text_col)).alias("_t"))
+    unis = base.select(F.explode("_t").alias("w"))
+    uni_counts = unis.groupBy("w").agg(F.count("*").alias("c"))
+    total = unis.agg(F.count("*").alias("n_tokens"))
+    pairs = (
+        base.where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_g")
+        )
+        .select("_g.w1", "_g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    scored = (
+        pairs.join(uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("_c1")), "w1")
+        .join(uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("n_tokens").cast("double"))
+                    / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+                )
+                * F.lit(float(MICRO))
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

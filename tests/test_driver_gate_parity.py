@@ -110,6 +110,8 @@ DOCUMENTED_OVERFLOW = {
     "stratified_sample",
     "event_hopping_counts",
     "order_price_deciles",
+    "edge_negative_samples",
+    "pmi_collocations",
 }
 
 # Environment-gated queries: registered only where the environment

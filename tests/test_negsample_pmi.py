@@ -1,0 +1,104 @@
+"""negative_edge_samples (graph.py) + pmi_collocations (lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.graph import negative_edge_samples
+from kgdata_spark.operators.lm import pmi_collocations
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_negatives_are_real_nodes_and_never_edges(spark):
+    pairs = [(a, b) for a in range(10) for b in range(10) if a != b and (a * b) % 3 == 0]
+    e = _edges(spark, pairs)
+    nodes = _nodes(spark, range(50))
+    out = negative_edge_samples(e, nodes, k=4, seed="t").collect()
+    edge_set = set(pairs)
+    for r in out:
+        assert 0 <= r.dst_neg < 50
+        assert (r.src, r.dst_neg) not in edge_set
+        assert r.dst_neg != r.dst and r.dst_neg != r.src
+    # per-edge ranks are 0..m-1 with m <= k
+    per = {}
+    for r in out:
+        per.setdefault((r.src, r.dst), []).append(r.neg_rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+        assert len(ranks) <= 4
+
+
+def test_deterministic_and_seed_sensitive(spark):
+    e = _edges(spark, [(1, 2), (3, 4)])
+    nodes = _nodes(spark, range(100))
+    a = sorted(map(tuple, negative_edge_samples(e, nodes, k=3, seed="a").collect()))
+    a2 = sorted(
+        map(tuple, negative_edge_samples(e.repartition(7), nodes, k=3, seed="a").collect())
+    )
+    b = sorted(map(tuple, negative_edge_samples(e, nodes, k=3, seed="b").collect()))
+    assert a == a2
+    assert a != b
+
+
+def test_dense_graph_still_yields_some_negatives(spark):
+    # nearly-complete graph on 6 nodes: most candidates collide with real
+    # edges; survivors must still be correct (never guaranteed k)
+    pairs = [(a, b) for a in range(6) for b in range(6) if a != b and not (a == 0 and b == 1)]
+    e = _edges(spark, pairs)
+    out = negative_edge_samples(e, _nodes(spark, range(6)), k=2, max_tries=8).collect()
+    for r in out:
+        assert (r.src, r.dst_neg) not in set(pairs)
+
+
+def test_negative_sampling_guards(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="positive"):
+        negative_edge_samples(e, _nodes(spark, range(5)), k=0)
+    with pytest.raises(ValueError, match="at least 2 nodes"):
+        negative_edge_samples(e, _nodes(spark, [1]), k=1)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_pmi_ranks_exclusive_pair_above_promiscuous(spark):
+    # "alpha beta" always together (PMI high); "the x" with many partners
+    texts = ["alpha beta the a%d" % i for i in range(20)]
+    out = pmi_collocations(_docs(spark, texts), min_count=5, k=10).collect()
+    top = (out[0].w1, out[0].w2)
+    assert top == ("alpha", "beta")
+    # hand-check the PMI value: c_xy=20, c_alpha=20, c_beta=20, N=80
+    want = round(math.log((20 * 80) / (20 * 20)) * 1e6)
+    assert out[0].pmi_micro == want
+
+
+def test_pmi_min_count_filters(spark):
+    texts = ["rare pair"] + ["common word"] * 10
+    out = pmi_collocations(_docs(spark, texts), min_count=5, k=10).collect()
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("common", "word") in pairs
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(_docs(spark, texts), min_count=0)
+    with pytest.raises(ValueError, match="k must be"):
+        pmi_collocations(_docs(spark, texts), k=0)
+
+
+def test_pmi_no_bos_and_adjacency_only(spark):
+    # one doc "a b c": pairs are exactly (a,b) and (b,c) — never (a,c),
+    # never a sentinel pair
+    out = pmi_collocations(_docs(spark, ["a b c"] * 6), min_count=5, k=10).collect()
+    assert {(r.w1, r.w2) for r in out} == {("a", "b"), ("b", "c")}
