@@ -3034,6 +3034,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
 
 
+def q_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-filled daily activity per user + day-over-day delta: zero days
+    # are materialized (a bare groupBy omits them, corrupting every lag/
+    # rolling feature downstream); integer days-since-epoch keep the
+    # arithmetic engine-exact.
+    from kgdata_spark.operators.timeseries import daily_activity
+
+    return daily_activity(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3182,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles": q_order_price_deciles,
         "edge_negative_samples": q_edge_negative_samples,
         "pmi_collocations": q_pmi_collocations,
+        "user_daily_activity": q_user_daily_activity,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5537,5 +5548,28 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             JOIN uc u2 ON u2.w = pairs.w2
             CROSS JOIN n
             ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+        """,
+        # user_daily_activity: densify each user's [min_day, max_day] with
+        # generate_series, zero-fill, lag delta over the regular grid
+        "user_daily_activity": """
+            WITH c AS (
+                SELECT user_id AS key,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY key),
+            grid AS (
+                SELECT span.key, g.day
+                FROM span, unnest(generate_series(span.d0, span.d1)) AS g(day)),
+            dense AS (
+                SELECT grid.key, grid.day,
+                       COALESCE(c.n_events, 0) AS n_events
+                FROM grid LEFT JOIN c ON c.key = grid.key AND c.day = grid.day)
+            SELECT key, CAST(day AS INT) AS day, n_events,
+                   n_events - lag(n_events) OVER (PARTITION BY key
+                                                  ORDER BY day) AS delta
+            FROM dense
         """,
     }

@@ -574,3 +574,58 @@ def negative_edge_samples(
             (F.col("_rk") - 1).alias("neg_rank"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node keeps
+    degree >= k) -> (node, degree within the core).
+
+    Iterative peeling on the undirected simple graph: drop all nodes with
+    degree < k, recompute, repeat until stable. The standard community-
+    density filter before expensive graph ML (and the classic spam/
+    boilerplate cut on link graphs): peripheral nodes vanish even when
+    their neighbors are hubs.
+
+    Shape per round: one degree groupBy + two semi-join filters against
+    the (small, shrinking) victim set; edges re-checkpoint each round so
+    lineage stays flat. Rounds are bounded by max_rounds with a loud
+    raise — a chain graph peels O(V) rounds in theory, but real k-core
+    peeling converges in tens of rounds; hitting the bound means the
+    input is pathological, not that the answer should be silently wrong.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    e = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    )
+    if checkpoint:
+        sym = _checkpoint(sym)
+    for _ in range(max_rounds):
+        deg = sym.groupBy("_a").agg(F.count("*").alias("_deg"))
+        weak = deg.where(F.col("_deg") < k).select("_a")
+        if weak.limit(1).count() == 0:
+            return deg.select(F.col("_a").alias("node"), F.col("_deg").alias("degree"))
+        sym = sym.join(weak, "_a", "left_anti").join(
+            weak.select(F.col("_a").alias("_b")), "_b", "left_anti"
+        )
+        if checkpoint:
+            sym = _checkpoint(sym)
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds}; "
+        "raise the bound for adversarially chain-shaped graphs"
+    )

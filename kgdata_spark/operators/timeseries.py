@@ -1,0 +1,76 @@
+"""Per-key time-series resampling: gap-filled daily activity + deltas.
+
+The feature-engineering shape behind activity/freshness signals (events
+per user per day, commits per repo per day on the kgdata corpus): a
+plain groupBy(key, day) silently OMITS zero days, so every downstream
+rolling/lag feature is computed over an irregular grid and is simply
+wrong. Gap-fill densifies each key's [first_day, last_day] range with
+explicit zeros, then lag features read off the regular grid.
+
+Scale shape: counts are one map-side-combinable groupBy; the dense grid
+is generated per key with sequence+explode (a Generate, no shuffle — the
+fill never materializes more than each key's own span) and one left
+join back to the counts; the lag is a per-key window over day order
+(bounded by the key's span, the same per-key-window class as
+sessionize/candidate_topk). Day arithmetic is integer days-since-epoch —
+timezone-free, engine-exact.
+
+A key whose span is pathological (one event in 1970, one today) inflates
+its own fill to span days; `max_span_days` bounds the blowup with a loud
+JVM-side raise instead of an OOM (the scale-valve pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPOCH = "1970-01-01"
+
+
+def daily_activity(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span_days: int = 10_000,
+) -> DataFrame:
+    """(key, day, n_events, delta): gap-filled daily event counts per key
+    over each key's own [min_day, max_day] span, with day = integer days
+    since 1970-01-01 and delta = n_events - previous day's (NULL on each
+    key's first day)."""
+    if max_span_days < 1:
+        raise ValueError(f"max_span_days must be >= 1, got {max_span_days}")
+    day = F.datediff(
+        F.to_date(F.col(ts_col).cast("timestamp")), F.lit(EPOCH).cast("date")
+    )
+    counts = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    span = counts.groupBy("key").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    span_ok = F.when(
+        F.col("_d1") - F.col("_d0") < F.lit(max_span_days), F.col("_d1")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "daily_activity: key span %d days exceeds max_span_days",
+                F.col("_d1") - F.col("_d0") + 1,
+            )
+        )
+    )
+    grid = span.select(
+        "key", F.explode(F.sequence(F.col("_d0"), span_ok)).alias("day")
+    )
+    dense = grid.join(counts, ["key", "day"], "left").select(
+        "key", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    return dense.select(
+        "key",
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
+    )

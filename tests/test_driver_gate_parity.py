@@ -112,6 +112,7 @@ DOCUMENTED_OVERFLOW = {
     "order_price_deciles",
     "edge_negative_samples",
     "pmi_collocations",
+    "user_daily_activity",
 }
 
 # Environment-gated queries: registered only where the environment

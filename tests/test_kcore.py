@@ -1,0 +1,116 @@
+"""k-core decomposition (graph.k_core) + daily_activity (timeseries.py)
+unit coverage beyond their gate rows.
+
+k_core has no SQL oracle (iterate-until-fixpoint peeling — the same
+documented weaker-check class as CC/PageRank convergence); instead:
+hand graphs + hypothesis against a pure-python peeling model.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.graph import k_core
+from kgdata_spark.operators.timeseries import daily_activity
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def _run_kcore(spark, edges, k):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.degree for r in k_core(e, k, checkpoint=False).collect()
+    }
+
+
+def test_triangle_with_pendant(spark):
+    # triangle 0-1-2 plus pendant 3 hanging off 0: 2-core = the triangle
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    assert _run_kcore(spark, edges, 2) == {0: 2, 1: 2, 2: 2}
+    # 1-core keeps everything (pendant has degree 1)
+    assert _run_kcore(spark, edges, 1) == {0: 3, 1: 2, 2: 2, 3: 1}
+    # 3-core is empty
+    assert _run_kcore(spark, edges, 3) == {}
+
+
+def test_cascading_peel(spark):
+    # chain 0-1-2-3-4: 2-core empty, peeled over several rounds
+    edges = [(i, i + 1) for i in range(4)]
+    assert _run_kcore(spark, edges, 2) == {}
+
+
+def test_duplicate_and_reverse_edges_collapse(spark):
+    edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 2)]
+    assert _run_kcore(spark, edges, 2) == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_guards(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(e, 0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=20
+    ),
+    k=st.integers(1, 3),
+)
+def test_fuzz_vs_python_peeling(spark_hyp, edges, k):
+    spark = spark_hyp
+    assert _run_kcore(spark, edges, k) == _py_kcore(edges, k), (edges, k)
+
+
+def test_daily_activity_gap_fill_and_delta(spark):
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (1, t0), (1, t0), (1, t0 + timedelta(days=3)),  # gap of 2 zero days
+        (2, t0 + timedelta(days=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.key, r.day): (r.n_events, r.delta) for r in daily_activity(df).collect()}
+    d0 = (t0 - datetime(1970, 1, 1)).days
+    assert out[(1, d0)] == (2, None)
+    assert out[(1, d0 + 1)] == (0, -2)
+    assert out[(1, d0 + 2)] == (0, 0)
+    assert out[(1, d0 + 3)] == (1, 1)
+    assert out[(2, d0 + 1)] == (1, None)
+    assert len(out) == 5
+
+
+def test_daily_activity_span_valve(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(1, datetime(1970, 1, 2)), (1, datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    with pytest.raises(SparkRuntimeException, match="exceeds max_span_days"):
+        daily_activity(df, max_span_days=100).collect()
+    with pytest.raises(ValueError, match="max_span_days"):
+        daily_activity(df, max_span_days=0)
+
+
+@pytest.fixture(scope="module")
+def spark_hyp(spark):
+    return spark
