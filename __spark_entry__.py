@@ -3207,6 +3207,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return reg
 
 
+# Shared DuckDB CTE: CDC boundary replay (token md5-int values, 4-term
+# rolling polynomial mod 1e9+7, boundary at hash % 16 == 0 for positions
+# >= 4, chunk_idx = boundaries strictly before the position). Used by BOTH
+# cdc_chunks and cdc_shared_chunks so the rule cannot fork between them.
+_cdc_cte = r"""toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents),
+            nz AS (SELECT * FROM toks WHERE len(arr) > 0),
+            pos AS (
+                SELECT doc_id, arr, i.i AS p,
+                       CASE WHEN i.i >= 4 THEN
+                         ((('0x' || substr(md5(arr[i.i]), 1, 8))::BIGINT
+                           + 31 * ('0x' || substr(md5(arr[i.i - 1]), 1, 8))::BIGINT
+                           + 961 * ('0x' || substr(md5(arr[i.i - 2]), 1, 8))::BIGINT
+                           + 29791 * ('0x' || substr(md5(arr[i.i - 3]), 1, 8))::BIGINT
+                          ) % 1000000007) % 16 = 0
+                       ELSE FALSE END AS boundary
+                FROM nz, unnest(generate_series(1, len(arr))) AS i(i)),
+            ck AS (
+                SELECT doc_id, p, arr,
+                       COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS chunk_idx
+                FROM pos)"""
+
+
 def oracle_sql() -> dict[str, str]:
     words = (
         "SELECT doc_id, w.word FROM documents, "
@@ -5258,60 +5287,18 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
         # position — token value = first 8 md5 hex chars as BIGINT, hash =
         # fixed 4-term polynomial (base 31) mod 1e9+7, boundary when
         # hash % 16 == 0 at positions >= 4; chunk index = boundaries
-        # strictly before the token's position.
-        "cdc_chunks": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   x -> x <> '') AS arr
-                FROM documents),
-            nz AS (SELECT * FROM toks WHERE len(arr) > 0),
-            pos AS (
-                SELECT doc_id, arr, i.i AS p,
-                       CASE WHEN i.i >= 4 THEN
-                         ((('0x' || substr(md5(arr[i.i]), 1, 8))::BIGINT
-                           + 31 * ('0x' || substr(md5(arr[i.i - 1]), 1, 8))::BIGINT
-                           + 961 * ('0x' || substr(md5(arr[i.i - 2]), 1, 8))::BIGINT
-                           + 29791 * ('0x' || substr(md5(arr[i.i - 3]), 1, 8))::BIGINT
-                          ) % 1000000007) % 16 = 0
-                       ELSE FALSE END AS boundary
-                FROM nz, unnest(generate_series(1, len(arr))) AS i(i)),
-            ck AS (
-                SELECT doc_id, p, arr,
-                       COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY p
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND 1 PRECEDING), 0) AS chunk_idx
-                FROM pos)
+        # strictly before the token's position. The boundary CTE is built
+        # ONCE (_cdc_cte below) and shared by both cdc_* oracles so the
+        # boundary rule can never silently fork between them.
+        "cdc_chunks": f"""
+            WITH {_cdc_cte}
             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
                    CAST(COUNT(*) AS INT) AS n_tokens,
                    md5(string_agg(arr[p], ' ' ORDER BY p)) AS chunk_md5
             FROM ck GROUP BY doc_id, chunk_idx
         """,
-        "cdc_shared_chunks": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   x -> x <> '') AS arr
-                FROM documents),
-            nz AS (SELECT * FROM toks WHERE len(arr) > 0),
-            pos AS (
-                SELECT doc_id, arr, i.i AS p,
-                       CASE WHEN i.i >= 4 THEN
-                         ((('0x' || substr(md5(arr[i.i]), 1, 8))::BIGINT
-                           + 31 * ('0x' || substr(md5(arr[i.i - 1]), 1, 8))::BIGINT
-                           + 961 * ('0x' || substr(md5(arr[i.i - 2]), 1, 8))::BIGINT
-                           + 29791 * ('0x' || substr(md5(arr[i.i - 3]), 1, 8))::BIGINT
-                          ) % 1000000007) % 16 = 0
-                       ELSE FALSE END AS boundary
-                FROM nz, unnest(generate_series(1, len(arr))) AS i(i)),
-            ck AS (
-                SELECT doc_id, p, arr,
-                       COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY p
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND 1 PRECEDING), 0) AS chunk_idx
-                FROM pos),
+        "cdc_shared_chunks": f"""
+            WITH {_cdc_cte},
             chunks AS (
                 SELECT doc_id, chunk_idx,
                        md5(string_agg(arr[p], ' ' ORDER BY p)) AS chunk_md5

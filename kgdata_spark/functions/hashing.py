@@ -1,0 +1,26 @@
+"""The engine-portable integer hash core shared by every md5-derived
+deterministic draw in the engine.
+
+`md5_int32(keyed)` = first 8 md5 hex chars of the keyed string as a
+BIGINT in [0, 2^32) — bit-replayable in any engine with md5 (DuckDB:
+`('0x' || substr(md5(x), 1, 8))::BIGINT`), independent of partitioning,
+row order, and engine RNG. Callers own their keying convention
+(`seed|id`, `seed|s|d|try`, bare token...) and any scaling to uniforms
+or positions; this module owns the ONE copy of the conv/substring idiom,
+because every site is oracle-parity-critical: if the spellings drift
+apart, a gate query silently diverges from its DuckDB twin.
+
+Sites: curation._md5_uniform / weighted_sample_topk / stratified_sample
+(sampling draws), cdc token values (rolling-hash input),
+graph.negative_edge_samples (candidate positions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int32(keyed: Column) -> Column:
+    """First 8 md5 hex chars of `keyed` as BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")

@@ -34,17 +34,20 @@ def quantile_bins(
     (ties totalized by `id_col`). Requires unique ids; n == 0 raises."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    n = df.count()
-    if n == 0:
-        raise ValueError("cannot bin an empty table")
-    ranked = distributed_cumsum(
+    # n comes back from the prefix-sum pass itself (its bucket totals are
+    # already on the driver) — a standalone df.count() would re-scan the
+    # full input just to learn what the cumsum already knows
+    ranked, n = distributed_cumsum(
         df.withColumn("_ord", F.struct(F.col(value_col), F.col(id_col)))
         .withColumn("_one", F.lit(1)),
         "_ord",
         "_one",
         out_col="_rank",
         num_buckets=num_buckets,
+        return_total=True,
     )
+    if n == 0:
+        raise ValueError("cannot bin an empty table")
     return ranked.withColumn(
         out_col,
         F.floor(F.col("_rank") * F.lit(k) / F.lit(n)).cast("int"),

@@ -72,9 +72,14 @@ def optimal_bits(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
 def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     # xxhash64 is Spark's fixed-seed (42) 64-bit hash; mixing the probe
     # index in as a second hashed column gives k independent-enough
-    # functions without needing a seedable API.
+    # functions without needing a seedable API. The key is normalized to
+    # string FIRST: xxhash64 output depends on the column's PHYSICAL type
+    # (xxhash64(5 as int) != xxhash64(5 as bigint)), so hashing raw
+    # columns would silently empty the join when build and probe sides
+    # carry different numeric widths.
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
     ]
 
 
@@ -152,6 +157,16 @@ def bloom_prune_join(
     The join itself still broadcasts if dim is small (AQE/stats decide);
     the sketch's job is the case where it is NOT.
     """
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim.dtypes)[dim_key]
+    if ft != dt:
+        # equal values of different types can join (5 == 5.00) but format
+        # differently as strings, which would defeat the normalized hash —
+        # refuse loudly instead of silently dropping matches
+        raise ValueError(
+            f"bloom_prune_join key types differ: {fact_key}:{ft} vs "
+            f"{dim_key}:{dt}; cast them to a common type first"
+        )
     n = n_keys if n_keys is not None else dim.select(dim_key).distinct().count()
     n_bits, n_hashes = optimal_bits(max(n, 1), fpp)
     words = build_bloom(dim.select(dim_key), dim_key, n_bits, n_hashes)

@@ -43,9 +43,12 @@ MOD = 1_000_000_007
 
 
 def _token_val(tok: Column) -> Column:
-    # first 8 md5 hex chars as a 32-bit int — the engine-portable token
-    # hash (DuckDB: ('0x' || substr(md5(t), 1, 8))::BIGINT)
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    # engine-portable 32-bit token hash (functions/hashing.py owns the
+    # one copy of the md5 idiom; DuckDB twin:
+    # ('0x' || substr(md5(t), 1, 8))::BIGINT)
+    from kgdata_spark.functions.hashing import md5_int32
+
+    return md5_int32(tok)
 
 
 def cdc_chunks(

@@ -306,15 +306,14 @@ def _md5_uniform(col: Column, seed: str = "") -> Column:
     `sample_mixture`'s membership test — bit-replayable in DuckDB
     (`('0x' || substr(md5(...), 1, 8))::BIGINT / 4294967296.0`), never
     dependent on partitioning, row order, or engine RNG."""
+    from kgdata_spark.functions.hashing import md5_int32
+
     keyed = (
         F.concat_ws("|", F.lit(seed), col.cast("string"))
         if seed
         else col.cast("string")
     )
-    return (
-        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    return md5_int32(keyed).cast("double") / F.lit(float(1 << 32))
 
 
 def split_corpus(
@@ -433,17 +432,18 @@ def weighted_sample_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    from kgdata_spark.functions.hashing import md5_int32
+
     # (h + 0.5) / 2^32 keeps u strictly inside (0, 1): ln(0) is the only
     # failure mode of the textbook formula and h == 0 happens once every
-    # 4 billion ids
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    # 4 billion ids. Keying convention matches _md5_uniform (bare id when
+    # seed is empty).
+    keyed = (
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+        if seed
+        else F.col(id_col).cast("string")
+    )
+    u = (md5_int32(keyed).cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
     ln_micro = F.round(F.log(u) * F.lit(1_000_000.0)).cast("bigint")
     pri = (ln_micro / weight.cast("double")).alias("_priority")
     return (

@@ -523,32 +523,26 @@ def negative_edge_samples(
         raise ValueError("need at least 2 nodes to corrupt tails")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     tries = F.sequence(F.lit(0), F.lit(k * max_tries - 1))
+    from kgdata_spark.functions.hashing import md5_int32
+
     cand = e.select(
         "_s",
         "_d",
-        F.posexplode(tries).alias("_try", "_t"),
+        F.explode(tries).alias("_try"),
     ).select(
         "_s",
         "_d",
         "_try",
         F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(seed),
-                            F.col("_s").cast("string"),
-                            F.col("_d").cast("string"),
-                            F.col("_try").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            md5_int32(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col("_s").cast("string"),
+                    F.col("_d").cast("string"),
+                    F.col("_try").cast("string"),
+                )
+            ),
             F.lit(n_nodes),
         ).alias("_pos"),
     )

@@ -47,7 +47,8 @@ def distributed_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     num_buckets: int = 32,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Exclusive prefix sum of `value_col` in `order_col` order, without a
     global single-partition window.
 
@@ -55,6 +56,10 @@ def distributed_cumsum(
     before this row in `order_col` order. `order_col` must be unique (it is
     the total order); any orderable type works. `num_buckets` bounds the
     size of the driver-side offset table (one row per bucket).
+
+    `return_total=True` returns `(df, grand_total)` instead — the total is
+    already on the driver from the bucket-offset pass, so callers needing
+    it (quantile_bins' n) get it for free instead of re-scanning.
     """
     bucketed = (
         df.repartitionByRange(num_buckets, F.col(order_col))
@@ -92,6 +97,8 @@ def distributed_cumsum(
         .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("bigint"))
         .drop("_bucket", "_local", "_offset")
     )
+    if return_total:
+        return out, int(running)
     return out
 
 

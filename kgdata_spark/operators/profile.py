@@ -139,16 +139,18 @@ def skew_report(
     if top_n <= 0:
         raise ValueError(f"top_n must be positive, got {top_n}")
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
-    total = df.count()
-    if total == 0:
-        raise ValueError("cannot profile an empty table")
-    ranked = (
+    # total = sum over the aggregate, attached as a broadcast one-row
+    # frame INSIDE the same plan: both branches share the counts
+    # Exchange (ReusedExchange), so the input is scanned exactly once —
+    # an eager df.count() here would double the dominant cost at scale.
+    total = counts.agg(F.sum("key_rows").cast("double").alias("_total"))
+    return (
         counts.orderBy(F.col("key_rows").desc(), *key_cols)
         .limit(top_n)
+        .crossJoin(F.broadcast(total))
         .select(
             *key_cols,
             "key_rows",
-            F.round(F.col("key_rows") / F.lit(float(total)), 9).alias("share"),
+            F.round(F.col("key_rows") / F.col("_total"), 9).alias("share"),
         )
     )
-    return ranked

@@ -531,13 +531,24 @@ def mmr_rerank(
         raise ValueError(f"k must be positive, got {k}")
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    qv = F.lit([float(x) for x in query_vec])
-    base = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_n"),
-    ).withColumn(
-        "_rel", F.round(_dot(F.col("_v"), qv) / (F.col("_n") * _norm(qv)), round_digits)
+    qf = [float(x) for x in query_vec]
+    if not any(x != 0.0 for x in qf):
+        raise ValueError("query_vec has zero norm — cosine is undefined")
+    qv = F.lit(qf)
+    # zero-norm corpus vectors are dropped, not scored: 0/0 relevance is
+    # NaN, and Spark orders NaN FIRST under desc — a single zero embedding
+    # would be pick #1 every time and poison the penalty column
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "_rel",
+            F.round(_dot(F.col("_v"), qv) / (F.col("_n") * _norm(qv)), round_digits),
+        )
     )
     # penalty state: running max cosine against the selected set, updated
     # incrementally with only the LAST pick each round

@@ -119,3 +119,23 @@ def test_fuzz_no_false_negatives(spark_hyp, members, probes):
 def spark_hyp(spark):
     # hypothesis forbids function-scoped fixtures; reuse the session one.
     return spark
+
+
+def test_mixed_key_types_hash_identically(spark):
+    # xxhash64 output depends on the physical type; the sketch normalizes
+    # keys to string so an int-typed probe still finds a long-built member
+    members = spark.range(100)  # bigint
+    n_bits, n_hashes = optimal_bits(100, 0.01)
+    words = build_bloom(members, "id", n_bits, n_hashes)
+    probes = spark.range(100).select(F.col("id").cast("int").alias("id"))
+    n_pass = probes.where(
+        might_contain(F.col("id"), words, n_bits, n_hashes)
+    ).count()
+    assert n_pass == 100  # zero false negatives across numeric widths
+
+
+def test_prune_join_rejects_mismatched_key_types(spark):
+    fact = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_prune_join(fact, dim, "k", "dk")

@@ -102,3 +102,14 @@ def test_fuzz_vs_python_model(spark_hyp, n, seed, lam):
 @pytest.fixture(scope="module")
 def spark_hyp(spark):
     return spark
+
+
+def test_zero_vectors_never_poison_the_ranking(spark):
+    # NaN relevance sorts FIRST under desc in Spark; zero embeddings must
+    # be dropped, and a zero query must raise, or the result is garbage
+    vecs = {0: [0.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0]}
+    got = mmr_rerank(_df(spark, vecs), [1.0, 0.5], k=3, lam=0.6)
+    assert [i for i, _ in got] != [] and 0 not in {i for i, _ in got}
+    assert all(s == s for _, s in got)  # no NaN scores
+    with pytest.raises(ValueError, match="zero norm"):
+        mmr_rerank(_df(spark, vecs), [0.0, 0.0], k=1)

@@ -30,14 +30,20 @@ def test_skew_report_composite_key_and_guards(spark):
         skew_report(df, [], 5)
     with pytest.raises(ValueError, match="top_n"):
         skew_report(df, ["a"], 0)
-    with pytest.raises(ValueError, match="empty table"):
-        skew_report(df.where(F.lit(False)), ["a"], 5)
+    # empty input -> empty report, lazily (no eager count job)
+    assert skew_report(df.where(F.lit(False)), ["a"], 5).count() == 0
 
 
-def test_skew_report_no_global_sort(spark):
+def test_skew_report_no_global_sort_one_scan(spark):
     df = spark.range(100).select((F.col("id") % 7).alias("k"))
-    plan = skew_report(df, ["k"], 5)._jdf.queryExecution().executedPlan().toString()
+    rep = skew_report(df, ["k"], 5)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    # total rides the SAME counts exchange — AQE dedups the identical
+    # shuffle at runtime, so assert reuse on the FINAL adaptive plan
+    rep.collect()
+    final = rep._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
 
 
 def test_stratified_exact_counts_and_determinism(spark):
