@@ -24,7 +24,9 @@ Snapshot publishing (Iceberg-snapshot contract, pipeline/snapshots.py):
 `--publish TABLE_DIR` commits the final triples atomically (pointer swap
 after manifest verify — a crashed publish never clobbers the last good
 table); `--history TABLE_DIR STAGE` lists committed versions;
-`--rollback TABLE_DIR STAGE V` re-points.
+`--rollback TABLE_DIR STAGE V` re-points; `--compact TABLE_DIR STAGE`
+rewrites the committed latest at ~--target-mb per file as a new version
+(checksum-verified content preservation, pointer rollback on mismatch).
 """
 
 from __future__ import annotations
@@ -66,7 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rollback", nargs=3, metavar=("TABLE_DIR", "STAGE", "V"),
                    default=None, help="re-point STAGE at snapshot V")
     p.add_argument("--target-mb", type=int, default=64,
-                   help="target output file size for --rebalance (MB)")
+                   help="target output file size for --rebalance/--compact (MB)")
+    p.add_argument("--compact", nargs=2, metavar=("TABLE_DIR", "STAGE"),
+                   default=None,
+                   help="rewrite STAGE's committed latest snapshot at "
+                        "~target-mb per file as a new version (checksum-"
+                        "verified, rolls back on mismatch)")
     args = p.parse_args(argv)
 
     from kgdata_spark.session import get_spark
@@ -87,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark(app_name="kgdata_spark_pipeline", master=args.master)
+
+    if args.compact:
+        from kgdata_spark.pipeline.snapshots import compact_snapshot
+
+        version, n_files, checksum = compact_snapshot(
+            spark, args.compact[0], args.compact[1], target_mb=args.target_mb
+        )
+        print(json.dumps({"compacted": args.compact[1], "version": version,
+                          "n_files": n_files, "checksum": checksum}))
+        return 0
 
     if args.diff:
         from kgdata_spark.operators.checksum import dataset_checksum, diff_datasets
