@@ -8,12 +8,24 @@ pure-python greedy model, plus the diversity property MMR exists for.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from kgdata_spark.operators.similarity import mmr_rerank
+
+
+def _r(x, nd=6):
+    """Spark's round(double, nd): Java BigDecimal.valueOf goes through the
+    SHORTEST decimal repr of the double, then HALF_UP — so a raw score
+    whose shortest repr is 0.2654375 rounds to 0.265438, while Python's
+    round() (exact binary value, half-even) gives 0.265437. repr() is the
+    same shortest-roundtrip string Double.toString produces at these
+    magnitudes. Found by hypothesis (seed=0, lam=0.7 boundary case)."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _cos(a, b):
@@ -24,20 +36,20 @@ def _cos(a, b):
 
 
 def _py_mmr(vecs, q, k, lam, nd=6):
-    rel = {i: round(_cos(v, q), nd) for i, v in vecs.items()}
+    rel = {i: _r(_cos(v, q), nd) for i, v in vecs.items()}
     pen = {i: None for i in vecs}
     out = []
     rest = set(vecs)
     for _ in range(min(k, len(vecs))):
         scored = sorted(
-            ((round(lam * rel[i] - (1 - lam) * (pen[i] or 0.0), nd), i) for i in rest),
+            ((_r(lam * rel[i] - (1 - lam) * (pen[i] or 0.0), nd), i) for i in rest),
             key=lambda t: (-t[0], t[1]),
         )
         s, i = scored[0]
         out.append((i, s))
         rest.remove(i)
         for j in rest:
-            sim = round(_cos(vecs[j], vecs[i]), nd)
+            sim = _r(_cos(vecs[j], vecs[i]), nd)
             pen[j] = sim if pen[j] is None else max(pen[j], sim)
     return out
 
