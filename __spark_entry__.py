@@ -3044,6 +3044,61 @@ def q_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_activity(_t(spark, sf_dir, "events"))
 
 
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heavy hitters via mergeable Misra-Gries summaries (Agarwal et al.
+    # 2012): exact tokens with cnt*(k+1) > n, but the only corpus-wide
+    # shuffle is over candidate-token rows (<= P*k candidates survive the
+    # per-partition O(k)-state summary pass). The exact second pass makes
+    # the output partitioning-independent, so the oracle is plain SQL.
+    from kgdata_spark.operators.sketches import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return heavy_hitters(toks, k=30)
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit-distance similarity self-join with PROVABLE length-band
+    # blocking (|len(a)-len(b)| <= d is a theorem about edit scripts, not
+    # a heuristic); the oracle is deliberately a brute-force all-pairs
+    # join so the gate verifies blocking COMPLETENESS, exactly like
+    # exact_jaccard_pairs. Distinct names first: similarity is a property
+    # of the string, not of the (much larger) part row multiset.
+    from kgdata_spark.operators.fuzzy import fuzzy_self_join
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    res = fuzzy_self_join(names, "p_name", "p_name", max_dist=2)
+    return res.select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def q_spatial_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grid-bucketed epsilon-distance self-join: customers mapped to
+    # md5-derived uniform points in the unit square (engine-portable,
+    # functions/hashing.md5_int32 recipe), eps = 2^-5 so x/eps and the
+    # squared distance are exact IEEE expressions in both engines. The
+    # oracle is the brute-force O(n^2) distance join — it verifies the
+    # 3x3 neighbor-cell candidate generation finds EVERY qualifying pair.
+    from kgdata_spark.functions.hashing import md5_int32
+    from kgdata_spark.operators.spatial import grid_distance_join
+
+    eps = 1.0 / 32
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        (md5_int32(F.concat(F.lit("px|"), F.col("c_custkey"))) / F.lit(4294967296.0)).alias("px"),
+        (md5_int32(F.concat(F.lit("py|"), F.col("c_custkey"))) / F.lit(4294967296.0)).alias("py"),
+    )
+    res = grid_distance_join(pts, eps, id_col="pid", x_col="px", y_col="py")
+    return res.select("id_a", "id_b", F.round("dist_sq", 9).alias("dist_sq_r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3193,6 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_negative_samples": q_edge_negative_samples,
         "pmi_collocations": q_pmi_collocations,
         "user_daily_activity": q_user_daily_activity,
+        "frequent_tokens": q_frequent_tokens,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "spatial_close_pairs": q_spatial_close_pairs,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -3629,6 +3687,44 @@ def oracle_sql() -> dict[str, str]:
         d["zstd_dump_parse"] = """
             SELECT c_custkey, c_name, c_nationkey FROM customer
         """
+    # frequent_tokens: exact heavy hitters (the MG sketch only bounds the
+    # candidate set, so plain exact SQL is the right oracle). k=30.
+    d["frequent_tokens"] = f"""
+        WITH toks AS ({words}),
+        n AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT word AS token, COUNT(*) AS cnt
+        FROM toks, n GROUP BY word, n.n HAVING COUNT(*) * 31 > n.n
+    """
+    # fuzzy_part_names: deliberately brute-force all-pairs levenshtein —
+    # NO length prefilter — so the gate verifies the Spark side's
+    # length-band blocking is complete, not merely consistent.
+    d["fuzzy_part_names"] = """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """
+    # spatial_close_pairs: brute-force O(n^2) distance join verifies the
+    # grid join's 3x3 candidate generation is complete. Same md5-uniform
+    # point derivation as the Spark side (hashing.md5_int32 recipe); all
+    # coordinates are dyadic rationals and eps=2^-5, so the squared
+    # distance is the identical IEEE expression in both engines.
+    d["spatial_close_pairs"] = """
+        WITH pts AS (
+            SELECT c_custkey AS pid,
+                   CAST(('0x' || substr(md5('px|' || c_custkey), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS px,
+                   CAST(('0x' || substr(md5('py|' || c_custkey), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS py
+            FROM customer WHERE c_custkey % 3 = 0)
+        SELECT a.pid AS id_a, b.pid AS id_b,
+               ROUND((a.px - b.px) * (a.px - b.px)
+                     + (a.py - b.py) * (a.py - b.py), 9) AS dist_sq_r
+        FROM pts a JOIN pts b ON a.pid < b.pid
+        WHERE (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) <= (1.0/32) * (1.0/32)
+    """
     # kg_triples_scored: replay the 0.3·norm_prior + 0.7·jaccard argmax.
     # Token sets are tiny and fixed by construction, so the jaccard values
     # are closed-form: EA labels ('thing j') share one of three union

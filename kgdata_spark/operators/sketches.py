@@ -1,0 +1,111 @@
+"""Frequent-items (heavy hitters) via mergeable Misra–Gries summaries.
+
+The missing member of the profiling family next to the exact `skew_report`
+and the HLL/quantile `profile_table_approx` (operators/profile.py): find
+every token whose corpus frequency exceeds n/(k+1) WITHOUT a corpus-wide
+groupBy on the raw token stream. The reference engine's aggregate-everything
+approach (kgdata builds full term frequency tables, e.g. models building
+candidate dictionaries in wikidata/datasets/*) is exactly the shape that
+hurts at 100 TB: a shuffle keyed by *every distinct token* (billions of
+grouping keys, heavy skew on stopwords) where the answer only needs the
+few hundred heavy ones.
+
+Algorithm (two passes, both bounded):
+
+1. **Summary pass** — `mapInPandas` builds one Misra–Gries summary of
+   capacity ``k`` per partition (O(k) state, no shuffle). Batches are
+   folded in with the mergeable-summaries MERGE of Agarwal, Cormode,
+   Huang, Phillips, Wei, Yi — "Mergeability of Summaries" (PODS 2012):
+   add the batch's exact counts, then subtract the (k+1)-th largest
+   counter from every counter and drop the non-positives. That operation
+   keeps ≤ k counters and preserves the MG bound: every counter
+   underestimates its item's true partition count by at most
+   n_p/(k+1). Each partition emits its ≤ k candidate tokens plus one
+   tally row carrying the partition's token count.
+
+2. **Exact pass** — the union of per-partition candidates (≤ P·k tokens,
+   driver-collected and broadcast) is provably a superset of the global
+   heavy hitters: if count(t) > n/(k+1) then by pigeonhole some partition
+   has count_p(t) > n_p/(k+1), so t survives that partition's summary.
+   A broadcast LEFT SEMI join prunes the token stream to candidate rows
+   only, ONE small groupBy counts them exactly, and the exact threshold
+   ``cnt·(k+1) > n`` filters. The output is therefore EXACT and
+   independent of partitioning — the sketch only bounds *which* tokens
+   reach the counting shuffle.
+
+Shuffle accounting at scale: the naive plan shuffles (post-combine) one
+row per distinct token per map task; this plan shuffles ≤ P·k candidate
+summary rows in pass 1 and only occurrences of ≤ P·k candidate tokens in
+pass 2. For skewed natural-language streams the candidate filter removes
+the long tail — which is also the part that makes the naive hash
+aggregate spill.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_merge(counters: dict, batch_counts: dict, k: int) -> dict:
+    """Mergeable-summaries MERGE: add, then offset by the (k+1)-th largest.
+
+    Valid because `batch_counts` (exact) is itself an MG summary with zero
+    error; the offset step keeps ≤ k counters and adds ≤ offset to every
+    item's undercount, and the summed undercount stays ≤ n/(k+1)
+    (Agarwal et al. 2012, Thm. 1).
+    """
+    for tok, c in batch_counts.items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) > k:
+        vals = sorted(counters.values(), reverse=True)
+        offset = vals[k]  # the (k+1)-th largest counter
+        counters = {t: c - offset for t, c in counters.items() if c > offset}
+    return counters
+
+
+def heavy_hitters(tokens: DataFrame, k: int, token_col: str = "token") -> DataFrame:
+    """Exact tokens with count·(k+1) > n, via per-partition MG candidates.
+
+    Returns (token, cnt) for every token whose exact corpus count strictly
+    exceeds n/(k+1), where n is the total token count. Output is exact —
+    the MG pass only bounds the candidate set (see module docstring).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    stream = tokens.select(F.col(token_col).cast("string").alias("token"))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_part = 0
+        for b in batches:
+            col = b["token"].dropna()
+            n_part += len(col)
+            _mg_merge(counters, col.value_counts().to_dict(), k)
+        out = pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "part_n": [0] * len(counters) + [n_part],
+            }
+        )
+        yield out
+
+    summary = stream.mapInPandas(summarize, "token string, part_n long").collect()
+    n_total = sum(r.part_n for r in summary if r.token is None)
+    candidates = sorted({r.token for r in summary if r.token is not None})
+
+    spark = tokens.sparkSession
+    if not candidates or n_total == 0:
+        return spark.createDataFrame([], "token string, cnt long")
+
+    cand_df = spark.createDataFrame(pd.DataFrame({"token": candidates}))
+    return (
+        stream.join(F.broadcast(cand_df), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * (k + 1) > F.lit(n_total))
+    )

@@ -1,0 +1,94 @@
+"""ε-distance spatial self-join via uniform grid bucketing.
+
+The 2-D member of the similarity-join family (set overlap → `dedup`,
+edit distance → `fuzzy`, vectors → `similarity`): all pairs of points
+within Euclidean distance ε, without a cross join. The same composition
+the engine uses everywhere — replicate the probe side to the bounded set
+of buckets that can possibly hold a partner, equi-join on the bucket key,
+then apply the exact predicate — instantiated on a uniform grid of cell
+side ε.
+
+Soundness: if dist(a, b) ≤ ε then b's cell is one of the 9 cells in the
+3×3 neighborhood of a's cell (each coordinate differs by < ε ≤ one cell
+side). The probe side explodes each point to those 9 (cell_x, cell_y)
+keys; the build side keeps its own cell; the equi-join therefore sees
+every qualifying pair — and sees it exactly twice (a probing b's cell and
+b probing a's), reduced to once by ``id_a < id_b``. A pair never matches
+twice through different cells because the build side owns a single cell.
+
+Scale shape: one shuffle on the cell key, candidate count Σ_c n_c · m_c
+over neighboring-cell products — local density decides the cost, never
+corpus size. Skewed hot cells are ordinary join skew: AQE's skew-join
+split applies because this is a plain equi-join, and the cell key can be
+salted with `joins.salted_join` if a single cell degenerates. The exact
+distance filter runs post-join, embarrassingly parallel. At 100 TB the
+grid generalizes to a space-filling-curve bucketing (`pipeline/zorder.py`
+builds exactly that key) so cell ranges also prune file scans.
+
+Engine parity: callers pass ε; when ε is a negative power of two and the
+coordinates are dyadic rationals (e.g. the md5-derived uniforms from
+`functions/hashing.md5_int32` scaled by 2^-32), x/ε and the squared
+distance are exact IEEE expressions a SQL oracle reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_distance_join(
+    pts: DataFrame,
+    eps: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Pairs (id_a, id_b, dist_sq) with (xa−xb)² + (ya−yb)² ≤ ε².
+
+    Emits the exact squared distance (no sqrt — keeps the expression
+    closed over +,−,× so oracle comparison is exact before rounding).
+    """
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+
+    base = pts.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col) / eps).alias("cx"),
+        F.floor(F.col(y_col) / eps).alias("cy"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    neighbor = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    probe = base.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        "cx", "cy", neighbor.alias("nb"),
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("nb.dx")).alias("jx"),
+        (F.col("cy") + F.col("nb.dy")).alias("jy"),
+    )
+    build = base.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist_sq = dx * dx + dy * dy
+    return (
+        probe.join(build, ["jx", "jy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_sq", dist_sq)
+        .where(F.col("dist_sq") <= F.lit(eps) * F.lit(eps))
+        .select("id_a", "id_b", "dist_sq")
+    )

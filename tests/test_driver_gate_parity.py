@@ -113,6 +113,11 @@ DOCUMENTED_OVERFLOW = {
     "edge_negative_samples",
     "pmi_collocations",
     "user_daily_activity",
+    # round-4 final wave, green in CORRECTNESS_local_r04.json (sf0.01)
+    # and re-checked at sf0.1 (COVERAGE.md round-4 closing evidence)
+    "frequent_tokens",
+    "fuzzy_part_names",
+    "spatial_close_pairs",
 }
 
 # Environment-gated queries: registered only where the environment

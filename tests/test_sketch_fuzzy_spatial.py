@@ -1,0 +1,195 @@
+"""Misra-Gries heavy hitters, levenshtein fuzzy join, grid ε-distance join.
+
+Each is exact-output by construction (the sketch/blocking only bounds the
+candidate set), so every test compares against a brute-force pure-python
+model — including completeness of the candidate generation, which is the
+part a wrong blocking silently breaks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.fuzzy import fuzzy_self_join
+from kgdata_spark.operators.sketches import _mg_merge, heavy_hitters
+from kgdata_spark.operators.spatial import grid_distance_join
+
+# ---------------------------------------------------------------- sketches
+
+
+def _brute_hh(tokens: list[str], k: int) -> dict[str, int]:
+    n = len(tokens)
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    return {t: c for t, c in counts.items() if c * (k + 1) > n}
+
+
+def _zipfish(seed: int, n: int) -> list[str]:
+    # deterministic skewed stream: token i appears ~ n/(i+1) times
+    out = []
+    i = 0
+    while len(out) < n:
+        reps = max(1, n // (2 * (i + 1)))
+        out.extend([f"tok{(seed + i) % 37}"] * min(reps, n - len(out)))
+        i += 1
+    return out
+
+
+def test_heavy_hitters_exact_vs_brute(spark):
+    toks = _zipfish(3, 500)
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {r.token: r.cnt for r in heavy_hitters(df, k=5).collect()}
+    assert got == _brute_hh(toks, 5)
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    toks = _zipfish(7, 400)
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(
+            parts
+        )
+        got = {r.token: r.cnt for r in heavy_hitters(df, k=4).collect()}
+        assert got == _brute_hh(toks, 4), parts
+
+
+def test_heavy_hitters_empty_and_guard(spark):
+    empty = spark.createDataFrame([], "token string")
+    assert heavy_hitters(empty, k=3).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(empty, k=0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.lists(st.integers(0, 9), min_size=1, max_size=300), k=st.integers(1, 6))
+def test_mg_merge_guarantee(data, k):
+    # fold the stream through _mg_merge in arbitrary batch cuts: every item
+    # with count > n/(k+1) must survive (the candidate-superset theorem)
+    toks = [f"t{d}" for d in data]
+    counters: dict = {}
+    for i in range(0, len(toks), 7):
+        batch = toks[i : i + 7]
+        bc: dict = {}
+        for t in batch:
+            bc[t] = bc.get(t, 0) + 1
+        counters = _mg_merge(counters, bc, k)
+    assert len(counters) <= k
+    n = len(toks)
+    exact: dict = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+    for t, c in exact.items():
+        if c * (k + 1) > n:
+            assert t in counters, (t, c, n, k, counters)
+
+
+# ------------------------------------------------------------------- fuzzy
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_fuzzy(rows: list[tuple[int, str]], d: int) -> set[tuple]:
+    return {
+        (ia, ib, na, nb, _lev(na, nb))
+        for ia, na in rows
+        for ib, nb in rows
+        if ia < ib and _lev(na, nb) <= d
+    }
+
+
+FUZZ_NAMES = [
+    "small ring", "small king", "smallring", "old bolt", "hot bolt",
+    "cold bolt", "bolt", "a", "", "ab", "ring small", "small rings",
+]
+
+
+def test_fuzzy_self_join_vs_brute(spark):
+    rows = list(enumerate(FUZZ_NAMES))
+    df = spark.createDataFrame(rows, "pid long, name string")
+    for d in (0, 1, 2, 3):
+        got = {
+            (r.id_a, r.id_b, r.name_a, r.name_b, r.dist)
+            for r in fuzzy_self_join(df, "pid", "name", d).collect()
+        }
+        assert got == _brute_fuzzy(rows, d), d
+
+
+def test_fuzzy_extra_block_col(spark):
+    # same names in different languages must NOT pair when blocked by lang
+    rows = [(0, "abc", "en"), (1, "abd", "en"), (2, "abc", "de")]
+    df = spark.createDataFrame(rows, "pid long, name string, lang string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_join(df, "pid", "name", 1, extra_block_col="lang").collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_fuzzy_nulls_and_guard(spark):
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, None), (2, "abd")], "pid long, name string"
+    )
+    got = {(r.id_a, r.id_b) for r in fuzzy_self_join(df, "pid", "name", 1).collect()}
+    assert got == {(0, 2)}
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_self_join(df, "pid", "name", -1)
+
+
+# ------------------------------------------------------------------ spatial
+
+
+def _pts(seed: int, n: int) -> list[tuple[int, float, float]]:
+    # deterministic low-discrepancy-ish points in the unit square
+    out = []
+    for i in range(n):
+        x = ((seed + i * 73) % 997) / 997.0
+        y = ((seed + i * 179) % 991) / 991.0
+        out.append((i, x, y))
+    return out
+
+
+def _brute_pairs(pts, eps):
+    out = set()
+    for ia, xa, ya in pts:
+        for ib, xb, yb in pts:
+            if ia < ib and (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps:
+                out.add((ia, ib))
+    return out
+
+
+def test_grid_join_vs_brute(spark):
+    for seed, eps in ((1, 1 / 16), (5, 0.07), (9, 1 / 32)):
+        pts = _pts(seed, 120)
+        df = spark.createDataFrame(pts, "pid long, px double, py double")
+        res = grid_distance_join(df, eps, id_col="pid", x_col="px", y_col="py")
+        rows = res.collect()
+        got = {(r.id_a, r.id_b) for r in rows}
+        assert len(rows) == len(got)  # no duplicate pair through two cells
+        assert got == _brute_pairs(pts, eps), (seed, eps)
+        for r in rows:  # exact squared distance carried through
+            _, xa, ya = pts[r.id_a]
+            _, xb, yb = pts[r.id_b]
+            assert r.dist_sq == (xa - xb) ** 2 + (ya - yb) ** 2
+
+
+def test_grid_join_boundary_points_and_guard(spark):
+    # points exactly on cell boundaries and exactly eps apart
+    eps = 0.25
+    pts = [(0, 0.25, 0.25), (1, 0.5, 0.25), (2, 0.999, 0.999), (3, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "pid long, px double, py double")
+    got = {(r.id_a, r.id_b) for r in grid_distance_join(df, eps, id_col="pid", x_col="px", y_col="py").collect()}
+    assert got == _brute_pairs(pts, eps) and (0, 1) in got
+    with pytest.raises(ValueError, match="eps"):
+        grid_distance_join(df, 0.0, id_col="pid", x_col="px", y_col="py")
