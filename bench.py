@@ -302,7 +302,45 @@ def main() -> None:
         "curated_docs_per_sec": round(n_docs / cur_sec, 1),
         "timing": "per-query min-of-2 (steady-state; plan JIT amortizes at scale)",
     }
-    print(json.dumps(out))
+    print(_compact_line(out))
+
+
+def _compact_line(out: dict, limit: int = 1900) -> str:
+    """Render the result as ONE stdout line that fits the harness's
+    bounded output capture (measured: the recorder keeps a 2000-char tail
+    and its JSON parse of the final line fails past that — BENCH_r02/r03
+    recorded ``parsed: null`` once the per-query dict crossed the limit,
+    while the 47-query r01 line parsed fine). The FULL per-query dict is
+    written to BENCH_full.json beside this script; stdout keeps every
+    headline metric plus the slowest queries that fit the budget, with
+    explicit markers for what was elided and where to find it."""
+    full = json.dumps(out)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the compact line
+    if len(full) <= limit:
+        return full
+    qs = out["queries"]
+    keep = {k: qs[k] for k in ("pipeline_e2e", "curation_e2e") if k in qs}
+    rest = sorted(
+        ((k, v) for k, v in qs.items() if k not in keep),
+        key=lambda kv: -kv[1],
+    )
+    compact = dict(out)
+    compact["n_queries"] = len(qs)
+    compact["queries_full"] = "BENCH_full.json"
+    for cut in range(len(rest) + 1):
+        kept = dict(keep)
+        kept.update(rest[: len(rest) - cut])
+        compact["queries"] = {k: qs[k] for k in qs if k in kept}
+        compact["queries_elided"] = cut
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= limit:
+            return line
+    return line
 
 
 if __name__ == "__main__":
