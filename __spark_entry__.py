@@ -3099,6 +3099,31 @@ def q_spatial_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("dist_sq", 9).alias("dist_sq_r"))
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance resampling (Xie et al. 2023): src0 is the trusted
+    # target corpus, everything else is raw; hashed uni+bigram multinomials
+    # over 256 buckets, Gumbel-top-100 on the micro-nat log-ratio — the
+    # whole draw is md5-derived so DuckDB replays it bit-exactly
+    from kgdata_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.col("source") != "src0")
+    tgt = d.where(F.col("source") == "src0")
+    return dsir_select(raw, tgt, k=100, n_buckets=256)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # α=0.5 temperature rebalancing toward a 4000-token budget: small
+    # sources keep a larger share than proportional sampling would give
+    from kgdata_spark.operators.curation import sample_temperature
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_temperature(d, total_budget=4000, alpha=0.5)
+    return out.select(
+        "doc_id", "source", F.round("keep_rate", 6).alias("keep_rate")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3251,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "fuzzy_part_names": q_fuzzy_part_names,
         "spatial_close_pairs": q_spatial_close_pairs,
+        "dsir_select": q_dsir_select,
+        "temperature_mixture": q_temperature_mixture,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -3724,6 +3751,88 @@ def oracle_sql() -> dict[str, str]:
         FROM pts a JOIN pts b ON a.pid < b.pid
         WHERE (a.px - b.px) * (a.px - b.px)
               + (a.py - b.py) * (a.py - b.py) <= (1.0/32) * (1.0/32)
+    """
+    # dsir_select: full replay of the DSIR draw — hashed uni+bigram
+    # multinomials over 256 buckets (md5_int32 bucket hash), Laplace
+    # smoothing, per-gram log-ratios quantized to BIGINT micro-nats
+    # before the per-doc sum (order-independent, PERF.md §27), md5-Gumbel
+    # noise, top-100. Every float op is single-eval on identical inputs.
+    d["dsir_select"] = r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        grams AS (
+            SELECT doc_id, source, g FROM (
+                SELECT doc_id, source,
+                       unnest(list_concat(arr,
+                           list_transform(arr[2:], (x, i) -> arr[i] || ' ' || x)
+                       )) AS g
+                FROM toks)),
+        b AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
+            FROM grams),
+        rawc AS (SELECT bucket, count(*) AS cr FROM b
+                 WHERE source <> 'src0' GROUP BY 1),
+        tgtc AS (SELECT bucket, count(*) AS ct FROM b
+                 WHERE source = 'src0' GROUP BY 1),
+        nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n_raw FROM rawc),
+        nt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_tgt FROM tgtc),
+        scored AS (
+            SELECT doc_id,
+                   CAST(round((ln((coalesce(ct, 0) + 1) / (n_tgt + 256.0))
+                             - ln((coalesce(cr, 0) + 1) / (n_raw + 256.0)))
+                              * 1000000) AS BIGINT) AS lr
+            FROM b LEFT JOIN tgtc USING (bucket)
+                   LEFT JOIN rawc USING (bucket)
+                   CROSS JOIN nr CROSS JOIN nt
+            WHERE source <> 'src0'),
+        agg AS (SELECT doc_id, count(*) AS n_grams,
+                       CAST(sum(lr) AS BIGINT) AS logratio_micro
+                FROM scored GROUP BY 1),
+        w AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   a.logratio_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            WHERE d.source <> 'src0'),
+        g AS (
+            SELECT doc_id, n_grams, logratio_micro,
+                   coalesce(logratio_micro, 0)
+                   + CAST(round(-ln(-ln(
+                         (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT + 0.5) / 4294967296.0))
+                         * 1000000) AS BIGINT) AS score_micro
+            FROM w)
+        SELECT doc_id, n_grams, logratio_micro, score_micro
+        FROM g ORDER BY score_micro DESC, doc_id LIMIT 100
+    """
+    # temperature_mixture: α=0.5 budgets — W^α quantizes to micro units
+    # per source before the cross-source sum; the rate expression keeps
+    # the Spark side's exact op order ((sm/grand) * budget / actual).
+    d["temperature_mixture"] = r"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS wt
+            FROM documents),
+        tot AS (SELECT source, CAST(SUM(wt) AS BIGINT) AS actual
+                FROM w GROUP BY source),
+        s AS (SELECT source, actual,
+                     CAST(round(pow(CAST(actual AS DOUBLE), 0.5) * 1000000.0)
+                          AS BIGINT) AS sm
+              FROM tot),
+        g AS (SELECT CAST(SUM(sm) AS BIGINT) AS grand FROM s),
+        r AS (SELECT source,
+                     least(1.0, (CAST(sm AS DOUBLE) / grand) * 4000.0 / actual)
+                         AS kr
+              FROM s CROSS JOIN g)
+        SELECT doc_id, source, round(kr, 6) AS keep_rate
+        FROM w JOIN r USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS DOUBLE) / 4294967296.0 < kr
     """
     # kg_triples_scored: replay the 0.3·norm_prior + 0.7·jaccard argmax.
     # Token sets are tiny and fixed by construction, so the jaccard values

@@ -247,6 +247,67 @@ def sample_mixture(
     )
 
 
+def sample_temperature(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: per-source budgets ∝ W_d^α
+    (the multilingual/multi-domain rebalancing rule of mBERT/XLM-R-style
+    recipes — α < 1 upsamples small sources relative to their natural
+    share; α = 1 is proportional, α → 0 uniform).
+
+    Each source with actual weight W_d gets target
+    ``total_budget · W_d^α / Σ W^α`` and keeps a doc iff its md5-uniform
+    draw is below ``min(1, target/W_d)`` — the `sample_mixture` membership
+    rule, so the sample is deterministic, engine-independent, resumable,
+    and one groupBy + a broadcast rates join + a stateless filter (the
+    corpus itself never shuffles).
+
+    Oracle parity of the normalizer: W_d^α quantizes to BIGINT micro
+    units per source BEFORE the cross-source sum (float Σ is
+    order-dependent, integer Σ is not — PERF.md §27), and every
+    subsequent step is a single exact-rounded IEEE op, so DuckDB replays
+    the rates bit-for-bit. Returns surviving rows + `keep_rate`.
+    """
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    w = (
+        weight_col
+        if weight_col is not None
+        else F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    )
+    totals = (
+        docs.withColumn("_w", w)
+        .groupBy(source_col)
+        .agg(F.sum("_w").alias("_actual"))
+        .withColumn(
+            "_sm",
+            F.round(F.pow(F.col("_actual").cast("double"), F.lit(alpha)) * 1e6)
+            .cast("bigint"),
+        )
+    )
+    grand = F.broadcast(totals.agg(F.sum("_sm").alias("_grand")))
+    rates = totals.crossJoin(grand).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_sm").cast("double") / F.col("_grand"))
+            * F.lit(float(total_budget))
+            / F.col("_actual"),
+        ).alias("keep_rate"),
+    )
+    u = _md5_uniform(F.col(id_col))
+    return docs.join(maybe_broadcast(rates), source_col, "inner").where(
+        u < F.col("keep_rate")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1,0 +1,197 @@
+"""Data Selection via Importance Resampling (DSIR).
+
+Xie et al. 2023 (arXiv:2302.03169) select pretraining documents whose
+hashed-n-gram distribution resembles a small trusted target corpus:
+fit bag-of-hashed-ngram multinomials over B buckets for the raw and the
+target corpora, weight every raw document by
+``log p_target(doc) − log p_raw(doc)``, and resample with Gumbel-top-k
+(adding i.i.d. Gumbel noise to the log-weights and taking the k largest
+is an exact weighted sample without replacement).
+
+Scale shape — the whole operator is three bounded pieces:
+
+* the two bucket-count tables are ≤ B rows each (B defaults to 1024;
+  the paper uses 10k) — groupBy with map-side combine collapses any
+  corpus to B rows, and both tables broadcast to the scoring join;
+* the per-doc scoring pass shuffles one (doc, bucket) row per gram
+  occurrence — the same TF-IDF shape as `pipeline/link.py`, bounded by
+  corpus token count, never pairwise;
+* selection is ``orderBy(score).limit(k)`` → TakeOrderedAndProject
+  (per-partition top-k, k rows to the driver — PERF.md §19), never a
+  global sort.
+
+Oracle parity: per-gram log-ratios quantize to BIGINT micro-nats before
+the per-doc sum (integer addition is order-independent where float
+addition is not — the `operators/lm.py` pattern, PERF.md §27), the
+bucket hash is the engine-portable `md5_int32` core, and the Gumbel
+draws are md5-uniform — the whole selection replays bit-exactly in
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.hashing import md5_int32
+
+N_BUCKETS = 1024
+MICRO = 1_000_000
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (tokenizer parity
+    with `operators/lm.py`)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def doc_buckets(
+    docs: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Explode each doc into (id_cols..., bucket) rows — one row per
+    unigram AND bigram occurrence, hashed into `n_buckets` buckets.
+
+    Tokens land in a real projection column first, and the bigram list is
+    a zip of two shifted slices — no expression captured inside a lambda
+    (PERF.md §28: captured trees re-evaluate per element)."""
+    base = docs.select(*id_cols, _tokens(F.col(text_col)).alias("_t"))
+    n_bi = F.greatest(F.size("_t") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_t"), 1, n_bi),
+        F.slice(F.col("_t"), 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return base.select(
+        *id_cols, F.explode(F.concat(F.col("_t"), bigrams)).alias("_g")
+    ).select(
+        *id_cols, F.pmod(md5_int32(F.col("_g")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def bucket_counts(
+    docs: DataFrame, text_col: str = "text", n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Corpus-level hashed-ngram multinomial numerators → (bucket, c),
+    ≤ `n_buckets` rows. Snapshot this per corpus; scoring reuses it."""
+    return (
+        doc_buckets(docs, [], text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-raw-doc DSIR importance weight →
+    (id, n_grams, logratio_micro).
+
+    ``logratio_micro`` = Σ round((ln p_target(g) − ln p_raw(g))·1e6) over
+    the doc's gram occurrences, with Laplace smoothing
+    ``p(g) = (c_g + 1) / (N + B)`` so buckets unseen in either corpus
+    still score. Gramless docs keep their row with n_grams = 0 and NULL
+    weight (empty-doc policy stays with the caller, as in
+    `lm.perplexity`).
+
+    The count tables feed the scoring join broadcast (≤ B rows each,
+    persisted so the broadcast does not re-run their corpus scans); the
+    raw corpus itself is scanned twice (counts, scoring) and never
+    persisted — at production scale `bucket_counts` is a snapshotted
+    stage, not recomputed per query."""
+    raw_c = bucket_counts(raw_docs, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tgt_c = bucket_counts(target_docs, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = F.broadcast(
+        raw_c.agg(F.sum("c").alias("_n_raw")).crossJoin(
+            tgt_c.agg(F.sum("c").alias("_n_tgt"))
+        )
+    )
+    grams = doc_buckets(raw_docs, [id_col], text_col, n_buckets)
+    b = F.lit(float(n_buckets))
+    p_tgt = (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_n_tgt") + b)
+    p_raw = (F.coalesce(F.col("_cr"), F.lit(0)) + 1) / (F.col("_n_raw") + b)
+    # unconditional broadcast is safe here BY CONSTRUCTION: a count table
+    # has ≤ n_buckets rows regardless of corpus size (maybe_broadcast's
+    # size estimate can't see through the persist and would fall through
+    # to a sort-merge join of the whole gram stream against 1 KB of data)
+    scored = (
+        grams.join(
+            F.broadcast(tgt_c.select("bucket", F.col("c").alias("_ct"))),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(raw_c.select("bucket", F.col("c").alias("_cr"))),
+            "bucket",
+            "left",
+        )
+        .crossJoin(totals)
+        .select(
+            F.col(id_col),
+            F.round((F.log(p_tgt) - F.log(p_raw)) * MICRO)
+            .cast("bigint")
+            .alias("_lr"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.sum("_lr").alias("logratio_micro")
+    )
+    return (
+        raw_docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "logratio_micro",
+        )
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the `k` raw docs with the
+    largest ``logratio + Gumbel`` score → (id, n_grams, logratio_micro,
+    score_micro), deterministic and engine-independent.
+
+    The Gumbel variate is ``−ln(−ln(u))`` with u the md5-uniform of
+    ``seed|id`` shifted to the open interval (the +0.5 keeps u from ever
+    hitting 0 or 1, where the double log blows up); quantized to micro
+    units it adds to the integer log-ratio with no float-order
+    sensitivity. Gramless docs compete on noise alone (weight 0).
+    Ordering ties break on id ascending."""
+    w = importance_weights(raw_docs, target_docs, id_col, text_col, n_buckets)
+    u = (
+        md5_int32(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = F.round(-F.log(-F.log(u)) * MICRO).cast("bigint")
+    return (
+        w.select(
+            id_col,
+            "n_grams",
+            "logratio_micro",
+            (F.coalesce("logratio_micro", F.lit(0)) + gumbel).alias(
+                "score_micro"
+            ),
+        )
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )

@@ -167,3 +167,59 @@ def test_curate_corpus_cap_applies_after_dedup(spark):
     ids = {r.doc_id for r in out.collect()}
     # longest four of the five distinct docs: pads 4,3,2,1 -> ids 4,3,2,1
     assert ids == {1, 2, 3, 4}
+
+
+def test_sample_temperature_rates_and_python_model(spark):
+    import hashlib
+    import math
+
+    from kgdata_spark.operators.curation import sample_temperature
+
+    # three sources with very different natural sizes: alpha=0.5 must give
+    # the small source a LARGER share than proportional sampling would
+    rows = []
+    for s, n, tok in (("big", 40, 20), ("mid", 10, 20), ("tiny", 2, 20)):
+        for i in range(n):
+            rows.append((hash((s, i)) % 10**9, s, " ".join(f"w{j}" for j in range(tok))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget, alpha = 300, 0.5
+    out = sample_temperature(docs, total_budget=budget, alpha=alpha)
+    got = {r.doc_id: r.keep_rate for r in out.collect()}
+
+    # python replay (HALF_UP micro quantization of W^alpha, exact op order)
+    W = {"big": 40 * 20, "mid": 10 * 20, "tiny": 2 * 20}
+    def _half_up(x):
+        f = math.floor(x)
+        return int(f + 1) if x - f >= 0.5 else int(f)
+    sm = {s: _half_up(math.pow(float(w), alpha) * 1e6) for s, w in W.items()}
+    grand = sum(sm.values())
+    kr = {s: min(1.0, (sm[s] / grand) * float(budget) / W[s]) for s in W}
+    exp = {}
+    for doc_id, s, _ in rows:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        if u < kr[s]:
+            exp[doc_id] = kr[s]
+    assert got == exp
+    # alpha<1 upsamples the small source relative to its natural share
+    nat = {s: W[s] / sum(W.values()) for s in W}
+    tmp = {s: sm[s] / grand for s in W}
+    assert tmp["tiny"] > nat["tiny"] and tmp["big"] < nat["big"]
+    # rates are capped at 1 and the draw is partitioning-invariant
+    assert all(v <= 1.0 for v in got.values())
+    re_got = {
+        r.doc_id: r.keep_rate
+        for r in sample_temperature(
+            docs.repartition(13), total_budget=budget, alpha=alpha
+        ).collect()
+    }
+    assert re_got == got
+
+
+def test_sample_temperature_rejects_bad_alpha(spark):
+    import pytest
+
+    from kgdata_spark.operators.curation import sample_temperature
+
+    docs = spark.createDataFrame([(1, "s", "a b")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        sample_temperature(docs, total_budget=10, alpha=0.0)

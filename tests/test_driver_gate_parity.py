@@ -118,6 +118,8 @@ DOCUMENTED_OVERFLOW = {
     "frequent_tokens",
     "fuzzy_part_names",
     "spatial_close_pairs",
+    "dsir_select",
+    "temperature_mixture",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,137 @@
+"""DSIR importance resampling (operators/dsir.py): full pure-Python
+replay of the hashed-ngram multinomials, micro-nat log-ratio weights, and
+the Gumbel-top-k draw, plus the empty-doc and determinism contracts."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.dsir import (
+    MICRO,
+    doc_buckets,
+    dsir_select,
+    importance_weights,
+)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _round_half_up(x: float) -> int:
+    f = math.floor(abs(x))
+    frac = abs(x) - f
+    mag = f + 1 if frac >= 0.5 else f
+    return int(math.copysign(mag, x))
+
+
+def _grams(text: str) -> list[str]:
+    toks = [t for t in text.lower().strip().split() if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _model(raw: dict[int, str], tgt: list[str], b: int, k: int, seed: str):
+    """Pure-python DSIR: returns (weights, selected ids)."""
+    raw_b: dict[int, list[int]] = {
+        i: [_h32(g) % b for g in _grams(t)] for i, t in raw.items()
+    }
+    tgt_b = [_h32(g) % b for t in tgt for g in _grams(t)]
+    rc: dict[int, int] = {}
+    for bs in raw_b.values():
+        for x in bs:
+            rc[x] = rc.get(x, 0) + 1
+    tc: dict[int, int] = {}
+    for x in tgt_b:
+        tc[x] = tc.get(x, 0) + 1
+    n_r, n_t = sum(rc.values()), sum(tc.values())
+    weights = {}
+    for i, bs in raw_b.items():
+        if not bs:
+            weights[i] = (0, None)
+            continue
+        lr = sum(
+            _round_half_up(
+                (
+                    math.log((tc.get(x, 0) + 1) / (n_t + b))
+                    - math.log((rc.get(x, 0) + 1) / (n_r + b))
+                )
+                * MICRO
+            )
+            for x in bs
+        )
+        weights[i] = (len(bs), lr)
+    scores = {}
+    for i, (_, lr) in weights.items():
+        u = (_h32(f"{seed}|{i}") + 0.5) / 2**32
+        g = _round_half_up(-math.log(-math.log(u)) * MICRO)
+        scores[i] = (lr or 0) + g
+    sel = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+    return weights, sel, scores
+
+
+def test_dsir_matches_python_model(spark):
+    raw = {
+        1: "spark shuffle join partition skew",
+        2: "the cat sat on the mat",
+        3: "spark spark query plan filter pushdown",
+        4: "lorem ipsum dolor sit amet",
+        5: "broadcast join partition prune scan",
+        6: "",
+        7: "   ",
+    }
+    tgt = ["spark join partition scan", "query plan filter join spark"]
+    b, k, seed = 64, 4, "dsir"
+    raw_df = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    tgt_df = spark.createDataFrame([(t,) for t in tgt], "text string")
+
+    w_exp, sel_exp, scores = _model(raw, tgt, b, k, seed)
+    got_w = {
+        r.doc_id: (r.n_grams, r.logratio_micro)
+        for r in importance_weights(raw_df, tgt_df, n_buckets=b).collect()
+    }
+    assert got_w == w_exp
+
+    got = dsir_select(raw_df, tgt_df, k=k, n_buckets=b, seed=seed).collect()
+    assert [r.doc_id for r in got] == sel_exp
+    assert [r.score_micro for r in got] == [scores[i] for i in sel_exp]
+    # on-domain docs must outrank off-domain ones in expected weight
+    assert (w_exp[1][1] or 0) > (w_exp[2][1] or 0)
+    assert (w_exp[5][1] or 0) > (w_exp[4][1] or 0)
+
+
+def test_dsir_empty_docs_compete_on_noise_alone(spark):
+    raw_df = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    tgt_df = spark.createDataFrame([("x y",)], "text string")
+    rows = dsir_select(raw_df, tgt_df, k=2, n_buckets=16).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.n_grams == 0 and r.logratio_micro is None for r in rows)
+
+
+def test_doc_buckets_partitioning_invariant(spark):
+    raw_df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = doc_buckets(raw_df, ["doc_id"], n_buckets=32)
+    bdf = doc_buckets(raw_df.repartition(7), ["doc_id"], n_buckets=32)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, bdf.collect()))
+    # 3 unigrams + 2 bigrams per doc
+    assert a.count() == 40 * 5
+
+
+def test_dsir_plan_stays_jvm_side(spark):
+    raw_df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    tgt_df = spark.createDataFrame([("a",)], "text string")
+    plan = (
+        dsir_select(raw_df, tgt_df, k=1, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
