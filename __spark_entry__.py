@@ -3124,6 +3124,59 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DeepWalk-style corpus on a 50-node md5-derived digraph (dst varies
+    # WITHIN each src residue class, so out-degrees are real): 2 walks of
+    # length 4 per node, every neighbor pick md5-replayable in DuckDB
+    from kgdata_spark.functions.hashing import md5_int32
+    from kgdata_spark.operators.graph import random_walks
+
+    c = _t(spark, sf_dir, "customer")
+    e = c.select(
+        F.concat(F.lit("n"), (F.col("c_custkey") % 50)).alias("src"),
+        F.concat(
+            F.lit("n"),
+            F.pmod(
+                md5_int32(F.concat(F.lit("e|"), F.col("c_custkey"))), F.lit(50)
+            ),
+        ).alias("dst"),
+    )
+    return random_walks(e, walk_len=4, walks_per_node=2)
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iceberg-style MERGE on the snapshot layer: a base entity table then
+    # two update waves (upserts + deletes), each committed as a new
+    # snapshot version; the returned frame is the final committed state,
+    # which the oracle replays as two chained anti-join/union steps
+    import os
+    import shutil
+    import tempfile
+
+    from kgdata_spark.pipeline.snapshots import merge_upsert, read_snapshot
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    w1 = c.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("w1:"), F.col("c_name")).alias("name"),
+        (F.col("c_custkey") % 10 == 0).alias("deleted"),
+    )
+    w2 = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("w2:"), F.col("c_name")).alias("name"),
+        (F.col("c_custkey") % 14 == 0).alias("deleted"),
+    )
+    t = os.path.join(tempfile.gettempdir(), "kgdata_spark_merge_query")
+    shutil.rmtree(t, ignore_errors=True)
+    merge_upsert(spark, t, "ents", base, ["id"])
+    merge_upsert(spark, t, "ents", w1, ["id"], deleted_col="deleted")
+    merge_upsert(spark, t, "ents", w2, ["id"], deleted_col="deleted")
+    return read_snapshot(spark, t, "ents").select("id", "name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3278,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_close_pairs": q_spatial_close_pairs,
         "dsir_select": q_dsir_select,
         "temperature_mixture": q_temperature_mixture,
+        "snapshot_merge": q_snapshot_merge,
+        "random_walks": q_random_walks,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -3833,6 +3888,66 @@ def oracle_sql() -> dict[str, str]:
         FROM w JOIN r USING (source)
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    ::BIGINT AS DOUBLE) / 4294967296.0 < kr
+    """
+    # random_walks: unrolled 4-step replay — same indexed adjacency
+    # (per-src neighbor rank), same md5 pick at every step
+    d["random_walks"] = """
+        WITH e AS (
+            SELECT DISTINCT 'n' || (c_custkey % 50) AS src,
+                   'n' || (('0x' || substr(md5('e|' || c_custkey), 1, 8))
+                           ::BIGINT % 50) AS dst
+            FROM customer),
+        nbr AS (SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                           AS idx
+                FROM e),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        w0 AS (SELECT src || '#' || w.w AS walk_id, src AS cur
+               FROM (SELECT DISTINCT src FROM e), (VALUES (0), (1)) w(w)),
+        s1 AS (SELECT w0.walk_id, nbr.dst AS cur
+               FROM w0 JOIN deg ON w0.cur = deg.src
+                       JOIN nbr ON nbr.src = w0.cur
+                        AND nbr.idx = ('0x' || substr(md5('walk|' || w0.walk_id
+                                       || '|1'), 1, 8))::BIGINT % deg.d),
+        s2 AS (SELECT s1.walk_id, nbr.dst AS cur
+               FROM s1 JOIN deg ON s1.cur = deg.src
+                       JOIN nbr ON nbr.src = s1.cur
+                        AND nbr.idx = ('0x' || substr(md5('walk|' || s1.walk_id
+                                       || '|2'), 1, 8))::BIGINT % deg.d),
+        s3 AS (SELECT s2.walk_id, nbr.dst AS cur
+               FROM s2 JOIN deg ON s2.cur = deg.src
+                       JOIN nbr ON nbr.src = s2.cur
+                        AND nbr.idx = ('0x' || substr(md5('walk|' || s2.walk_id
+                                       || '|3'), 1, 8))::BIGINT % deg.d),
+        s4 AS (SELECT s3.walk_id, nbr.dst AS cur
+               FROM s3 JOIN deg ON s3.cur = deg.src
+                       JOIN nbr ON nbr.src = s3.cur
+                        AND nbr.idx = ('0x' || substr(md5('walk|' || s3.walk_id
+                                       || '|4'), 1, 8))::BIGINT % deg.d)
+        SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM w0
+        UNION ALL SELECT walk_id, 1, cur FROM s1
+        UNION ALL SELECT walk_id, 2, cur FROM s2
+        UNION ALL SELECT walk_id, 3, cur FROM s3
+        UNION ALL SELECT walk_id, 4, cur FROM s4
+    """
+    # snapshot_merge: replay the two MERGE waves as chained
+    # anti-join/union steps over the same deterministic key arithmetic
+    d["snapshot_merge"] = """
+        WITH s0 AS (SELECT c_custkey AS id, c_name AS name
+                    FROM customer WHERE c_custkey % 3 = 0),
+        w1 AS (SELECT c_custkey AS id, 'w1:' || c_name AS name,
+                      c_custkey % 10 = 0 AS deleted
+               FROM customer WHERE c_custkey % 5 = 0),
+        w2 AS (SELECT c_custkey AS id, 'w2:' || c_name AS name,
+                      c_custkey % 14 = 0 AS deleted
+               FROM customer WHERE c_custkey % 7 = 0),
+        s1 AS (
+            SELECT id, name FROM s0 WHERE id NOT IN (SELECT id FROM w1)
+            UNION ALL SELECT id, name FROM w1 WHERE NOT deleted),
+        s2 AS (
+            SELECT id, name FROM s1 WHERE id NOT IN (SELECT id FROM w2)
+            UNION ALL SELECT id, name FROM w2 WHERE NOT deleted)
+        SELECT id, name FROM s2
     """
     # kg_triples_scored: replay the 0.3·norm_prior + 0.7·jaccard argmax.
     # Token sets are tiny and fixed by construction, so the jaccard values

@@ -623,3 +623,82 @@ def k_core(
         f"k_core did not converge within max_rounds={max_rounds}; "
         "raise the bound for adversarially chain-shaped graphs"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    walks_per_node: int = 1,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Deterministic random-walk corpus (DeepWalk/node2vec sampling stage):
+    `walks_per_node` walks of up to `walk_len` steps from every node with
+    out-edges → (walk_id, step, node) rows, walk_id = ``node#i``.
+
+    The sampling that feeds graph-embedding training at scale — and the
+    classic place nondeterministic RNG ruins resumability: here step t of
+    walk w picks neighbor index ``md5(seed|w|t) mod out_deg(cur)``, so the
+    corpus is a pure function of (edges, seed) — engine-independent
+    (DuckDB replays it), partitioning-independent, and identical on
+    re-run/resume. Walks stop early at sink nodes (standard truncation).
+
+    Scale shape: the adjacency is indexed ONCE (per-src neighbor rank —
+    a window bounded by max out-degree, the candidate_topk bound) and
+    each step is one equi-join of the frontier against it on (src, idx)
+    — frontier rows never exceed nodes×walks_per_node, no RNG state, no
+    driver loop data. Lineage is truncated every `checkpoint_every`
+    steps (reliable checkpoint when the session has a checkpoint dir,
+    else local — the pagerank rule) so long walks don't compound plans.
+    """
+    if walk_len < 0 or walks_per_node <= 0:
+        raise ValueError("walk_len must be >= 0 and walks_per_node >= 1")
+    from pyspark.sql import Window
+
+    from kgdata_spark.functions.hashing import md5_int32
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    nbr = e.withColumn("idx", F.row_number().over(w_rank) - 1).cache()
+    deg = nbr.groupBy("src").agg(F.count("*").alias("_deg"))
+    frontier = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("_w"),
+        )
+        .select(
+            F.concat_ws("#", "node", "_w").alias("walk_id"),
+            F.col("node").alias("cur"),
+        )
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, walk_len + 1):
+        pick = F.pmod(
+            md5_int32(
+                F.concat_ws("|", F.lit(seed), F.col("walk_id"), F.lit(str(t)))
+            ),
+            F.col("_deg"),
+        )
+        frontier = (
+            frontier.join(deg, frontier.cur == deg.src)
+            .select("walk_id", F.col("src").alias("_at"), pick.alias("_pick"))
+            .join(
+                nbr,
+                (F.col("_at") == nbr.src) & (F.col("_pick") == nbr.idx),
+            )
+            .select("walk_id", F.col("dst").alias("cur"))
+        )
+        if t % checkpoint_every == 0:
+            frontier = _checkpoint(frontier)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out

@@ -233,3 +233,92 @@ def compact_snapshot(
             f"{checksum}; rolled back to version {prev_version}"
         )
     return version, n, checksum
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    stage: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    deleted_col: str | None = None,
+    range_cols: list[str] | None = None,
+    deps: dict[str, str] | None = None,
+) -> tuple[int, str]:
+    """MERGE INTO the committed latest snapshot: one batch of keyed
+    upserts (and, when `deleted_col` names a boolean column, deletes) →
+    a NEW snapshot version, committed atomically.
+
+    The Iceberg/Delta `MERGE` contract on the snapshot layer — the
+    operation a KG maintenance pipeline runs when a new dump wave carries
+    changed, added, AND retracted entities (the append-only incremental
+    writer in `streaming/kg.py` covers inserts; this closes update +
+    delete). Row rule per key: an update row wins over the base row; an
+    update row with `deleted_col = true` removes the key; base rows with
+    no update pass through. A crash anywhere leaves the previous snapshot
+    committed (pointer swap last, as everywhere in this layer), and
+    re-running the same merge on the same base version is idempotent in
+    content.
+
+    `updates` must carry exactly the base data columns (plus the optional
+    `deleted_col`) and AT MOST ONE ROW PER KEY — multi-row batches have no
+    defined winner, so the guard is a hard error (one census job) rather
+    than a silent nondeterministic pick; pre-collapse with
+    dedup-keep-latest (D29 pattern) when a wave can touch a key twice.
+
+    Scale shape: the base never all-pairs-compares — survivors are a
+    LEFT ANTI join of the base against the (usually broadcastable) update
+    key set, inserts are a filter of the batch, and the union rewrites
+    the table copy-on-write. Directory-grained snapshots rewrite the full
+    stage; a file-format catalog refines the SAME plan to rewrite only
+    the files whose key ranges intersect the batch (range_cols + the
+    manifest's per-partition lineage carry exactly the pruning metadata
+    needed), so the operator's join/union shape is what survives at
+    100 TB, with the rewrite bound dropping from O(table) to O(touched
+    partitions).
+    """
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.operators.joins import maybe_broadcast
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge batch for stage {stage!r} has multiple rows for at "
+            "least one key; collapse to one row per key first "
+            "(dedup-keep-latest)"
+        )
+    data_cols = [c for c in updates.columns if c != deleted_col]
+    inserts = (
+        updates.where(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        if deleted_col
+        else updates
+    ).select(*data_cols)
+    prev = latest_version(table_dir, stage)
+    if prev is None:
+        return snapshot_write(
+            inserts, table_dir, stage, range_cols=range_cols, deps=deps
+        )
+    base = read_snapshot(spark, table_dir, stage, prev)
+    if set(base.columns) != set(data_cols):
+        raise ValueError(
+            f"merge batch columns {sorted(data_cols)} != snapshot columns "
+            f"{sorted(base.columns)} for stage {stage!r}"
+        )
+    survivors = base.join(
+        maybe_broadcast(updates.select(*key_cols).distinct()),
+        key_cols,
+        "left_anti",
+    )
+    merged = survivors.unionByName(inserts.select(*base.columns))
+    return snapshot_write(
+        merged, table_dir, stage, range_cols=range_cols, deps=deps
+    )

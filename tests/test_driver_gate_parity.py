@@ -120,6 +120,8 @@ DOCUMENTED_OVERFLOW = {
     "spatial_close_pairs",
     "dsir_select",
     "temperature_mixture",
+    "snapshot_merge",
+    "random_walks",
 }
 
 # Environment-gated queries: registered only where the environment

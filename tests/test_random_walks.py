@@ -1,0 +1,88 @@
+"""Deterministic random walks (graph.random_walks): pure-python replay,
+sink truncation, seed/partitioning behavior, and walk-validity invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kgdata_spark.operators.graph import random_walks
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _model(edges, walk_len, walks_per_node, seed):
+    adj: dict[str, list[str]] = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for node in sorted(adj):
+        for w in range(walks_per_node):
+            wid = f"{node}#{w}"
+            cur = node
+            rows.append((wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_h32(f"{seed}|{wid}|{t}") % len(nbrs)]
+                rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+    ("c", "a"), ("d", "sink"),  # 'sink' has no out-edges
+]
+
+
+def test_random_walks_match_python_model(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    got = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(e, walk_len=5, walks_per_node=3).collect()
+    )
+    assert got == _model(EDGES, 5, 3, "walk")
+    # and every consecutive (step, step+1) pair is a real edge
+    pos = {(w, s): n for w, s, n in got}
+    es = set(EDGES)
+    for (w, s), n in pos.items():
+        if (w, s + 1) in pos:
+            assert (n, pos[(w, s + 1)]) in es
+
+
+def test_random_walks_truncate_at_sinks(spark):
+    e = spark.createDataFrame([("a", "z"), ("b", "a")], "src string, dst string")
+    got = {(r.walk_id, r.step): r.node for r in random_walks(e, 4).collect()}
+    # a -> z then stops (z is a sink); b -> a -> z then stops
+    assert got == {
+        ("a#0", 0): "a", ("a#0", 1): "z",
+        ("b#0", 0): "b", ("b#0", 1): "a", ("b#0", 2): "z",
+    }
+
+
+def test_random_walks_deterministic_and_seed_sensitive(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, random_walks(e, 6, walks_per_node=2).collect()))
+    b = sorted(
+        map(tuple, random_walks(e.repartition(5), 6, walks_per_node=2).collect())
+    )
+    assert a == b
+    c = sorted(map(tuple, random_walks(e, 6, walks_per_node=2, seed="other").collect()))
+    assert a != c
+    # duplicate edge rows don't change the adjacency
+    d = sorted(
+        map(tuple, random_walks(e.unionByName(e), 6, walks_per_node=2).collect())
+    )
+    assert a == d
+
+
+def test_random_walks_rejects_bad_params(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        random_walks(e, -1)
+    with pytest.raises(ValueError):
+        random_walks(e, 3, walks_per_node=0)

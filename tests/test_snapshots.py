@@ -123,3 +123,76 @@ def test_compact_snapshot_requires_committed_stage(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         compact_snapshot(spark, str(tmp_path), "nope")
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import merge_upsert
+
+    t = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
+    )
+    v0, _ = merge_upsert(spark, t, "ents", base, ["id"])
+    assert v0 == 0  # first merge on an empty stage == plain snapshot write
+
+    wave = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, tag string, deleted boolean",
+    )
+    v1, _ = merge_upsert(spark, t, "ents", wave, ["id"], deleted_col="deleted")
+    assert v1 == 1
+    got = {(r.id, r.tag) for r in read_snapshot(spark, t, "ents").collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # time travel still shows the pre-merge state
+    old = {(r.id, r.tag) for r in read_snapshot(spark, t, "ents", version=0).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_upsert_rejects_multirow_keys_and_schema_drift(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import merge_upsert
+
+    t = str(tmp_path)
+    merge_upsert(
+        spark,
+        t,
+        "ents",
+        spark.createDataFrame([(1, "a")], "id long, tag string"),
+        ["id"],
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(spark, t, "ents", dup, ["id"])
+    drift = spark.createDataFrame([(1, "x", 9)], "id long, tag string, extra long")
+    with pytest.raises(ValueError, match="columns"):
+        merge_upsert(spark, t, "ents", drift, ["id"])
+    # failed merges committed nothing
+    assert latest_version(t, "ents") == 0
+
+
+def test_merge_upsert_same_batch_rerun_is_idempotent_in_content(spark, tmp_path):
+    from kgdata_spark.pipeline.materialize import MANIFEST
+    from kgdata_spark.pipeline.snapshots import merge_upsert
+
+    t = str(tmp_path)
+    merge_upsert(
+        spark,
+        t,
+        "ents",
+        spark.createDataFrame([(i, "a") for i in range(10)], "id long, tag string"),
+        ["id"],
+    )
+    wave = spark.createDataFrame(
+        [(3, "z", False), (10, "n", False), (7, None, True)],
+        "id long, tag string, deleted boolean",
+    )
+    _, c1 = merge_upsert(spark, t, "ents", wave, ["id"], deleted_col="deleted")
+    # replaying the same wave on the merged state changes nothing: the
+    # keys it touches already carry its values / are already gone
+    _, c2 = merge_upsert(spark, t, "ents", wave, ["id"], deleted_col="deleted")
+    assert c1 == c2
+    got = {(r.id, r.tag) for r in read_snapshot(spark, t, "ents").collect()}
+    assert (3, "z") in got and (10, "n") in got
+    assert all(r[0] != 7 for r in got)
