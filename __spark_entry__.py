@@ -3144,6 +3144,54 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, walk_len=4, walks_per_node=2)
 
 
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable HLL distinct-count state built in two waves and merged —
+    # per-key cardinality is bounded at 40 BY CONSTRUCTION (custkey % 40),
+    # deep inside the sketch's exact coupon regime at every sf, so the
+    # estimates equal DuckDB's exact COUNT(DISTINCT)
+    from kgdata_spark.operators.incremental import (
+        distinct_estimates,
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.col("c_custkey") % 40).alias("v")
+    )
+    w1 = c.where(F.col("v") % 2 == 0)
+    w2 = c.where(F.col("v") % 2 == 1)
+    st = merge_distinct_state(
+        distinct_state(w1, ["c_nationkey"], ["v"]),
+        distinct_state(w2, ["c_nationkey"], ["v"]),
+        ["c_nationkey"],
+    )
+    return distinct_estimates(st).select(
+        "c_nationkey", F.col("v_distinct").alias("n_distinct")
+    )
+
+
+def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank: relatedness to the seed suppliers over the
+    # BIDIRECTIONAL supplier↔part graph (no dangling nodes, so the oracle
+    # drops the dangling CTEs); 3 iterations, round-6 ranks like pagerank
+    from kgdata_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), "l_suppkey").alias("src"),
+        F.concat(F.lit("p"), "l_partkey").alias("dst"),
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), "s_suppkey").alias("node"))
+    )
+    return personalized_pagerank(e, seeds, iters=3)
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style MERGE on the snapshot layer: a base entity table then
     # two update waves (upserts + deletes), each committed as a new
@@ -3333,6 +3381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "snapshot_merge": q_snapshot_merge,
         "random_walks": q_random_walks,
+        "ppr_related": q_ppr_related,
+        "incremental_distinct": q_incremental_distinct,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -3888,6 +3938,56 @@ def oracle_sql() -> dict[str, str]:
         FROM w JOIN r USING (source)
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    ::BIGINT AS DOUBLE) / 4294967296.0 < kr
+    """
+    # incremental_distinct: the sketch is exact at this bounded
+    # cardinality, so the oracle is plain exact COUNT(DISTINCT)
+    d["incremental_distinct"] = """
+        SELECT c_nationkey,
+               CAST(COUNT(DISTINCT c_custkey % 40) AS BIGINT) AS n_distinct
+        FROM customer GROUP BY c_nationkey
+    """
+    # ppr_related: unrolled 3-iteration personalized-PageRank replay on
+    # the bidirectional graph (no dangling nodes -> dangling mass = 0.0,
+    # kept INSIDE the expression as (1.0 - 0.85) + 0.85 * 0.0 so every
+    # float op matches the Spark side bit-for-bit before the round)
+    d["ppr_related"] = """
+        WITH f AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                          'p' || l_partkey AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        sd AS (SELECT 's' || s_suppkey AS node FROM supplier
+               WHERE s_suppkey % 10 = 0),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM sd),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+                  UNION SELECT node FROM sd),
+        r AS (SELECT n.node,
+                     CASE WHEN s.node IS NOT NULL
+                          THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS reset
+              FROM nodes n LEFT JOIN sd s ON n.node = s.node),
+        outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM e GROUP BY src),
+        r0 AS (SELECT node, reset AS rank FROM r),
+        c1 AS (SELECT e.dst AS node, SUM(x.rank / o.deg) AS c
+               FROM e JOIN r0 x ON e.src = x.node
+                      JOIN outd o ON e.src = o.src GROUP BY e.dst),
+        r1 AS (SELECT r.node,
+                      ((1.0 - 0.85) + 0.85 * 0.0) * r.reset
+                      + 0.85 * COALESCE(c1.c, 0.0) AS rank
+               FROM r LEFT JOIN c1 ON r.node = c1.node),
+        c2 AS (SELECT e.dst AS node, SUM(x.rank / o.deg) AS c
+               FROM e JOIN r1 x ON e.src = x.node
+                      JOIN outd o ON e.src = o.src GROUP BY e.dst),
+        r2 AS (SELECT r.node,
+                      ((1.0 - 0.85) + 0.85 * 0.0) * r.reset
+                      + 0.85 * COALESCE(c2.c, 0.0) AS rank
+               FROM r LEFT JOIN c2 ON r.node = c2.node),
+        c3 AS (SELECT e.dst AS node, SUM(x.rank / o.deg) AS c
+               FROM e JOIN r2 x ON e.src = x.node
+                      JOIN outd o ON e.src = o.src GROUP BY e.dst),
+        r3 AS (SELECT r.node,
+                      ((1.0 - 0.85) + 0.85 * 0.0) * r.reset
+                      + 0.85 * COALESCE(c3.c, 0.0) AS rank
+               FROM r LEFT JOIN c3 ON r.node = c3.node)
+        SELECT node, ROUND(rank, 6) AS rank FROM r3
     """
     # random_walks: unrolled 4-step replay — same indexed adjacency
     # (per-src neighbor rank), same md5 pick at every step

@@ -69,3 +69,57 @@ def merge_agg_state(state: DataFrame, delta: DataFrame, keys: list[str]) -> Data
         ]
     merged = state.unionByName(delta).groupBy(*keys).agg(*aggs)
     return merged.select(state.columns)
+
+
+def distinct_state(
+    df: DataFrame, keys: list[str], cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-key MERGEABLE distinct-count state: one DataSketches HLL sketch
+    column per measure (`{col}_hll`, binary). The distinct-count member of
+    the `agg_state` family — COUNT(DISTINCT x) is NOT a monoid on plain
+    counters (dedup needs the set), but the HLL sketch IS: fixed-size
+    (~2^lg_k bytes), register-max merge, so incremental refresh keeps its
+    O(delta + |state|) bound for distinct counts too.
+
+    Exactness contract: DataSketches HLL stays in exact (coupon) mode at
+    low per-key cardinality — estimates are exact integers there, which is
+    what the oracle-gated query relies on (its fixture bounds per-key
+    cardinality by construction); beyond that the estimate carries the
+    standard ~1.04/sqrt(2^lg_k) relative error.
+    """
+    if not keys or not cols:
+        raise ValueError("keys and cols must be non-empty")
+    aggs = [F.hll_sketch_agg(c, F.lit(lg_k)).alias(f"{c}_hll") for c in cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_distinct_state(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge two `distinct_state` tables (same keys/cols): union -> one
+    groupBy folding each sketch with HLL union (register max — commutative,
+    associative, idempotent; re-merging the same delta is a no-op, which
+    makes at-least-once refresh pipelines safe). Output schema == input
+    schema, chainable per batch like `merge_agg_state`."""
+    if set(state.columns) != set(delta.columns):
+        raise ValueError(
+            f"state schemas differ: {sorted(state.columns)} vs {sorted(delta.columns)}"
+        )
+    hll_cols = [c for c in state.columns if c.endswith("_hll")]
+    aggs = [F.hll_union_agg(c).alias(c) for c in hll_cols]
+    merged = state.unionByName(delta).groupBy(*keys).agg(*aggs)
+    return merged.select(state.columns)
+
+
+def distinct_estimates(state: DataFrame) -> DataFrame:
+    """Read distinct-count estimates out of a `distinct_state` table:
+    every `{col}_hll` sketch becomes a `{col}_distinct` BIGINT."""
+    cols = []
+    for c in state.columns:
+        if c.endswith("_hll"):
+            cols.append(
+                F.hll_sketch_estimate(c).alias(c[: -len("_hll")] + "_distinct")
+            )
+        else:
+            cols.append(F.col(c))
+    return state.select(*cols)

@@ -122,6 +122,8 @@ DOCUMENTED_OVERFLOW = {
     "temperature_mixture",
     "snapshot_merge",
     "random_walks",
+    "ppr_related",
+    "incremental_distinct",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -95,3 +95,59 @@ def test_acyclic_parent_edges(spark):
     # idempotent: already-acyclic input passes through unchanged
     again = sorted(map(tuple, acyclic_parent_edges(out).collect()))
     assert again == kept
+
+
+def _py_ppr(edges, seeds, iters=10, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges} | set(seeds))
+    out = {}
+    for a, b in sorted(set(edges)):
+        out.setdefault(a, []).append(b)
+    reset = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(reset)
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        nxt = {
+            v: ((1 - damping) + damping * dangling) * reset[v] for v in nodes
+        }
+        for a, targets in out.items():
+            share = rank[a] / len(targets)
+            for b in targets:
+                nxt[b] += damping * share
+        rank = nxt
+    return rank
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    from kgdata_spark.operators.graph import personalized_pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),  # cycle + spur
+        ("d", "e"),                                       # e is dangling
+        ("x", "y"), ("y", "x"),                           # unreachable isle
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(df, seeds, iters=12).collect()
+    }
+    want = _py_ppr(edges, {"a", "b"}, iters=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    # teleport always returns to the seeds: total mass conserved at 1,
+    # and the x/y isle (unreachable FROM the seeds) holds none of it
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    # proximity ordering: the seeds' direct successor outranks the spur
+    assert got["c"] > got["e"]
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest
+
+    from kgdata_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="non-empty seed"):
+        personalized_pagerank(df, df.select("src").limit(0).withColumnRenamed("src", "node"))

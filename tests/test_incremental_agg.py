@@ -139,3 +139,56 @@ def test_fuzz_merge_vs_python_model(spark_hyp, rows, cut):
 @pytest.fixture(scope="module")
 def spark_hyp(spark):
     return spark
+
+
+def test_distinct_state_merge_invariant_and_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.operators.incremental import (
+        distinct_estimates,
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 25).alias("k"), (F.col("id") % 40).alias("v")
+    )
+    w1 = df.where(F.col("id") % 2 == 0)
+    w2 = df.where(F.col("id") % 2 == 1)
+    full = sorted(
+        map(tuple, distinct_estimates(distinct_state(df, ["k"], ["v"])).collect())
+    )
+    s1 = distinct_state(w1, ["k"], ["v"])
+    merged_state = merge_distinct_state(s1, distinct_state(w2, ["k"], ["v"]), ["k"])
+    merged = sorted(map(tuple, distinct_estimates(merged_state).collect()))
+    exact = sorted(
+        map(
+            tuple,
+            df.groupBy("k").agg(F.count_distinct("v").alias("v_distinct")).collect(),
+        )
+    )
+    # merge(state(w1), state(w2)) == state(full), and exact in coupon mode
+    assert full == merged == exact
+    # idempotent: re-merging the same delta is a no-op (at-least-once safe)
+    again = merge_distinct_state(
+        merged_state, distinct_state(w2, ["k"], ["v"]), ["k"]
+    )
+    assert sorted(map(tuple, distinct_estimates(again).collect())) == full
+
+
+def test_distinct_state_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.operators.incremental import (
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    df = spark.range(10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        distinct_state(df, [], ["v"])
+    a = distinct_state(df, ["k"], ["v"])
+    b = distinct_state(df.withColumnRenamed("v", "w"), ["k"], ["w"])
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_distinct_state(a, b, ["k"])
