@@ -3144,6 +3144,15 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(e, walk_len=4, walks_per_node=2)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Gopher §A1.1 document-shape battery at published defaults — the
+    # fixture straddles the 50-word gate (word counts 10-99), and every
+    # output is boolean so the oracle has no float surface at all
+    from kgdata_spark.functions.text import gopher_flags
+
+    return gopher_flags(_t(spark, sf_dir, "documents"))
+
+
 def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable HLL distinct-count state built in two waves and merged —
     # per-key cardinality is bounded at 40 BY CONSTRUCTION (custkey % 40),
@@ -3383,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "ppr_related": q_ppr_related,
         "incremental_distinct": q_incremental_distinct,
+        "gopher_rules": q_gopher_rules,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4162,6 +4172,55 @@ def oracle_sql() -> dict[str, str]:
     # per-wave distinct sets == global distinct set: every row is
     # file-scoped via repo/path/sha, and a file lands in exactly one wave)
     d["kg_triples_incremental"] = d["kg_triples"]
+    # gopher_rules: every output is BOOLEAN (plus the int word count), so
+    # the float surface is only the rule comparisons themselves — both
+    # engines evaluate the identical IEEE expression order before <=/>=
+    d["gopher_rules"] = r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS w,
+                   string_split(text, chr(10)) AS l
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(w) AS n,
+                   greatest(len(w), 1) AS n_nz,
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                        AS DOUBLE) / greatest(len(w), 1) AS mwl,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   (length(text) - length(replace(text, '...', ''))) / 3
+                       AS n_ell,
+                   len(l) AS n_lines,
+                   len(list_filter(l, x -> regexp_matches(ltrim(x),
+                       '^[-*•‣▪]'))) AS bullets,
+                   len(list_filter(l, x -> regexp_matches(rtrim(x),
+                       '(\.\.\.|…)$'))) AS ell_ends,
+                   len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS alpha,
+                   len(list_intersect(
+                       list_distinct(list_transform(w, x -> lower(x))),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS sw
+            FROM base),
+        f AS (
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_words,
+                   (n >= 50 AND n <= 100000) AS r_word_count,
+                   (n > 0 AND mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+                   (n > 0 AND (n_hash + n_ell) / n_nz <= 0.1)
+                       AS r_symbol_ratio,
+                   (CAST(bullets AS DOUBLE) / n_lines <= 0.9) AS r_bullet,
+                   (CAST(ell_ends AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis,
+                   (n > 0 AND CAST(alpha AS DOUBLE) / n_nz >= 0.8) AS r_alpha,
+                   (sw >= 2) AS r_stopwords
+            FROM m)
+        SELECT *,
+               (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                AND r_bullet AND r_ellipsis AND r_alpha AND r_stopwords)
+                   AS keep
+        FROM f
+    """
     return d
 
 

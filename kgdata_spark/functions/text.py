@@ -98,3 +98,109 @@ def lang_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return scored.select(
         id_col, *[f"hits_{lang}" for lang in langs], pred.alias("pred_lang")
     )
+
+
+# the Gopher repetition rules (dup line/ngram fractions) live in
+# operators/curation.repetition_signals; this battery is the A1.1
+# DOCUMENT-shape rules, composable with them
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher document-shape rule battery (Rae et al. 2021 §A1.1) →
+    one boolean per rule + the composite `keep`:
+
+      r_word_count     min_words <= |words| <= max_words
+      r_mean_word_len  mean word length within [min, max]
+      r_symbol_ratio   ('#' + '...') occurrences / |words| <= max
+      r_bullet         <= max_bullet_frac of lines start with a bullet
+      r_ellipsis       <= max_ellipsis_frac of lines end with an ellipsis
+      r_alpha          >= min_alpha_frac of words contain a letter
+      r_stopwords      >= min_stopwords DISTINCT common stopwords present
+
+    Wordless docs fail every word-denominated rule (no NULL verdicts).
+    All per-row Catalyst HOFs/regex — shuffle-free, embarrassingly
+    parallel, boolean outputs (no float hashing concerns for the oracle).
+    The token array lands in a projection column once; lambdas reference
+    only their element (PERF.md §28)."""
+    sw = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        t.alias("_txt"),
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "").alias("_w"),
+        F.split(t, r"\n").alias("_l"),
+    )
+    n = F.size("_w")
+    has_words = n > 0
+    # word-denominated ratios divide by max(n, 1): ANSI mode raises on
+    # /0, and every rule using them is already gated on has_words
+    n_nz = F.greatest(n, F.lit(1))
+    mwl = F.aggregate(
+        F.col("_w"), F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_nz
+    n_hash = F.length("_txt") - F.length(F.replace(F.col("_txt"), F.lit("#")))
+    n_ell = (
+        F.length("_txt") - F.length(F.replace(F.col("_txt"), F.lit("...")))
+    ) / F.lit(3)
+    n_lines = F.size("_l")
+    bullets = F.size(
+        F.filter(
+            F.col("_l"),
+            lambda l: F.ltrim(l).rlike(r"^[-*•‣▪]"),
+        )
+    )
+    ellipsis_ends = F.size(
+        F.filter(F.col("_l"), lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha = F.size(F.filter(F.col("_w"), lambda w: w.rlike("[A-Za-z]")))
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(F.col("_w"), F.lower)),
+            F.array([F.lit(s) for s in sw]),
+        )
+    )
+    flags = base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        ((n >= min_words) & (n <= max_words)).alias("r_word_count"),
+        (
+            has_words
+            & (mwl >= F.lit(min_mean_word_len))
+            & (mwl <= F.lit(max_mean_word_len))
+        ).alias("r_mean_word_len"),
+        (
+            has_words
+            & ((n_hash + n_ell).cast("double") / n_nz <= F.lit(max_symbol_ratio))
+        ).alias("r_symbol_ratio"),
+        (bullets.cast("double") / n_lines <= F.lit(max_bullet_frac)).alias(
+            "r_bullet"
+        ),
+        (
+            ellipsis_ends.cast("double") / n_lines <= F.lit(max_ellipsis_frac)
+        ).alias("r_ellipsis"),
+        (
+            has_words & (alpha.cast("double") / n_nz >= F.lit(min_alpha_frac))
+        ).alias("r_alpha"),
+        (sw_hits >= F.lit(min_stopwords)).alias("r_stopwords"),
+    )
+    rules = [c for c in flags.columns if c.startswith("r_")]
+    keep = rules[0]
+    expr = F.col(keep)
+    for r in rules[1:]:
+        expr = expr & F.col(r)
+    return flags.select("*", expr.alias("keep"))

@@ -83,3 +83,61 @@ def read_incremental_output(spark: SparkSession, out_dir: str) -> DataFrame:
 
     parts = sorted(glob.glob(f"{out_dir}/batch=*"))
     return spark.read.option("basePath", out_dir).parquet(*parts)
+
+
+def cdc_merge_writer(
+    spark: SparkSession,
+    changes_dir: str,
+    table_dir: str,
+    stage: str,
+    key_cols: list[str],
+    seq_col: str,
+    checkpoint_dir: str,
+    schema,
+    deleted_col: str = "deleted",
+    max_files_per_batch: int | None = None,
+) -> DataStreamWriter:
+    """Streaming CDC apply: keyed change rows (upserts + deletes) landing
+    as parquet under `changes_dir` → each micro-batch collapses to one
+    row per key (last-wins on `seq_col`, ties broken by the key for
+    determinism) → `snapshots.merge_upsert` commits the next snapshot
+    version of `stage`.
+
+    The update/delete complement of `incremental_kg_writer`'s append-only
+    sink — together they are the full table-maintenance story: new facts
+    append, changed/retracted entities MERGE. Delivery is exactly-once in
+    CONTENT: file pickup is checkpointed, and a replayed batch (crash
+    between merge commit and checkpoint commit) re-merges rows the table
+    already carries — merge_upsert is content-idempotent, so the replay
+    mints a new version with identical data and an identical checksum
+    (`test_streaming_cdc.py` pins this). Readers only ever see committed
+    pointers, never a half-applied batch.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kgdata_spark.pipeline.snapshots import merge_upsert
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    src = reader.parquet(changes_dir)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), *[F.asc(k) for k in key_cols]
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        collapsed = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", seq_col)
+        )
+        merge_upsert(
+            spark, table_dir, stage, collapsed, key_cols, deleted_col=deleted_col
+        )
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

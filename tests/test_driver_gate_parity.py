@@ -124,6 +124,7 @@ DOCUMENTED_OVERFLOW = {
     "random_walks",
     "ppr_related",
     "incremental_distinct",
+    "gopher_rules",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,85 @@
+"""Gopher document-shape rule battery (functions/text.gopher_flags):
+hand-computed fixtures for every rule, the wordless-doc policy, and the
+composite `keep`. The per-rule thresholds are Rae et al. 2021 §A1.1
+defaults; the driver gate (`gopher_rules`) cross-checks the battery
+against a DuckDB replay over the documents fixture.
+"""
+
+from __future__ import annotations
+
+from kgdata_spark.functions.text import gopher_flags
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = gopher_flags(df, **kw).collect()[0]
+    return row.asDict()
+
+
+GOOD = ("the quick brown fox jumps over a lazy dog and that "
+        "nimble cat did have some fun with every word here ") * 3  # 63 words
+
+
+def test_good_doc_keeps(spark):
+    r = _flags(spark, GOOD)
+    assert r["n_words"] == 63
+    assert all(v for k, v in r.items() if k.startswith("r_"))
+    assert r["keep"]
+
+
+def test_word_count_gate(spark):
+    assert not _flags(spark, "too few words here")["r_word_count"]
+    assert _flags(spark, "w " * 50)["r_word_count"]
+    assert not _flags(spark, "w " * 50, max_words=49)["r_word_count"]
+
+
+def test_wordless_doc_fails_word_rules_not_null(spark):
+    r = _flags(spark, "   \n  \n ")
+    assert r["n_words"] == 0
+    for k in ("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_alpha"):
+        assert r[k] is False  # False, never NULL
+    # line-denominated rules still evaluate (3 blank-ish lines, no bullets)
+    assert r["r_bullet"] and r["r_ellipsis"]
+    assert r["keep"] is False
+
+
+def test_mean_word_len_bounds(spark):
+    # 60 single-char words -> mwl 1.0 < 3.0
+    assert not _flags(spark, "a " * 60)["r_mean_word_len"]
+    # 60 11-char words -> mwl 11.0 > 10.0
+    assert not _flags(spark, "abcdefghijk " * 60)["r_mean_word_len"]
+
+
+def test_symbol_ratio_counts_hashes_and_ellipses(spark):
+    # 10 words, 2 hashes -> ratio 0.2 > 0.1
+    txt = "one two three four five six seven eight nine ten # #"
+    # the two '#' are themselves words; 12 words, 2 hashes -> 2/12 > 0.1
+    assert not _flags(spark, txt)["r_symbol_ratio"]
+    # '....' counts as ONE non-overlapping '...' occurrence
+    r = _flags(spark, "one two three four five six seven eight nine ten ....")
+    assert r["r_symbol_ratio"]  # 1 ellipsis / 11 words = 0.09 <= 0.1
+
+
+def test_bullet_and_ellipsis_line_fractions(spark):
+    bullets = "\n".join("- item %d" % i for i in range(10))
+    assert not _flags(spark, bullets)["r_bullet"]  # 10/10 > 0.9
+    ell = "\n".join("line %d..." % i for i in range(10))
+    assert not _flags(spark, ell)["r_ellipsis"]  # 10/10 > 0.3
+    mixed = "plain\n" * 8 + "- b\n" + "tail..."
+    r = _flags(spark, mixed)
+    assert r["r_bullet"] and r["r_ellipsis"]  # 1/10 each
+
+
+def test_alpha_and_stopword_rules(spark):
+    # 60 numeric words -> alpha frac 0, and no stopwords
+    r = _flags(spark, "123 456 " * 30)
+    assert not r["r_alpha"] and not r["r_stopwords"]
+    # one stopword is not enough; two distinct are
+    assert not _flags(spark, "the " * 60)["r_stopwords"]
+    assert _flags(spark, "the of " * 30)["r_stopwords"]
+
+
+def test_custom_thresholds_and_stopwords(spark):
+    r = _flags(spark, "foo bar baz qux quux", min_words=5,
+               stopwords=["foo", "bar"], min_stopwords=2)
+    assert r["r_word_count"] and r["r_stopwords"] and r["keep"]

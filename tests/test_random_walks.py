@@ -86,3 +86,31 @@ def test_random_walks_rejects_bad_params(spark):
         random_walks(e, -1)
     with pytest.raises(ValueError):
         random_walks(e, 3, walks_per_node=0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_NODES = [f"v{i}" for i in range(8)]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from(_NODES), st.sampled_from(_NODES)),
+        min_size=1,
+        max_size=14,
+    ),
+    walk_len=st.integers(0, 5),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_random_walks_fuzz_vs_model(spark, edges, walk_len):
+    # md5-only determinism: hashlib and Spark md5 agree byte-for-byte, so
+    # (unlike the float-scored operators) the python model is bit-safe
+    # under fuzzing — self-loops, multi-edges, sinks, islands included
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        map(tuple, random_walks(e, walk_len, walks_per_node=2).collect())
+    )
+    assert got == _model(edges, walk_len, 2, "walk")

@@ -1,0 +1,130 @@
+"""Streaming CDC apply (streaming/kg.cdc_merge_writer): change waves →
+per-batch last-wins collapse → snapshot MERGE, with exactly-once content
+under checkpointed pickup and content-idempotent batch replay."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CHANGE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("tag", StringType()),
+        StructField("deleted", BooleanType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _drain(spark, dirs):
+    from kgdata_spark.streaming.kg import cdc_merge_writer
+
+    cdc_merge_writer(
+        spark,
+        dirs["chg"],
+        dirs["tbl"],
+        "ents",
+        ["id"],
+        "seq",
+        dirs["ckpt"],
+        CHANGE_SCHEMA,
+    ).start().awaitTermination()
+
+
+def _state(spark, dirs):
+    from kgdata_spark.pipeline.snapshots import read_snapshot
+
+    return {
+        (r.id, r.tag) for r in read_snapshot(spark, dirs["tbl"], "ents").collect()
+    }
+
+
+def test_cdc_waves_apply_in_order_with_last_wins(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import latest_version, read_snapshot
+
+    dirs = {k: os.path.join(str(tmp_path), k) for k in ("chg", "tbl", "ckpt")}
+    # wave 1: inserts, including a same-key pair the collapse must resolve
+    # by seq (id=2 gets tag 'b2', not 'b1'), and a delete for a key that
+    # never existed (must be a no-op)
+    w1 = spark.createDataFrame(
+        [
+            (1, "a", False, 10),
+            (2, "b1", False, 11),
+            (2, "b2", False, 12),
+            (9, None, True, 13),
+        ],
+        CHANGE_SCHEMA,
+    )
+    w1.write.mode("overwrite").parquet(dirs["chg"])
+    _drain(spark, dirs)
+    assert _state(spark, dirs) == {(1, "a"), (2, "b2")}
+
+    # wave 2: update 1, delete 2, insert 3
+    w2 = spark.createDataFrame(
+        [(1, "A", False, 20), (2, None, True, 21), (3, "c", False, 22)],
+        CHANGE_SCHEMA,
+    )
+    w2.write.mode("append").parquet(dirs["chg"])
+    _drain(spark, dirs)
+    assert _state(spark, dirs) == {(1, "A"), (3, "c")}
+    # wave 1's state is still time-travelable
+    v = latest_version(dirs["tbl"], "ents")
+    prior = {
+        (r.id, r.tag)
+        for r in read_snapshot(spark, dirs["tbl"], "ents", version=v - 1).collect()
+    }
+    assert prior == {(1, "a"), (2, "b2")}
+
+
+def test_cdc_checkpoint_makes_redrain_a_noop(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import latest_version
+
+    dirs = {k: os.path.join(str(tmp_path), k) for k in ("chg", "tbl", "ckpt")}
+    w1 = spark.createDataFrame([(1, "a", False, 1)], CHANGE_SCHEMA)
+    w1.write.mode("overwrite").parquet(dirs["chg"])
+    _drain(spark, dirs)
+    v = latest_version(dirs["tbl"], "ents")
+    # no new files: draining again picks up nothing and commits nothing
+    _drain(spark, dirs)
+    assert latest_version(dirs["tbl"], "ents") == v
+    assert _state(spark, dirs) == {(1, "a")}
+
+
+def test_cdc_batch_replay_is_content_idempotent(spark, tmp_path):
+    """A crash between merge commit and checkpoint commit replays the
+    batch: the re-merge mints a new version whose CONTENT (and checksum)
+    equals the first application — emulated by re-running the same wave
+    through a FRESH checkpoint dir against the already-merged table."""
+    import json
+
+    from kgdata_spark.pipeline.snapshots import (
+        _manifest_path,  # test reaches into the layer to compare checksums
+        latest_version,
+    )
+
+    dirs = {k: os.path.join(str(tmp_path), k) for k in ("chg", "tbl", "ckpt")}
+    w1 = spark.createDataFrame(
+        [(1, "a", False, 1), (2, "b", False, 2), (3, None, True, 3)],
+        CHANGE_SCHEMA,
+    )
+    w1.write.mode("overwrite").parquet(dirs["chg"])
+    _drain(spark, dirs)
+    v1 = latest_version(dirs["tbl"], "ents")
+    with open(_manifest_path(dirs["tbl"], "ents", v1)) as f:
+        c1 = json.load(f)["checksum"]
+
+    dirs2 = dict(dirs, ckpt=os.path.join(str(tmp_path), "ckpt_replay"))
+    _drain(spark, dirs2)  # same files, lost checkpoint -> full replay
+    v2 = latest_version(dirs["tbl"], "ents")
+    with open(_manifest_path(dirs["tbl"], "ents", v2)) as f:
+        c2 = json.load(f)["checksum"]
+    assert v2 == v1 + 1 and c2 == c1
+    assert _state(spark, dirs) == {(1, "a"), (2, "b")}
