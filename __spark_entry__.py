@@ -2658,6 +2658,15 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_supplier_cooccurrence(spark, sf_dir))
 
 
+def q_supplier_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node local clustering coefficient over the same co-occurrence
+    # graph as supplier_triangles; cc quantized to micro units (bigint)
+    # so the oracle compare is engine-exact.
+    from kgdata_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_supplier_cooccurrence(spark, sf_dir))
+
+
 def q_supplier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-source bounded BFS: hop distance (<= 3) from the seed suppliers
     # (every 50th) through the symmetric co-occurrence graph; oracle is a
@@ -3153,6 +3162,115 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(_t(spark, sf_dir, "documents"))
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # backward as-of join (the pandas merge_asof / kdb aj operator Spark
+    # lacks natively): each purchase gets the user's latest at-or-before
+    # click — assembled via the granule-bucketed two-level plan, checked
+    # against DuckDB's NATIVE ASOF JOIN. Times in exact epoch micros
+    # (bigint); the value column is a pure passthrough (no float math).
+    from kgdata_spark.operators.asof import asof_join_bucketed
+
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast is
+    # an identity reinterpretation and unix_micros == DuckDB epoch_us
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    l = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_t")
+    )
+    r = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("c_t"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join_bucketed(
+        l, r, "user_id", "p_t", "c_t", granule=86_400_000_000
+    )
+
+
+def q_order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative expectation battery (Deequ shape) in ONE scan — the
+    # fixture mixes green constraints with real violations (price band,
+    # non-unique custkey) so both outcomes flow through the gate; every
+    # count is integer, passed is boolean: no float surface
+    from kgdata_spark.operators.expectations import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+        satisfies,
+        unique,
+    )
+
+    return run_checks(
+        _t(spark, sf_dir, "orders"),
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", lo=0.0, hi=300000.0),
+            matches("o_orderpriority", "^[1-5]-"),
+            satisfies("custkey_positive", "o_custkey > 0"),
+            unique("o_custkey"),
+        ],
+    )
+
+
+def q_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 line-level cleaning over a DERIVED multi-line fixture (the raw
+    # documents are single-line, which would degenerate every rule —
+    # the r3 curation_e2e lesson): six planted lines per doc exercise
+    # every rule, with lorem-ipsum docs at doc_id%7 and brace docs at
+    # doc_id%11; the construction is pure slice/concat arithmetic the
+    # DuckDB oracle replays verbatim
+    from kgdata_spark.operators.curation import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    five = F.array_join(F.slice(w, 1, 5), " ")
+    two = F.array_join(F.slice(w, 1, 2), " ")
+    three = F.array_join(F.slice(w, 6, 3), " ")
+    four = F.array_join(F.slice(w, 9, 4), " ")
+    fixture = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(five, F.lit(".")),
+            F.concat(two, F.lit(".")),
+            F.concat(F.lit("javascript "), three, F.lit(".")),
+            four,
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit.")
+            ).otherwise(F.concat(three, F.lit("!"))),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("config { x }.")
+            ).otherwise(F.concat(five, F.lit("?"))),
+        ).alias("text"),
+    )
+    return c4_clean(fixture)
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k distinctive terms per doc by TF-IDF — scores are pure BIGINT
+    # products (tf × micro-nat idf), so the oracle compare is engine-exact
+    from kgdata_spark.operators.keywords import doc_keywords
+
+    return doc_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-frame audio energy over the closed-form synthetic WAV corpus:
+    # the oracle regenerates the samples arithmetically and windows them
+    # — integer sumsq/peak, no byte parsing on the DuckDB side
+    from kgdata_spark.operators.multimodal import (
+        audio_frame_features,
+        synthetic_real_media,
+    )
+
+    return audio_frame_features(synthetic_real_media(spark, 2000), frame_len=128)
+
+
 def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable HLL distinct-count state built in two waves and merged —
     # per-key cardinality is bounded at 40 BY CONSTRUCTION (custkey % 40),
@@ -3393,6 +3511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_related": q_ppr_related,
         "incremental_distinct": q_incremental_distinct,
         "gopher_rules": q_gopher_rules,
+        "click_attribution": q_click_attribution,
+        "order_expectations": q_order_expectations,
+        "c4_line_rules": q_c4_line_rules,
+        "supplier_clustering": q_supplier_clustering,
+        "doc_keywords": q_doc_keywords,
+        "audio_frames": q_audio_frames,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4220,6 +4344,180 @@ def oracle_sql() -> dict[str, str]:
                 AND r_bullet AND r_ellipsis AND r_alpha AND r_stopwords)
                    AS keep
         FROM f
+    """
+    # click_attribution: DuckDB's NATIVE ASOF JOIN is the oracle for the
+    # bucketed two-level asof plan; the QUALIFY replays the operator's
+    # deterministic (key, time)-tie collapse (max payload struct =
+    # ORDER BY payload cols DESC, first row)
+    d["click_attribution"] = """
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS p_t
+            FROM events WHERE event_type = 'purchase'),
+        r AS (
+            SELECT user_id, epoch_us(ts) AS c_t,
+                   event_id AS click_id, value AS click_value
+            FROM events WHERE event_type = 'click'
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, epoch_us(ts)
+                ORDER BY click_id DESC, click_value DESC) = 1)
+        SELECT l.event_id, l.user_id, l.p_t,
+               r.c_t, r.click_id, r.click_value
+        FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.p_t >= r.c_t
+    """
+    # order_expectations: per-constraint replay with COUNT(*) FILTER
+    # (BIGINT, unlike DuckDB's INT128 SUM) — kinds/null rules mirror
+    # operators/expectations.py exactly
+    d["order_expectations"] = """
+        WITH t AS (
+            SELECT COUNT(*) AS total,
+                   COUNT(*) FILTER (o_orderkey IS NULL) AS v1,
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v2,
+                   COUNT(*) FILTER (o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')) AS v3,
+                   COUNT(*) FILTER (o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 300000.0))
+                       AS v4,
+                   COUNT(*) FILTER (o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                       AS v5,
+                   COUNT(*) FILTER (NOT COALESCE(o_custkey > 0, FALSE)) AS v6,
+                   COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS v7
+            FROM orders)
+        SELECT u.*, t.total, u.violations = 0 AS passed
+        FROM t, (
+            SELECT 'o_orderkey_not_null' AS "constraint", 'not_null' AS kind,
+                   'o_orderkey' AS "column", (SELECT v1 FROM t) AS violations
+            UNION ALL SELECT 'o_orderkey_unique', 'unique', 'o_orderkey',
+                   (SELECT v2 FROM t)
+            UNION ALL SELECT 'o_orderstatus_in_set', 'in_set',
+                   'o_orderstatus', (SELECT v3 FROM t)
+            UNION ALL SELECT 'o_totalprice_in_range', 'in_range',
+                   'o_totalprice', (SELECT v4 FROM t)
+            UNION ALL SELECT 'o_orderpriority_matches', 'matches',
+                   'o_orderpriority', (SELECT v5 FROM t)
+            UNION ALL SELECT 'custkey_positive', 'satisfies',
+                   CAST(NULL AS VARCHAR), (SELECT v6 FROM t)
+            UNION ALL SELECT 'o_custkey_unique', 'unique', 'o_custkey',
+                   (SELECT v7 FROM t)) u
+    """
+    # c4_line_rules: fixture construction (slice/concat) + the C4 line
+    # and doc rules replayed with DuckDB list ops
+    d["c4_line_rules"] = r"""
+        WITH wds AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+        fx AS (
+            SELECT doc_id,
+                   array_to_string(w[1:5], ' ') || '.'
+                   || chr(10) || array_to_string(w[1:2], ' ') || '.'
+                   || chr(10) || 'javascript '
+                              || array_to_string(w[6:8], ' ') || '.'
+                   || chr(10) || array_to_string(w[9:12], ' ')
+                   || chr(10) || CASE WHEN doc_id % 7 = 0
+                        THEN 'lorem ipsum dolor sit.'
+                        ELSE array_to_string(w[6:8], ' ') || '!' END
+                   || chr(10) || CASE WHEN doc_id % 11 = 0
+                        THEN 'config { x }.'
+                        ELSE array_to_string(w[1:5], ' ') || '?' END
+                   AS text
+            FROM wds),
+        kept AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(rtrim(l), '[.!?"]$')
+                       AND NOT contains(lower(l), 'javascript')
+                       AND len(list_filter(
+                               regexp_split_to_array(trim(l), '\s+'),
+                               x -> x <> '')) >= 3) AS k
+            FROM fx)
+        SELECT doc_id,
+               CAST(len(k) AS INT) AS n_lines_kept,
+               (NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND len(k) >= 3) AS keep,
+               array_to_string(k, chr(10)) AS clean_text
+        FROM kept
+    """
+    # supplier_clustering: triangles via the same id-ordered enumeration
+    # as supplier_triangles, degree from the canonical undirected edges,
+    # cc in micro units with the identical float expression order
+    d["supplier_clustering"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_orderkey % 100 = 0),
+        e AS (
+            SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+            FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey < y.l_suppkey),
+        deg AS (
+            SELECT node, COUNT(*) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tc AS (
+            SELECT node, COUNT(*) AS triangles
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node)
+        SELECT deg.node, deg.degree,
+               COALESCE(tc.triangles, 0) AS triangles,
+               CASE WHEN deg.degree >= 2 THEN
+                   CAST(round((2000000.0 * COALESCE(tc.triangles, 0))
+                              / (deg.degree * (deg.degree - 1))) AS BIGINT)
+               ELSE 0 END AS cc_micro
+        FROM deg LEFT JOIN tc ON deg.node = tc.node
+    """
+    # doc_keywords: tf/df/idf replay; idf micro-nats via the identical
+    # double expression order (cast-to-double division, ln, ×1e6, round)
+    d["doc_keywords"] = r"""
+        WITH toks AS (
+            SELECT doc_id, u.term
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(
+                             trim(lower(text)), '\s+'), x -> x <> '') AS w
+                  FROM documents), unnest(w) u(term)),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        idf AS (
+            SELECT term,
+                   CAST(round(ln(CAST(n + 1 AS DOUBLE) / (df + 1))
+                              * 1000000.0) AS BIGINT) AS idf_micro
+            FROM dfreq CROSS JOIN nd),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, idf.idf_micro,
+                   tf.tf * idf.idf_micro AS score_micro
+            FROM tf JOIN idf USING (term))
+        SELECT doc_id, term, tf, idf_micro, score_micro, CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_micro DESC, term ASC) AS rk
+              FROM scored) t
+        WHERE rk <= 3
+    """
+    # audio_frames: the WAV samples are closed-form, so the oracle
+    # regenerates them arithmetically and windows by j // frame_len —
+    # no byte parsing anywhere on the DuckDB side
+    d["audio_frames"] = """
+        WITH ids AS (
+            SELECT CAST(i AS BIGINT) AS i FROM range(2000) t(i)
+            WHERE i % 2 = 1),
+        s AS (
+            SELECT i, g.j, ((g.j * (i + 1)) % 2003) - 1001 AS v
+            FROM ids, unnest(generate_series(0, 500 + i % 100 - 1)) g(j))
+        SELECT 'm' || i AS media_id,
+               CAST(j // 128 AS INT) AS frame_no,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sumsq,
+               CAST(MAX(ABS(v)) AS INT) AS peak
+        FROM s GROUP BY 1, 2
     """
     return d
 

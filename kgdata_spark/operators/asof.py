@@ -16,6 +16,13 @@ dominates.
 Ties (right_ts == left_ts) are INCLUSIVE, and duplicate right rows at the
 same (key, ts) are resolved deterministically by `tie_col` descending
 before the join — pin the same rule in any oracle.
+
+Two forms live here:
+  - `asof_join` (this header's plan): ONE shuffle, per-key window — the
+    right default when no single key's history outgrows a task;
+  - `asof_join_bucketed`: granule-bucketed two-level assembly whose task
+    state is bounded by a TIME BUCKET, never a key's full history — the
+    hub-key-safe scale path (equivalence pinned in tests/test_asof.py).
 """
 
 from __future__ import annotations
@@ -71,4 +78,121 @@ def asof_join(
     return carried.select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"_c_{c}").alias(c) for c in payload_cols],
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    granule: int = 86_400,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets THE single right row with
+    the greatest `right_time` <= `left_time` for the same `key` (the
+    pandas `merge_asof` / kdb `aj` / DuckDB ASOF JOIN operator Spark has
+    no native form of). Output = every left column + `right_time` + the
+    right payload columns, all null when no prior right row exists (or
+    the match is older than `tolerance` time units).
+
+    Semantics pinned down:
+      - inclusive: a right row AT the left row's time matches;
+      - right rows tied on (key, right_time) collapse deterministically
+        to the max payload struct before matching;
+      - column names must not collide across sides except `key` (cast
+        times to numbers and rename first — numeric comparisons are
+        engine-portable and timezone-free).
+
+    Scale design — the naive plan is a per-key sort window over
+    `union(left, right)`, which serializes a hub key's entire history
+    into one task. Instead both sides land in `granule`-sized time
+    buckets and the match is assembled in two bounded levels (the
+    `distributed_cumsum` shape):
+      1. within (key, bucket): running `last(payload, ignorenulls)` over
+         rows ordered by (time, is_left) — right-before-left on ties
+         makes the bound inclusive; task state is one bucket, never one
+         key;
+      2. across buckets: per-(key, bucket) latest right row, then a
+         carry-in window ordered by bucket over AT MOST span/granule
+         rows per key — pick `granule` so a bucket holds hours-to-days
+         of one key's traffic and this stays thousands, not billions.
+    A left row's match is its in-bucket hit, else the bucket carry-in.
+    Every shuffle is an equi-exchange on (key[, bucket]) — no theta
+    join, no corpus-wide window at any scale.
+    """
+    if granule <= 0:
+        raise ValueError(f"granule must be positive, got {granule}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    payload = [c for c in right.columns if c not in (key, right_time)]
+    clash = (set(payload) | {right_time}) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: column collision across sides: {sorted(clash)}")
+
+    # right rows tied on (key, time) collapse to ONE deterministic winner
+    r = right.groupBy(key, right_time).agg(
+        F.max(F.struct(*payload)).alias("_pv")
+    )
+    # the match record a left row receives: (time, payload)
+    m = F.struct(F.col(right_time).alias("_mt"), F.col("_pv"))
+    # no explicit cast on _t: unionByName widens the two time types (int
+    # + long -> long, etc.) losslessly; a double cast here would corrupt
+    # int64 epoch-micros ordering past 2^53
+    rb = r.select(
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        F.floor(F.col(right_time) / granule).alias("_b"),
+        F.lit(0).alias("_is_l"),
+        m.alias("_m"),
+    )
+    lb = left.select(
+        "*",
+        F.col(left_time).alias("_t"),
+        F.floor(F.col(left_time) / granule).alias("_b"),
+        F.lit(1).alias("_is_l"),
+    )
+    u = lb.unionByName(rb, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    # level 1: in-bucket running last right row (right sorts before left
+    # on equal time -> inclusive bound); state bounded by ONE bucket
+    w1 = (
+        Window.partitionBy(key, "_b")
+        .orderBy("_t", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_in_bucket", F.last("_m", ignorenulls=True).over(w1))
+
+    # level 2: latest right row per (key, bucket), carried into every
+    # LATER bucket; the window runs over bucket-count rows per key
+    r_last = rb.groupBy(key, "_b").agg(F.max("_m").alias("_bm"))
+    buckets = u.select(key, "_b").distinct().join(r_last, [key, "_b"], "left")
+    w2 = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = buckets.select(
+        key, "_b", F.last("_bm", ignorenulls=True).over(w2).alias("_carry")
+    )
+
+    out = (
+        u.where(F.col("_is_l") == 1)
+        .join(carry, [key, "_b"])
+        .withColumn("_hit", F.coalesce("_in_bucket", "_carry"))
+    )
+    if tolerance is not None:
+        out = out.withColumn(
+            "_hit",
+            F.when(
+                F.col("_hit._mt") >= F.col("_t") - F.lit(tolerance), F.col("_hit")
+            ),
+        )
+    return out.select(
+        *left.columns,
+        F.col("_hit._mt").alias(right_time),
+        *[F.col(f"_hit._pv.{c}").alias(c) for c in payload],
     )

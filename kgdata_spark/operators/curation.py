@@ -544,3 +544,52 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2) —
+    the LINE-granular complement of the document-shape `gopher_flags`:
+
+      line kept iff it ends in terminal punctuation (. ! ? "), does not
+      mention 'javascript' (case-insensitive), and has at least
+      `min_words_per_line` words;
+      doc kept iff its text has no 'lorem ipsum' (case-insensitive), no
+      '{', and at least `min_lines` SURVIVING lines (C4's 5-sentence
+      gate, with kept lines standing in for sentences — the usual
+      re-implementation shortcut, documented here).
+
+    Output: (id, n_lines_kept, keep, clean_text) where clean_text is
+    the kept lines re-joined — emitted for every doc so the caller
+    picks filter-vs-inspect. Pure per-row Catalyst HOFs: shuffle-free,
+    no Python, embarrassingly parallel at any scale.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _line_ok(l: Column) -> Column:
+        words = F.filter(
+            F.split(F.trim(l), r"\s+"), lambda w: w != ""
+        )
+        return (
+            F.rtrim(l).rlike('[.!?"]$')
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+            & (F.size(words) >= F.lit(min_words_per_line))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    keep = (
+        ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+        & (F.size(kept) >= F.lit(min_lines))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(kept).alias("n_lines_kept"),
+        keep.alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

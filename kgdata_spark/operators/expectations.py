@@ -1,0 +1,150 @@
+"""Declarative data-expectation checks (the Deequ / Great Expectations
+shape): a constraint battery over a table, verified in ONE scan.
+
+The reference scatters its invariants through the pipeline as inline
+asserts (are_records_unique, count preservation — SURVEY §5.2);
+`profile_table` made the *statistics* first-class, this makes the
+*pass/fail contracts* first-class. Every row-level constraint compiles to
+a `SUM(CASE WHEN violated)` column of a single multi-aggregate pass —
+one scan, map-side partials, a one-row shuffle — and uniqueness rides
+the same pass as `COUNT(col) - COUNT(DISTINCT col)` (Catalyst expands
+multi-distinct aggregates without extra scans). The result unpivots
+JVM-side with `stack` into one row per constraint; nothing corpus-sized
+ever reaches the driver, so the battery costs the same at 100 TB as the
+cheapest possible full-column aggregate.
+
+Null semantics, pinned: `not_null` is THE null check; the value-shape
+kinds (`in_set`, `in_range`, `matches`) pass null rows (compose with
+`not_null` to forbid them); `satisfies` treats a null predicate as a
+violation (strict — an expectation that cannot evaluate did not hold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str, name: str | None = None) -> dict:
+    return {"name": name or f"{col}_not_null", "kind": "not_null", "col": col}
+
+
+def unique(col: str, name: str | None = None) -> dict:
+    """No non-null value occurs twice; violations = surplus duplicate rows."""
+    return {"name": name or f"{col}_unique", "kind": "unique", "col": col}
+
+
+def in_set(col: str, values: list, name: str | None = None) -> dict:
+    return {
+        "name": name or f"{col}_in_set",
+        "kind": "in_set",
+        "col": col,
+        "values": list(values),
+    }
+
+
+def in_range(col: str, lo=None, hi=None, name: str | None = None) -> dict:
+    if lo is None and hi is None:
+        raise ValueError("in_range: need at least one of lo/hi")
+    return {
+        "name": name or f"{col}_in_range",
+        "kind": "in_range",
+        "col": col,
+        "lo": lo,
+        "hi": hi,
+    }
+
+
+def matches(col: str, regex: str, name: str | None = None) -> dict:
+    return {
+        "name": name or f"{col}_matches",
+        "kind": "matches",
+        "col": col,
+        "regex": regex,
+    }
+
+
+def satisfies(name: str, expr: str) -> dict:
+    """Arbitrary boolean SQL over the row; null counts as a violation."""
+    return {"name": name, "kind": "satisfies", "expr": expr}
+
+
+def _violation(c: dict) -> Column:
+    """Boolean column: this row violates constraint `c` (never null)."""
+    kind = c["kind"]
+    if kind == "not_null":
+        return F.col(c["col"]).isNull()
+    if kind == "in_set":
+        v = F.col(c["col"])
+        return v.isNotNull() & ~v.isin(*c["values"])
+    if kind == "in_range":
+        v = F.col(c["col"])
+        bad = F.lit(False)
+        if c["lo"] is not None:
+            bad = bad | (v < F.lit(c["lo"]))
+        if c["hi"] is not None:
+            bad = bad | (v > F.lit(c["hi"]))
+        return v.isNotNull() & bad
+    if kind == "matches":
+        v = F.col(c["col"])
+        return v.isNotNull() & ~v.rlike(c["regex"])
+    if kind == "satisfies":
+        return ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(False))
+    raise ValueError(f"unknown constraint kind: {kind}")
+
+
+def run_checks(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Evaluate the battery; returns one row per constraint:
+    (constraint, kind, column, violations, total, passed) — `total` is
+    the table row count, `passed` = violations == 0."""
+    if not constraints:
+        raise ValueError("run_checks: empty constraint list")
+    names = [c["name"] for c in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(f"run_checks: duplicate constraint names in {names}")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in constraints:
+        if c["kind"] == "unique":
+            col = c["col"]
+            aggs.append(
+                (F.count(col) - F.count_distinct(F.col(col))).alias(
+                    f"_v_{c['name']}"
+                )
+            )
+        else:
+            aggs.append(
+                F.sum(_violation(c).cast("long")).alias(f"_v_{c['name']}")
+            )
+    one = df.agg(*aggs)
+    def _col_lit(c: dict) -> str:
+        return "'" + c["col"] + "'" if "col" in c else "CAST(NULL AS STRING)"
+
+    stack_args = ", ".join(
+        f"'{c['name']}', '{c['kind']}', {_col_lit(c)}, `_v_{c['name']}`"
+        for c in constraints
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(constraints)}, {stack_args}) "
+            "AS (constraint, kind, column, violations)"
+        ),
+        F.col("_total").alias("total"),
+    ).select(
+        "constraint",
+        "kind",
+        "column",
+        F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+        "total",
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+    )
+
+
+def assert_checks(df: DataFrame, constraints: list[dict]) -> None:
+    """Hard gate: raise AssertionError listing every failed constraint."""
+    bad = [
+        (r["constraint"], r["violations"], r["total"])
+        for r in run_checks(df, constraints).where(~F.col("passed")).collect()
+    ]
+    if bad:
+        lines = ", ".join(f"{n} ({v}/{t} rows)" for n, v, t in bad)
+        raise AssertionError(f"expectations failed: {lines}")

@@ -506,35 +506,32 @@ def sssp_distances(
     return dist
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-node triangle counts on the undirected simple graph → (node,
-    triangles); self-loops and duplicate/reverse edges collapse first.
-
-    The forward algorithm: orient every edge from its lower-(degree, id)
-    endpoint, so each triangle is generated exactly once — at its
-    minimum-rank corner, as an out-wedge whose far pair closes. The
-    orientation is the scale move: a hub of degree d has out-degree
-    O(sqrt(E)) regardless of d (its neighbors mostly rank lower), so the
-    wedge self-join — the quadratic step — is bounded by sum C(outdeg,2)
-    = O(E^1.5) total work instead of the O(sum C(deg,2)) a naive
-    neighbor-pair expansion pays on skewed graphs. Three shuffles: degree
-    aggregate, wedge self-join on the center, closing-edge join.
-    """
-    und = (
+def _canonical_undirected(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """(a, b) with a < b: self-loops out, duplicate/reverse edges collapsed."""
+    return (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = (
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b")))
         .groupBy("n")
         .agg(F.count("*").alias("dg"))
     )
-    ranked = (
-        und.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
-    )
+
+
+def _triangle_corners(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle counts from pre-built canonical edges + degrees
+    (shared with clustering_coefficient so the construction plans once)."""
+    ranked = und.join(
+        deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -552,6 +549,24 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     tri = wedges.join(und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"]))
     corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts on the undirected simple graph → (node,
+    triangles); self-loops and duplicate/reverse edges collapse first.
+
+    The forward algorithm: orient every edge from its lower-(degree, id)
+    endpoint, so each triangle is generated exactly once — at its
+    minimum-rank corner, as an out-wedge whose far pair closes. The
+    orientation is the scale move: a hub of degree d has out-degree
+    O(sqrt(E)) regardless of d (its neighbors mostly rank lower), so the
+    wedge self-join — the quadratic step — is bounded by sum C(outdeg,2)
+    = O(E^1.5) total work instead of the O(sum C(deg,2)) a naive
+    neighbor-pair expansion pays on skewed graphs. Three shuffles: degree
+    aggregate, wedge self-join on the center, closing-edge join.
+    """
+    und = _canonical_undirected(edges, src, dst)
+    return _triangle_corners(und, _degrees(und))
 
 
 def negative_edge_samples(
@@ -780,3 +795,38 @@ def random_walks(
             )
         )
     return out
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient on the undirected simple
+    graph: cc = 2·triangles / (deg·(deg−1)) — the closed-wedge fraction,
+    the standard community-density signal next to `k_core` and
+    `triangle_counts` (whose O(E^1.5) forward algorithm does the heavy
+    lifting here, with the canonical-edge and degree subtrees built ONCE
+    and shared between the degree output and the triangle corner count).
+    Every graph node is emitted (zero-triangle and degree-1 nodes get cc
+    0), with cc quantized to integer micro units (round(x·1e6) as
+    BIGINT) so the value is engine-exact.
+
+    Output: (node, degree, triangles, cc_micro).
+    """
+    und = _canonical_undirected(edges, src, dst)
+    deg = _degrees(und)
+    tri = _triangle_corners(und, deg)
+    j = deg.select(F.col("n").alias("node"), F.col("dg").alias("degree")).join(
+        tri, "node", "left"
+    ).select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (F.lit(2000000.0) * F.col("triangles"))
+            / (F.col("degree") * (F.col("degree") - 1))
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return j.select("node", "degree", "triangles", cc.alias("cc_micro"))

@@ -246,3 +246,4 @@ def range_join(
         F.col(ts) <= F.col(end) if end_inclusive else F.col(ts) < F.col(end)
     )
     return p.join(iv, on).where((F.col(ts) >= F.col(start)) & upper).drop("_g")
+

@@ -1,0 +1,88 @@
+"""Per-document keyword extraction: top-k distinctive terms by TF-IDF.
+
+The lightweight first pass of every KG/IR enrichment pipeline (tag docs
+before linking/indexing; the corpus-statistics sibling of `retrieval`'s
+BM25 and `lm`'s perplexity). Plan shape — three map-side-combinable
+groupBys and one broadcast of corpus-level state:
+
+  1. tf:   one groupBy (doc, term) over the exploded token stream;
+  2. df:   one groupBy (term) over the DISTINCT (doc, term) pairs the tf
+           table already is — no second corpus scan;
+  3. idf:  round(ln((N+1)/(df+1))·1e6) as BIGINT (smoothed; integer
+           micro-nats like operators/lm.py, so scores are engine-exact);
+           N rides in as a broadcast one-row aggregate;
+  4. top-k: score = tf·idf_micro (pure BIGINT product), per-doc
+           row_number window ordered (score DESC, term ASC) — bounded by
+           a doc's distinct-term count, never corpus-wide.
+
+The term-df table is vocabulary-sized; joining it back to the tf table is
+the TF-IDF join shape (see dsir.py) and stays an equi-join — broadcast
+when small, sort-merge when the vocabulary itself is at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tf: int = 1,
+) -> DataFrame:
+    """Top-`k` terms per doc by TF-IDF → (id, term, tf, idf_micro,
+    score_micro, rk), rk in 1..k; ties broken by term ascending.
+    Whitespace tokenization, lowercased; terms below `min_tf` in a doc
+    are ignored."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .where(F.col("tf") >= min_tf)
+    )
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("_n")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("_n") + F.lit(1)).cast("double")
+                / (F.col("_df") + F.lit(1))
+            )
+            * F.lit(MICRO)
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "idf_micro",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "idf_micro", "score_micro", "rk")
+    )

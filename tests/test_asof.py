@@ -1,0 +1,182 @@
+"""Backward as-of join, bucketed scale form (operators/asof.asof_join_bucketed): hand cases, the
+two-level bucket assembly vs a brute-force python model under hypothesis
+(granules straddling / splitting / swallowing the data), tolerance, tie
+collapse, and the no-theta-join plan contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.asof import asof_join_bucketed
+
+
+def _run(spark, left, right, **kw):
+    l = spark.createDataFrame(left, "k string, lt long, lid int")
+    r = spark.createDataFrame(right, "k string, rt long, price int")
+    out = asof_join_bucketed(l, r, "k", "lt", "rt", **kw)
+    return sorted(
+        (t.k, t.lt, t.lid, t.rt, t.price) for t in out.collect()
+    )
+
+
+def _model(left, right, tolerance=None):
+    best = {}
+    for k, rt, price in right:
+        cur = best.get((k, rt))
+        if cur is None or price > cur:
+            best[(k, rt)] = price
+    out = []
+    for k, lt, lid in left:
+        cands = [
+            (rt, p)
+            for (kk, rt), p in best.items()
+            if kk == k
+            and rt <= lt
+            and (tolerance is None or rt >= lt - tolerance)
+        ]
+        m = max(cands) if cands else (None, None)
+        out.append((k, lt, lid, m[0], m[1]))
+    return sorted(out)
+
+
+def test_hand_case(spark):
+    left = [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 10, 4)]
+    right = [("a", 10, 100), ("a", 15, 150), ("b", 11, 900)]
+    got = _run(spark, left, right, granule=7)
+    assert got == [
+        ("a", 5, 3, None, None),  # nothing at or before 5
+        ("a", 10, 1, 10, 100),  # inclusive: match AT the left time
+        ("a", 20, 2, 15, 150),  # latest prior wins
+        ("b", 10, 4, None, None),  # b's only right row is later
+    ]
+
+
+def test_tie_collapse_is_max_payload(spark):
+    left = [("a", 10, 1)]
+    right = [("a", 10, 3), ("a", 10, 9), ("a", 10, 7)]
+    assert _run(spark, left, right, granule=4) == [("a", 10, 1, 10, 9)]
+
+
+def test_tolerance(spark):
+    left = [("a", 100, 1), ("a", 103, 2)]
+    right = [("a", 99, 5)]
+    got = _run(spark, left, right, granule=10, tolerance=2)
+    assert got == [("a", 100, 1, 99, 5), ("a", 103, 2, None, None)]
+
+
+def test_match_crosses_many_empty_buckets(spark):
+    # granule=1: the right row sits 1000 buckets before the left row
+    left = [("a", 1000, 1)]
+    right = [("a", 0, 42)]
+    assert _run(spark, left, right, granule=1) == [("a", 1000, 1, 0, 42)]
+
+
+def test_guards(spark):
+    l = spark.createDataFrame([("a", 1, 1)], "k string, lt long, x int")
+    r = spark.createDataFrame([("a", 1, 1)], "k string, rt long, x int")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_bucketed(l, r, "k", "lt", "rt")
+    with pytest.raises(ValueError, match="granule"):
+        asof_join_bucketed(l, r.withColumnRenamed("x", "y"), "k", "lt", "rt", granule=0)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join_bucketed(
+            l, r.withColumnRenamed("x", "y"), "k", "lt", "rt", tolerance=-1
+        )
+
+
+_KEYS = ["a", "b"]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    left=st.lists(
+        st.tuples(
+            st.sampled_from(_KEYS),
+            st.integers(0, 30),
+            st.integers(0, 99),
+        ),
+        max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(_KEYS),
+            st.integers(0, 30),
+            st.integers(0, 99),
+        ),
+        max_size=10,
+    ),
+    granule=st.sampled_from([1, 3, 7, 100]),
+    tolerance=st.sampled_from([None, 0, 2, 10]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_fuzz_vs_model(spark, left, right, granule, tolerance):
+    if not left:
+        return
+    got = _run(spark, left, right, granule=granule, tolerance=tolerance)
+    assert got == _model(left, right, tolerance)
+
+
+def test_no_theta_join_in_plan(spark):
+    l = spark.createDataFrame([("a", 10, 1)], "k string, lt long, lid int")
+    r = spark.createDataFrame([("a", 9, 5)], "k string, rt long, price int")
+    plan = (
+        asof_join_bucketed(l, r, "k", "lt", "rt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    left=st.lists(
+        st.tuples(
+            st.sampled_from(_KEYS), st.integers(0, 30), st.integers(0, 99)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(_KEYS), st.integers(0, 30), st.integers(0, 99)
+        ),
+        max_size=10,
+    ),
+    granule=st.sampled_from([1, 5, 100]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_bucketed_equals_windowed_form(spark, left, right, granule):
+    # the per-key-window form and the bounded-state bucketed form are the
+    # same operator: identical output on identical input (the
+    # fixed_entities / fixed_entities_join precedent)
+    from kgdata_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(left, "k string, lt long, lid int")
+    r = spark.createDataFrame(right, "k string, rt long, price int")
+    got_b = sorted(
+        (t.k, t.lt, t.lid, t.price)
+        for t in asof_join_bucketed(l, r, "k", "lt", "rt", granule=granule)
+        .drop("rt")
+        .collect()
+    )
+    got_w = sorted(
+        (t.k, t.lt, t.lid, t.price)
+        for t in asof_join(
+            l, r, key="k", left_ts="lt", right_ts="rt",
+            payload_cols=["price"],
+        ).collect()
+    )
+    assert got_b == got_w

@@ -1,0 +1,74 @@
+"""audio_frame_features (operators/multimodal): hand-computed frames,
+trailing partial frame, image rows dropped, format guard, python-model
+equality over the synthetic closed-form WAVs."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.multimodal import (
+    audio_frame_features,
+    make_wav,
+    synthetic_real_media,
+)
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+
+
+def test_hand_frames_and_trailing_partial(spark):
+    samples = [3, -4, 5, 0, 7]  # frame_len 2 -> frames [3,-4] [5,0] [7]
+    d = _media_df(spark, [("a", "audio", make_wav(samples, 8000))])
+    got = sorted(
+        (r.frame_no, r.n_samples, r.sumsq, r.peak)
+        for r in audio_frame_features(d, frame_len=2).collect()
+    )
+    assert got == [(0, 2, 25, 4), (1, 2, 25, 5), (2, 1, 49, 7)]
+
+
+def test_images_emit_nothing(spark):
+    from kgdata_spark.operators.multimodal import make_bmp
+
+    d = _media_df(
+        spark,
+        [
+            ("img", "image", make_bmp(4, 4, lambda x, y: 0)),
+            ("aud", "audio", make_wav([1, 2], 8000)),
+        ],
+    )
+    rows = audio_frame_features(d, frame_len=4).collect()
+    assert [r.media_id for r in rows] == ["aud"]
+
+
+def test_guards(spark):
+    d = _media_df(spark, [("a", "audio", make_wav([1], 8000))])
+    with pytest.raises(ValueError, match="frame_len"):
+        audio_frame_features(d, frame_len=0)
+
+
+def test_synthetic_corpus_matches_python_model(spark):
+    n = 40
+    got = sorted(
+        (r.media_id, r.frame_no, r.n_samples, r.sumsq, r.peak)
+        for r in audio_frame_features(
+            synthetic_real_media(spark, n), frame_len=128
+        ).collect()
+    )
+    exp = []
+    for i in range(1, n, 2):  # odd ids are audio
+        s = [((j * (i + 1)) % 2003) - 1001 for j in range(500 + i % 100)]
+        for f in range(0, len(s), 128):
+            fr = s[f : f + 128]
+            exp.append(
+                (
+                    f"m{i}",
+                    f // 128,
+                    len(fr),
+                    sum(v * v for v in fr),
+                    max(abs(v) for v in fr),
+                )
+            )
+    assert got == sorted(exp)

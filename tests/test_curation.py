@@ -223,3 +223,45 @@ def test_sample_temperature_rejects_bad_alpha(spark):
     docs = spark.createDataFrame([(1, "s", "a b")], "doc_id long, source string, text string")
     with pytest.raises(ValueError):
         sample_temperature(docs, total_budget=10, alpha=0.0)
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from kgdata_spark.operators.curation import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept
+            (1, 'One two three.\nFour five six!\nSeven eight "nine."'),
+            # line rules: no punct / too short / javascript
+            (2, "one two three\nshort one.\na b c javascript d.\nx y z."),
+            # doc rules: lorem ipsum / brace
+            (3, "One two three.\nfour five six.\nLorem Ipsum dolor sit."),
+            (4, "One two three.\nfour five six.\nseven { eight nine."),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines_kept, r.keep, r.clean_text)
+        for r in c4_clean(docs, min_lines=2).collect()
+    }
+    assert got[1] == (3, True, 'One two three.\nFour five six!\nSeven eight "nine."')
+    # doc 2: only 'x y z.' survives the line rules -> below min_lines
+    assert got[2] == (1, False, "x y z.")
+    assert got[3][1] is False  # lorem ipsum, case-insensitive
+    assert got[4][1] is False  # brace
+    assert got[5] == (0, False, "")
+
+
+def test_c4_clean_thresholds(spark):
+    from kgdata_spark.operators.curation import c4_clean
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d.\ne f g h.")], "doc_id int, text string"
+    )
+    assert c4_clean(docs, min_lines=2).collect()[0].keep is True
+    assert c4_clean(docs, min_lines=3).collect()[0].keep is False
+    assert (
+        c4_clean(docs, min_words_per_line=5, min_lines=1).collect()[0].keep
+        is False
+    )

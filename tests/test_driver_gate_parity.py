@@ -125,6 +125,12 @@ DOCUMENTED_OVERFLOW = {
     "ppr_related",
     "incremental_distinct",
     "gopher_rules",
+    "click_attribution",
+    "order_expectations",
+    "c4_line_rules",
+    "supplier_clustering",
+    "doc_keywords",
+    "audio_frames",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,98 @@
+"""Expectation battery (operators/expectations): per-kind semantics incl.
+the pinned null rules, the one-scan plan contract, and the hard gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.expectations import (
+    assert_checks,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    run_checks,
+    satisfies,
+    unique,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, "a", 10.0, "x1"),
+        (2, "b", 20.0, "x2"),
+        (2, None, -5.0, "y3"),  # dup id, null cat, below range, bad prefix
+        (4, "z", None, "x4"),  # cat outside set, null price
+    ]
+    return spark.createDataFrame(
+        rows, "id int, cat string, price double, code string"
+    )
+
+
+BATTERY = [
+    not_null("id"),
+    not_null("cat"),
+    unique("id"),
+    unique("code"),
+    in_set("cat", ["a", "b"]),
+    in_range("price", lo=0.0),
+    in_range("price", lo=0.0, hi=15.0, name="price_in_band"),
+    matches("code", "^x"),
+    satisfies("price_covers_id", "price >= id"),
+]
+
+
+def test_battery_counts(spark, df):
+    got = {
+        r["constraint"]: (r["violations"], r["total"], r["passed"])
+        for r in run_checks(df, BATTERY).collect()
+    }
+    assert got["id_not_null"] == (0, 4, True)
+    assert got["cat_not_null"] == (1, 4, False)
+    assert got["id_unique"] == (1, 4, False)  # one surplus duplicate row
+    assert got["code_unique"] == (0, 4, True)
+    # null cat PASSES in_set (null shape rules pass; not_null owns nulls)
+    assert got["cat_in_set"] == (1, 4, False)  # only 'z' violates
+    assert got["price_in_range"] == (1, 4, False)  # only -5.0; null passes
+    # two bounds: -5.0 below lo and 20.0 above hi
+    assert got["price_in_band"] == (2, 4, False)
+    assert got["code_matches"] == (1, 4, False)  # y3
+    # satisfies: null predicate (price null) IS a violation -> -5.0 row
+    # and the null-price row both fail
+    assert got["price_covers_id"] == (2, 4, False)
+
+
+def test_two_bound_range_distinct_names_required(spark, df):
+    with pytest.raises(ValueError, match="duplicate"):
+        run_checks(df, [in_range("price", lo=0.0), in_range("price", hi=1.0)])
+
+
+def test_guards(spark, df):
+    with pytest.raises(ValueError, match="empty"):
+        run_checks(df, [])
+    with pytest.raises(ValueError, match="lo/hi"):
+        in_range("price")
+    with pytest.raises(ValueError, match="unknown"):
+        run_checks(df, [{"name": "x", "kind": "nope", "col": "id"}])
+
+
+def test_assert_checks_raises_with_names(spark, df):
+    with pytest.raises(AssertionError, match="cat_not_null"):
+        assert_checks(df, [not_null("id"), not_null("cat")])
+    assert_checks(df, [not_null("id")])  # green battery is silent
+
+
+def test_one_scan_plan(spark, df):
+    out = run_checks(df, BATTERY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1, plan
+    for bad in ("BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_all_green_battery(spark, df):
+    rows = run_checks(
+        df, [not_null("id"), in_range("id", lo=0, hi=100)]
+    ).collect()
+    assert all(r["passed"] for r in rows)

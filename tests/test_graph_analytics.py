@@ -134,3 +134,72 @@ def test_bfs_matches_model(spark, pairs, seeds, hops):
         ).collect()
     )
     assert got == _model_bfs(pairs, seeds, hops)
+
+
+# ------------------------------------------------- clustering coefficient
+
+
+def _model_cc(pairs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    und = {
+        tuple(sorted((str(a), str(b)))) for a, b in pairs if str(a) != str(b)
+    }
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tri = dict(_model_triangles(pairs))
+    out = []
+    for n, d in deg.items():
+        t = tri.get(n, 0)
+        if d >= 2:
+            # Spark round(double): shortest-repr HALF_UP (PERF.md §37)
+            x = (2000000.0 * t) / (d * (d - 1))
+            cc = int(
+                Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+        else:
+            cc = 0
+        out.append((n, d, t, cc))
+    return sorted(out)
+
+
+def test_clustering_hand(spark):
+    from kgdata_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 + pendant 4 off node 3: cc(1)=cc(2)=1.0,
+    # cc(3)=2*1/(3*2)=1/3, cc(4)=0 (degree 1)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = sorted(
+        (r.node, r.degree, r.triangles, r.cc_micro)
+        for r in clustering_coefficient(_edges_df(spark, pairs)).collect()
+    )
+    assert got == [
+        ("1", 2, 1, 1000000),
+        ("2", 2, 1, 1000000),
+        ("3", 3, 1, 333333),
+        ("4", 1, 0, 0),
+    ]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 7), st.integers(1, 7)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_clustering_matches_model(spark, pairs):
+    from kgdata_spark.operators.graph import clustering_coefficient
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    got = sorted(
+        (r.node, r.degree, r.triangles, r.cc_micro)
+        for r in clustering_coefficient(_edges_df(spark, pairs)).collect()
+    )
+    assert got == _model_cc(pairs)

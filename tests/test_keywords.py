@@ -1,0 +1,101 @@
+"""doc_keywords (operators/keywords): hand fixture where IDF overturns
+raw frequency, python-model fuzz (micro-nat exactness incl. the §37
+HALF_UP double-round rule), tie order, min_tf, and guards."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.keywords import doc_keywords
+
+
+def _r(x: float) -> int:
+    # Spark round(double): shortest-repr HALF_UP (PERF.md §37)
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _model(rows, k, min_tf=1):
+    docs = {i: [w for w in t.lower().split() if w] for i, t in rows}
+    n = len(docs)
+    tf = {i: Counter(ws) for i, ws in docs.items()}
+    for i in tf:
+        tf[i] = Counter({w: c for w, c in tf[i].items() if c >= min_tf})
+    df = Counter(w for i in tf for w in tf[i])
+    idf = {w: _r(math.log((n + 1) / (d + 1)) * 1e6) for w, d in df.items()}
+    out = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((w, t, idf[w], t * idf[w]) for w, t in c.items()),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rk, (w, t, im, s) in enumerate(scored[:k], 1):
+            out.append((i, w, t, im, s, rk))
+    return sorted(out)
+
+
+def _run(spark, rows, k, **kw):
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    return sorted(
+        (r.doc_id, r.term, r.tf, r.idf_micro, r.score_micro, r.rk)
+        for r in doc_keywords(d, k=k, **kw).collect()
+    )
+
+
+def test_idf_beats_raw_frequency(spark):
+    # 'common' is in every doc (idf ~ ln(4/4) = 0) — the rarer 'rare'
+    # outranks it despite lower tf
+    rows = [
+        (1, "common common common rare"),
+        (2, "common x"),
+        (3, "common y"),
+    ]
+    got = _run(spark, rows, k=1)
+    assert [(d, t) for d, t, *_ in got] == [(1, "rare"), (2, "x"), (3, "y")]
+
+
+def test_matches_model_and_tie_order(spark):
+    rows = [(1, "b a b a c"), (2, "c d")]
+    assert _run(spark, rows, k=3) == _model(rows, 3)
+    # a and b tie (same tf, same idf) -> term-ascending order
+    r1 = [t for d, t, *_, rk in _run(spark, rows, k=2) if d == 1]
+    assert r1 == ["a", "b"]
+
+
+def test_min_tf(spark):
+    rows = [(1, "a a b")]
+    got = _run(spark, rows, k=5, min_tf=2)
+    assert [t for _, t, *_ in got] == ["a"]
+
+
+def test_guards(spark):
+    d = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        doc_keywords(d, k=0)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 5),
+            st.text(alphabet="ab c", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(1, 3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_fuzz_vs_model(spark, rows, k):
+    assert _run(spark, rows, k=k) == _model(rows, k)
