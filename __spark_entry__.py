@@ -3271,6 +3271,54 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synthetic_real_media(spark, 2000), frame_len=128)
 
 
+def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word2vec/GloVe co-occurrence table: symmetric window-2 skip-gram
+    # pair counts, pair generation as a nested Catalyst HOF (no position
+    # self-join), one groupBy
+    from kgdata_spark.operators.lm import skipgram_pairs
+
+    return skipgram_pairs(_t(spark, sf_dir, "documents"), window=2, min_count=5)
+
+
+# Fellegi-Sunter comparison space for er_part_matches: (m, u) per field.
+# fs_weights turns these into integer micro-nat literals on the DRIVER,
+# and oracle_sql() embeds the IDENTICAL integers - engine-exact by
+# construction (no runtime ln anywhere).
+ER_FIELDS = {
+    "name_agree": (0.9, 0.3),
+    "type_agree": (0.8, 0.2),
+    "size_agree": (0.95, 0.1),
+}
+
+
+def q_er_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probabilistic record linkage over brand-blocked part pairs: field
+    # agreements (levenshtein name band, exact type/size) -> summed
+    # log-likelihood-ratio weight -> link decision at threshold 0
+    from kgdata_spark.operators.er import fs_score
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(b, "p_brand")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 5).alias(
+                "name_agree"
+            ),
+            (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+            (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
+        )
+    )
+    return fs_score(pairs, ER_FIELDS, threshold_micro=0)
+
+
 def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable HLL distinct-count state built in two waves and merged —
     # per-key cardinality is bounded at 40 BY CONSTRUCTION (custkey % 40),
@@ -3517,6 +3565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_clustering": q_supplier_clustering,
         "doc_keywords": q_doc_keywords,
         "audio_frames": q_audio_frames,
+        "skipgram_counts": q_skipgram_counts,
+        "er_part_matches": q_er_part_matches,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4518,6 +4568,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v * v) AS BIGINT) AS sumsq,
                CAST(MAX(ABS(v)) AS INT) AS peak
         FROM s GROUP BY 1, 2
+    """
+    # skipgram_counts: position grid + clamped window, i excluded
+    d["skipgram_counts"] = r"""
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'),
+                               x -> x <> '') AS arr
+            FROM documents),
+        pos AS (
+            SELECT arr, len(arr) AS n, i.i AS i, arr[i.i] AS w
+            FROM toks, unnest(generate_series(1, len(arr))) i(i)
+            WHERE len(arr) >= 2),
+        pairs AS (
+            SELECT p.w AS w, p.arr[j.j] AS c
+            FROM pos p,
+                 unnest(generate_series(greatest(1, p.i - 2),
+                                        least(p.n, p.i + 2))) j(j)
+            WHERE j.j <> p.i)
+        SELECT w, c, COUNT(*) AS pair_count
+        FROM pairs GROUP BY w, c HAVING COUNT(*) >= 5
+    """
+    # er_part_matches: the same integer micro-nat weight literals the
+    # Spark plan carries (fs_weights runs HERE too)
+    from kgdata_spark.operators.er import fs_weights
+
+    _w = fs_weights(ER_FIELDS)
+    _case = " + ".join(
+        f"CASE WHEN {f} THEN CAST({aw} AS BIGINT) "
+        f"ELSE CAST({dw} AS BIGINT) END"
+        for f, (aw, dw) in _w.items()
+    )
+    d["er_part_matches"] = f"""
+        WITH p AS (
+            SELECT p_partkey, p_name, p_brand, p_type, p_size
+            FROM part WHERE p_partkey % 10 = 0),
+        pairs AS (
+            SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+                   levenshtein(a.p_name, b.p_name) <= 5 AS name_agree,
+                   a.p_type = b.p_type AS type_agree,
+                   a.p_size = b.p_size AS size_agree
+            FROM p a JOIN p b ON a.p_brand = b.p_brand
+                             AND a.p_partkey < b.p_partkey)
+        SELECT *, ({_case}) AS weight_micro,
+               ({_case}) >= 0 AS is_match
+        FROM pairs
     """
     return d
 

@@ -1,0 +1,72 @@
+"""Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969).
+
+The probabilistic half of entity resolution: blocking/candidate
+generation lives in `dedup` (LSH, sorted-neighborhood) and `fuzzy`
+(length-band levenshtein); this scores the candidate pairs. Each
+comparison field f carries (m_f, u_f) — P(agree | match) and
+P(agree | non-match) — and a pair's total weight is the sum of per-field
+log-likelihood ratios: ln(m/u) on agreement, ln((1−m)/(1−u)) on
+disagreement. Pairs above a threshold are links.
+
+Engine-exactness by construction: the per-field weights are computed
+ONCE on the driver (python floats → integer micro-nats) and enter the
+plan as LITERALS, so the distributed work is a pure integer CASE/sum —
+no runtime ln, nothing to drift between engines, and a DuckDB oracle
+embeds the identical integers. The scoring pass is a projection over
+the candidate-pair stream: zero shuffle, whatever the blocking stage
+produced stays partitioned as it was.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def fs_weights(fields: dict[str, tuple[float, float]]) -> dict[str, tuple[int, int]]:
+    """(m, u) per field → integer micro-nat (agree_w, disagree_w).
+    Requires 0 < u < m < 1 (agreement must be MORE likely among matches,
+    the Fellegi–Sunter premise; an inverted field belongs negated)."""
+    out = {}
+    for f, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"fs_weights: field {f!r} needs 0 < u < m < 1, got m={m} u={u}"
+            )
+        out[f] = (
+            round(math.log(m / u) * MICRO),
+            round(math.log((1.0 - m) / (1.0 - u)) * MICRO),
+        )
+    return out
+
+
+def fs_score(
+    pairs: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score candidate pairs: `pairs` carries one BOOLEAN agreement
+    column per key of `fields`; output = pairs + `weight_micro` (BIGINT)
+    + `is_match` (weight >= threshold_micro). A NULL agreement counts as
+    disagreement (absence of evidence is evidence of difference here —
+    pin the same rule in any oracle)."""
+    w = fs_weights(fields)
+    missing = [f for f in fields if f not in pairs.columns]
+    if missing:
+        raise ValueError(f"fs_score: pairs is missing agreement columns {missing}")
+    total = None
+    for f, (aw, dw) in w.items():
+        term = (
+            F.when(F.coalesce(F.col(f), F.lit(False)), F.lit(aw))
+            .otherwise(F.lit(dw))
+            .cast("bigint")
+        )
+        total = term if total is None else total + term
+    return pairs.select(
+        "*",
+        total.alias("weight_micro"),
+    ).withColumn("is_match", F.col("weight_micro") >= F.lit(threshold_micro))

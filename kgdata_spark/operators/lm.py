@@ -216,3 +216,56 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a
+    symmetric `window` → (w, c, pair_count) — the word2vec / GloVe
+    training table, generalizing `pmi_collocations`' adjacency (window=1
+    yields exactly the bigram pairs, both directions).
+
+    Shape: pair generation is a nested Catalyst HOF over each doc's
+    token array (positions i × the clamped window around i, i itself
+    excluded) — scan → project → explode, NO self-join on positions (a
+    per-doc position join replays the corpus window² times through a
+    shuffle; the HOF emits the same pairs inside codegen) — then ONE
+    map-side-combinable groupBy. Output is vocabulary²-bounded, corpus
+    volume touches only the explode.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = docs.select(_tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(
+                        F.greatest(F.lit(1), i - window),
+                        F.least(n, i + window),
+                    ),
+                    lambda j: j != i,
+                ),
+                lambda j: F.struct(
+                    F.element_at(F.col("_t"), i).alias("w"),
+                    F.element_at(F.col("_t"), j).alias("c"),
+                ),
+            ),
+        )
+    )
+    return (
+        base.where(n >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.w", "_p.c")
+        .groupBy("w", "c")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )

@@ -131,6 +131,8 @@ DOCUMENTED_OVERFLOW = {
     "supplier_clustering",
     "doc_keywords",
     "audio_frames",
+    "skipgram_counts",
+    "er_part_matches",
 }
 
 # Environment-gated queries: registered only where the environment

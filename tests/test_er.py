@@ -1,0 +1,69 @@
+"""Fellegi–Sunter scoring (operators/er): weight arithmetic vs the python
+model, null-as-disagreement, guards, threshold, zero-shuffle plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kgdata_spark.operators.er import fs_score, fs_weights
+
+FIELDS = {"name_agree": (0.9, 0.3), "type_agree": (0.8, 0.2)}
+
+
+def test_weights_exact():
+    w = fs_weights(FIELDS)
+    assert w["name_agree"] == (
+        round(math.log(0.9 / 0.3) * 1e6),
+        round(math.log(0.1 / 0.7) * 1e6),
+    )
+    assert w["name_agree"][0] > 0 > w["name_agree"][1]
+
+
+def test_weight_guard():
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_weights({"f": (0.3, 0.9)})
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fs_weights({"f": (1.0, 0.5)})
+
+
+def test_score_and_threshold(spark):
+    d = spark.createDataFrame(
+        [
+            (1, True, True),
+            (2, True, False),
+            (3, False, False),
+            (4, None, True),  # null = disagreement
+        ],
+        "pair_id int, name_agree boolean, type_agree boolean",
+    )
+    w = fs_weights(FIELDS)
+    got = {
+        r.pair_id: (r.weight_micro, r.is_match)
+        for r in fs_score(d, FIELDS, threshold_micro=0).collect()
+    }
+    a_n, d_n = w["name_agree"]
+    a_t, d_t = w["type_agree"]
+    assert got[1] == (a_n + a_t, True)
+    assert got[2] == (a_n + d_t, a_n + d_t >= 0)
+    assert got[3] == (d_n + d_t, False)
+    assert got[4] == (d_n + a_t, d_n + a_t >= 0)
+
+
+def test_missing_column_raises(spark):
+    d = spark.createDataFrame([(1, True)], "pair_id int, name_agree boolean")
+    with pytest.raises(ValueError, match="missing agreement columns"):
+        fs_score(d, FIELDS)
+
+
+def test_zero_shuffle_plan(spark):
+    d = spark.createDataFrame(
+        [(1, True, False)],
+        "pair_id int, name_agree boolean, type_agree boolean",
+    )
+    plan = (
+        fs_score(d, FIELDS)._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "Join", "BatchEvalPython"):
+        assert bad not in plan, plan

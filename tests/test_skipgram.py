@@ -1,0 +1,98 @@
+"""skipgram_pairs (operators/lm): hand-computed windows, window-1 =
+bidirectional adjacency, min_count, guards, python-model fuzz, and the
+no-join plan contract (pair generation stays a Catalyst HOF)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.lm import skipgram_pairs
+
+
+def _run(spark, texts, window, min_count=1):
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    return sorted(
+        (r.w, r.c, r.pair_count)
+        for r in skipgram_pairs(d, window=window, min_count=min_count).collect()
+    )
+
+
+def _model(texts, window, min_count=1):
+    cnt: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w]
+        if len(ws) < 2:
+            continue
+        for i, w in enumerate(ws):
+            for j in range(max(0, i - window), min(len(ws), i + window + 1)):
+                if j != i:
+                    cnt[(w, ws[j])] += 1
+    return sorted(
+        (w, c, n) for (w, c), n in cnt.items() if n >= min_count
+    )
+
+
+def test_hand_window2(spark):
+    got = _run(spark, ["a b c d"], window=2)
+    assert got == _model(["a b c d"], 2)
+    # 'a' sees b and c only; 'b' sees a, c, d
+    d = {(w, c): n for w, c, n in got}
+    assert d[("a", "b")] == 1 and d[("a", "c")] == 1
+    assert ("a", "d") not in d
+    assert sum(n for (w, _), n in d.items() if w == "b") == 3
+
+
+def test_window1_is_bidirectional_adjacency(spark):
+    got = _run(spark, ["x y x"], window=1)
+    # pairs: (x,y)x2 from both x's, (y,x)x2
+    assert got == [("x", "y", 2), ("y", "x", 2)]
+
+
+def test_min_count_and_single_token_doc(spark):
+    got = _run(spark, ["a b a b", "z"], window=3, min_count=2)
+    assert all(n >= 2 for *_, n in got)
+    assert not any(w == "z" or c == "z" for w, c, n in got)
+
+
+def test_guards(spark):
+    d = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(d, window=0)
+    with pytest.raises(ValueError, match="min_count"):
+        skipgram_pairs(d, min_count=0)
+
+
+def test_no_join_in_plan(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        skipgram_pairs(d, window=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=14),
+        min_size=1,
+        max_size=4,
+    ),
+    window=st.integers(1, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_fuzz_vs_model(spark, texts, window):
+    assert _run(spark, texts, window) == _model(texts, window)
