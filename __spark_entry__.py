@@ -3271,6 +3271,43 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synthetic_real_media(spark, 2000), frame_len=128)
 
 
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-keyed dedup over a derived fixture whose variants (scheme/host
+    # case, default port, trailing slash, fragment, tracking params,
+    # param order) all collapse to ONE closed-form canonical URL — the
+    # oracle computes that canonical ARITHMETICALLY from doc_id, so any
+    # canonicalization drift fails the hash
+    from kgdata_spark.functions.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 1, F.lit("HTTP://WWW.SITE")).otherwise(
+            F.lit("http://www.site")
+        ),
+        (i % 20).cast("string"),
+        F.when(i % 2 == 1, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (i % 5).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("?utm_source=feed&a=1&z=9")).otherwise(
+            F.concat(F.lit("?z=9&a=1&fbclid="), i.cast("string"))
+        ),
+        F.when(i % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+def q_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synchronous label propagation (2 rounds) over the
+    # co-occurrence graph; the oracle unrolls both rounds with the same
+    # (count DESC, label ASC) argmax
+    from kgdata_spark.operators.graph import label_propagation
+
+    return label_propagation(_supplier_cooccurrence(spark, sf_dir), rounds=2)
+
+
 def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word2vec/GloVe co-occurrence table: symmetric window-2 skip-gram
     # pair counts, pair generation as a nested Catalyst HOF (no position
@@ -3567,6 +3604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "skipgram_counts": q_skipgram_counts,
         "er_part_matches": q_er_part_matches,
+        "supplier_communities": q_supplier_communities,
+        "url_dedup_docs": q_url_dedup_docs,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4613,6 +4652,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT *, ({_case}) AS weight_micro,
                ({_case}) >= 0 AS is_match
         FROM pairs
+    """
+    # supplier_communities: both LP rounds unrolled mechanically — the
+    # per-round block is identical, so generate it instead of forking it
+    _lp_rounds = 2
+    _lp = ["l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"]
+    for _i in range(1, _lp_rounds + 1):
+        _lp.append(
+            f"m{_i} AS (SELECT sym.d AS node, l{_i-1}.label "
+            f"FROM sym JOIN l{_i-1} ON sym.s = l{_i-1}.node), "
+            f"c{_i} AS (SELECT node, label, COUNT(*) AS cnt "
+            f"FROM m{_i} GROUP BY node, label), "
+            f"l{_i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM c{_i}) WHERE rn = 1)"
+        )
+    d["supplier_communities"] = f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_orderkey % 100 = 0),
+        e AS (
+            SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+            FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey < y.l_suppkey),
+        sym AS (SELECT a AS s, b AS d FROM e
+                UNION ALL SELECT b, a FROM e),
+        {", ".join(_lp)}
+        SELECT node, label FROM l{_lp_rounds}
+    """
+    # url_dedup_docs: the fixture variants collapse to a CLOSED-FORM
+    # canonical computed arithmetically — a stronger check than replaying
+    # the regex pipeline (any canonicalization drift breaks the hash)
+    d["url_dedup_docs"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 1 THEN 'HTTP://WWW.SITE'
+                         ELSE 'http://www.site' END)
+                   || CAST(doc_id % 20 AS VARCHAR)
+                   || (CASE WHEN doc_id % 2 = 1 THEN '.COM' ELSE '.com' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0
+                        THEN '?utm_source=feed&a=1&z=9'
+                        ELSE '?z=9&a=1&fbclid=' || CAST(doc_id AS VARCHAR)
+                        END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+                       AS url
+            FROM documents),
+        c AS (
+            SELECT doc_id, url,
+                   'http://www.site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.com/p/' || CAST(doc_id % 5 AS VARCHAR)
+                   || '?a=1&z=9' AS canon_url
+            FROM u),
+        w AS (SELECT canon_url, MIN(doc_id) AS k FROM c GROUP BY canon_url)
+        SELECT c.canon_url, c.doc_id, c.url, c.doc_id = w.k AS keep
+        FROM c JOIN w USING (canon_url)
     """
     return d
 

@@ -59,3 +59,84 @@ def is_wikipedia_url(url: Column, lang: str | None = None) -> Column:
     if lang is not None:
         return host == f"{lang}.wikipedia.org"
     return host.endswith(".wikipedia.org")
+
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-keyed dedup (the Common Crawl pipeline
+    rule: one doc per canonical URL):
+
+      - scheme and host lowercased, userinfo dropped;
+      - default ports stripped (:80 for http, :443 for https);
+      - fragment dropped;
+      - tracking params removed (utm_*, fbclid, gclid, msclkid, ref) and
+        the remaining query params SORTED (param order never
+        distinguishes documents);
+      - one trailing slash trimmed from non-root paths; empty path → '/'.
+
+    Pure Catalyst (regex + array ops), null-safe: non-absolute inputs
+    (no scheme://) canonicalize to NULL rather than a half-parsed key.
+    """
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    auth = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+    )
+    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).otherwise(
+        F.when(
+            (scheme == "https") & host.endswith(":443"),
+            F.regexp_replace(host, r":443$", ""),
+        ).otherwise(host)
+    )
+    raw_path = _url_path(url)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(raw_path) > 1) & raw_path.endswith("/"),
+            F.regexp_replace(raw_path, r"/$", ""),
+        ).otherwise(raw_path)
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.sort_array(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), host, path, qpart)
+    return F.when(scheme != "", out)
+
+
+def url_dedup(
+    docs, url_col: str = "url", id_col: str = "doc_id"
+):
+    """Keep ONE doc per canonical URL (smallest id wins — deterministic):
+    returns docs + `canon_url` + `keep`. Two bounded shuffles (canonical
+    groupBy-min + equi-join back), no per-URL window — the dedup_lines
+    pattern, so a hub URL never serializes into one task. NULL canonical
+    (non-absolute URL) rows are always kept (no key to collide on)."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    c = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    winners = (
+        c.where(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return (
+        c.join(winners, "canon_url", "left")
+        .withColumn(
+            "keep",
+            F.col("canon_url").isNull() | (F.col(id_col) == F.col("_keep_id")),
+        )
+        .drop("_keep_id")
+    )

@@ -830,3 +830,53 @@ def clustering_coefficient(
         ).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
     return j.select("node", "degree", "triangles", cc.alias("cc_micro"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. 2007), made DETERMINISTIC: labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors, ties
+    broken by MIN label (the classic algorithm's random tie-break and
+    random visit order are replaced so the result is a pure function of
+    (edges, rounds) — reproducible across runs, partitionings, engines).
+    Runs a FIXED `rounds` (LP oscillates under synchronous updates; a
+    fixed small round count is the standard remedy and keeps the oracle
+    replayable); isolated self-loop-only nodes keep their own label.
+
+    Per round: one neighbor-label join + one (node, label) count groupBy
+    + one per-node argmax window (bounded by a node's distinct neighbor
+    labels) — all equi-shuffles on node ids, checkpoint-truncated like
+    the other iterative operators. Output: (node, label).
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _canonical_undirected(edges, src, dst)
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for i in range(rounds):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("s"), "label"), "s"
+        ).select(F.col("d").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % 2 == 0:
+            labels = _checkpoint(labels)
+    return labels

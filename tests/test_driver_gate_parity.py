@@ -133,6 +133,8 @@ DOCUMENTED_OVERFLOW = {
     "audio_frames",
     "skipgram_counts",
     "er_part_matches",
+    "supplier_communities",
+    "url_dedup_docs",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -203,3 +203,74 @@ def test_clustering_matches_model(spark, pairs):
         for r in clustering_coefficient(_edges_df(spark, pairs)).collect()
     )
     assert got == _model_cc(pairs)
+
+
+# ---------------------------------------------------- label propagation
+
+
+def _model_lp(pairs, rounds):
+    from collections import Counter
+
+    und = {
+        tuple(sorted((str(a), str(b)))) for a, b in pairs if str(a) != str(b)
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            c = Counter(labels[u] for u in adj[v])
+            new[v] = sorted(c.items(), key=lambda x: (-x[1], x[0]))[0][0]
+        labels = new
+    return sorted(labels.items())
+
+
+def test_lp_two_cliques_bridge(spark):
+    from kgdata_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: after 2 rounds each
+    # triangle converges to its min label (the python model pins exact
+    # values; the structural claim is that the two sides stay distinct)
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = sorted(
+        (r.node, r.label)
+        for r in label_propagation(_edges_df(spark, pairs), rounds=2).collect()
+    )
+    assert got == _model_lp(pairs, 2)
+    lab = dict(got)
+    assert lab["1"] == lab["2"] and lab["5"] == lab["6"]
+
+
+def test_lp_guard(spark):
+    from kgdata_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(_edges_df(spark, [(1, 2)]), rounds=0)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 6)),
+        min_size=1,
+        max_size=10,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_lp_matches_model(spark, pairs, rounds):
+    from kgdata_spark.operators.graph import label_propagation
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    got = sorted(
+        (r.node, r.label)
+        for r in label_propagation(
+            _edges_df(spark, pairs), rounds=rounds
+        ).collect()
+    )
+    assert got == _model_lp(pairs, rounds)

@@ -1,0 +1,81 @@
+"""canonical_url / url_dedup (functions/urls): every canonicalization
+rule individually, the null (non-absolute) policy, and keep-min dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgdata_spark.functions.urls import canonical_url, url_dedup
+
+
+def _canon(spark, urls):
+    d = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c for r in d.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_case_port_fragment_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://WWW.Site.COM/Page",
+            "http://www.site.com:80/Page",
+            "https://host.com:443/x",
+            "https://host.com:8443/x",
+            "http://host.com/x#section-2",
+            "http://user:pw@host.com/x",
+        ],
+    )
+    assert got[0] == "http://www.site.com/Page"  # path case KEPT
+    assert got[1] == "http://www.site.com/Page"  # default port stripped
+    assert got[2] == "https://host.com/x"
+    assert got[3] == "https://host.com:8443/x"  # non-default port kept
+    assert got[4] == "http://host.com/x"  # fragment dropped
+    assert got[5] == "http://host.com/x"  # userinfo dropped
+
+
+def test_query_and_path_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "http://h.com/p?z=9&a=1",
+            "http://h.com/p?a=1&z=9",
+            "http://h.com/p?utm_source=feed&a=1&fbclid=XYZ&z=9",
+            "http://h.com/p?utm_campaign=x",
+            "http://h.com/dir/",
+            "http://h.com/",
+            "http://h.com",
+        ],
+    )
+    assert got[0] == got[1] == "http://h.com/p?a=1&z=9"  # params sorted
+    assert got[2] == "http://h.com/p?a=1&z=9"  # tracking stripped
+    assert got[3] == "http://h.com/p"  # all-tracking query drops the '?'
+    assert got[4] == "http://h.com/dir"  # trailing slash trimmed
+    assert got[5] == "http://h.com/"  # root slash kept
+    assert got[6] == "http://h.com/"  # empty path -> '/'
+
+
+def test_non_absolute_is_null(spark):
+    assert _canon(spark, ["not a url", "/relative/path", ""]) == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_url_dedup_keep_min(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "http://H.com/p?utm_source=a"),
+            (2, "http://h.com:80/p"),
+            (3, "http://h.com/other"),
+            (4, "garbage"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {r.doc_id: (r.keep, r.canon_url) for r in url_dedup(d).collect()}
+    assert got[1] == (True, "http://h.com/p")  # min id in its group
+    assert got[2] == (False, "http://h.com/p")
+    assert got[3][0] is True
+    assert got[4] == (True, None)  # null canonical always kept
