@@ -3271,6 +3271,43 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synthetic_real_media(spark, 2000), frame_len=128)
 
 
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hive-partitioned layout gate (the third storage lever next to
+    # bucketed_join and zorder_keys): events land one directory per day,
+    # a 3-day range read must prune to <= 3 directories AT PLANNING TIME
+    # (asserted in-query like point_lookup) before the counts are checked
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from kgdata_spark.pipeline.partitioned import (
+        assert_partition_pruned,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day"),
+    )
+    path = _os.path.join(
+        _tmp.gettempdir(),
+        "kg_partition_prune_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_partitioned(ev, path, ["day"])
+    back = read_partitioned(spark, path).where(
+        F.col("day").between(19727, 19729)  # 2024-01-05 .. 01-07
+    )
+    assert_partition_pruned(back, max_dirs=3)
+    return back.groupBy("day", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # URL-keyed dedup over a derived fixture whose variants (scheme/host
     # case, default port, trailing slash, fragment, tracking params,
@@ -3606,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_part_matches": q_er_part_matches,
         "supplier_communities": q_supplier_communities,
         "url_dedup_docs": q_url_dedup_docs,
+        "partition_prune": q_partition_prune,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4709,6 +4747,17 @@ def oracle_sql() -> dict[str, str]:
         w AS (SELECT canon_url, MIN(doc_id) AS k FROM c GROUP BY canon_url)
         SELECT c.canon_url, c.doc_id, c.url, c.doc_id = w.k AS keep
         FROM c JOIN w USING (canon_url)
+    """
+    # partition_prune: the counts are layout-independent — the layout
+    # claims are asserted INSIDE the gated query (plan + directory count)
+    d["partition_prune"] = """
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS INT) AS day,
+               event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              BETWEEN 19727 AND 19729
+        GROUP BY 1, 2
     """
     return d
 

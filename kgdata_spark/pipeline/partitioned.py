@@ -1,0 +1,77 @@
+"""Hive-style partitioned layout: the third storage lever next to
+`bucketed.py` (shuffle-free joins) and `zorder.py` (multi-dim file skip).
+
+`write_partitioned` lays a table out as one directory per partition-column
+value. A reader whose predicate hits the partition columns prunes at
+PLANNING time — unmatched directories are never even listed, so a
+one-day query over a 10-year corpus costs one day, not a 3650-day scan
+plus filter. That is the difference between `PartitionFilters` (directory
+pruning, zero IO) and `PushedFilters` (row-group skipping inside files
+already opened) in the FileScan node; `assert_partition_pruned` pins the
+former so a layout regression (or a predicate that silently stopped
+matching the partition column) fails loudly instead of quietly scanning
+the world.
+
+Partition-column choice at 100 TB: low cardinality (dates, sources,
+languages — directories are metadata ops), never high-cardinality ids
+(a million tiny directories is a namenode DoS — ids belong in bucketing
+or z-order inside each partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    if not partition_cols:
+        raise ValueError("write_partitioned: need at least one partition column")
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_partitioned: missing partition columns {missing}")
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def assert_partition_pruned(df: DataFrame, max_dirs: int | None = None) -> DataFrame:
+    """Require the plan to carry a non-empty `PartitionFilters` list
+    (planning-time, free); with `max_dirs`, additionally EXECUTE the held
+    plan instance and require its scan's `numPartitions` metric to stay
+    within the bound — proof the pruning actually dropped directories.
+    (`df.inputFiles()` is NOT usable here: it lists the whole relation,
+    ignoring partition pruning — measured 30/30 dirs on a fully-pruned
+    scan. Scan metrics only populate on the SAME executed-plan instance,
+    so this runs `executeCollect()` on the one it inspects; keep
+    `max_dirs` to test/gate contexts, not hot paths.)"""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan.toString())
+    if m is None or m.group(1).strip() == "":
+        raise AssertionError(
+            f"no partition filters reached the scan — the layout or the "
+            f"predicate regressed to a full-table read:\n{plan.toString()}"
+        )
+    if max_dirs is not None:
+        plan.executeCollect()
+        leaves = plan.collectLeaves()
+        got = None
+        for i in range(leaves.size()):
+            metrics = leaves.apply(i).metrics()
+            if metrics.contains("numPartitions"):
+                got = int(str(metrics.apply("numPartitions").value()))
+                break
+        if got is None:
+            raise AssertionError("no scan leaf carries a numPartitions metric")
+        if got > max_dirs:
+            raise AssertionError(
+                f"scan read {got} partition directories (> {max_dirs}) — "
+                "pruning did not drop the unmatched partitions"
+            )
+    return df

@@ -135,6 +135,7 @@ DOCUMENTED_OVERFLOW = {
     "er_part_matches",
     "supplier_communities",
     "url_dedup_docs",
+    "partition_prune",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,54 @@
+"""Partitioned layout (pipeline/partitioned): pruning proof (directory
+count), the loud no-pruning failure, round-trip equality, guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.pipeline.partitioned import (
+    assert_partition_pruned,
+    read_partitioned,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def laid_out(spark, tmp_path):
+    d = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") * 7 % 13).alias("v"),
+    )
+    p = os.path.join(str(tmp_path), "t")
+    write_partitioned(d, p, ["day"])
+    return p
+
+
+def test_roundtrip_and_prune(spark, laid_out):
+    back = read_partitioned(spark, laid_out)
+    assert back.count() == 100
+    one = back.where(F.col("day") == 3)
+    assert_partition_pruned(one, max_dirs=1)
+    assert one.count() == 20
+    rng = back.where(F.col("day").between(1, 2))
+    assert_partition_pruned(rng, max_dirs=2)
+    assert rng.count() == 40
+
+
+def test_no_pruning_is_loud(spark, laid_out):
+    back = read_partitioned(spark, laid_out)
+    with pytest.raises(AssertionError, match="full-table read"):
+        assert_partition_pruned(back.where(F.col("v") == 3))
+    with pytest.raises(AssertionError, match="partition directories"):
+        assert_partition_pruned(back.where(F.col("day") < 4), max_dirs=2)
+
+
+def test_guards(spark, tmp_path):
+    d = spark.range(5).select("id")
+    with pytest.raises(ValueError, match="at least one"):
+        write_partitioned(d, str(tmp_path / "x"), [])
+    with pytest.raises(ValueError, match="missing partition columns"):
+        write_partitioned(d, str(tmp_path / "x"), ["nope"])
