@@ -3271,6 +3271,18 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synthetic_real_media(spark, 2000), frame_len=128)
 
 
+def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-priority Tukey fences from EXACT rank-based quartiles (selected
+    # values, no interpolation/sketch) — q1/q3 are passthrough doubles,
+    # the fence arithmetic is the identical IEEE expression both engines
+    from kgdata_spark.operators.binning import outlier_flags
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return outlier_flags(o, "o_orderpriority", "o_totalprice", "o_orderkey")
+
+
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hive-partitioned layout gate (the third storage lever next to
     # bucketed_join and zorder_keys): events land one directory per day,
@@ -3644,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_communities": q_supplier_communities,
         "url_dedup_docs": q_url_dedup_docs,
         "partition_prune": q_partition_prune,
+        "order_price_outliers": q_order_price_outliers,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4758,6 +4771,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
               BETWEEN 19727 AND 19729
         GROUP BY 1, 2
+    """
+    # order_price_outliers: rank/count windows + the identical
+    # ceil(n/4)-selected quartiles and fence expression
+    d["order_price_outliers"] = """
+        WITH r AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders),
+        q AS (
+            SELECT o_orderpriority,
+                   MIN(CASE WHEN rk = CEIL(n / 4) THEN o_totalprice END)
+                       AS q1,
+                   MIN(CASE WHEN rk = CEIL(n * 3 / 4) THEN o_totalprice END)
+                       AS q3
+            FROM r GROUP BY o_orderpriority)
+        SELECT r.o_orderkey, r.o_orderpriority, r.o_totalprice, q.q1, q.q3,
+               (r.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR r.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1))
+                   AS is_outlier
+        FROM r JOIN q USING (o_orderpriority)
     """
     return d
 

@@ -52,3 +52,56 @@ def quantile_bins(
         out_col,
         F.floor(F.col("_rank") * F.lit(k) / F.lit(n)).cast("int"),
     ).drop("_ord", "_one", "_rank")
+
+
+def outlier_flags(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier flags from EXACT rank-based
+    quartiles: q1/q3 are the values at ranks ceil(n/4) and ceil(3n/4)
+    of each group's (value, id) total order, and a row is an outlier
+    when value < q1 − k·(q3−q1) or value > q3 + k·(q3−q1). Exact
+    selected-value quartiles (no interpolation, no sketch epsilon) keep
+    the verdicts deterministic and engine-replayable — the grouped
+    sibling of `quantile_bins`, and the numeric-QA companion to
+    `expectations`' rule battery.
+
+    Output: df columns + q1, q3, is_outlier. Shape: one per-group rank
+    window (task state bounded by the GROUP — intended for low-
+    cardinality grouping keys like status/priority/source; for a global
+    fence over billions of rows use `quantile_bins`' distributed_cumsum
+    rank instead) + one group-stats aggregate joined back.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    # quartile ranks need n per group BEFORE the selecting aggregate —
+    # one count groupBy joined back, then the rank-matching values fall
+    # out as plain conditional aggregates
+    stats = ranked.groupBy(group_col).agg(F.count("*").alias("_n"))
+    withn = ranked.join(stats, group_col)
+    q = withn.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") / 4), F.col(value_col))
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("_rk") == F.ceil(F.col("_n") * 3 / 4), F.col(value_col)
+            )
+        ).alias("q3"),
+    )
+    out = ranked.join(q, group_col)
+    iqr = F.col("q3") - F.col("q1")
+    flag = (F.col(value_col) < F.col("q1") - F.lit(k) * iqr) | (
+        F.col(value_col) > F.col("q3") + F.lit(k) * iqr
+    )
+    return out.select(
+        *df.columns, "q1", "q3", flag.alias("is_outlier")
+    )

@@ -322,3 +322,45 @@ def merge_upsert(
     return snapshot_write(
         merged, table_dir, stage, range_cols=range_cols, deps=deps
     )
+
+
+def evolve_schema(
+    spark: SparkSession,
+    table_dir: str,
+    stage: str,
+    add_cols: dict[str, str],
+    defaults: dict | None = None,
+) -> tuple[int, str]:
+    """Additive schema evolution as a NEW snapshot version: `add_cols`
+    maps new column name → Spark SQL type string; each lands NULL (or
+    `defaults[name]`, a literal) on every existing row. The Iceberg
+    `ALTER TABLE ADD COLUMN` move on this layer — readers pinned to old
+    versions keep the old schema (time travel is schema travel too), the
+    committed pointer only ever references a fully-written snapshot, and
+    `merge_upsert`'s schema guard starts expecting the new columns the
+    moment the pointer swaps. Only ADDITIVE evolution is offered: drops
+    and renames silently orphan downstream readers, so they stay hard
+    errors by omission.
+
+    One copy-on-write rewrite (a projection over the base scan — no
+    shuffle); cost and crash-safety identical to any snapshot commit.
+    """
+    from pyspark.sql import functions as F
+
+    if not add_cols:
+        raise ValueError("evolve_schema: add_cols must be non-empty")
+    prev = latest_version(table_dir, stage)
+    if prev is None:
+        raise ValueError(f"evolve_schema: stage {stage!r} has no committed snapshot")
+    base = read_snapshot(spark, table_dir, stage, prev)
+    clash = [c for c in add_cols if c in base.columns]
+    if clash:
+        raise ValueError(f"evolve_schema: columns already exist: {clash}")
+    defaults = defaults or {}
+    unknown = [c for c in defaults if c not in add_cols]
+    if unknown:
+        raise ValueError(f"evolve_schema: defaults for unknown columns: {unknown}")
+    out = base
+    for name, typ in add_cols.items():
+        out = out.withColumn(name, F.lit(defaults.get(name)).cast(typ))
+    return snapshot_write(out, table_dir, stage)

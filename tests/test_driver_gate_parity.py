@@ -136,6 +136,7 @@ DOCUMENTED_OVERFLOW = {
     "supplier_communities",
     "url_dedup_docs",
     "partition_prune",
+    "order_price_outliers",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,85 @@
+"""outlier_flags (operators/binning): hand-computed Tukey fences on the
+rank-based quartile definition, per-group independence, ties, guards,
+and a python-model fuzz."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.binning import outlier_flags
+
+
+def _run(spark, rows, k=1.5):
+    d = spark.createDataFrame(rows, "g string, id int, v double")
+    return sorted(
+        (r.g, r.id, r.q1, r.q3, r.is_outlier)
+        for r in outlier_flags(d, "g", "v", "id", k=k).collect()
+    )
+
+
+def _model(rows, k=1.5):
+    by_g: dict = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    out = []
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[math.ceil(n / 4) - 1][0]
+        q3 = vals[math.ceil(3 * n / 4) - 1][0]
+        iqr = q3 - q1
+        for v, i in vals:
+            flag = v < q1 - k * iqr or v > q3 + k * iqr
+            out.append((g, i, q1, q3, flag))
+    return sorted(out)
+
+
+def test_hand_case(spark):
+    # group a: 1..8 plus a wild 100 -> only 100 flagged
+    rows = [("a", i, float(i)) for i in range(1, 9)] + [("a", 9, 100.0)]
+    got = _run(spark, rows)
+    assert got == _model(rows)
+    flags = {i: f for _, i, _, _, f in got}
+    assert flags[9] is True
+    assert not any(flags[i] for i in range(1, 9))
+
+
+def test_groups_are_independent(spark):
+    rows = [("a", i, float(i)) for i in range(1, 9)] + [
+        ("b", i, float(1000 + i)) for i in range(1, 9)
+    ]
+    got = _run(spark, rows)
+    assert not any(f for *_, f in got)  # each group is tight within itself
+
+
+def test_guard(spark):
+    d = spark.createDataFrame([("a", 1, 1.0)], "g string, id int, v double")
+    with pytest.raises(ValueError, match="k must be"):
+        outlier_flags(d, "g", "v", "id", k=0)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 50),
+            st.integers(-20, 20).map(float),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    k=st.sampled_from([0.5, 1.5, 3.0]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_fuzz_vs_model(spark, rows, k):
+    assert _run(spark, rows, k=k) == _model(rows, k=k)

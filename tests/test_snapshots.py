@@ -196,3 +196,54 @@ def test_merge_upsert_same_batch_rerun_is_idempotent_in_content(spark, tmp_path)
     got = {(r.id, r.tag) for r in read_snapshot(spark, t, "ents").collect()}
     assert (3, "z") in got and (10, "n") in got
     assert all(r[0] != 7 for r in got)
+
+
+def test_evolve_schema_adds_columns_as_new_version(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import evolve_schema
+
+    t = str(tmp_path)
+    v0, _ = snapshot_write(_df(spark, 3, "a"), t, "ents")
+    v1, _ = evolve_schema(
+        spark, t, "ents", {"score": "double", "lang": "string"},
+        defaults={"lang": "en"},
+    )
+    assert v1 == v0 + 1
+    new = read_snapshot(spark, t, "ents")
+    assert set(new.columns) == {"id", "tag", "score", "lang"}
+    rows = new.collect()
+    assert all(r.score is None and r.lang == "en" for r in rows)
+    assert _ids(new) == [0, 1, 2]
+    # time travel keeps the OLD schema on the old version
+    old = read_snapshot(spark, t, "ents", v0)
+    assert set(old.columns) == {"id", "tag"}
+
+
+def test_evolve_schema_then_merge_expects_new_columns(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import evolve_schema, merge_upsert
+
+    t = str(tmp_path)
+    snapshot_write(_df(spark, 3, "a"), t, "ents")
+    evolve_schema(spark, t, "ents", {"score": "double"})
+    # a merge batch in the OLD shape is now a hard schema error
+    with pytest.raises(ValueError, match="snapshot columns"):
+        merge_upsert(spark, t, "ents", _df(spark, 1, "b"), ["id"])
+    # the NEW shape merges fine
+    batch = _df(spark, 1, "b").selectExpr("id", "tag", "CAST(0.5 AS DOUBLE) AS score")
+    merge_upsert(spark, t, "ents", batch, ["id"])
+    got = {r.id: (r.tag, r.score) for r in read_snapshot(spark, t, "ents").collect()}
+    assert got[0] == ("b", 0.5) and got[1] == ("a", None)
+
+
+def test_evolve_schema_guards(spark, tmp_path):
+    from kgdata_spark.pipeline.snapshots import evolve_schema
+
+    t = str(tmp_path)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        evolve_schema(spark, t, "ents", {"x": "int"})
+    snapshot_write(_df(spark, 2, "a"), t, "ents")
+    with pytest.raises(ValueError, match="non-empty"):
+        evolve_schema(spark, t, "ents", {})
+    with pytest.raises(ValueError, match="already exist"):
+        evolve_schema(spark, t, "ents", {"tag": "string"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        evolve_schema(spark, t, "ents", {"x": "int"}, defaults={"y": 1})
