@@ -130,6 +130,10 @@ def asof_join_bucketed(
     clash = (set(payload) | {right_time}) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: column collision across sides: {sorted(clash)}")
+    reserved = {"_t", "_b", "_is_l", "_m", "_in_bucket", "_carry", "_hit", "_ck", "_cb"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"asof_join: reserved column names in use: {sorted(taken)}")
 
     # right rows tied on (key, time) collapse to ONE deterministic winner
     r = right.groupBy(key, right_time).agg(
@@ -169,7 +173,21 @@ def asof_join_bucketed(
     # level 2: latest right row per (key, bucket), carried into every
     # LATER bucket; the window runs over bucket-count rows per key
     r_last = rb.groupBy(key, "_b").agg(F.max("_m").alias("_bm"))
-    buckets = u.select(key, "_b").distinct().join(r_last, [key, "_b"], "left")
+    # null-safe: a NULL key's right history must reach its buckets too
+    r_last = r_last.select(
+        F.col(key).alias("_ck"), F.col("_b").alias("_cb"), "_bm"
+    )
+    buckets = (
+        u.select(key, "_b")
+        .distinct()
+        .join(
+            r_last,
+            F.col(key).eqNullSafe(F.col("_ck"))
+            & F.col("_b").eqNullSafe(F.col("_cb")),
+            "left",
+        )
+        .drop("_ck", "_cb")
+    )
     w2 = (
         Window.partitionBy(key)
         .orderBy("_b")
@@ -179,9 +197,23 @@ def asof_join_bucketed(
         key, "_b", F.last("_bm", ignorenulls=True).over(w2).alias("_carry")
     )
 
+    # null-safe on the key: a NULL key is a group like any other (the
+    # windowed form's partitionBy semantics) — a plain equi-join would
+    # silently DROP null-key left rows instead of matching them against
+    # null-key right history. carry's join columns are RENAMED first:
+    # carry shares u's lineage, so lhs[key]/carry[key] resolve to the
+    # same attribute and Spark degrades the condition to trivially-true.
+    lhs = u.where(F.col("_is_l") == 1)
+    carry = carry.select(
+        F.col(key).alias("_ck"), F.col("_b").alias("_cb"), "_carry"
+    )
     out = (
-        u.where(F.col("_is_l") == 1)
-        .join(carry, [key, "_b"])
+        lhs.join(
+            carry,
+            F.col(key).eqNullSafe(F.col("_ck"))
+            & F.col("_b").eqNullSafe(F.col("_cb")),
+        )
+        .drop("_ck", "_cb")
         .withColumn("_hit", F.coalesce("_in_bucket", "_carry"))
     )
     if tolerance is not None:

@@ -180,3 +180,29 @@ def test_bucketed_equals_windowed_form(spark, left, right, granule):
         ).collect()
     )
     assert got_b == got_w
+
+
+def test_null_key_rows_survive_and_match_null_group(spark):
+    # a NULL key is a group like any other (windowed-form partitionBy
+    # semantics); the bucketed form must not silently drop those rows
+    l = spark.createDataFrame(
+        [(None, 10, 1), ("a", 10, 2)], "k string, lt long, lid int"
+    )
+    r = spark.createDataFrame(
+        [(None, 5, 50), ("a", 7, 70)], "k string, rt long, price int"
+    )
+    got = sorted(
+        (
+            (t.k, t.lt, t.lid, t.rt, t.price)
+            for t in asof_join_bucketed(l, r, "k", "lt", "rt", granule=4).collect()
+        ),
+        key=lambda x: (x[0] is not None, x),
+    )
+    assert got == [(None, 10, 1, 5, 50), ("a", 10, 2, 7, 70)]
+
+
+def test_reserved_names_guard(spark):
+    l = spark.createDataFrame([("a", 1, 1)], "k string, lt long, _b int")
+    r = spark.createDataFrame([("a", 1, 2)], "k string, rt long, p int")
+    with pytest.raises(ValueError, match="reserved column names"):
+        asof_join_bucketed(l, r, "k", "lt", "rt")
