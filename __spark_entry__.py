@@ -3486,6 +3486,30 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, t, "ents").select("id", "name")
 
 
+def q_neighborhood_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact neighborhood function N(r) over the supplier co-occurrence
+    # graph (all-pairs bounded BFS; graph.neighborhood_function) — the
+    # bit-exact target the HLL-sketch HyperBall variant is bounded
+    # against in tests/test_graph_analytics.py. Oracle: recursive-CTE
+    # walk with min-dist collapse + cumulative radius counts.
+    from kgdata_spark.operators.graph import neighborhood_function
+
+    return neighborhood_function(
+        _supplier_cooccurrence(spark, sf_dir), max_radius=3
+    )
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact containment join (|A∩B|/|A| >= 0.8 on 3-gram shingles): the
+    # asymmetric prefix filter — only the contained side emits a prefix —
+    # finds quoted-inside / boilerplate-wrapped pairs that resemblance-
+    # tuned MinHash-LSH structurally misses (dedup.containment_join).
+    from kgdata_spark.operators.dedup import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=0.8, ngram=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3657,6 +3681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "partition_prune": q_partition_prune,
         "order_price_outliers": q_order_price_outliers,
+        "neighborhood_growth": q_neighborhood_growth,
+        "doc_containment": q_doc_containment,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4793,6 +4819,66 @@ def oracle_sql() -> dict[str, str]:
                 OR r.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1))
                    AS is_outlier
         FROM r JOIN q USING (o_orderpriority)
+    """
+    d["neighborhood_growth"] = """
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_orderkey % 100 = 0),
+        e AS (
+            SELECT DISTINCT x.l_suppkey AS s, y.l_suppkey AS d
+            FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey <> y.l_suppkey),
+        nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT d FROM e),
+        walk AS (
+            SELECT n AS u, n AS v, 0 AS dist FROM nodes
+            UNION
+            SELECT walk.u, e.d, walk.dist + 1
+            FROM walk JOIN e ON e.s = walk.v
+            WHERE walk.dist < 3),
+        md AS (SELECT u, v, MIN(dist) AS d FROM walk GROUP BY u, v),
+        radii AS (SELECT CAST(g.r AS INT) AS radius
+                  FROM generate_series(0, 3) g(r))
+        SELECT r.radius, COUNT(*) AS n_pairs
+        FROM radii r JOIN md ON md.d <= r.radius
+        GROUP BY r.radius
+    """
+    d["doc_containment"] = r"""
+        WITH dw AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   ws[CAST(g.i AS INT)] || ' ' || ws[CAST(g.i AS INT) + 1]
+                       || ' ' || ws[CAST(g.i AS INT) + 2] AS token
+            FROM dw, unnest(generate_series(1, len(ws) - 2)) g(i)),
+        tokens AS (SELECT DISTINCT doc_id, token FROM grams),
+        freq AS (SELECT token, COUNT(*) AS f FROM tokens GROUP BY token),
+        ord_t AS (
+            SELECT t.doc_id, t.token,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY fr.f, t.token) AS rn,
+                   COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+            FROM tokens t JOIN freq fr USING (token)),
+        pref AS (SELECT doc_id, token, n FROM ord_t
+                 WHERE rn <= n - CEIL(0.8 * n - 1e-9) + 1),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+        cands AS (
+            SELECT DISTINCT p.doc_id AS id_a, b.doc_id AS id_b
+            FROM pref p
+            JOIN tokens b USING (token)
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            WHERE p.doc_id <> b.doc_id AND sb.n >= 0.8 * p.n - 1e-9),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cands c
+            JOIN tokens ta ON ta.doc_id = c.id_a
+            JOIN tokens tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+            GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, ROUND(i * 1.0 / sa.n, 6) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        WHERE ROUND(i * 1.0 / sa.n, 6) >= 0.8
     """
     return d
 

@@ -945,3 +945,111 @@ def exact_jaccard_pairs(
     return jaccard_pairs(cands, tokens, id_col).where(
         F.col("jaccard") >= threshold
     )
+
+
+def containment_pairs(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Exact asymmetric containment for candidate pairs → (id_a, id_b,
+    containment) with containment = |A ∩ B| / |A|. The subset-detection
+    metric: a short doc quoted whole inside a long one scores ~1.0 here
+    while its *resemblance* (jaccard = inter/union) tends to 0 as the
+    host grows — exactly the pair family MinHash-LSH (resemblance-tuned)
+    structurally misses. Same array-form verify as `jaccard_pairs`: P
+    candidate rows shuffled, set intersection JVM-side."""
+    toks_arr = F.sort_array(F.collect_set("token"))
+    if max_tokens is not None:
+        toks_arr = F.slice(toks_arr, 1, max_tokens)
+    arrs = tokens.groupBy(id_col).agg(toks_arr.alias("toks"))
+    a = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("_ta"),
+        F.size("toks").alias("sz_a"),
+    )
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.col("sz_a"), 6).alias("containment"),
+        )
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact containment join → every ORDERED pair (id_a, id_b,
+    containment) with |A ∩ B| / |A| >= threshold, id_a != id_b — "A is
+    (nearly) contained in B". The asymmetric sibling of
+    `exact_jaccard_pairs`, with the prefix filter adapted to containment
+    (Xiao et al.'s containment variant): tokens are globally ordered
+    rarest-first and A emits only its first p_A = n_A - ceil(t·n_A) + 1
+    tokens, but B emits ALL its tokens — containment places no bound on
+    B's size, so only the contained side gets a prefix. Completeness: if
+    every common token sat outside A's prefix, inter <= ceil(t·n_A) - 1
+    < t·n_A, contradicting containment >= t. A size filter n_B >= t·n_A
+    prunes pairs that cannot reach the intersection floor.
+
+    Scale: the join streams A-prefix tokens (the ~(1-t) rarest slice of
+    each contained candidate) against the full B token stream; bucket
+    width per token is its document frequency, so `max_df` is the hub
+    valve — prefix tokens with corpus df above it are dropped (explicit
+    approximation: a pair whose ONLY shared prefix token is a hub may be
+    missed). None = exact reference semantics, oracle-checkable.
+    """
+    tokens = doc_tokens(docs, id_col, text_col, ngram=ngram)
+    freq = tokens.groupBy("token").agg(F.count("*").alias("_f"))
+    ordered = (
+        tokens.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_f").alias("f"), F.col("token").alias("t"))
+                )
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    p = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        n.alias("_sz"),
+        F.explode(
+            F.transform(F.slice("_ord", F.lit(1), p), lambda s: s["t"])
+        ).alias("token"),
+    )
+    if max_df is not None:
+        ok = freq.where(F.col("_f") <= max_df).select("token")
+        prefixes = prefixes.join(ok, "token", "left_semi")
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_na"), "token"
+    )
+    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("_nb"))
+    b = tokens.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "_nb", "token"
+    )
+    cands = (
+        a.join(b, "token")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("_nb") >= F.lit(threshold) * F.col("_na") - F.lit(1e-9))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return containment_pairs(cands, tokens, id_col).where(
+        F.col("containment") >= threshold
+    )

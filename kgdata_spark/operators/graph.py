@@ -880,3 +880,174 @@ def label_propagation(
         if (i + 1) % 2 == 0:
             labels = _checkpoint(labels)
     return labels
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_radius: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact neighborhood function N(r) → (radius, n_pairs): the number
+    of ordered pairs (u, v) with dist(u, v) <= radius, for radius in
+    [0, max_radius]. dist(u, u) = 0, so N(0) = |V|.
+
+    The exact form materializes every (source, reached) pair — all-pairs
+    bounded BFS, one layer per hop with a left_anti against the visited
+    pair set (the `bfs_distances` pattern run from EVERY node at once).
+    O(Σ|ball_r(u)|) rows: fine when balls are small or the graph fits the
+    test scale, and it is the bit-exact oracle target. At web scale the
+    pair table is the problem itself — use `hyperball` below, which
+    replaces each node's reached-set with a mergeable HLL sketch.
+    """
+    if max_radius < 0:
+        raise ValueError(f"max_radius must be >= 0, got {max_radius}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    visited = nodes.select(
+        F.col("node").alias("u"), F.col("node").alias("v")
+    ).withColumn("dist", F.lit(0))
+    frontier = visited
+    for hop in range(1, max_radius + 1):
+        step = (
+            frontier.join(e, frontier["v"] == e["_s"])
+            .select("u", F.col("_d").alias("v"))
+            .distinct()
+        )
+        new = step.join(visited, ["u", "v"], "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        if checkpoint:
+            new = _checkpoint(new)
+        if new.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(new)
+        if checkpoint:
+            visited = _checkpoint(visited)
+        frontier = new
+    spark = edges.sparkSession
+    radii = spark.range(0, max_radius + 1).select(
+        F.col("id").cast("int").alias("radius")
+    )
+    per_dist = visited.groupBy("dist").agg(F.count("*").alias("_c"))
+    # cumulative N(r) = Σ_{d<=r} layer counts: a (max_radius+1)-row theta
+    # join against at most max_radius+1 layer counts — broadcast-trivial
+    return (
+        radii.join(per_dist, per_dist["dist"] <= radii["radius"])
+        .groupBy("radius")
+        .agg(F.sum("_c").alias("n_pairs"))
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    max_radius: int,
+    src: str = "src",
+    dst: str = "dst",
+    lg_k: int = 12,
+    checkpoint: bool = True,
+) -> list[tuple[int, float]]:
+    """HyperBall (Boldi & Vigna 2013, "In-Core Computation of Geometric
+    Centralities with HyperBall"): the neighborhood function N(r)
+    estimated with one mergeable HLL sketch per node instead of the
+    exact reached-set — the algorithm that measured the Facebook graph's
+    four degrees of separation.
+
+    state_r(v) ≈ |ball_r(v)| as an HLL register array (Spark's native
+    DataSketches `hll_sketch_agg`); each round unions every node's
+    sketch with its out-neighbors' previous sketches:
+
+        ball_r(v) = {v} ∪ ⋃_{(v,u) ∈ E} ball_{r-1}(u)
+
+    Per round: ONE equi-join (edges ⋈ state on dst) + ONE groupBy(src)
+    `hll_union_agg` — O(|E|) sketch rows shuffled, each a few KB,
+    independent of ball sizes. That is the whole point: at 100 TB the
+    exact pair table is O(V·ball) ≈ V² and cannot exist, while sketch
+    state is O(V · 2^lg_k) bytes forever. Early exit when the summed
+    estimate stops changing (sketch union is monotone + deterministic,
+    so exact equality is a sound convergence test).
+
+    Returns [(radius, est_pairs)] — driver-side floats, max_radius+1 of
+    them. Approximate by construction (HLL rel. error ≈ 1.04/√2^lg_k),
+    hence NOT oracle-gated; tests/test_graph_analytics.py bounds it
+    against `neighborhood_function` instead.
+    """
+    if max_radius < 0:
+        raise ValueError(f"max_radius must be >= 0, got {max_radius}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    state = nodes.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball")
+    )
+    if checkpoint:
+        state = _checkpoint(state)
+
+    def _total(s: DataFrame) -> float:
+        return float(
+            s.agg(
+                F.sum(F.hll_sketch_estimate("ball")).alias("t")
+            ).first().t
+        )
+
+    out = [(0, _total(state))]
+    for hop in range(1, max_radius + 1):
+        contrib = e.join(
+            state.select(F.col("node").alias("_d"), "ball"), "_d"
+        ).select(F.col("_s").alias("node"), "ball")
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.hll_union_agg("ball").alias("ball"))
+        )
+        if checkpoint:
+            state = _checkpoint(state)
+        t = _total(state)
+        out.append((hop, t))
+        if t == out[-2][1]:
+            # converged: every later radius has the same value
+            out.extend((r, t) for r in range(hop + 1, max_radius + 1))
+            break
+    return out
+
+
+def effective_diameter(
+    nf: list[tuple[int, float]], fraction: float = 0.9
+) -> float:
+    """Effective diameter from a neighborhood function: the smallest r
+    (linearly interpolated between integer radii, the standard HyperANF
+    reading) where N(r) >= fraction · N(r_max). Feed it either
+    `hyperball(...)` output or collected `neighborhood_function` rows —
+    the driver-side tail of both, O(max_radius) floats."""
+    if not nf:
+        raise ValueError("empty neighborhood function")
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    pts = sorted((int(r), float(n)) for r, n in nf)
+    target = fraction * pts[-1][1]
+    prev_r, prev_n = pts[0]
+    if prev_n >= target:
+        return float(prev_r)
+    for r, n in pts[1:]:
+        if n >= target:
+            if n == prev_n:
+                return float(r)
+            return prev_r + (target - prev_n) / (n - prev_n) * (r - prev_r)
+        prev_r, prev_n = r, n
+    return float(pts[-1][0])

@@ -92,3 +92,73 @@ def test_fuzz_matches_brute_force(spark, docs, threshold):
     # small vocab → heavy overlap → hub tokens and saturated prefixes,
     # the worst case for candidate pruning; completeness must hold anyway
     assert _run(spark, docs, threshold) == _model(docs, threshold)
+
+
+# -------------------------------------------------- containment join
+
+
+def _run_cont(spark, docs, threshold, **kw):
+    from kgdata_spark.operators.dedup import containment_join
+
+    out = containment_join(_df(spark, docs), threshold=threshold, **kw)
+    return sorted((r.id_a, r.id_b, r.containment) for r in out.collect())
+
+
+def _model_cont(docs, threshold):
+    sets = [set(t.split()) for t in docs]
+    out = []
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b or not sets[a] or not sets[b]:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+            if c >= threshold:
+                out.append((a, b, c))
+    return sorted(out)
+
+
+def test_containment_subset_found_where_jaccard_misses(spark):
+    # doc0 fully inside doc1 but jaccard = 3/10 — resemblance misses it,
+    # containment scores 1.0 and is ORDERED (only 0-in-1, not 1-in-0)
+    docs = ["a b c", "a b c d e f g h i j"]
+    got = _run_cont(spark, docs, threshold=0.8)
+    assert got == [(0, 1, 1.0)]
+    assert _run_cont(spark, docs, threshold=0.8) == _model_cont(docs, 0.8)
+
+
+def test_containment_threshold_boundary(spark):
+    # |A∩B|/|A| = 4/5 = 0.8 exactly: kept at 0.8, dropped just above
+    docs = ["a b c d e", "a b c d x y z"]
+    assert _run_cont(spark, docs, threshold=0.8) == [(0, 1, 0.8)]
+    assert _run_cont(spark, docs, threshold=0.81) == []
+
+
+def test_containment_max_df_valve_drops_hub_only_pairs(spark):
+    # the only shared token is in every doc (df=3 > max_df=2): candidate
+    # generation skips it — documented approximation, not an error
+    docs = ["hub a b", "hub a b c d", "hub x y z w"]
+    full = _run_cont(spark, docs, threshold=0.6)
+    assert (0, 1, 1.0) in full
+    capped = _run_cont(spark, docs, threshold=0.6, max_df=2)
+    # pair (0,1) shares rare tokens a,b too — still found; a pair whose
+    # only overlap is the hub cannot survive the valve
+    assert (0, 1, 1.0) in capped
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e f g h".split()), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.75, 0.8, 1.0]),
+)
+def test_containment_fuzz_matches_brute_force(spark, docs, threshold):
+    assert _run_cont(spark, docs, threshold) == _model_cont(docs, threshold)

@@ -274,3 +274,115 @@ def test_lp_matches_model(spark, pairs, rounds):
         ).collect()
     )
     assert got == _model_lp(pairs, rounds)
+
+
+# ------------------------------------------- neighborhood fn / HyperBall
+
+
+def _model_neighborhood(pairs, max_radius):
+    """Exact N(r) by per-node BFS over the directed edge list."""
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        nodes.update((a, b))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    out = []
+    balls = {n: {n} for n in nodes}
+    frontier = {n: {n} for n in nodes}
+    out.append((0, sum(len(s) for s in balls.values())))
+    for r in range(1, max_radius + 1):
+        for n in nodes:
+            nxt = set()
+            for v in frontier[n]:
+                nxt |= adj.get(v, set())
+            frontier[n] = nxt - balls[n]
+            balls[n] |= frontier[n]
+        out.append((r, sum(len(s) for s in balls.values())))
+    return out
+
+
+def test_neighborhood_path_graph(spark):
+    from kgdata_spark.operators.graph import neighborhood_function
+
+    # directed path a->b->c->d: N(0)=4, N(1)=4+3, N(2)=7+2, N(3)=9+1
+    e = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = sorted(
+        (r.radius, r.n_pairs)
+        for r in neighborhood_function(e, 3, checkpoint=False).collect()
+    )
+    assert got == [(0, 4), (1, 7), (2, 9), (3, 10)]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    radius=st.integers(0, 3),
+)
+def test_neighborhood_matches_model(spark, pairs, radius):
+    from kgdata_spark.operators.graph import neighborhood_function
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    got = sorted(
+        (r.radius, r.n_pairs)
+        for r in neighborhood_function(
+            _edges_df(spark, pairs), radius, checkpoint=False
+        ).collect()
+    )
+    assert got == _model_neighborhood(pairs, radius)
+
+
+def test_hyperball_bounds_exact(spark):
+    """HyperBall estimates track the exact neighborhood function within
+    HLL error (lg_k=12 → ~1.6% rel.; DataSketches HLL is exact-mode at
+    these cardinalities, so the bound is loose)."""
+    from kgdata_spark.operators.graph import hyperball, neighborhood_function
+
+    # two cliques of 6 joined by one bridge, plus a 5-path tail
+    cliq1 = list(combinations(range(6), 2))
+    cliq2 = list(combinations(range(10, 16), 2))
+    bridge = [(5, 10)]
+    tail = [(16 + i, 17 + i) for i in range(4)] + [(15, 16)]
+    pairs = _sym(cliq1 + cliq2 + bridge + tail)
+    e = _edges_df(spark, pairs)
+    exact = dict(
+        (r.radius, r.n_pairs)
+        for r in neighborhood_function(e, 4, checkpoint=False).collect()
+    )
+    est = dict(hyperball(e, 4, checkpoint=False))
+    assert set(est) == set(exact)
+    for r, n in exact.items():
+        assert abs(est[r] - n) / n < 0.03, (r, est[r], n)
+
+
+def test_hyperball_converged_tail_is_constant(spark):
+    from kgdata_spark.operators.graph import hyperball
+
+    # diameter 1 both ways: radii past convergence repeat the total
+    e = _edges_df(spark, _sym([("a", "b")]))
+    est = hyperball(e, 5, checkpoint=False)
+    assert len(est) == 6
+    assert len({v for _, v in est[1:]}) == 1
+
+
+def test_effective_diameter_interpolates():
+    from kgdata_spark.operators.graph import effective_diameter
+
+    # N = [4, 7, 9, 10]; 90% of 10 = 9.0 → exactly at r=2
+    assert effective_diameter([(0, 4), (1, 7), (2, 9), (3, 10)]) == 2.0
+    # 50% of 10 = 5 → between r=0 (4) and r=1 (7): 0 + (5-4)/(7-4) = 1/3
+    got = effective_diameter([(0, 4), (1, 7), (2, 9), (3, 10)], 0.5)
+    assert abs(got - 1 / 3) < 1e-12
+    # already satisfied at r=0
+    assert effective_diameter([(0, 10), (1, 10)], 0.9) == 0.0
