@@ -3510,6 +3510,126 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8, ngram=3)
 
 
+def q_supplier_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strongly connected components over the union of two modular
+    # functional graphs on supplier keys (s -> (7s+3) mod M and
+    # s -> (31s+5) mod M, M = max key + 1): every functional graph is
+    # rho-shaped (tails feeding cycles), so the fixture guarantees real
+    # multi-node SCCs plus DAG tails that the trim phase must peel —
+    # deterministic in both engines with two lines of arithmetic. The
+    # oracle is the textbook mutual-reachability closure (fine at gate
+    # scale; the operator exists precisely because that closure cannot
+    # at 10^9 nodes).
+    from kgdata_spark.operators.graph import strongly_connected_components
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    )
+    m = s.agg(F.max("k")).first()[0] + 1
+    e = s.select(
+        F.col("k").alias("src"), ((F.col("k") * 7 + 3) % m).alias("dst")
+    ).unionByName(
+        s.select(F.col("k").alias("src"), ((F.col("k") * 31 + 5) % m).alias("dst"))
+    )
+    return strongly_connected_components(e)
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch over the document token stream, built as two
+    # per-wave sketches (doc_id parity) and MERGED — the gate therefore
+    # verifies linearity end-to-end, because the oracle rebuilds one
+    # sketch over the whole stream. Estimates for the tokens of every
+    # 97th doc; md5-keyed hashing makes the counters bit-replayable in
+    # DuckDB.
+    from kgdata_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    sk = count_min_merge(
+        count_min_build(toks.where(F.col("doc_id") % 2 == 0), depth=3, width=512),
+        count_min_build(toks.where(F.col("doc_id") % 2 == 1), depth=3, width=512),
+    )
+    qs = toks.where(F.col("doc_id") % 97 == 0).select("token").distinct()
+    return count_min_estimate(sk, qs, depth=3, width=512)
+
+
+def q_basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket lift over (order, part-brand) baskets: which brands
+    # co-occur in the same order more than their marginals predict. The
+    # brand dimension (25 values) keeps pair counts high enough for the
+    # min_pair_count=2 support floor to bite without emptying the result.
+    from kgdata_spark.operators.assoc import co_occurrence_lift
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+    )
+    return co_occurrence_lift(li, "l_orderkey", "p_brand", min_pair_count=2)
+
+
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Longest-path topological layering over a binary-lift DAG on supplier
+    # keys (k -> 2k+1, 2k+2, 3k+4 within range — strictly increasing, so
+    # acyclic by construction, with multi-parent nodes where the *3 skip
+    # edges land, forcing the MAX-over-parents semantics). Depth is
+    # O(log n), so round count stays ~10 even at 1000x the keys. Oracle:
+    # recursive-CTE walk from all nodes, max path length per node.
+    from kgdata_spark.operators.graph import dag_layers
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    )
+    m = s.agg(F.max("k")).first()[0]
+    k = F.col("k")
+    e = None
+    for mul, add in ((2, 1), (2, 2), (3, 4)):
+        part = s.select(
+            k.alias("src"), (k * mul + add).alias("dst")
+        ).where(k * mul + add <= m)
+        e = part if e is None else e.unionByName(part)
+    return dag_layers(e)
+
+
+def q_class_dep_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCC over the north-star domain's class-inheritance graph: the
+    # synthetic corpus's `class Cls_x(Cls_y)` lines extracted by
+    # pipeline.extract.class_pairs form a functional digraph on class
+    # aliases (cyclic inheritance clusters + long tails the trim phase
+    # peels). The oracle regenerates the corpus arithmetically like
+    # kg_triples' does.
+    from kgdata_spark.operators.graph import strongly_connected_components
+    from kgdata_spark.pipeline.extract import class_pairs
+    from kgdata_spark.sources import synthetic
+
+    cp = class_pairs(synthetic.source_files(spark, KG_TRIPLES_N_FILES))
+    return strongly_connected_components(
+        cp.select(
+            F.col("child_alias").alias("src"),
+            F.col("parent_alias").alias("dst"),
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly cohort retention over the events table: users bucketed by
+    # first-seen day, n_active per 7-day offset — pure integer day
+    # arithmetic (no windows), so the oracle is a transliteration.
+    from kgdata_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3683,6 +3803,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_outliers": q_order_price_outliers,
         "neighborhood_growth": q_neighborhood_growth,
         "doc_containment": q_doc_containment,
+        "supplier_scc": q_supplier_scc,
+        "cms_token_freq": q_cms_token_freq,
+        "basket_part_lift": q_basket_part_lift,
+        "retention_cohorts": q_retention_cohorts,
+        "dag_layers": q_dag_layers,
+        "class_dep_scc": q_class_dep_scc,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -4879,6 +5005,123 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, ROUND(i * 1.0 / sa.n, 6) AS containment
         FROM inter JOIN sizes sa ON sa.doc_id = id_a
         WHERE ROUND(i * 1.0 / sa.n, 6) >= 0.8
+    """
+    d["supplier_scc"] = """
+        WITH RECURSIVE mm AS (
+            SELECT CAST(MAX(s_suppkey) + 1 AS BIGINT) AS m FROM supplier),
+        e0 AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS s,
+                   (CAST(s_suppkey AS BIGINT) * 7 + 3) % (SELECT m FROM mm) AS d
+            FROM supplier
+            UNION
+            SELECT CAST(s_suppkey AS BIGINT),
+                   (CAST(s_suppkey AS BIGINT) * 31 + 5) % (SELECT m FROM mm)
+            FROM supplier),
+        e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),
+        nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT d FROM e),
+        reach AS (
+            SELECT n AS u, n AS v FROM nodes
+            UNION
+            SELECT reach.u, e.d FROM reach JOIN e ON e.s = reach.v)
+        SELECT a.u AS node, MIN(a.v) AS scc
+        FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+        GROUP BY a.u
+    """
+    d["cms_token_freq"] = r"""
+        WITH toks AS (
+            SELECT doc_id, w.word AS token FROM documents,
+                   unnest(string_split_regex(text, '\s+')) AS w(word)
+            WHERE w.word <> ''),
+        rws AS (SELECT CAST(g.r AS INT) AS rw FROM generate_series(0, 2) g(r)),
+        cells AS (
+            SELECT r.rw,
+                   ('0x' || substr(md5(CAST(r.rw AS VARCHAR) || '|' || t.token),
+                                   1, 8))::BIGINT % 512 AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks t, rws r GROUP BY 1, 2),
+        q AS (SELECT DISTINCT token FROM toks WHERE doc_id % 97 = 0),
+        qb AS (
+            SELECT q.token AS item, r.rw,
+                   ('0x' || substr(md5(CAST(r.rw AS VARCHAR) || '|' || q.token),
+                                   1, 8))::BIGINT % 512 AS bucket
+            FROM q, rws r)
+        SELECT item, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM qb LEFT JOIN cells c ON c.rw = qb.rw AND c.bucket = qb.bucket
+        GROUP BY item
+    """
+    d["basket_part_lift"] = """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT COUNT(DISTINCT basket) AS n FROM b),
+        c AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY item),
+        p AS (
+            SELECT x.item AS item_a, y.item AS item_b, COUNT(*) AS pair_count
+            FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT item_a, item_b, pair_count,
+               ca.cnt AS count_a, cb.cnt AS count_b,
+               (SELECT n FROM nb) AS n_baskets,
+               CAST(FLOOR(pair_count * (SELECT n FROM nb) * 1000000
+                          / (ca.cnt * cb.cnt)) AS BIGINT) AS lift_ppm
+        FROM p JOIN c ca ON ca.item = item_a JOIN c cb ON cb.item = item_b
+    """
+    d["dag_layers"] = """
+        WITH RECURSIVE mx AS (
+            SELECT CAST(MAX(s_suppkey) AS BIGINT) AS m FROM supplier),
+        e0 AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS s,
+                   CAST(2 * s_suppkey + 1 AS BIGINT) AS d
+            FROM supplier WHERE 2 * s_suppkey + 1 <= (SELECT m FROM mx)
+            UNION ALL
+            SELECT CAST(s_suppkey AS BIGINT), CAST(2 * s_suppkey + 2 AS BIGINT)
+            FROM supplier WHERE 2 * s_suppkey + 2 <= (SELECT m FROM mx)
+            UNION ALL
+            SELECT CAST(s_suppkey AS BIGINT), CAST(3 * s_suppkey + 4 AS BIGINT)
+            FROM supplier WHERE 3 * s_suppkey + 4 <= (SELECT m FROM mx)),
+        e AS (SELECT DISTINCT s, d FROM e0),
+        nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT d FROM e),
+        walk AS (
+            SELECT n, 0 AS l FROM nodes
+            UNION
+            SELECT e.d, walk.l + 1 FROM walk JOIN e ON e.s = walk.n)
+        SELECT n AS node, CAST(MAX(l) AS BIGINT) AS layer
+        FROM walk GROUP BY n
+    """
+    d["class_dep_scc"] = """
+        WITH RECURSIVE f AS (
+            SELECT CAST(g.i AS BIGINT) AS i FROM generate_series(0, 1999) g(i)),
+        e0 AS (
+            SELECT 'Cls_' || CAST((3 * i + 1) % 100 AS VARCHAR) AS s,
+                   'Cls_' || CAST((5 * i + 2) % 100 AS VARCHAR) AS d
+            FROM f),
+        e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),
+        nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT d FROM e),
+        reach AS (
+            SELECT n AS u, n AS v FROM nodes
+            UNION
+            SELECT reach.u, e.d FROM reach JOIN e ON e.s = reach.v)
+        SELECT a.u AS node, MIN(a.v) AS scc
+        FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+        GROUP BY a.u
+    """
+    d["retention_cohorts"] = """
+        WITH a AS (
+            SELECT user_id AS key,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+            FROM events WHERE user_id IS NOT NULL),
+        coh AS (SELECT key, MIN(day) AS cohort_day FROM a GROUP BY key),
+        sz AS (SELECT cohort_day, COUNT(DISTINCT key) AS cohort_size
+               FROM coh GROUP BY cohort_day),
+        act AS (
+            SELECT c.cohort_day,
+                   CAST(FLOOR((a.day - c.cohort_day) / 7) AS INT) AS bucket_offset,
+                   COUNT(DISTINCT a.key) AS n_active
+            FROM a JOIN coh c USING (key)
+            GROUP BY 1, 2)
+        SELECT CAST(act.cohort_day AS INT) AS cohort_day, bucket_offset,
+               n_active, cohort_size
+        FROM act JOIN sz USING (cohort_day)
     """
     return d
 

@@ -1,0 +1,90 @@
+"""Market-basket co-occurrence: support / lift over (basket, item) rows.
+
+The pairwise core of association-rule mining (the counting stage of
+Apriori / FP-growth): which items co-occur in the same basket more than
+their marginal frequencies predict. In the KG pipeline the same shape
+scores predicate co-occurrence (the reference computes the raw pair
+counts in meta_graph_stats.py:51-175 — cartesian per entity then
+reduceByKey; here the pair explosion is bounded per basket and lift
+normalizes the counts into a usable score).
+
+Scale notes: the self-join explodes C(basket_size, 2) pairs per basket —
+quadratic in the BASKET, linear in baskets. `max_basket` is the explicit
+hub valve (a mega-basket is the one thing that detonates this plan; at
+100 TB you cap or sample it, never discover it in an executor OOM).
+Lift is emitted as an exact integer `lift_ppm` = floor(1e6 · lift)
+computed in bigint/exact-double range, so the gate hash never rides on
+float formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_lift(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket: int | None = 1000,
+) -> DataFrame:
+    """(item_a, item_b, pair_count, count_a, count_b, n_baskets, lift_ppm)
+    for unordered item pairs sharing >= min_pair_count baskets, with
+    item_a < item_b and lift_ppm = floor(1e6 · P(ab)/(P(a)P(b))) =
+    floor(1e6 · pair·n / (cnt_a·cnt_b)).
+
+    Presence-based: duplicate (basket, item) rows collapse first, so a
+    basket contributes each pair at most once. The numerator
+    pair·n·1e6 stays below 2^53 for any realistic corpus (pair <= n),
+    so the double division floors identically in every engine.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).where(F.col("basket").isNotNull() & F.col("item").isNotNull()).distinct()
+    if max_basket is not None:
+        sizes = b.groupBy("basket").agg(F.count("*").alias("_sz"))
+        worst = sizes.agg(F.max("_sz").alias("m")).first().m
+        if worst is not None and worst > max_basket:
+            raise ValueError(
+                f"basket with {worst} items exceeds max_basket={max_basket} "
+                f"— the pair explosion is quadratic in it; cap, sample, or "
+                f"raise the valve explicitly"
+            )
+    n_baskets = b.select("basket").distinct().count()
+    item_cnt = b.groupBy("item").agg(F.count("*").alias("cnt"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(y, "basket")
+        .where(F.col("x.item") < F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    ca = item_cnt.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("count_a")
+    )
+    cb = item_cnt.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("count_b")
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.lit(n_baskets).cast("long").alias("n_baskets"),
+            F.floor(
+                F.col("pair_count")
+                * F.lit(n_baskets)
+                * F.lit(1000000)
+                / (F.col("count_a") * F.col("count_b"))
+            ).alias("lift_ppm"),
+        )
+    )

@@ -1051,3 +1051,237 @@ def effective_diameter(
             return prev_r + (target - prev_n) / (n - prev_n) * (r - prev_r)
         prev_r, prev_n = r, n
     return float(pts[-1][0])
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 50,
+    max_inner: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, scc) over a DIRECTED graph, scc = the MIN node id inside the
+    node's strongly connected component — the trim + forward-coloring /
+    backward-sweep peeling algorithm (Orzan's coloring; the FW-BW-Trim
+    family used by every distributed SCC system) in plain DataFrames.
+
+    Per outer round on the remaining subgraph:
+      1. TRIM: nodes with zero in-degree or zero out-degree cannot sit on
+         a cycle — they are singleton SCCs; peel them (repeatedly, inside
+         the outer loop) before paying for any fixpoint. This alone
+         dissolves the DAG-shaped bulk of real graphs.
+      2. FORWARD coloring to fixpoint: color(v) = min id u with u ->* v
+         (v included). One equi-join + one min-groupBy per step,
+         diameter-bound. color() is CONSTANT on an SCC (its members have
+         identical reachable-from sets), so colors never split an SCC.
+      3. BACKWARD sweep: a root is a node with color(v) == v — nothing
+         smaller reaches it, so it is the min id of its SCC. Its SCC is
+         exactly the nodes of its color class that reach it, found by a
+         BFS over REVERSED edges restricted to same-color endpoints.
+      4. Peel the swept SCCs and repeat on the rest.
+
+    Every step is an equi-shuffle on node ids with O(V + E) state — no
+    reachability pair table (which is the thing that cannot exist at
+    10^9 nodes). Worst case (a long chain of same-color SCCs) peels one
+    root per round — `max_outer` is the explicit valve and raises rather
+    than looping silently; real KG/dedup graph shapes peel in a handful.
+    Self-loops are irrelevant to SCC membership and dropped up front.
+    """
+    e_all = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e_all = _checkpoint(e_all)
+        nodes = _checkpoint(nodes)
+    done = nodes.select("node", F.col("node").alias("scc")).limit(0)
+    remaining, e = nodes, e_all
+    for outer in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            return done
+        # -- 1. trim: no in-edge or no out-edge => singleton SCC ----------
+        while True:
+            has_in = e.select(F.col("d").alias("node")).distinct()
+            has_out = e.select(F.col("s").alias("node")).distinct()
+            keep = remaining.join(has_in, "node", "left_semi").join(
+                has_out, "node", "left_semi"
+            )
+            trimmed = remaining.join(keep, "node", "left_anti")
+            if checkpoint:
+                keep = _checkpoint(keep)
+            if trimmed.limit(1).count() == 0:
+                break
+            done = done.unionByName(
+                trimmed.select("node", F.col("node").alias("scc"))
+            )
+            if checkpoint:
+                done = _checkpoint(done)
+            remaining = keep
+            e = e.join(
+                keep.select(F.col("node").alias("s")), "s", "left_semi"
+            ).join(keep.select(F.col("node").alias("d")), "d", "left_semi")
+            if checkpoint:
+                e = _checkpoint(e)
+        if remaining.limit(1).count() == 0:
+            return done
+        # -- 2. forward min-label coloring to fixpoint ---------------------
+        color = remaining.select("node", F.col("node").alias("color"))
+        for _ in range(max_inner):
+            pushed = (
+                e.join(color.select(F.col("node").alias("s"), "color"), "s")
+                .select(F.col("d").alias("node"), "color")
+            )
+            new = (
+                color.unionByName(pushed)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+            )
+            if checkpoint:
+                new = _checkpoint(new)
+            changed = (
+                new.alias("n")
+                .join(color.alias("o"), "node")
+                .where(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"SCC forward coloring did not converge in {max_inner} "
+                f"rounds — raise max_inner (graph diameter exceeds it)"
+            )
+        # -- 3. backward sweep from roots within each color class ----------
+        assigned = color.where(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("scc")
+        )
+        if checkpoint:
+            assigned = _checkpoint(assigned)
+        frontier = assigned
+        while frontier.limit(1).count() > 0:
+            step = (
+                e.join(
+                    frontier.select(F.col("node").alias("d"), "scc"), "d"
+                )
+                .select(F.col("s").alias("node"), "scc")
+                .distinct()
+                .join(
+                    color.withColumnRenamed("color", "scc"),
+                    ["node", "scc"],
+                    "left_semi",
+                )
+                .join(assigned, "node", "left_anti")
+            )
+            if checkpoint:
+                step = _checkpoint(step)
+            assigned = assigned.unionByName(step)
+            if checkpoint:
+                assigned = _checkpoint(assigned)
+            frontier = step
+        # -- 4. peel ---------------------------------------------------------
+        done = done.unionByName(assigned)
+        remaining = remaining.join(assigned, "node", "left_anti")
+        if checkpoint:
+            done = _checkpoint(done)
+            remaining = _checkpoint(remaining)
+        e = e.join(
+            remaining.select(F.col("node").alias("s")), "s", "left_semi"
+        ).join(remaining.select(F.col("node").alias("d")), "d", "left_semi")
+        if checkpoint:
+            e = _checkpoint(e)
+    raise RuntimeError(
+        f"SCC peeling did not finish in {max_outer} outer rounds — the "
+        f"remaining graph is a long chain of same-color SCCs; raise "
+        f"max_outer"
+    )
+
+
+def dag_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 200,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, layer) over a DAG: layer = LONGEST path (in edges) ending at
+    the node — the topological layering that schedules a class hierarchy
+    or build/dependency graph into parallel waves (every node's parents
+    sit in strictly lower layers; layer 0 = the roots). The reference gets
+    a usable class DAG by breaking cycles first
+    (/root/reference/kgdata/wikidata/datasets/acyclic_classes.py:19-112,
+    our `acyclic_parent_edges`); this is the downstream consumer that
+    turns the DAG into depth waves.
+
+    Cycle SAFETY rather than cycle tolerance: on a cyclic input the max-
+    propagation never converges, so the loop raises after `max_depth`
+    rounds instead of silently emitting garbage — and self-loops (the
+    trivial cycle) are rejected up front. Run `acyclic_parent_edges` or
+    `strongly_connected_components` first if the input may be cyclic.
+
+    Delta-frontier max-propagation, the longest-path dual of
+    `sssp_distances`: each round pushes layer+1 along edges ONLY from
+    nodes whose layer grew last round, new layer = max(old, pushed).
+    Complete because the final layer of v is witnessed by some longest
+    path whose prefix finalized earlier and re-pushed when it grew.
+    Rounds = DAG depth; per round one equi-join + one map-side-combined
+    max-groupBy + one anti-join/union — all O(V + E) state, no
+    reachability table.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    loops = edges.where(F.col(src) == F.col(dst)).limit(1).count()
+    if loops:
+        raise ValueError(
+            "dag_layers: input has a self-loop — not a DAG; break cycles "
+            "first (acyclic_parent_edges / strongly_connected_components)"
+        )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    if checkpoint:
+        e = _checkpoint(e)
+    layers = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .withColumn("layer", F.lit(0).cast("long"))
+    )
+    frontier = layers
+    # max_depth + 1 rounds: a DAG of depth exactly max_depth grows for
+    # max_depth rounds and needs one more to OBSERVE convergence — the
+    # valve reads "depth <= max_depth is fine", no off-by-one surprise
+    for _ in range(max_depth + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"), (F.col("layer") + 1).alias("layer"))
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+        )
+        prev = layers.select(
+            F.col("node").alias("_pn"), F.col("layer").alias("_pl")
+        )
+        grew = (
+            cand.join(prev, cand["node"] == prev["_pn"])
+            .where(F.col("layer") > F.col("_pl"))
+            .select("node", "layer")
+        )
+        if checkpoint:
+            grew = _checkpoint(grew)
+        if grew.limit(1).count() == 0:
+            return layers
+        layers = layers.join(grew, "node", "left_anti").unionByName(grew)
+        if checkpoint:
+            layers = _checkpoint(layers)
+        frontier = grew
+    raise RuntimeError(
+        f"dag_layers: layers still growing after {max_depth} rounds — the "
+        f"input has a cycle, or its depth exceeds max_depth; raise the "
+        f"valve only if the depth is genuinely that large"
+    )

@@ -109,3 +109,108 @@ def heavy_hitters(tokens: DataFrame, k: int, token_col: str = "token") -> DataFr
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") * (k + 1) > F.lit(n_total))
     )
+
+
+def count_min_build(
+    items: DataFrame,
+    depth: int = 3,
+    width: int = 512,
+    item_col: str = "token",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of an item stream
+    as a (row, bucket, cnt) table — depth·width counters TOTAL, however
+    many distinct items flow in. Estimates overcount only (never under):
+    est(t) = min over rows of cnt[row][h_row(t)] >= true(t), with the
+    classic (e, d) guarantee  est <= true + e·n  w.p. 1 - d  at
+    width = ceil(e_const/e), depth = ceil(ln(1/d)).
+
+    Where Misra–Gries above answers "which items are heavy" (identities,
+    two passes), CMS answers "how often is THIS item" for any later
+    query, in one pass, with O(d·w) state — the right shape for a
+    100 TB stream whose distinct-key groupBy cannot be afforded and
+    whose query set is unknown at build time.
+
+    Hashing is `md5_int32` over the keyed string f"{row}|{item}" — the
+    engine-portable integer hash core (functions/hashing.py), so the
+    sketch is a pure function of the multiset: bit-replayable in DuckDB
+    (the gate oracle rebuilds it) and MERGEABLE by (row, bucket) count
+    sum across shards/engines, which `count_min_merge` does.
+
+    Plan: one explode to depth rows per item + one groupBy(row, bucket)
+    — map-side combine collapses the stream to ≤ d·w rows per task
+    before the shuffle, so shuffle volume is O(tasks · d · w),
+    independent of the stream length.
+    """
+    from kgdata_spark.functions.hashing import md5_int32
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
+    item = F.col(item_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (md5_int32(F.concat(F.lit(f"{r}|"), item)) % width).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.where(item.isNotNull())
+        .select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the SAME (depth, width): counter-wise
+    sum — the linearity that makes CMS the distributed/streaming choice
+    (shard sketches union by one tiny groupBy; estimates over the merge
+    equal estimates over the concatenated stream, asserted in tests)."""
+    if not sketches:
+        raise ValueError("no sketches to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    depth: int = 3,
+    width: int = 512,
+    item_col: str = "token",
+) -> DataFrame:
+    """(item, est) for each query item: min over the depth rows of the
+    item's bucket counters (0 when a bucket was never touched). The
+    sketch side is ≤ depth·width rows — broadcast — so estimation is a
+    shuffle-free lookup join however large the query set."""
+    from kgdata_spark.functions.hashing import md5_int32
+
+    item = F.col(item_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (md5_int32(F.concat(F.lit(f"{r}|"), item)) % width).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    qb = (
+        queries.where(item.isNotNull())
+        .distinct()
+        .select(item.alias("item"), F.explode(rows).alias("rb"))
+        .select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    )
+    return (
+        qb.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -74,3 +74,53 @@ def daily_activity(
         "n_events",
         (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix (cohort_day, bucket_offset, n_active,
+    cohort_size): users grouped by their FIRST event day (integer days
+    since 1970-01-01, the same timezone-free axis as daily_activity);
+    n_active = distinct users of that cohort active in bucket k, where
+    bucket k covers days [cohort_day + k·bucket_days, +(k+1)·bucket_days).
+    Bucket 0 is the cohort itself, so n_active(0) == cohort_size — kept
+    as the built-in sanity row rather than normalized away.
+
+    Plan: one groupBy(key) min for the cohort assignment, one join back
+    (broadcast when the user dimension allows, AQE decides), one
+    distinct + groupBy — all equi-shuffles on user/cohort keys. No
+    windows: the bucket offset is pure integer arithmetic on day
+    numbers, so the result is engine-exact and the DuckDB oracle is a
+    literal transliteration.
+    """
+    if bucket_days < 1:
+        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+    day = F.datediff(
+        F.to_date(F.col(ts_col).cast("timestamp")), F.lit(EPOCH).cast("date")
+    )
+    acts = events.select(F.col(key_col).alias("key"), day.alias("day")).where(
+        F.col("key").isNotNull()
+    )
+    cohort = acts.groupBy("key").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.countDistinct("key").alias("cohort_size")
+    )
+    active = (
+        acts.join(cohort, "key")
+        .select(
+            "cohort_day",
+            F.floor(
+                (F.col("day") - F.col("cohort_day")) / F.lit(bucket_days)
+            ).cast("int").alias("bucket_offset"),
+            "key",
+        )
+        .groupBy("cohort_day", "bucket_offset")
+        .agg(F.countDistinct("key").alias("n_active"))
+    )
+    return active.join(sizes, "cohort_day").select(
+        "cohort_day", "bucket_offset", "n_active", "cohort_size"
+    )

@@ -1,0 +1,244 @@
+"""Count-Min sketch, market-basket lift, retention cohorts vs pure-python
+models.
+
+CMS: the counter table is a pure function of the token multiset (md5
+hashing), so the model rebuilds it bit-for-bit; estimates must never
+undercount, must be exact when the width is collision-free, and shard
+sketches merged must equal the whole-stream sketch (linearity).
+Lift/retention are exact operators — the models are direct python
+transliterations over small fixtures plus the guard/valve paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+
+from kgdata_spark.operators.assoc import co_occurrence_lift
+from kgdata_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+from kgdata_spark.operators.timeseries import retention_cohorts
+
+# ------------------------------------------------------------------- CMS
+
+
+def _h(row: int, item: str, width: int) -> int:
+    return int(hashlib.md5(f"{row}|{item}".encode()).hexdigest()[:8], 16) % width
+
+
+def _model_cms(tokens: list[str], depth: int, width: int) -> dict[tuple, int]:
+    cells: dict[tuple, int] = {}
+    for t in tokens:
+        for r in range(depth):
+            k = (r, _h(r, t, width))
+            cells[k] = cells.get(k, 0) + 1
+    return cells
+
+
+def _model_est(cells: dict, item: str, depth: int, width: int) -> int:
+    return min(cells.get((r, _h(r, item, width)), 0) for r in range(depth))
+
+
+def _stream(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    return [f"t{rng.randrange(40)}" for _ in range(n)]
+
+
+def test_cms_counters_match_model_bit_for_bit(spark):
+    toks = _stream(1, 600)
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_build(df, depth=3, width=64).collect()
+    }
+    assert got == _model_cms(toks, 3, 64)
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    toks = _stream(2, 800)
+    true = {t: toks.count(t) for t in set(toks)}
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    qs = spark.createDataFrame([(t,) for t in true], "token string")
+    # narrow sketch: overcount-only
+    sk = count_min_build(df, depth=3, width=32)
+    est = {
+        r.item: r.est
+        for r in count_min_estimate(sk, qs, depth=3, width=32).collect()
+    }
+    assert est.keys() == true.keys()
+    assert all(est[t] >= true[t] for t in true)
+    cells = _model_cms(toks, 3, 32)
+    assert est == {t: _model_est(cells, t, 3, 32) for t in true}
+    # wide sketch: 40 distinct tokens, width 4096, depth 4 — some row is
+    # collision-free with near-certainty for this pinned stream => exact
+    sk = count_min_build(df, depth=4, width=4096)
+    est = {
+        r.item: r.est
+        for r in count_min_estimate(sk, qs, depth=4, width=4096).collect()
+    }
+    assert est == true
+
+
+def test_cms_merge_linearity(spark):
+    a, b = _stream(3, 300), _stream(4, 500)
+    da = spark.createDataFrame([(t,) for t in a], "token string")
+    db = spark.createDataFrame([(t,) for t in b], "token string")
+    dab = spark.createDataFrame([(t,) for t in a + b], "token string")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_merge(
+            count_min_build(da, depth=3, width=128),
+            count_min_build(db, depth=3, width=128),
+        ).collect()
+    }
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in count_min_build(dab, depth=3, width=128).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_guards(spark):
+    df = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError, match="depth and width"):
+        count_min_build(df, depth=0, width=8)
+    with pytest.raises(ValueError, match="no sketches"):
+        count_min_merge()
+    # nulls are dropped, not hashed
+    dn = spark.createDataFrame([("a",), (None,)], "token string")
+    assert count_min_build(dn, depth=2, width=8).agg({"cnt": "sum"}).first()[0] == 2
+
+
+# ------------------------------------------------------------------ lift
+
+
+def _model_lift(rows, min_pair=2):
+    b = sorted(set(rows))
+    baskets: dict = {}
+    for k, i in b:
+        baskets.setdefault(k, set()).add(i)
+    n = len(baskets)
+    cnt: dict = {}
+    for items in baskets.values():
+        for i in items:
+            cnt[i] = cnt.get(i, 0) + 1
+    pairs: dict = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pairs[(s[x], s[y])] = pairs.get((s[x], s[y]), 0) + 1
+    out = {}
+    for (a, c), p in pairs.items():
+        if p >= min_pair:
+            out[(a, c)] = (
+                p,
+                cnt[a],
+                cnt[c],
+                n,
+                math.floor(p * n * 1000000 / (cnt[a] * cnt[c])),
+            )
+    return out
+
+
+def test_lift_matches_model_and_dedups_presence(spark):
+    rng = random.Random(5)
+    rows = [(f"b{rng.randrange(12)}", f"i{rng.randrange(6)}") for _ in range(120)]
+    # duplicates included on purpose: presence-based semantics collapse them
+    df = spark.createDataFrame(rows + rows[:30], "basket string, item string")
+    got = {
+        (r.item_a, r.item_b): (
+            r.pair_count,
+            r.count_a,
+            r.count_b,
+            r.n_baskets,
+            r.lift_ppm,
+        )
+        for r in co_occurrence_lift(df, "basket", "item").collect()
+    }
+    assert got == _model_lift(rows)
+
+
+def test_lift_independent_items_near_1m_ppm(spark):
+    # every basket contains both items => lift = n/(n·n/n)=1 exactly? no:
+    # P(ab)=1, P(a)=P(b)=1 => lift 1.0 => 1_000_000 ppm exactly
+    rows = [(f"b{k}", i) for k in range(8) for i in ("x", "y")]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = co_occurrence_lift(df, "basket", "item").collect()
+    assert len(out) == 1 and out[0].lift_ppm == 1000000
+
+
+def test_lift_max_basket_valve(spark):
+    rows = [("b0", f"i{j}") for j in range(11)]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    with pytest.raises(ValueError, match="max_basket"):
+        co_occurrence_lift(df, "basket", "item", max_basket=10)
+    assert co_occurrence_lift(df, "basket", "item", max_basket=None).count() == 0
+
+
+# ------------------------------------------------------------- retention
+
+
+def _model_retention(events, bucket_days=7):
+    days = {}
+    for u, d in events:
+        days.setdefault(u, []).append(d)
+    cohort = {u: min(ds) for u, ds in days.items()}
+    sizes: dict = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    active: dict = {}
+    for u, ds in days.items():
+        c = cohort[u]
+        for off in {(d - c) // bucket_days for d in ds}:
+            active[(c, off)] = active.get((c, off), 0) + 1
+    return {
+        (c, o): (n, sizes[c]) for (c, o), n in active.items()
+    }
+
+
+def test_retention_matches_model(spark):
+    import datetime
+
+    rng = random.Random(9)
+    ev = [
+        (rng.randrange(15), 19723 + rng.randrange(40))  # days around 2024-01
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d, hours=5))
+            for u, d in ev
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.cohort_day, r.bucket_offset): (r.n_active, r.cohort_size)
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == _model_retention(ev)
+
+
+def test_retention_bucket0_equals_cohort_size_and_guard(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1)),
+            (1, datetime.datetime(2024, 1, 20)),
+            (2, datetime.datetime(2024, 1, 2)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = retention_cohorts(df).collect()
+    for r in rows:
+        if r.bucket_offset == 0:
+            assert r.n_active == r.cohort_size
+    with pytest.raises(ValueError, match="bucket_days"):
+        retention_cohorts(df, bucket_days=0)

@@ -1,0 +1,87 @@
+"""dag_layers (longest-path topological layering) vs a python DP model,
+plus the cycle-safety contract: self-loops rejected up front, longer
+cycles surface as the max_depth raise, never as silent wrong layers.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.graph import dag_layers
+
+
+def _model(edges: list[tuple[str, str]]) -> dict[str, int]:
+    nodes = {n for e in edges for n in e}
+    parents: dict[str, list[str]] = {n: [] for n in nodes}
+    for s, d in edges:
+        parents[d].append(s)
+    memo: dict[str, int] = {}
+
+    def depth(v: str) -> int:
+        if v not in memo:
+            memo[v] = (
+                0 if not parents[v] else 1 + max(depth(p) for p in parents[v])
+            )
+        return memo[v]
+
+    return {n: depth(n) for n in nodes}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = dag_layers(df).collect()
+    assert len(got) == len({r.node for r in got}), "duplicate node rows"
+    return {r.node: r.layer for r in got}
+
+
+def test_chain_and_diamond(spark):
+    # diamond: d's layer is the MAX over parents (b at 1, c at 2) + 1
+    edges = [("a", "b"), ("a", "c0"), ("c0", "c"), ("b", "d"), ("c", "d")]
+    got = _run(spark, edges)
+    assert got == _model(edges)
+    assert got["d"] == 3 and got["b"] == 1 and got["c"] == 2
+
+
+def test_forest_multiple_roots(spark):
+    edges = [("r1", "x"), ("r2", "x"), ("r2", "y"), ("y", "z")]
+    assert _run(spark, edges) == _model(edges)
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 14, 25), (12, 20, 40)])
+def test_random_dags_match_model(spark, seed, n, m):
+    # edges only from lower to higher index => acyclic by construction
+    rng = random.Random(seed)
+    edges = list(
+        {
+            (f"n{a:02d}", f"n{b:02d}")
+            for a, b in (
+                sorted(rng.sample(range(n), 2)) for _ in range(m)
+            )
+        }
+    )
+    assert _run(spark, edges) == _model(edges)
+
+
+def test_self_loop_rejected(spark):
+    df = spark.createDataFrame([("a", "a"), ("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="self-loop"):
+        dag_layers(df)
+
+
+def test_cycle_raises_via_valve(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_layers(df, max_depth=10)
+
+
+def test_depth_valve_on_genuine_chain(spark):
+    edges = [(f"v{i}", f"v{i+1}") for i in range(8)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        dag_layers(df, max_depth=4)
+    got = {r.node: r.layer for r in dag_layers(df, max_depth=8).collect()}
+    assert got == _model(edges)

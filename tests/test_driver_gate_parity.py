@@ -137,6 +137,15 @@ DOCUMENTED_OVERFLOW = {
     "url_dedup_docs",
     "partition_prune",
     "order_price_outliers",
+    "neighborhood_growth",
+    "doc_containment",
+    # round-4 continuation wave (this session)
+    "supplier_scc",
+    "cms_token_freq",
+    "basket_part_lift",
+    "retention_cohorts",
+    "dag_layers",
+    "class_dep_scc",
 }
 
 # Environment-gated queries: registered only where the environment

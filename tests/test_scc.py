@@ -1,0 +1,161 @@
+"""Strongly connected components (graph.strongly_connected_components)
+vs an iterative Tarjan oracle.
+
+The operator is the trim + forward-coloring / backward-sweep peeling
+algorithm; the oracle is the textbook single-machine answer, so the two
+share no code or structure. Fixtures cover: pure DAG (all singletons,
+dissolved entirely by trim), disjoint cycles, nested/overlapping cycles
+feeding a DAG tail, an id ordering chosen so min-label colors SHADOW a
+downstream SCC (forcing a second peeling round), and a seeded random
+digraph sweep.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.graph import strongly_connected_components
+
+
+def tarjan_scc(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan; returns node -> min node id of its SCC."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: dict[str, str] = {}
+    counter = [0]
+
+    def strongconnect(v0: str) -> None:
+        work = [(v0, iter(adj.get(v0, ())))]
+        index[v0] = low[v0] = counter[0]
+        counter[0] += 1
+        stack.append(v0)
+        on_stack.add(v0)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    return out
+
+
+def _run(spark, edges: list[tuple[str, str]]) -> dict[str, str]:
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = strongly_connected_components(df).collect()
+    assert len(got) == len({r.node for r in got}), "duplicate node rows"
+    return {r.node: r.scc for r in got}
+
+
+def test_dag_all_singletons(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    assert _run(spark, edges) == tarjan_scc(edges)
+
+
+def test_disjoint_cycles_and_self_loop(spark):
+    edges = [
+        ("a", "b"), ("b", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("q", "q"),
+    ]
+    got = _run(spark, edges)
+    assert got == tarjan_scc(edges)
+    assert got["a"] == got["b"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    assert got["q"] == "q"
+
+
+def test_nested_cycles_with_dag_tail(spark):
+    # two overlapping cycles (one SCC of 4) feeding a chain
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("b", "d"), ("d", "b"),
+        ("d", "e"), ("e", "f"),
+    ]
+    got = _run(spark, edges)
+    assert got == tarjan_scc(edges)
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    assert got["e"] == "e" and got["f"] == "f"
+
+
+def test_color_shadowing_needs_second_peel(spark):
+    # "a" (global min) reaches the downstream cycle {b, c} but is not in
+    # it, so round 1 colors b/c with "a" and only peels {a}; {b, c} must
+    # survive intact into round 2. Trim must NOT remove b/c (they keep
+    # in+out degree via their own cycle).
+    edges = [("a", "b"), ("b", "c"), ("c", "b")]
+    got = _run(spark, edges)
+    assert got == tarjan_scc(edges)
+    assert got["a"] == "a" and got["b"] == got["c"] == "b"
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 12, 20), (2, 16, 30), (3, 20, 45)])
+def test_random_digraphs_match_tarjan(spark, seed, n, m):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(n)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(m)
+        }
+    )
+    edges.sort()
+    assert _run(spark, edges) == tarjan_scc(edges)
+
+
+def test_outer_valve_raises(spark):
+    # chain of 2-cycles a0<->a1 -> b0<->b1 -> c0<->c1: every round peels
+    # exactly one SCC (the color of the global min shadows the rest), so
+    # max_outer=1 must raise rather than silently stop early
+    edges = [
+        ("a0", "a1"), ("a1", "a0"),
+        ("a1", "b0"),
+        ("b0", "b1"), ("b1", "b0"),
+        ("b1", "c0"),
+        ("c0", "c1"), ("c1", "c0"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="max_outer"):
+        strongly_connected_components(df, max_outer=1)
+    # and with room it matches
+    got = {r.node: r.scc for r in strongly_connected_components(df).collect()}
+    assert got == tarjan_scc(edges)
