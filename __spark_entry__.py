@@ -3621,6 +3621,71 @@ def q_class_dep_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kleinberg HITS on the supplier→part bipartite graph (same edge set
+    # as pagerank_supplier_part): suppliers earn hub mass, parts earn
+    # authority mass, L1-normalized per half-step; 2 iterations unrolled
+    # in the oracle, round-6 like the pagerank gate.
+    from kgdata_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), "l_suppkey").alias("src"),
+        F.concat(F.lit("p"), "l_partkey").alias("dst"),
+    )
+    return hits(e, iters=2)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact positional phrase search over the documents table — the
+    # repeated-token phrase ["table", "table"] exercises the anchor-slot
+    # counting (a bag-of-words containment check would also match
+    # "table x table", which the oracle's direct positional compare
+    # rejects). Overlapping occurrences count individually.
+    from kgdata_spark.operators.retrieval import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), ["table", "table"]
+    )
+
+
+def q_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Categorical drift between two deterministic snapshots of orders:
+    # baseline = even orderkeys; current = odd orderkeys MINUS every 7th
+    # urgent order (a real injected shift, so the chi-square contribs are
+    # non-zero and the urgent category dominates them).
+    from kgdata_spark.operators.drift import category_drift
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0)
+    cur = o.where(
+        (F.col("o_orderkey") % 2 == 1)
+        & ~(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+    )
+    return category_drift(base, cur, "o_orderpriority")
+
+
+def q_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signed-random-projection LSH near-dup pairs over embeddings with 25
+    # planted exact copies (vec_id+10000 of every 20th vector) — the
+    # planted pairs agree on every hyperplane so banding MUST surface
+    # them (score 1.0), and the 0.35 threshold keeps a band of organic
+    # medium-angle pairs in the result. md5-derived ±1 planes replay
+    # identically in the oracle.
+    from kgdata_spark.operators.similarity import srp_near_dup_pairs
+
+    v0 = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = v0.unionByName(
+        v0.where(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return srp_near_dup_pairs(v, n_bits=16, bands=4, threshold=0.35)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly cohort retention over the events table: users bucketed by
     # first-seen day, n_active per 7-day offset — pure integer day
@@ -3809,6 +3874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "dag_layers": q_dag_layers,
         "class_dep_scc": q_class_dep_scc,
+        "hits_supplier_part": q_hits_supplier_part,
+        "phrase_search": q_phrase_search,
+        "priority_drift": q_priority_drift,
+        "srp_near_dups": q_srp_near_dups,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5104,6 +5173,125 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.u AS node, MIN(a.v) AS scc
         FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
         GROUP BY a.u
+    """
+    d["hits_supplier_part"] = """
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+                   FROM lineitem),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes),
+        a1r AS (SELECT e.d AS node, SUM(h0.h) AS x
+                FROM e JOIN h0 ON h0.node = e.s GROUP BY e.d),
+        a1t AS (SELECT SUM(x) AS t FROM a1r),
+        a1 AS (SELECT n.node, COALESCE(r.x / (SELECT t FROM a1t), 0) AS a
+               FROM nodes n LEFT JOIN a1r r ON r.node = n.node),
+        h1r AS (SELECT e.s AS node, SUM(a1.a) AS x
+                FROM e JOIN a1 ON a1.node = e.d GROUP BY e.s),
+        h1t AS (SELECT SUM(x) AS t FROM h1r),
+        h1 AS (SELECT n.node, COALESCE(r.x / (SELECT t FROM h1t), 0) AS h
+               FROM nodes n LEFT JOIN h1r r ON r.node = n.node),
+        a2r AS (SELECT e.d AS node, SUM(h1.h) AS x
+                FROM e JOIN h1 ON h1.node = e.s GROUP BY e.d),
+        a2t AS (SELECT SUM(x) AS t FROM a2r),
+        a2 AS (SELECT n.node, COALESCE(r.x / (SELECT t FROM a2t), 0) AS a
+               FROM nodes n LEFT JOIN a2r r ON r.node = n.node),
+        h2r AS (SELECT e.s AS node, SUM(a2.a) AS x
+                FROM e JOIN a2 ON a2.node = e.d GROUP BY e.s),
+        h2t AS (SELECT SUM(x) AS t FROM h2r),
+        h2 AS (SELECT n.node, COALESCE(r.x / (SELECT t FROM h2t), 0) AS h
+               FROM nodes n LEFT JOIN h2r r ON r.node = n.node)
+        SELECT h2.node, ROUND(h2.h, 6) AS hub, ROUND(a2.a, 6) AS auth
+        FROM h2 JOIN a2 USING (node)
+    """
+    d["phrase_search"] = r"""
+        WITH dw AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+        hits AS (
+            SELECT doc_id
+            FROM dw, unnest(generate_series(1, len(ws) - 1)) i(i)
+            WHERE ws[CAST(i.i AS INT)] = 'table'
+              AND ws[CAST(i.i AS INT) + 1] = 'table')
+        SELECT doc_id, COUNT(*) AS n_matches FROM hits GROUP BY doc_id
+    """
+    d["priority_drift"] = """
+        WITH b AS (
+            SELECT o_orderpriority AS category, COUNT(*) AS n_base
+            FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        c AS (
+            SELECT o_orderpriority AS category, COUNT(*) AS n_cur
+            FROM orders
+            WHERE o_orderkey % 2 = 1
+              AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)
+            GROUP BY 1),
+        bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM orders
+               WHERE o_orderkey % 2 = 0),
+        ct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nct FROM orders
+               WHERE o_orderkey % 2 = 1
+                 AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0)),
+        j AS (
+            SELECT COALESCE(b.category, c.category) AS category,
+                   COALESCE(b.n_base, 0) AS n_base,
+                   COALESCE(c.n_cur, 0) AS n_cur
+            FROM b FULL JOIN c ON b.category IS NOT DISTINCT FROM c.category)
+        SELECT category, n_base, n_cur,
+               CASE WHEN n_base > 0 THEN
+                 ROUND((SELECT nct FROM ct) * CAST(n_base AS DOUBLE)
+                       / (SELECT nbt FROM bt), 6) END AS expected_cur,
+               CASE WHEN n_base > 0 THEN
+                 ROUND((CAST(n_cur AS DOUBLE)
+                        - (SELECT nct FROM ct) * CAST(n_base AS DOUBLE)
+                          / (SELECT nbt FROM bt))
+                       * (CAST(n_cur AS DOUBLE)
+                          - (SELECT nct FROM ct) * CAST(n_base AS DOUBLE)
+                            / (SELECT nbt FROM bt))
+                       / ((SELECT nct FROM ct) * CAST(n_base AS DOUBLE)
+                          / (SELECT nbt FROM bt)), 6) END AS contrib,
+               CASE WHEN n_base = 0 THEN 'new'
+                    WHEN n_cur = 0 THEN 'vanished'
+                    ELSE 'ok' END AS status
+        FROM j
+    """
+    d["srp_near_dups"] = """
+        WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+        v AS (SELECT * FROM v0
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM v0 WHERE vec_id % 20 = 0),
+        dims AS (
+            SELECT vec_id, CAST(g.i AS BIGINT) AS d,
+                   CAST(embedding[CAST(g.i AS INT) + 1] AS DOUBLE) AS x
+            FROM v, unnest(generate_series(0, 63)) g(i)),
+        bits AS (
+            SELECT vec_id, CAST(b.b AS BIGINT) AS bit,
+                   CASE WHEN SUM(x * (CASE WHEN ('0x' || substr(md5(
+                            CAST(b.b AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
+                            1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) >= 0
+                        THEN 1 ELSE 0 END AS v
+            FROM dims, unnest(generate_series(0, 15)) b(b)
+            GROUP BY vec_id, b.b),
+        bk AS (
+            SELECT vec_id, CAST(bit // 4 AS INT) AS band,
+                   SUM(v * (1 << CAST(bit % 4 AS INT))) AS bucket
+            FROM bits GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.vec_id < b.vec_id),
+        elems AS (
+            SELECT id_a, id_b,
+                   CAST(unnest(va.embedding) AS DOUBLE) AS xa,
+                   CAST(unnest(vb.embedding) AS DOUBLE) AS xb
+            FROM cand JOIN v va ON va.vec_id = cand.id_a
+                      JOIN v vb ON vb.vec_id = cand.id_b),
+        scored AS (
+            SELECT id_a, id_b,
+                   ROUND(SUM(xa * xb)
+                         / (sqrt(SUM(xa * xa)) * sqrt(SUM(xb * xb))), 4)
+                       AS score
+            FROM elems GROUP BY 1, 2)
+        SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
     """
     d["retention_cohorts"] = """
         WITH a AS (

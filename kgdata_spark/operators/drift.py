@@ -1,0 +1,93 @@
+"""Categorical distribution drift between two snapshots of a table.
+
+The monitoring primitive a 100 TB ingest pipeline runs after every batch:
+did the language mix / domain mix / predicate mix shift versus the
+accepted baseline? Complements the declarative one-scan
+`operators/expectations.py` battery (which checks a single snapshot
+against fixed rules) with a two-snapshot comparison, and the
+`profile.skew_report` (which ranks keys within one snapshot).
+
+Engine-exactness: counts are integers; the expected count and the
+chi-square contribution are each ONE fixed-order double expression
+(cast → multiply → divide), so a DuckDB oracle reproduces them
+bit-for-bit after round(·, 6) — same contract as pagerank/BM25. The
+corpus-level chi-square statistic is deliberately NOT emitted as one
+number: a global float sum depends on aggregation order, so callers sum
+the per-category contributions themselves (or threshold per category,
+which is what drift alerting actually does).
+
+Scale shape: one map-side-combined count per side over the category key
+(two scans, two shuffles of |categories| rows), a full outer join on the
+category (|categories| rows, broadcastable), totals attached as one-row
+broadcast aggregates. Stream length never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def category_drift(
+    base: DataFrame,
+    current: DataFrame,
+    cat_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(category, n_base, n_cur, expected_cur, contrib, status).
+
+    expected_cur = n_cur_total · n_base_c / n_base_total (the current
+    count the baseline mix predicts); contrib = (n_cur_c − e)² / e, the
+    category's chi-square term. status: 'ok' (both sides), 'new' (absent
+    from the baseline — e = 0, contrib undefined ⇒ null: a new category
+    is an alert of its own, not a number), 'vanished' (absent from the
+    current side — o = 0 contributes e, the textbook treatment).
+    Null categories count as a real category (they drift too).
+    """
+    b = base.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("n_base")
+    )
+    c = current.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").alias("n_cur")
+    )
+    bt = base.agg(F.count("*").cast("double").alias("_nb_tot"))
+    ct = current.agg(F.count("*").cast("double").alias("_nc_tot"))
+    # eqNullSafe join: a NULL category is one category, and a plain
+    # equi-join would leave the two sides' NULL rows unmatched
+    c2 = c.withColumnRenamed("category", "_ccat")
+    joined = (
+        b.join(c2, b["category"].eqNullSafe(c2["_ccat"]), "full")
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            F.when(F.col("n_base").isNotNull(), F.col("category"))
+            .otherwise(F.col("_ccat"))
+            .alias("category"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            "_nb_tot",
+            "_nc_tot",
+        )
+    )
+    e = (
+        F.col("_nc_tot")
+        * F.col("n_base").cast("double")
+        / F.col("_nb_tot")
+    )
+    o = F.col("n_cur").cast("double")
+    return joined.select(
+        "category",
+        "n_base",
+        "n_cur",
+        F.when(
+            F.col("n_base") > 0, F.round(e, round_digits)
+        ).alias("expected_cur"),
+        F.when(
+            F.col("n_base") > 0,
+            F.round((o - e) * (o - e) / e, round_digits),
+        ).alias("contrib"),
+        F.when(F.col("n_base") == 0, F.lit("new"))
+        .when(F.col("n_cur") == 0, F.lit("vanished"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

@@ -1285,3 +1285,78 @@ def dag_layers(
         f"input has a cycle, or its depth exceeds max_depth; raise the "
         f"valve only if the depth is genuinely that large"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    round_digits: int | None = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, hub, auth) — Kleinberg's HITS with L1 normalization after
+    every half-step (the L2 variant differs only by the norm; L1 keeps
+    the fixpoint a pure sum/divide so the DuckDB oracle replays it
+    bit-for-bit before rounding, like `pagerank`'s round-6 gate).
+
+    hub ranks pages that LINK TO good content, auth ranks pages LINKED
+    FROM good hubs — on a bipartite supplier→part graph the two sides
+    get the two scores, which is what the reference's degree/rank stats
+    family approximates with raw counts (SURVEY §2.3 D16/D17).
+
+    Per half-step: one equi-join edges⋈scores + one map-side-combined
+    sum-groupBy + a one-row broadcast for the L1 total — O(V+E) state,
+    same shuffle shape as one pagerank round, checkpointed per half-step
+    for the same lineage-doubling reason documented in `pagerank`.
+    Zero-fill: nodes with no in-edges (no out-edges) carry auth=0
+    (hub=0) exactly.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .cache()
+    )
+    if e.limit(1).count() == 0:
+        raise ValueError("hits: empty edge set")
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    hub = nodes.select("node", F.lit(1.0 / n).alias("hub"))
+    auth = None
+
+    def _half(scores: DataFrame, col: str, join_on: str, emit: str, out: str):
+        raw = (
+            e.join(scores, e[join_on] == scores["node"])
+            .select(F.col(emit).alias("node"), F.col(col).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").alias("x"))
+        )
+        tot = raw.agg(F.sum("x").alias("_t"))
+        res = (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.coalesce(F.col("x") / F.col("_t"), F.lit(0.0)).alias(out),
+            )
+        )
+        return _checkpoint(res) if checkpoint else res
+
+    for _ in range(iters):
+        auth = _half(hub, "hub", "_s", "_d", "auth")
+        hub = _half(auth, "auth", "_d", "_s", "hub")
+    out = hub.join(auth, "node")
+    if round_digits is not None:
+        out = out.select(
+            "node",
+            F.round("hub", round_digits).alias("hub"),
+            F.round("auth", round_digits).alias("auth"),
+        )
+    return out

@@ -113,3 +113,64 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matches): exact positional phrase occurrences — the
+    postings-join primitive of an inverted index, which BM25's bag-of-
+    words scoring above cannot express ("New York" is not "York New").
+
+    Anchor-counting instead of a (k-1)-way self-join: an occurrence of
+    token w at position p contributes the anchor p - i for EVERY phrase
+    slot i with phrase[i] == w (repeated-token phrases contribute several
+    anchors); the phrase matches at anchor a iff all k slots contributed,
+    i.e. count(DISTINCT i) == k in the (doc, anchor) group. One
+    posexplode + one tiny literal-array explode + one groupBy — the
+    corpus-wide stream is pre-filtered to the phrase's vocabulary, so
+    like bm25_topk only postings of query terms ever shuffle, and the
+    per-row fanout is bounded by the phrase length, not the corpus.
+    DISTINCT matters twice: duplicate (i, anchor) pairs cannot arise from
+    one position (i is unique per pattern row), but one anchor can
+    receive the same slot i from only one position — while different
+    slots arriving from the same position (repeated phrase tokens) must
+    count separately.
+    """
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    k = len(phrase)
+    pattern = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(w).alias("w"))
+            for i, w in enumerate(phrase)
+        ]
+    )
+    toks = (
+        docs.select(
+            F.col(doc_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+        .where(F.col("token").isin(*set(phrase)))
+    )
+    anchors = (
+        toks.select("doc_id", "pos", "token", F.explode(pattern).alias("pt"))
+        .where(F.col("pt.w") == F.col("token"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("pt.i")).alias("anchor"),
+            F.col("pt.i").alias("slot"),
+        )
+        .where(F.col("anchor") >= 0)
+    )
+    return (
+        anchors.groupBy("doc_id", "anchor")
+        .agg(F.count_distinct("slot").alias("_k"))
+        .where(F.col("_k") == k)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )

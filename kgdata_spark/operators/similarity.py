@@ -588,3 +588,150 @@ def mmr_rerank(
     finally:
         state.unpersist()
     return picked
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bit, v) — signed-random-projection signature bits (Charikar
+    2002): bit b is 1 iff the vector's projection onto hyperplane b is
+    >= 0. Hyperplanes are ±1 Rademacher vectors derived from md5 parity
+    of "b|d" — deterministic, engine-replayable (a DuckDB oracle rebuilds
+    the identical planes), and ±1 keeps the projection a plain signed sum
+    of the input floats. P[bit agrees] = 1 − θ/π per plane, so Hamming
+    distance on signatures estimates ANGULAR similarity — the embedding-
+    space analog of MinHash's Jaccard estimate.
+
+    The projection reuses `_dot`'s sequential JVM fold (deterministic
+    summation order); one projection per bit, n_bits·dim multiply-adds
+    per row, no shuffle at all — signatures are a map-side transform.
+    """
+    import hashlib
+
+    if dim is None:
+        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("srp_signatures: empty vector table")
+        dim = probe.d
+
+    def sgn(b: int, d: int) -> float:
+        h = int(hashlib.md5(f"{b}|{d}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    bits = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bit"),
+                F.when(
+                    _dot(
+                        F.col(vec_col),
+                        F.array(*[F.lit(sgn(b, d)) for d in range(dim)]),
+                    )
+                    >= 0,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("v"),
+            )
+            for b in range(n_bits)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"), F.explode(bits).alias("bv")
+    ).select("id", F.col("bv.bit").alias("bit"), F.col("bv.v").alias("v"))
+
+
+def srp_near_dup_pairs(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, score) — candidate pairs from banded SRP-LSH buckets,
+    verified by exact cosine >= threshold. The angular-distance sibling
+    of `dedup.lsh_near_dup_pairs`: MinHash bands block by Jaccard,
+    these bands block by hyperplane-sign agreement, which is what works
+    when the corpus is float vectors, not token sets. Two vectors land
+    in the same band bucket iff ALL r = n_bits/bands sign bits agree —
+    P = (1 − θ/π)^r per band, the standard S-curve.
+
+    Plan: signatures map-side (no shuffle) → one equi-shuffle on
+    (band, bucket) → exact verify only on bucket-cohabiting pairs with
+    norms attached pre-join. `max_bucket` is the hub valve shared with
+    the whole LSH family: a bucket of width w emits w²/2 candidate
+    pairs, and at 100 TB a degenerate plane (all-zero region of the
+    space) must raise, not OOM.
+    """
+    if n_bits % bands != 0:
+        raise ValueError(
+            f"n_bits={n_bits} must be a multiple of bands={bands}"
+        )
+    r = n_bits // bands
+    sig = srp_signatures(vectors, n_bits, dim, id_col, vec_col)
+    buckets = sig.groupBy(
+        "id", (F.col("bit") / r).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("v") * F.pow(F.lit(2.0), (F.col("bit") % r)).cast("long")
+        ).alias("bucket")
+    )
+    if max_bucket is not None:
+        worst = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_w"))
+            .agg(F.max("_w").alias("m"))
+            .first()
+            .m
+        )
+        if worst is not None and worst > max_bucket:
+            raise ValueError(
+                f"SRP bucket of width {worst} exceeds max_bucket="
+                f"{max_bucket} — pair explosion is quadratic in it; raise "
+                f"n_bits/bands or the valve explicitly"
+            )
+    a = buckets.select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("n").alias("n_a")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("n").alias("n_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                round_digits,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,67 @@
+"""category_drift vs a pure-python chi-square model: ok/new/vanished
+statuses, null categories as real categories, and the fixed-order float
+contract (model reproduces the exact expression order)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgdata_spark.operators.drift import category_drift
+
+
+def _model(base: list, cur: list, nd=6):
+    nb, nc = {}, {}
+    for v in base:
+        nb[v] = nb.get(v, 0) + 1
+    for v in cur:
+        nc[v] = nc.get(v, 0) + 1
+    nbt, nct = float(len(base)), float(len(cur))
+    out = {}
+    for cat in set(nb) | set(nc):
+        b, c = nb.get(cat, 0), nc.get(cat, 0)
+        if b == 0:
+            out[cat] = (b, c, None, None, "new")
+            continue
+        e = nct * float(b) / nbt
+        contrib = round((float(c) - e) * (float(c) - e) / e, nd)
+        out[cat] = (b, c, round(e, nd), contrib, "vanished" if c == 0 else "ok")
+    return out
+
+
+def _run(spark, base, cur):
+    bd = spark.createDataFrame([(v,) for v in base], "cat string")
+    cd = spark.createDataFrame([(v,) for v in cur], "cat string")
+    return {
+        r.category: (r.n_base, r.n_cur, r.expected_cur, r.contrib, r.status)
+        for r in category_drift(bd, cd, "cat").collect()
+    }
+
+
+def test_ok_new_vanished(spark):
+    base = ["a"] * 6 + ["b"] * 3 + ["gone"] * 1
+    cur = ["a"] * 2 + ["b"] * 7 + ["fresh"] * 1
+    got = _run(spark, base, cur)
+    assert got == _model(base, cur)
+    assert got["fresh"][4] == "new" and got["fresh"][3] is None
+    assert got["gone"][4] == "vanished"
+    # vanished still contributes its full expected mass
+    assert got["gone"][3] == got["gone"][2]
+
+
+def test_identical_mix_contrib_zero(spark):
+    base = ["x"] * 4 + ["y"] * 6
+    cur = ["x"] * 2 + ["y"] * 3  # same proportions, half the size
+    got = _run(spark, base, cur)
+    assert got == _model(base, cur)
+    assert all(v[3] == 0.0 for v in got.values())
+
+
+def test_null_category_is_real(spark):
+    bd = spark.createDataFrame([("a",), (None,), (None,)], "cat string")
+    cd = spark.createDataFrame([("a",), (None,)], "cat string")
+    got = {
+        r.category: (r.n_base, r.n_cur, r.status)
+        for r in category_drift(bd, cd, "cat").collect()
+    }
+    assert got[None] == (2, 1, "ok")
+    assert got["a"] == (1, 1, "ok")

@@ -146,6 +146,10 @@ DOCUMENTED_OVERFLOW = {
     "retention_cohorts",
     "dag_layers",
     "class_dep_scc",
+    "hits_supplier_part",
+    "phrase_search",
+    "priority_drift",
+    "srp_near_dups",
 }
 
 # Environment-gated queries: registered only where the environment

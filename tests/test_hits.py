@@ -1,0 +1,84 @@
+"""HITS hubs/authorities (graph.hits, L1-normalized) vs a pure-python
+model, including the zero-fill contract (no in-edges => auth 0, no
+out-edges => hub 0) and bipartite sanity (sources carry hub mass,
+sinks carry auth mass).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.graph import hits
+
+
+def _model(edges, iters=2, nd=6):
+    e = sorted(set(edges))
+    nodes = sorted({n for p in e for n in p})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {}
+        for s, d in e:
+            raw[d] = raw.get(d, 0.0) + hub[s]
+        t = sum(raw.values())
+        auth = {v: raw.get(v, 0.0) / t for v in nodes}
+        raw = {}
+        for s, d in e:
+            raw[s] = raw.get(s, 0.0) + auth[d]
+        t = sum(raw.values())
+        hub = {v: raw.get(v, 0.0) / t for v in nodes}
+    return {v: (round(hub[v], nd), round(auth[v], nd)) for v in nodes}
+
+
+def _run(spark, edges, iters=2):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: (r.hub, r.auth) for r in hits(df, iters=iters).collect()}
+
+
+def test_small_graph_matches_model(spark):
+    edges = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+        ("a2", "h2"),  # a node can be both hub and authority
+        ("h3", "a3"),
+    ]
+    assert _run(spark, edges) == _model(edges)
+
+
+def test_bipartite_zero_fill(spark):
+    edges = [("s1", "p1"), ("s1", "p2"), ("s2", "p1")]
+    got = _run(spark, edges)
+    assert got == _model(edges)
+    for s in ("s1", "s2"):
+        assert got[s][1] == 0.0  # no in-edges => auth 0
+    for p in ("p1", "p2"):
+        assert got[p][0] == 0.0  # no out-edges => hub 0
+    # the 2-out hub dominates the 1-out hub
+    assert got["s1"][0] > got["s2"][0]
+    # the 2-in authority dominates the 1-in one
+    assert got["p1"][1] > got["p2"][1]
+
+
+@pytest.mark.parametrize("seed,n,m,iters", [(21, 10, 18, 2), (22, 14, 30, 3)])
+def test_random_digraphs_match_model(spark, seed, n, m, iters):
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(n)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(m)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    assert _run(spark, edges, iters=iters) == _model(edges, iters=iters)
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge set"):
+        hits(df)
+    df1 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df1, iters=0)

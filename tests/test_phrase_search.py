@@ -1,0 +1,72 @@
+"""phrase_search (positional postings match) vs a brute-force python
+sliding-window model — overlap counting, repeated-token phrases, k=1,
+and the empty/no-match edge cases.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.retrieval import phrase_search
+
+
+def _model(texts: dict[int, str], phrase: list[str]) -> dict[int, int]:
+    out = {}
+    k = len(phrase)
+    for d, t in texts.items():
+        ws = [w for w in t.split() if w]
+        n = sum(1 for i in range(len(ws) - k + 1) if ws[i : i + k] == phrase)
+        if n:
+            out[d] = n
+    return out
+
+
+def _run(spark, texts, phrase):
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    return {r.doc_id: r.n_matches for r in phrase_search(df, phrase).collect()}
+
+
+def test_overlapping_and_repeated_tokens(spark):
+    texts = {
+        0: "table table table key",      # "table table" matches twice (overlap)
+        1: "a table table b",            # once
+        2: "table key table",            # zero
+        3: "",                           # zero
+    }
+    got = _run(spark, texts, ["table", "table"])
+    assert got == _model(texts, ["table", "table"]) == {0: 2, 1: 1}
+
+
+def test_three_token_phrase_and_k1(spark):
+    texts = {0: "x y z x y z x y", 1: "y z x", 2: "z z z"}
+    p = ["x", "y", "z"]
+    assert _run(spark, texts, p) == _model(texts, p) == {0: 2}
+    assert _run(spark, texts, ["z"]) == _model(texts, ["z"]) == {0: 2, 1: 1, 2: 3}
+
+
+def test_multispace_and_boundaries(spark):
+    texts = {0: "  a   b  a b ", 1: "b a"}
+    p = ["a", "b"]
+    assert _run(spark, texts, p) == _model(texts, p) == {0: 2}
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_random_corpora_match_model(spark, seed):
+    rng = random.Random(seed)
+    vocab = ["u", "v", "w"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        for d in range(30)
+    }
+    for phrase in (["u", "u"], ["v", "w", "v"], ["w"]):
+        assert _run(spark, texts, phrase) == _model(texts, phrase), phrase
+
+
+def test_empty_phrase_rejected(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(df, [])

@@ -1,0 +1,126 @@
+"""Signed-random-projection LSH (similarity.srp_signatures /
+srp_near_dup_pairs) vs a pure-python model that rebuilds the md5-derived
+±1 hyperplanes, the banded buckets, and the exact verify — bit-for-bit.
+Fixture values are float32-exact (multiples of 1/64) so the python floats
+equal Spark's float→double casts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+
+from kgdata_spark.operators.similarity import srp_near_dup_pairs, srp_signatures
+
+
+def _sgn(b: int, d: int) -> float:
+    h = int(hashlib.md5(f"{b}|{d}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _model_sigs(vecs: dict, n_bits: int) -> dict:
+    out = {}
+    for i, v in vecs.items():
+        for b in range(n_bits):
+            acc = 0.0
+            for d, x in enumerate(v):
+                acc += x * _sgn(b, d)
+            out[(i, b)] = 1 if acc >= 0 else 0
+    return out
+
+
+def _model_pairs(vecs: dict, n_bits: int, bands: int, threshold: float, nd=4):
+    sigs = _model_sigs(vecs, n_bits)
+    r = n_bits // bands
+    buckets: dict = {}
+    for i in vecs:
+        for g in range(bands):
+            key = (g, sum(sigs[(i, g * r + j)] << j for j in range(r)))
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        s = sorted(ids)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                cand.add((s[x], s[y]))
+    out = {}
+    for a, b in cand:
+        va, vb = vecs[a], vecs[b]
+        dot = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        s = round(dot / (na * nb), nd)
+        if s >= threshold:
+            out[(a, b)] = s
+    return out
+
+
+def _fixture(seed: int, n: int, dim: int = 8) -> dict:
+    # float32-exact coords; planted near-dup pairs (i, i+n) share direction
+    rng = random.Random(seed)
+    vecs = {}
+    for i in range(n):
+        v = [rng.randrange(-32, 33) / 64.0 for _ in range(dim)]
+        if all(x == 0.0 for x in v):
+            v[0] = 0.5
+        vecs[i] = v
+        w = list(v)
+        w[rng.randrange(dim)] += 1 / 64.0  # tiny float32-exact nudge
+        vecs[i + n] = w
+    return vecs
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_signatures_match_model(spark):
+    vecs = _fixture(41, 12)
+    got = {
+        (r.id, r.bit): r.v
+        for r in srp_signatures(_df(spark, vecs), n_bits=8).collect()
+    }
+    assert got == _model_sigs(vecs, 8)
+
+
+@pytest.mark.parametrize("seed,n,n_bits,bands,thr", [
+    (42, 15, 16, 4, 0.9),
+    (43, 20, 8, 2, 0.8),
+])
+def test_pairs_match_model(spark, seed, n, n_bits, bands, thr):
+    vecs = _fixture(seed, n)
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in srp_near_dup_pairs(
+            _df(spark, vecs), n_bits=n_bits, bands=bands, threshold=thr
+        ).collect()
+    }
+    assert got == _model_pairs(vecs, n_bits, bands, thr)
+    assert got, "degenerate fixture: no pairs survived"
+
+
+def test_identical_vectors_always_pair(spark):
+    # identical vectors agree on every plane => share every band bucket
+    vecs = {0: [0.5, -0.25, 0.75], 1: [0.5, -0.25, 0.75], 2: [-0.5, 0.25, -0.75]}
+    got = srp_near_dup_pairs(
+        _df(spark, vecs), n_bits=8, bands=2, threshold=0.99
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    assert got[0].score == 1.0
+
+
+def test_guards(spark):
+    df = _df(spark, {0: [0.5, 0.5]})
+    with pytest.raises(ValueError, match="multiple of bands"):
+        srp_near_dup_pairs(df, n_bits=10, bands=4)
+    many = _df(spark, {i: [0.5, 0.5] for i in range(6)})
+    with pytest.raises(ValueError, match="max_bucket"):
+        srp_near_dup_pairs(many, n_bits=8, bands=2, max_bucket=5)
