@@ -3686,6 +3686,19 @@ def q_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup_pairs(v, n_bits=16, bands=4, threshold=0.35)
 
 
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical namespace rollup over the north-star corpus's path
+    # column: every directory prefix gets its subtree file count in one
+    # explode + one groupBy (no recursion, no windows). The oracle
+    # regenerates the paths arithmetically like kg_triples' does.
+    from kgdata_spark.operators.profile import prefix_rollup
+    from kgdata_spark.sources import synthetic
+
+    return prefix_rollup(
+        synthetic.source_files(spark, KG_TRIPLES_N_FILES), "path"
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly cohort retention over the events table: users bucketed by
     # first-seen day, n_active per 7-day offset — pure integer day
@@ -3878,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "priority_drift": q_priority_drift,
         "srp_near_dups": q_srp_near_dups,
+        "path_rollup": q_path_rollup,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5292,6 +5306,20 @@ def oracle_sql() -> dict[str, str]:
                        AS score
             FROM elems GROUP BY 1, 2)
         SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+    """
+    d["path_rollup"] = """
+        WITH f AS (
+            SELECT CAST(g.i AS BIGINT) AS i FROM generate_series(0, 1999) g(i)),
+        p AS (
+            SELECT 'src/dir' || CAST((i // 101) % 23 AS VARCHAR)
+                   || '/file_' || CAST(i AS VARCHAR) || '.py' AS path
+            FROM f),
+        seg AS (SELECT string_split(path, '/') AS arr FROM p),
+        pref AS (
+            SELECT array_to_string(arr[1:CAST(d.d AS INT)], '/') AS prefix,
+                   CAST(d.d AS INT) AS depth
+            FROM seg, unnest(generate_series(1, len(arr))) d(d))
+        SELECT prefix, depth, COUNT(*) AS n_rows FROM pref GROUP BY 1, 2
     """
     d["retention_cohorts"] = """
         WITH a AS (

@@ -154,3 +154,61 @@ def skew_report(
             F.round(F.col("key_rows") / F.col("_total"), 9).alias("share"),
         )
     )
+
+
+def prefix_rollup(
+    df: DataFrame,
+    path_col: str,
+    sep: str = "/",
+    max_depth: int = 16,
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """(prefix, depth, n_rows[, total_bytes]) — hierarchical namespace
+    rollup: every ancestor prefix of every path gets the aggregate of its
+    subtree. The "which directory / URL subtree is heavy" question a
+    crawl or repo corpus asks before capping, sampling, or partitioning
+    by namespace (the reference's per-dump directory accounting is the
+    driver-side analog).
+
+    No recursion and no windows: each row explodes into its ≤ max_depth
+    prefixes via one `transform(sequence)` HOF (JVM-side), then ONE
+    map-side-combined groupBy — rollup depth never adds rounds, and
+    shuffle volume is Σ depth(path) rows collapsed per task before the
+    exchange. `max_depth` bounds the fanout for adversarial paths
+    (a 10k-segment path must not emit 10k rows); deeper segments simply
+    attribute to their max_depth-level ancestor's subtree by OMISSION
+    (every row still counts once at every depth it reaches).
+
+    Null/empty paths are counted under depth 0, prefix '' — dropping
+    them would make per-depth totals disagree with the corpus row count.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    arr = F.split(F.col(path_col), F.lit(sep), -1)
+    prefs = F.transform(
+        F.sequence(F.lit(1), F.least(F.size(arr), F.lit(max_depth))),
+        lambda d: F.struct(
+            d.alias("depth"),
+            F.array_join(F.slice(arr, 1, d), sep).alias("prefix"),
+        ),
+    )
+    empty = F.col(path_col).isNull() | (F.col(path_col) == "")
+    exploded = df.select(
+        F.explode(
+            F.when(
+                empty,
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("depth"), F.lit("").alias("prefix")
+                    )
+                ),
+            ).otherwise(prefs)
+        ).alias("p"),
+        *( [F.col(bytes_col).alias("_b")] if bytes_col else [] ),
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    if bytes_col:
+        aggs.append(F.sum("_b").alias("total_bytes"))
+    return exploded.groupBy(
+        F.col("p.prefix").alias("prefix"), F.col("p.depth").alias("depth")
+    ).agg(*aggs)

@@ -150,6 +150,7 @@ DOCUMENTED_OVERFLOW = {
     "phrase_search",
     "priority_drift",
     "srp_near_dups",
+    "path_rollup",
 }
 
 # Environment-gated queries: registered only where the environment

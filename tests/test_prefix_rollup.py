@@ -1,0 +1,99 @@
+"""prefix_rollup (hierarchical namespace aggregation) vs a python model:
+subtree counts/bytes at every depth, max_depth attribution by omission,
+null/empty rows at depth 0, and per-depth totals == corpus row count.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.profile import prefix_rollup
+
+
+def _model(rows, sep="/", max_depth=16, with_bytes=False):
+    out = {}
+    for path, b in rows:
+        if path is None or path == "":
+            keys = [("", 0)]
+        else:
+            segs = path.split(sep)
+            keys = [
+                (sep.join(segs[:d]), d)
+                for d in range(1, min(len(segs), max_depth) + 1)
+            ]
+        for k in keys:
+            n, tb = out.get(k, (0, 0))
+            out[k] = (n + 1, tb + (b if with_bytes else 0))
+    if with_bytes:
+        return out
+    return {k: v[0] for k, v in out.items()}
+
+
+def test_counts_and_bytes_match_model(spark):
+    rows = [
+        ("src/a/x.py", 10),
+        ("src/a/y.py", 20),
+        ("src/b/z.py", 5),
+        ("docs/readme.md", 7),
+        ("src/a/x.py", 3),  # duplicate paths aggregate
+    ]
+    df = spark.createDataFrame(rows, "path string, nbytes long")
+    got = {
+        (r.prefix, r.depth): (r.n_rows, r.total_bytes)
+        for r in prefix_rollup(df, "path", bytes_col="nbytes").collect()
+    }
+    assert got == _model(rows, with_bytes=True)
+    assert got[("src", 1)] == (4, 38)
+    assert got[("src/a", 2)] == (3, 33)
+
+
+def test_max_depth_attribution_by_omission(spark):
+    rows = [("a/b/c/d/e", 1), ("a/b", 1)]
+    df = spark.createDataFrame(rows, "path string, nbytes long")
+    got = {
+        (r.prefix, r.depth): r.n_rows
+        for r in prefix_rollup(df, "path", max_depth=2).collect()
+    }
+    assert got == _model(rows, max_depth=2)
+    # the deep path still counts at both shallow depths, nothing deeper
+    assert got[("a", 1)] == 2 and got[("a/b", 2)] == 2
+    assert all(d <= 2 for (_, d) in got)
+
+
+def test_null_and_empty_paths_depth0(spark):
+    rows = [(None, 1), ("", 1), ("x", 1)]
+    df = spark.createDataFrame(rows, "path string, nbytes long")
+    got = {
+        (r.prefix, r.depth): r.n_rows
+        for r in prefix_rollup(df, "path").collect()
+    }
+    assert got == {("", 0): 2, ("x", 1): 1}
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_random_trees_and_depth_totals(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (
+            "/".join(
+                f"d{rng.randrange(3)}" for _ in range(rng.randrange(1, 6))
+            ),
+            rng.randrange(100),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "path string, nbytes long")
+    res = prefix_rollup(df, "path").collect()
+    got = {(r.prefix, r.depth): r.n_rows for r in res}
+    assert got == _model(rows)
+    # invariant: every row counts exactly once per depth it reaches
+    depth1 = sum(r.n_rows for r in res if r.depth == 1)
+    assert depth1 == len(rows)
+
+
+def test_guard(spark):
+    df = spark.createDataFrame([("a", 1)], "path string, nbytes long")
+    with pytest.raises(ValueError, match="max_depth"):
+        prefix_rollup(df, "path", max_depth=0)
