@@ -3699,6 +3699,17 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over each user's event stream:
+    # which event_type follows which, with ML transition probabilities.
+    # (ts, event_id) is the per-user total order — event_id breaks ts
+    # ties deterministically in both engines.
+    from kgdata_spark.operators.timeseries import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly cohort retention over the events table: users bucketed by
     # first-seen day, n_active per 7-day offset — pure integer day
@@ -3892,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_drift": q_priority_drift,
         "srp_near_dups": q_srp_near_dups,
         "path_rollup": q_path_rollup,
+        "markov_transitions": q_markov_transitions,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5320,6 +5332,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.d AS INT) AS depth
             FROM seg, unnest(generate_series(1, len(arr))) d(d))
         SELECT prefix, depth, COUNT(*) AS n_rows FROM pref GROUP BY 1, 2
+    """
+    d["markov_transitions"] = """
+        WITH s AS (
+            SELECT event_type AS state_from,
+                   lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS state_to,
+                   lead(1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS has_next
+            FROM events),
+        c AS (
+            SELECT state_from, state_to, COUNT(*) AS n
+            FROM s WHERE has_next IS NOT NULL GROUP BY 1, 2)
+        SELECT state_from, state_to, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY state_from) AS DOUBLE),
+                     9) AS p
+        FROM c
     """
     d["retention_cohorts"] = """
         WITH a AS (

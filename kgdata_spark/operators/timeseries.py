@@ -76,6 +76,59 @@ def daily_activity(
     )
 
 
+def markov_transitions(
+    events: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+    round_digits: int = 9,
+) -> DataFrame:
+    """(state_from, state_to, n, p) — first-order Markov transition model
+    over per-key event sequences: n = how many times state_from was
+    immediately followed by state_to within the same key's stream, p =
+    the maximum-likelihood transition probability n / Σ_to n. The
+    next-event-prediction / user-journey primitive (page → page,
+    event_type → event_type), and the sequence-level sibling of
+    lm.train_bigram_counts (which models token bigrams within one
+    document).
+
+    `order_cols` must be a total order within each key (pass a unique
+    tie-breaker last, e.g. [ts, event_id]) — same contract as
+    quantile_bins' id_col; without it the lead() pairing is
+    nondeterministic under ties. NULL states are kept as real states
+    (they transition too — the category_drift convention).
+
+    Scale shape: ONE shuffle on the key for the per-key lead window
+    (task state bounded by each key's own stream length, the sessionize
+    class), one map-side-combined groupBy on (from, to), then the
+    per-source totals come from a window over the COUNTS table —
+    |states|² rows, never the event stream. p is one fixed-order double
+    expression (cast → divide → round), engine-exact.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = events.select(
+        F.col(state_col).alias("state_from"),
+        F.lead(state_col).over(w).alias("state_to"),
+        # lead() returns NULL past each key's last event AND for a real
+        # NULL next state; a sentinel-free way to tell them apart is to
+        # lead a constant: NULL here ⇔ no next row exists for this key
+        F.lead(F.lit(1)).over(w).alias("_has_next"),
+    ).where(F.col("_has_next").isNotNull())
+    counts = pairs.groupBy("state_from", "state_to").agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("state_from")
+    return counts.select(
+        "state_from",
+        "state_to",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+            round_digits,
+        ).alias("p"),
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     key_col: str = "user_id",

@@ -151,6 +151,7 @@ DOCUMENTED_OVERFLOW = {
     "priority_drift",
     "srp_near_dups",
     "path_rollup",
+    "markov_transitions",
 }
 
 # Environment-gated queries: registered only where the environment

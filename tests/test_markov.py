@@ -1,0 +1,92 @@
+"""markov_transitions vs a pure-python sequence model: per-key pairing,
+tie determinism via the order tuple, NULL states as real states, row
+probabilities summing to 1 per source, and random multi-key streams."""
+
+from __future__ import annotations
+
+import random
+
+from kgdata_spark.operators.timeseries import markov_transitions
+
+
+def _model(rows, nd=9):
+    # rows: (key, ord1, ord2, state)
+    by_key = {}
+    for k, o1, o2, s in rows:
+        by_key.setdefault(k, []).append((o1, o2, s))
+    counts = {}
+    for seq in by_key.values():
+        seq.sort(key=lambda t: (t[0], t[1]))
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    return {
+        (a, b): (n, round(float(n) / float(totals[a]), nd))
+        for (a, b), n in counts.items()
+    }
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        rows, "key bigint, o1 bigint, o2 bigint, state string"
+    )
+    got = markov_transitions(df, "key", "state", ["o1", "o2"]).collect()
+    return {(r.state_from, r.state_to): (r.n, r.p) for r in got}
+
+
+def test_basic_chain(spark):
+    rows = [
+        (1, 1, 0, "a"), (1, 2, 0, "b"), (1, 3, 0, "a"), (1, 4, 0, "c"),
+        (2, 1, 0, "a"), (2, 2, 0, "b"),
+    ]
+    got = _run(spark, rows)
+    assert got == _model(rows)
+    # a->b twice out of a's three departures
+    assert got[("a", "b")] == (2, round(2 / 3, 9))
+    # no transition leaves each key's last state unless it recurs
+    assert ("c", "a") not in got
+
+
+def test_keys_do_not_bleed(spark):
+    # key 1 ends in 'x', key 2 starts with 'y': no x->y transition
+    rows = [(1, 1, 0, "a"), (1, 2, 0, "x"), (2, 1, 0, "y"), (2, 2, 0, "a")]
+    got = _run(spark, rows)
+    assert ("x", "y") not in got
+    assert got == _model(rows)
+
+
+def test_tie_breaker_is_the_order(spark):
+    # equal o1: the o2 tie-breaker decides the sequence deterministically
+    rows = [(1, 5, 2, "b"), (1, 5, 1, "a"), (1, 5, 3, "c")]
+    got = _run(spark, rows)
+    assert got == {("a", "b"): (1, 1.0), ("b", "c"): (1, 1.0)}
+
+
+def test_null_state_is_real(spark):
+    rows = [(1, 1, 0, "a"), (1, 2, 0, None), (1, 3, 0, "b")]
+    got = _run(spark, rows)
+    assert got[("a", None)] == (1, 1.0)
+    assert got[(None, "b")] == (1, 1.0)
+    assert got == _model(rows)
+
+
+def test_single_event_key_emits_nothing(spark):
+    got = _run(spark, [(1, 1, 0, "a")])
+    assert got == {}
+
+
+def test_probabilities_sum_to_one_per_source(spark):
+    rng = random.Random(407)
+    rows = []
+    for k in range(20):
+        for i in range(rng.randint(1, 30)):
+            rows.append((k, i, 0, rng.choice("abcde")))
+    got = _run(spark, rows)
+    assert got == _model(rows)
+    sums = {}
+    for (a, _), (_, p) in got.items():
+        sums[a] = sums.get(a, 0.0) + p
+    for a, s in sums.items():
+        assert abs(s - 1.0) < 1e-6, (a, s)
