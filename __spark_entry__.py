@@ -3699,6 +3699,27 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Numeric drift via population stability index: baseline = even
+    # orderkeys' o_totalprice, current = odd orderkeys with every third
+    # order's price inflated 15% (a real injected distribution shift).
+    # Exact rank-selected decile edges from the baseline re-bin both
+    # sides; contributions are per-bin (float-sum-order contract).
+    from kgdata_spark.operators.drift import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0)
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * F.lit(1.15)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return psi_drift(base, cur, "o_totalprice", "o_orderkey", n_bins=10)
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # First-order Markov transition matrix over each user's event stream:
     # which event_type follows which, with ML transition probabilities.
@@ -3904,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dups": q_srp_near_dups,
         "path_rollup": q_path_rollup,
         "markov_transitions": q_markov_transitions,
+        "psi_drift": q_psi_drift,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5332,6 +5354,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.d AS INT) AS depth
             FROM seg, unnest(generate_series(1, len(arr))) d(d))
         SELECT prefix, depth, COUNT(*) AS n_rows FROM pref GROUP BY 1, 2
+    """
+    d["psi_drift"] = """
+        WITH b AS (
+            SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+        c AS (
+            SELECT CASE WHEN o_orderkey % 3 = 0
+                        THEN o_totalprice * 1.15
+                        ELSE o_totalprice END AS v
+            FROM orders WHERE o_orderkey % 2 = 1),
+        ord AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rk
+            FROM b WHERE v IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM b WHERE v IS NOT NULL),
+        eg AS (
+            SELECT DISTINCT (i.i * nn.n + 9) // 10 AS p
+            FROM generate_series(1, 9) i(i), nn),
+        edges AS (SELECT o.v AS e FROM ord o JOIN eg ON o.rk = eg.p),
+        bb0 AS (
+            SELECT CASE WHEN v IS NULL THEN -1 ELSE
+                (SELECT COUNT(*) FROM edges WHERE edges.e < b.v) END AS bin
+            FROM b),
+        cc0 AS (
+            SELECT CASE WHEN v IS NULL THEN -1 ELSE
+                (SELECT COUNT(*) FROM edges WHERE edges.e < c.v) END AS bin
+            FROM c),
+        bb AS (SELECT bin, COUNT(*) AS n_base FROM bb0 GROUP BY 1),
+        cc AS (SELECT bin, COUNT(*) AS n_cur FROM cc0 GROUP BY 1),
+        bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM b),
+        ct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nct FROM c),
+        j AS (
+            SELECT COALESCE(bb.bin, cc.bin) AS bin,
+                   COALESCE(bb.n_base, 0) AS n_base,
+                   COALESCE(cc.n_cur, 0) AS n_cur
+            FROM bb FULL JOIN cc ON bb.bin = cc.bin)
+        SELECT bin, n_base, n_cur,
+               ROUND(CAST(n_base AS DOUBLE) / (SELECT nbt FROM bt), 9)
+                   AS base_share,
+               ROUND(CAST(n_cur AS DOUBLE) / (SELECT nct FROM ct), 9)
+                   AS cur_share,
+               CASE WHEN n_base > 0 AND n_cur > 0 THEN
+                   ROUND((CAST(n_cur AS DOUBLE) / (SELECT nct FROM ct)
+                          - CAST(n_base AS DOUBLE) / (SELECT nbt FROM bt))
+                         * LN((CAST(n_cur AS DOUBLE) / (SELECT nct FROM ct))
+                              / (CAST(n_base AS DOUBLE)
+                                 / (SELECT nbt FROM bt))), 9)
+               END AS psi_contrib,
+               CASE WHEN n_base = 0 THEN 'empty_base'
+                    WHEN n_cur = 0 THEN 'empty_cur'
+                    ELSE 'ok' END AS status
+        FROM j
     """
     d["markov_transitions"] = """
         WITH s AS (

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgdata_spark.operators.packing import distributed_cumsum
+
 
 def category_drift(
     base: DataFrame,
@@ -88,6 +90,125 @@ def category_drift(
         ).alias("contrib"),
         F.when(F.col("n_base") == 0, F.lit("new"))
         .when(F.col("n_cur") == 0, F.lit("vanished"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(bin, n_base, n_cur, base_share, cur_share, psi_contrib, status) —
+    population stability index between two snapshots of a NUMERIC column,
+    the numeric companion to `category_drift`: bin the baseline into
+    n_bins exact-quantile value intervals, re-bin the current snapshot
+    with the SAME edges, and report each bin's PSI term
+    (cur_share − base_share) · ln(cur_share / base_share). The model-
+    monitoring standard (PSI > 0.2 ⇒ retrain) for score/price/length
+    distributions.
+
+    Exactness: edge_i is the ceil(i·n/n_bins)-th smallest base value —
+    an exact selected VALUE (tie-order-independent: equal values are
+    equal), found by the same distributed_cumsum rank machinery as
+    quantile_bins, never a sketch (pyspark.ml's QuantileDiscretizer
+    epsilon-approximates, so its edges move with partitioning). bin(x) =
+    #{edges < x}, so bins cover all of ℝ and current values outside the
+    baseline range land in the extreme bins. Shares and the PSI term are
+    fixed-order double expressions (cast → divide → subtract/ln →
+    round), engine-exact like category_drift's chi-square. The corpus
+    PSI total is deliberately per-bin (float-sum-order contract).
+
+    A bin empty on either side makes ln undefined — emitted as a NULL
+    psi_contrib with status 'empty_base'/'empty_cur' (the 'new'/
+    'vanished' analog; smoothing policies belong to the caller). NULL
+    values form their own bin (-1) on both sides and are excluded from
+    edge selection.
+
+    Scale shape: one range shuffle + bounded driver collect of n_bins−1
+    edge VALUES (the kmeans-seeding collect class), then one map-side-
+    combined groupBy per side on the bin id (≤ n_bins rows shuffle), a
+    broadcastable full join, totals as one-row broadcast aggregates.
+    `id_col` totalizes the rank order (quantile_bins contract).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    ranked, n = distributed_cumsum(
+        base.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("_v"), F.col(id_col).alias("_id"))
+        .withColumn("_ord", F.struct(F.col("_v"), F.col("_id")))
+        .withColumn("_one", F.lit(1)),
+        "_ord",
+        "_one",
+        out_col="_rank",
+        return_total=True,
+    )
+    if n == 0:
+        raise ValueError("cannot bin an empty (or all-NULL) baseline")
+    # exact integer ceil(i*n/k): tie-order-independent VALUE selection —
+    # the value at a given sorted position is unique even when the
+    # (value, id) rank order under it is not
+    positions = sorted({(i * n + n_bins - 1) // n_bins for i in range(1, n_bins)})
+    edge_rows = (
+        ranked.where(F.col("_rank") + 1 == F.lit(positions[0]))
+        if len(positions) == 1
+        else ranked.where((F.col("_rank") + 1).isin(positions))
+    )
+    # bounded collect: n_bins-1 rows
+    edges = sorted(r["_v"] for r in edge_rows.select("_v").collect())
+
+    def _bin(col):
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(col > F.lit(e), 1).otherwise(0)
+        # NULL values are their own explicit bin (-1): silently binning
+        # them at 0 would fake a low-end shift (they drift too — the
+        # category_drift NULL convention)
+        return F.when(col.isNull(), F.lit(-1)).otherwise(b).alias("bin")
+
+    bb = (
+        base.select(_bin(F.col(value_col)))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_base"))
+    )
+    cc = (
+        current.select(_bin(F.col(value_col)))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    bt = base.agg(F.count("*").cast("double").alias("_nb_tot"))
+    ct = current.agg(F.count("*").cast("double").alias("_nc_tot"))
+    cc2 = cc.withColumnRenamed("bin", "_cbin")
+    joined = (
+        bb.join(cc2, bb["bin"] == cc2["_cbin"], "full")
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            F.coalesce("bin", "_cbin").alias("bin"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            "_nb_tot",
+            "_nc_tot",
+        )
+    )
+    bs = F.col("n_base").cast("double") / F.col("_nb_tot")
+    cs = F.col("n_cur").cast("double") / F.col("_nc_tot")
+    both = (F.col("n_base") > 0) & (F.col("n_cur") > 0)
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round(bs, round_digits).alias("base_share"),
+        F.round(cs, round_digits).alias("cur_share"),
+        F.when(both, F.round((cs - bs) * F.log(cs / bs), round_digits)).alias(
+            "psi_contrib"
+        ),
+        F.when(F.col("n_base") == 0, F.lit("empty_base"))
+        .when(F.col("n_cur") == 0, F.lit("empty_cur"))
         .otherwise(F.lit("ok"))
         .alias("status"),
     )

@@ -1,0 +1,123 @@
+"""psi_drift vs a pure-python model: exact rank-selected edges, same-edge
+re-binning of the current side, empty-bin statuses, NULL bin, the
+fixed-order float contract, and the zero-drift identity (PSI = 0 when
+the distributions are identical)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from kgdata_spark.operators.drift import psi_drift
+
+
+def _edges(base_vals, k):
+    vals = sorted(v for v in base_vals if v is not None)
+    n = len(vals)
+    pos = sorted({(i * n + k - 1) // k for i in range(1, k)})
+    return sorted(vals[p - 1] for p in pos)
+
+
+def _bin(v, edges):
+    if v is None:
+        return -1
+    return sum(1 for e in edges if v > e)
+
+
+def _model(base_vals, cur_vals, k, nd=9):
+    edges = _edges(base_vals, k)
+    nb, nc = {}, {}
+    for v in base_vals:
+        b = _bin(v, edges)
+        nb[b] = nb.get(b, 0) + 1
+    for v in cur_vals:
+        b = _bin(v, edges)
+        nc[b] = nc.get(b, 0) + 1
+    nbt, nct = float(len(base_vals)), float(len(cur_vals))
+    out = {}
+    for b in set(nb) | set(nc):
+        x, y = nb.get(b, 0), nc.get(b, 0)
+        bs, cs = float(x) / nbt, float(y) / nct
+        if x == 0:
+            st, contrib = "empty_base", None
+        elif y == 0:
+            st, contrib = "empty_cur", None
+        else:
+            st, contrib = "ok", round((cs - bs) * math.log(cs / bs), nd)
+        out[b] = (x, y, round(bs, nd), round(cs, nd), contrib, st)
+    return out
+
+
+def _run(spark, base_vals, cur_vals, k):
+    bd = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base_vals)], "id bigint, v double"
+    )
+    cd = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cur_vals)], "id bigint, v double"
+    )
+    got = psi_drift(bd, cd, "v", "id", n_bins=k).collect()
+    return {
+        r.bin: (r.n_base, r.n_cur, r.base_share, r.cur_share, r.psi_contrib, r.status)
+        for r in got
+    }
+
+
+def test_identical_distribution_psi_zero(spark):
+    base = [float(i) for i in range(100)]
+    got = _run(spark, base, list(base), 10)
+    assert got == _model(base, base, 10)
+    assert all(v[4] == 0.0 and v[5] == "ok" for v in got.values())
+    assert len(got) == 10
+
+
+def test_injected_shift_detected(spark):
+    base = [float(i) for i in range(200)]
+    cur = [float(i) + 120.0 for i in range(200)]  # hard right shift
+    got = _run(spark, base, cur, 10)
+    assert got == _model(base, cur, 10)
+    # the top bin absorbs the out-of-range mass
+    assert got[9][1] > got[9][0]
+    assert any(v[5] == "empty_cur" for v in got.values())
+    total = sum(v[4] for v in got.values() if v[4] is not None)
+    assert total > 0.2  # the classic retrain threshold
+
+
+def test_out_of_range_current_lands_in_extreme_bins(spark):
+    base = [float(i) for i in range(50)]
+    cur = [-100.0, 1000.0]
+    got = _run(spark, base, cur, 5)
+    assert got == _model(base, cur, 5)
+    assert got[0][1] == 1 and got[4][1] == 1
+
+
+def test_null_values_are_their_own_bin(spark):
+    base = [float(i) for i in range(40)] + [None] * 4
+    cur = [float(i) for i in range(40)] + [None] * 12
+    got = _run(spark, base, cur, 4)
+    assert got == _model(base, cur, 4)
+    assert -1 in got and got[-1][5] == "ok"
+
+
+def test_heavy_ties(spark):
+    base = [1.0] * 30 + [2.0] * 10
+    cur = [1.0] * 10 + [2.0] * 30
+    got = _run(spark, base, cur, 4)
+    assert got == _model(base, cur, 4)
+
+
+def test_random_agreement(spark):
+    rng = random.Random(408)
+    base = [round(rng.uniform(0, 1000), 3) for _ in range(500)]
+    cur = [round(rng.uniform(100, 1100), 3) for _ in range(300)]
+    assert _run(spark, base, cur, 10) == _model(base, cur, 10)
+
+
+def test_bad_args_raise(spark):
+    bd = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    with pytest.raises(ValueError):
+        psi_drift(bd, bd, "v", "id", n_bins=1)
+    empty = spark.createDataFrame([(1, None)], "id bigint, v double")
+    with pytest.raises(ValueError):
+        psi_drift(empty, bd, "v", "id")
