@@ -3740,6 +3740,124 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_promo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval overlap join WITHOUT a nested-loop plan: shipment windows
+    # [shipdate, shipdate + quantity days) against a deterministic promo
+    # calendar (one 60-day window per nation key), via the bucketed
+    # decomposition in operators/intervals.py (64-day buckets, owner-
+    # bucket dedup — no distinct). Aggregated per promo so the output is
+    # bounded; the oracle replays the overlap as a plain theta join.
+    from kgdata_spark.operators.intervals import interval_join
+
+    day0 = F.lit("1995-01-01").cast("date")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.datediff(F.col("l_shipdate"), day0).alias("ship_start"),
+        )
+        .withColumn(
+            "ship_end", F.col("ship_start") + F.col("l_quantity").cast("int")
+        )
+    )
+    promos = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("promo_id"),
+        (F.lit(100) + F.col("n_nationkey") * 97).alias("promo_start"),
+        (F.lit(160) + F.col("n_nationkey") * 97).alias("promo_end"),
+    )
+    pairs = interval_join(
+        li, promos, "ship_start", "ship_end", "promo_start", "promo_end", bucket=64
+    )
+    return pairs.groupBy("promo_id").agg(
+        F.count("*").alias("n_shipments"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+
+
+def q_ship_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sweep-line peak concurrency: per supplier, the max number of
+    # simultaneously-open shipment windows [shipdate, +quantity days) and
+    # the earliest day it is reached (integer days since 1995-01-01 —
+    # kept numeric so both engines hash the same representation).
+    from kgdata_spark.operators.intervals import peak_concurrency
+
+    day0 = F.lit("1995-01-01").cast("date")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate"), day0).alias("ship_start"),
+            F.col("l_quantity").cast("int").alias("_q"),
+        )
+        .withColumn("ship_end", F.col("ship_start") + F.col("_q"))
+    )
+    return peak_concurrency(
+        li, "l_suppkey", "ship_start", "ship_end", out_at="peak_day"
+    ).select("l_suppkey", "peak", F.col("peak_day").cast("int").alias("peak_day"))
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling z-score anomaly detection over each user's gap-filled daily
+    # event counts: each day vs the mean/std of its previous 7 days (the
+    # day itself excluded), integer-sum closed forms so both engines
+    # compute the identical doubles. Warmup/zero-variance rows dropped.
+    from kgdata_spark.operators.timeseries import rolling_zscore
+
+    scored = rolling_zscore(
+        _t(spark, sf_dir, "events"), "user_id", "ts", window=7, min_periods=4
+    )
+    return scored.where(F.col("z").isNotNull())
+
+
+def q_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean-shift changepoint (binary-segmentation step 1) per event_type
+    # over gap-filled daily counts: argmax of the standardized mean
+    # difference across all split positions, tie → earliest day.
+    from kgdata_spark.operators.timeseries import mean_shift_changepoint
+
+    return mean_shift_changepoint(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation: recency/frequency/monetary per customer, each
+    # scored 1..4 by EXACT global quartile rank (distributed_cumsum rank,
+    # ties totalized by custkey) — never the epsilon-approximate
+    # QuantileDiscretizer. rfm_cell = r·100 + f·10 + m.
+    from kgdata_spark.operators.segments import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"), asof="2002-01-01")
+
+
+def q_part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adamic-Adar link prediction over the part co-occurrence graph
+    # (parts sharing >= 2 orders): for every non-adjacent pair with a
+    # common neighbor, score = sum over common neighbors of 1/ln(degree),
+    # each term rounded then decimal-summed (order-independent).
+    from kgdata_spark.operators.graph import adamic_adar
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    rhs = lp.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk2")
+    )
+    edges = (
+        lp.join(rhs, (lp["l_orderkey"] == rhs["_ok"]) & (lp["l_partkey"] < rhs["_pk2"]))
+        .groupBy(F.col("l_partkey").alias("s1"), F.col("_pk2").alias("s2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("s1", "s2")
+    )
+    return adamic_adar(edges, "s1", "s2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -3926,6 +4044,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "markov_transitions": q_markov_transitions,
         "psi_drift": q_psi_drift,
+        "promo_overlap": q_promo_overlap,
+        "ship_concurrency": q_ship_concurrency,
+        "rolling_anomaly": q_rolling_anomaly,
+        "daily_changepoint": q_daily_changepoint,
+        "rfm_segments": q_rfm_segments,
+        "part_adamic_adar": q_part_adamic_adar,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5423,6 +5547,204 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(SUM(n) OVER (PARTITION BY state_from) AS DOUBLE),
                      9) AS p
         FROM c
+    """
+    # promo_overlap: the bucketed interval join replayed as a plain
+    # overlap theta join (half-open: s < pe AND ps < e)
+    d["promo_overlap"] = """
+        WITH li AS (
+            SELECT l_orderkey, l_quantity,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(l_shipdate AS DATE)) AS s
+            FROM lineitem),
+        li2 AS (
+            SELECT l_orderkey, l_quantity, s,
+                   s + CAST(l_quantity AS INT) AS e
+            FROM li),
+        p AS (
+            SELECT n_nationkey AS promo_id,
+                   100 + n_nationkey * 97 AS ps,
+                   160 + n_nationkey * 97 AS pe
+            FROM nation)
+        SELECT promo_id, COUNT(*) AS n_shipments,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               MIN(l_orderkey) AS min_orderkey,
+               MAX(l_orderkey) AS max_orderkey
+        FROM li2 JOIN p ON li2.s < p.pe AND p.ps < li2.e
+        GROUP BY promo_id
+    """
+    # ship_concurrency: sweep-line — net +1/-1 deltas per (key, day),
+    # running sum over the UNIQUE per-key day order, max + earliest argmax
+    d["ship_concurrency"] = """
+        WITH iv AS (
+            SELECT l_suppkey AS k,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(l_shipdate AS DATE)) AS s,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(l_shipdate AS DATE))
+                       + CAST(l_quantity AS INT) AS e
+            FROM lineitem),
+        d0 AS (
+            SELECT k, s AS t, 1 AS dd FROM iv WHERE e > s
+            UNION ALL
+            SELECT k, e, -1 FROM iv WHERE e > s),
+        net AS (SELECT k, t, SUM(dd) AS nd FROM d0 GROUP BY 1, 2),
+        r AS (
+            SELECT k, t,
+                   SUM(nd) OVER (PARTITION BY k ORDER BY t) AS open
+            FROM net),
+        m AS (SELECT k, MAX(open) AS pk FROM r GROUP BY k)
+        SELECT r.k AS l_suppkey, CAST(m.pk AS INT) AS peak,
+               CAST(MIN(r.t) AS INT) AS peak_day
+        FROM r JOIN m ON r.k = m.k AND r.open = m.pk
+        GROUP BY r.k, m.pk
+    """
+    # rolling_anomaly: gap-filled daily counts (user_daily_activity's
+    # grid), then exact integer frame sums -> closed-form mean/var/z in
+    # the identical expression order; warmup / zero-variance rows dropped
+    d["rolling_anomaly"] = """
+        WITH c AS (
+            SELECT user_id AS key,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY key),
+        grid AS (
+            SELECT span.key, g.day
+            FROM span, unnest(generate_series(span.d0, span.d1)) AS g(day)),
+        dense AS (
+            SELECT grid.key, grid.day,
+                   COALESCE(c.n_events, 0) AS n_events
+            FROM grid LEFT JOIN c ON c.key = grid.key AND c.day = grid.day),
+        st AS (
+            SELECT key, day, n_events,
+                   COUNT(n_events) OVER w AS c,
+                   SUM(n_events) OVER w AS s,
+                   SUM(n_events * n_events) OVER w AS ss
+            FROM dense
+            WINDOW w AS (PARTITION BY key ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT key, CAST(day AS INT) AS day, n_events,
+               ROUND(CAST(s AS DOUBLE) / c, 9) AS mean,
+               ROUND((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                     / SQRT(CAST(c * ss - s * s AS DOUBLE) / (c * (c - 1))),
+                     9) AS z,
+               ABS((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                   / SQRT(CAST(c * ss - s * s AS DOUBLE) / (c * (c - 1))))
+                   > 2.0 AS is_anomaly
+        FROM st
+        WHERE c >= 4 AND c * ss - s * s > 0
+    """
+    # daily_changepoint: same dense grid per event_type; integer prefix
+    # sums -> standardized mean-difference score; argmax with earliest-
+    # day tiebreak on the UNROUNDED score
+    d["daily_changepoint"] = """
+        WITH c AS (
+            SELECT event_type AS key,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY key),
+        grid AS (
+            SELECT span.key, g.day
+            FROM span, unnest(generate_series(span.d0, span.d1)) AS g(day)),
+        dense AS (
+            SELECT grid.key, grid.day, COALESCE(c.n, 0) AS n
+            FROM grid LEFT JOIN c ON c.key = grid.key AND c.day = grid.day),
+        pre AS (
+            SELECT key, day,
+                   SUM(n) OVER (PARTITION BY key ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pre,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS i,
+                   COUNT(*) OVER (PARTITION BY key) AS nn,
+                   SUM(n) OVER (PARTITION BY key) AS tot
+            FROM dense),
+        sc AS (
+            SELECT key, nn, day,
+                   CAST(pre AS DOUBLE) / i AS lm,
+                   CAST(tot - pre AS DOUBLE) / (nn - i) AS rm,
+                   ABS(CAST(pre AS DOUBLE) / i
+                       - CAST(tot - pre AS DOUBLE) / (nn - i))
+                       * SQRT(CAST(i * (nn - i) AS DOUBLE) / nn) AS score
+            FROM pre WHERE i < nn),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                         ORDER BY score DESC, day) AS rk
+            FROM sc)
+        SELECT key, nn AS n_days, CAST(day AS INT) AS split_day,
+               ROUND(lm, 9) AS left_mean, ROUND(rm, 9) AS right_mean,
+               ROUND(score, 9) AS score
+        FROM best WHERE rk = 1
+    """
+    # rfm_segments: quantile_bins' exact rank bin is floor(rank*k/n) with
+    # 0-based rank over (value, custkey) asc -> ((rn-1)*4)//n here
+    d["rfm_segments"] = """
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '2002-01-01') AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+            FROM orders GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS n FROM base),
+        r AS (SELECT custkey,
+                     ((ROW_NUMBER() OVER (ORDER BY recency_days, custkey)
+                       - 1) * 4) // (SELECT n FROM nt) AS b
+              FROM base),
+        f AS (SELECT custkey,
+                     ((ROW_NUMBER() OVER (ORDER BY frequency, custkey)
+                       - 1) * 4) // (SELECT n FROM nt) AS b
+              FROM base),
+        m AS (SELECT custkey,
+                     ((ROW_NUMBER() OVER (ORDER BY mon, custkey)
+                       - 1) * 4) // (SELECT n FROM nt) AS b
+              FROM base)
+        SELECT base.custkey, recency_days, frequency,
+               CAST(mon AS DOUBLE) AS monetary,
+               CAST(4 - r.b AS INT) AS r_score,
+               CAST(f.b + 1 AS INT) AS f_score,
+               CAST(m.b + 1 AS INT) AS m_score,
+               CAST((4 - r.b) * 100 + (f.b + 1) * 10 + (m.b + 1) AS INT)
+                   AS rfm_cell
+        FROM base
+        JOIN r ON base.custkey = r.custkey
+        JOIN f ON base.custkey = f.custkey
+        JOIN m ON base.custkey = m.custkey
+    """
+    # part_adamic_adar: wedge enumeration over the w>=2 co-occurrence
+    # graph; each 1/ln(deg) term rounded to 12 digits then decimal-summed
+    # (order-independent), cast back to double at the very end
+    d["part_adamic_adar"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS s1, b.l_partkey AS s2
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        deg AS (
+            SELECT z, COUNT(*) AS dg
+            FROM (SELECT s1 AS z FROM e UNION ALL SELECT s2 FROM e)
+            GROUP BY z),
+        adj AS (
+            SELECT s1 AS z, s2 AS nb FROM e
+            UNION ALL SELECT s2, s1 FROM e),
+        w AS (
+            SELECT x.z, x.nb AS pa, y.nb AS pb
+            FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb),
+        cand AS (
+            SELECT w.z, w.pa, w.pb
+            FROM w LEFT JOIN e ON w.pa = e.s1 AND w.pb = e.s2
+            WHERE e.s1 IS NULL)
+        SELECT pa AS a, pb AS b, COUNT(*) AS n_common,
+               CAST(SUM(CAST(ROUND(1.0 / LN(CAST(dg AS DOUBLE)), 12)
+                             AS DECIMAL(28,15))) AS DOUBLE) AS score
+        FROM cand JOIN deg ON cand.z = deg.z
+        GROUP BY 1, 2
     """
     d["retention_cohorts"] = """
         WITH a AS (

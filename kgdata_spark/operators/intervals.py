@@ -1,0 +1,154 @@
+"""Interval operators: bucketed overlap join and concurrency sweep.
+
+Spark has no native interval/range join — `a.start < b.end AND b.start <
+a.end` compiles to BroadcastNestedLoopJoin (fine only while one side
+broadcasts) or, worse, a cartesian product. `interval_join` is the
+standard bucketed decomposition: explode each interval into the fixed-
+width buckets it covers, equi-join on the bucket id, then keep a pair
+only in its OWNER bucket — the bucket containing `max(lstart, rstart)`,
+which both sides of a genuine overlap necessarily cover — so no
+`distinct` pass is needed to dedup multi-bucket matches. Turns the
+quadratic comparison into a hash join whose fan-out is bounded by
+(interval length / bucket width), the same trick Databricks' range-join
+optimizer and bioinformatics interval libraries use.
+
+`peak_concurrency` is the classic sweep-line: +1 at each interval start,
+−1 at each end (half-open), net deltas per (key, t) so the running-sum
+window sees a UNIQUE time per key (tie-order-independent by
+construction), then the per-key running maximum.
+
+The reference has no interval algebra (kgdata joins are all equi-joins on
+entity ids — `/root/reference/kgdata/spark/common.py:159-232`); temporal
+validity windows are where dump-snapshot pipelines grow next, so this
+fills the gap Spark-first.
+
+Scale shape (interval_join): explode is narrow (no shuffle); one hash
+join on (keys…, bucket); fan-out per row ≤ `max_buckets_per_row`,
+enforced JVM-side with `assert_true` (a silently exploding hot interval
+becomes an error, not an OOM). Pick `bucket` near the median interval
+length: shorter → more duplicate bucket rows, longer → more false
+candidate pairs filtered after the join.
+
+Scale shape (peak_concurrency): one groupBy(key, t) with map-side
+combine, one per-key window, one per-key aggregate on the same
+partitioning (no extra exchange after the window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_of(col, width: int):
+    # exact floor-division for LONG day/epoch numbers (no double detour:
+    # floor(x / lit) goes through double and loses exactness past 2^53)
+    c = F.col(col) if isinstance(col, str) else col
+    return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lstart: str,
+    lend: str,
+    rstart: str,
+    rend: str,
+    bucket: int,
+    keys: Sequence[str] = (),
+    max_buckets_per_row: int = 256,
+) -> DataFrame:
+    """All (left, right) row pairs whose half-open integer intervals
+    [lstart, lend) × [rstart, rend) overlap (and agree on `keys`, if
+    given), via bucketed equi-join — never a nested-loop or cartesian
+    plan. Column names must be disjoint across the two sides (standard
+    join hygiene; alias before calling). Empty intervals (end <= start)
+    match nothing. Output: left columns + right columns, one row per
+    overlapping pair.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket width must be positive, got {bucket}")
+
+    def explode_side(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = _bucket_of(start, bucket)
+        hi = _bucket_of(F.col(end) - F.lit(1), bucket)  # half-open: end-1
+        # the valve lives INSIDE the sequence bound (daily_activity's
+        # span_ok pattern) — a side column would be pruned away unused
+        hi_ok = F.when(hi - lo < F.lit(max_buckets_per_row), hi).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval spans >= {max_buckets_per_row} buckets "
+                        f"of width {bucket}; raise bucket or the valve: "
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(".."),
+                    F.col(end).cast("string"),
+                )
+            ).cast("long")
+        )
+        return df.where(F.col(end) > F.col(start)).withColumn(
+            "_bk", F.explode(F.sequence(lo, hi_ok))
+        )
+
+    le = explode_side(left, lstart, lend)
+    re = explode_side(right, rstart, rend).withColumnRenamed("_bk", "_rbk")
+    cond = le["_bk"] == re["_rbk"]
+    for k in keys:
+        cond = cond & (le[k] == re[k])
+    owner = _bucket_of(F.greatest(F.col(lstart), F.col(rstart)), bucket)
+    # key columns exist on BOTH sides of the condition join — qualify the
+    # output projection through the side dataframes (keys kept from left)
+    out_cols = [le[c] for c in left.columns] + [
+        re[c] for c in right.columns if c not in keys
+    ]
+    return (
+        le.join(re, cond, "inner")
+        .where(
+            (F.col(lstart) < F.col(rend))
+            & (F.col(rstart) < F.col(lend))
+            & (F.col("_bk") == owner)
+        )
+        .select(*out_cols)
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    out_peak: str = "peak",
+    out_at: str = "peak_at",
+) -> DataFrame:
+    """(key, peak, peak_at): the maximum number of simultaneously-open
+    half-open intervals [start, end) per key, and the EARLIEST time the
+    peak is reached. Empty intervals (end <= start) contribute nothing.
+    Half-open semantics mean an interval ending at t and another starting
+    at t never count as concurrent — the net-delta groupBy applies the
+    −1 and +1 in one row, so no start/end tie-order rule is needed.
+    """
+    live = df.where(F.col(end) > F.col(start))
+    deltas = live.select(F.col(key), F.col(start).alias("_t"), F.lit(1).alias("_d")).unionAll(
+        live.select(F.col(key), F.col(end).alias("_t"), F.lit(-1).alias("_d"))
+    )
+    net = deltas.groupBy(key, "_t").agg(F.sum("_d").alias("_nd"))
+    run = net.withColumn(
+        "_open",
+        F.sum("_nd").over(
+            Window.partitionBy(key)
+            .orderBy("_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    peak = run.withColumn("_pk", F.max("_open").over(Window.partitionBy(key)))
+    return (
+        peak.where(F.col("_open") == F.col("_pk"))
+        .groupBy(key)
+        .agg(
+            F.max("_pk").cast("int").alias(out_peak),
+            F.min("_t").alias(out_at),
+        )
+    )

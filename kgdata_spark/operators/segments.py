@@ -1,0 +1,73 @@
+"""RFM customer segmentation over an order/transaction log.
+
+The standard behavioral segmentation: per customer, Recency (days since
+last order), Frequency (order count), Monetary (total spend), each
+scored 1..k by EXACT global quantile rank (k=4 → quartiles), best = k.
+The 3-digit cell (r·100 + f·10 + m) is the marketing-facing segment id
+("444 champions", "144 big-ticket lapsed", …).
+
+Built by composing `binning.quantile_bins` three times — the exact
+rank-based discretizer (distributed_cumsum global rank, ties totalized
+by customer id, never pyspark.ml's epsilon-approximate
+QuantileDiscretizer) — so train/serve scores are bit-reproducible and
+engine-replayable. Monetary sums go through DECIMAL (order-independent)
+before ranking.
+
+Scale shape: one map-side-combinable groupBy over the fact table, then
+3× (range shuffle + bounded bucket-offset collect) on the CUSTOMER
+dimension — rank work scales with distinct customers, not orders. No
+single-task global window anywhere.
+
+The reference has no behavioral ops (kgdata is dump-processing); this
+belongs to the training-data/analytics surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.binning import quantile_bins
+
+
+def rfm_segments(
+    orders: DataFrame,
+    custkey: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    asof: str = "2002-01-01",
+    k: int = 4,
+) -> DataFrame:
+    """(custkey, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm_cell) for every customer present in `orders`.
+
+    Scores: r_score = k − bin(recency_days asc) — smaller recency (more
+    recent) ranks first and scores k; f_score/m_score = bin(+1) over
+    frequency/monetary ascending — the top quantile scores k. Ties are
+    totalized by custkey ascending in every rank (pin the same rule in
+    any oracle). `asof` must be on/after every order date (recency is a
+    non-negative day count).
+    """
+    base = orders.groupBy(F.col(custkey).alias("custkey")).agg(
+        F.datediff(F.lit(asof).cast("date"), F.max(F.col(date_col))).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("_mon"),
+    )
+    df = quantile_bins(base, "recency_days", k, "custkey", out_col="_rb")
+    df = quantile_bins(df, "frequency", k, "custkey", out_col="_fb")
+    df = quantile_bins(df, "_mon", k, "custkey", out_col="_mb")
+    r = (F.lit(k) - F.col("_rb")).cast("int")
+    f = (F.col("_fb") + F.lit(1)).cast("int")
+    m = (F.col("_mb") + F.lit(1)).cast("int")
+    return df.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f * 10 + m).alias("rfm_cell"),
+    )

@@ -177,3 +177,141 @@ def retention_cohorts(
     return active.join(sizes, "cohort_day").select(
         "cohort_day", "bucket_offset", "n_active", "cohort_size"
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: int = 7,
+    min_periods: int = 4,
+    threshold: float = 2.0,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(key, day, n_events, mean, z, is_anomaly): per-key rolling z-score
+    anomaly detection over the gap-filled daily count series — each day's
+    count against the mean/std of the PREVIOUS `window` days (the day
+    itself excluded, so an anomaly can't mask itself). The monitoring
+    staple for activity spikes/drops (error-rate bursts, bot surges,
+    pipeline stalls).
+
+    Exactness: the frame statistics are integer sums (Σn, Σn²) over
+    integer counts — exact in both engines regardless of accumulation
+    order — and mean/variance come from the closed forms
+    mean = Σn / c and var = (c·Σn² − (Σn)²) / (c·(c−1)) evaluated as
+    fixed-order double expressions, NOT from the engines' one-pass
+    stddev aggregates (whose accumulation schemes differ). z is emitted
+    rounded; is_anomaly compares the UNROUNDED |z| to `threshold`.
+
+    Rows with fewer than `min_periods` prior days or zero variance get
+    NULL z and is_anomaly = false (a constant history makes any change
+    infinitely surprising — flagging it is the caller's policy, not a
+    statistic). Scale shape: daily_activity's groupBy + fill, then one
+    per-key window (task state bounded by the key's day span).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not 2 <= min_periods <= window:
+        raise ValueError(f"min_periods must be in [2, window], got {min_periods}")
+    dense = daily_activity(events, key_col=key_col, ts_col=ts_col)
+    frame = (
+        Window.partitionBy("key").orderBy("day").rowsBetween(-window, -1)
+    )
+    n = F.col("n_events")
+    stats = dense.select(
+        "key",
+        "day",
+        "n_events",
+        F.count("n_events").over(frame).alias("_c"),
+        F.sum("n_events").over(frame).alias("_s"),
+        F.sum(n * n).over(frame).alias("_ss"),
+    )
+    c = F.col("_c")
+    mean = F.col("_s").cast("double") / c
+    var = (c * F.col("_ss") - F.col("_s") * F.col("_s")).cast("double") / (
+        c * (c - 1)
+    )
+    z = (n.cast("double") - mean) / F.sqrt(var)
+    ok = (c >= F.lit(min_periods)) & (var > F.lit(0.0))
+    return stats.select(
+        "key",
+        "day",
+        "n_events",
+        F.when(ok, F.round(mean, round_digits)).alias("mean"),
+        F.when(ok, F.round(z, round_digits)).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(threshold)).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def mean_shift_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 9,
+) -> DataFrame:
+    """(key, n_days, split_day, left_mean, right_mean, score): the single
+    best mean-shift changepoint of each key's gap-filled daily count
+    series — the first step of binary-segmentation changepoint detection
+    (Scott & Knott; CUSUM family). For every split after position i
+    (1 ≤ i < n over the day-ordered series), the candidate score is the
+    standardized mean difference
+
+        |mean(left) − mean(right)| · sqrt(i·(n−i)/n)
+
+    (the two-sample z numerator with pooled scaling — peaks where an
+    abrupt level shift happens, and the sqrt term stops degenerate
+    1-day-vs-rest splits from winning on noise). The emitted row is each
+    key's argmax, ties broken to the EARLIEST day; split_day is the last
+    day of the left segment. Keys with n < 2 days yield no row (no
+    split exists).
+
+    Exactness: prefix sums over integer counts are exact; means and the
+    sqrt factor are fixed-order double expressions from those integers,
+    so the argmax (computed on UNROUNDED scores, emitted rounded) is
+    engine-deterministic. Scale shape: daily_activity + two per-key
+    windows (prefix sum, argmax rank) — task state bounded by the key's
+    day span, the per-key-window class.
+    """
+    dense = daily_activity(events, key_col=key_col, ts_col=ts_col)
+    wk = Window.partitionBy("key")
+    word = wk.orderBy("day")
+    pre = dense.select(
+        "key",
+        "day",
+        F.sum("n_events")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_pre"),
+        F.row_number().over(word).alias("_i"),
+        F.count("*").over(wk).alias("_n"),
+        F.sum("n_events").over(wk).alias("_tot"),
+    ).where(F.col("_i") < F.col("_n"))
+    i = F.col("_i")
+    nn = F.col("_n")
+    lm = F.col("_pre").cast("double") / i
+    rm = (F.col("_tot") - F.col("_pre")).cast("double") / (nn - i)
+    score = F.abs(lm - rm) * F.sqrt((i * (nn - i)).cast("double") / nn)
+    scored = pre.select(
+        "key",
+        F.col("_n").alias("n_days"),
+        F.col("day").alias("split_day"),
+        lm.alias("_lm"),
+        rm.alias("_rm"),
+        score.alias("_score"),
+    )
+    best = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.col("_score").desc(), "split_day")
+    )
+    return (
+        scored.withColumn("_bk", best)
+        .where(F.col("_bk") == 1)
+        .select(
+            "key",
+            "n_days",
+            "split_day",
+            F.round("_lm", round_digits).alias("left_mean"),
+            F.round("_rm", round_digits).alias("right_mean"),
+            F.round("_score", round_digits).alias("score"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""interval_join and peak_concurrency vs brute-force python models:
+half-open overlap semantics, owner-bucket dedup (exactly one output row
+per overlapping pair, any bucket width), empty-interval exclusion, key
+scoping, the fan-out valve, and random interval soups."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kgdata_spark.operators.intervals import interval_join, peak_concurrency
+
+
+def _brute_pairs(lrows, rrows, keyed=False):
+    out = set()
+    for lid, lk, ls, le in lrows:
+        for rid, rk, rs, re_ in rrows:
+            if keyed and lk != rk:
+                continue
+            if le > ls and re_ > rs and ls < re_ and rs < le:
+                out.add((lid, rid))
+    return out
+
+
+def _run_join(spark, lrows, rrows, bucket, keys=()):
+    ldf = spark.createDataFrame(lrows, "lid bigint, lk bigint, ls bigint, le bigint")
+    rdf = spark.createDataFrame(rrows, "rid bigint, rk bigint, rs bigint, re bigint")
+    if keys:
+        rdf = rdf.withColumnRenamed("rk", keys[0])
+        ldf = ldf.withColumnRenamed("lk", keys[0])
+    got = interval_join(ldf, rdf, "ls", "le", "rs", "re", bucket, keys=keys).collect()
+    return [(r.lid, r.rid) for r in got]
+
+
+def test_basic_overlap_and_halfopen_boundary(spark):
+    l = [(1, 0, 0, 10), (2, 0, 10, 20), (3, 0, 5, 6)]
+    r = [(10, 0, 9, 12), (11, 0, 20, 30), (12, 0, 6, 7)]
+    got = _run_join(spark, l, r, bucket=4)
+    # [10,20) vs [20,30) touch but half-open => no match; [5,6) vs [6,7) ditto
+    assert sorted(got) == sorted(_brute_pairs(l, r)) == [(1, 10), (1, 12), (2, 10)]
+
+
+def test_owner_bucket_emits_each_pair_once(spark):
+    # intervals spanning MANY buckets still pair exactly once
+    l = [(1, 0, 0, 100)]
+    r = [(10, 0, 50, 51), (11, 0, 0, 100), (12, 0, 99, 200)]
+    got = _run_join(spark, l, r, bucket=3)
+    assert sorted(got) == [(1, 10), (1, 11), (1, 12)]
+
+
+def test_empty_intervals_match_nothing(spark):
+    l = [(1, 0, 5, 5), (2, 0, 7, 3), (3, 0, 0, 1)]
+    r = [(10, 0, 0, 10)]
+    got = _run_join(spark, l, r, bucket=4)
+    assert got == [(3, 10)]
+
+
+def test_keys_scope_the_join(spark):
+    l = [(1, 7, 0, 10), (2, 8, 0, 10)]
+    r = [(10, 7, 5, 6), (11, 9, 5, 6)]
+    got = _run_join(spark, l, r, bucket=4, keys=("grp",))
+    assert got == [(1, 10)]
+
+
+def test_fanout_valve_raises(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    l = [(1, 0, 0, 10_000)]
+    r = [(10, 0, 1, 2)]
+    with pytest.raises(SparkRuntimeException, match="spans >= 256 buckets"):
+        _run_join(spark, l, r, bucket=4)  # default valve 256 buckets
+    with pytest.raises(ValueError, match="bucket width"):
+        _run_join(spark, l, r, bucket=0)
+
+
+def test_random_soup_all_bucket_widths(spark):
+    rng = random.Random(409)
+    l, r = [], []
+    for i in range(120):
+        s = rng.randrange(-50, 200)
+        l.append((i, rng.randrange(3), s, s + rng.randrange(0, 40)))
+    for i in range(80):
+        s = rng.randrange(-50, 200)
+        r.append((1000 + i, rng.randrange(3), s, s + rng.randrange(0, 60)))
+    want_global = _brute_pairs(l, r)
+    want_keyed = _brute_pairs(l, r, keyed=True)
+    for bucket in (1, 7, 64, 1000):
+        got = _run_join(spark, l, r, bucket=bucket)
+        assert len(got) == len(set(got)), f"dup pairs at bucket={bucket}"
+        assert set(got) == want_global, f"bucket={bucket}"
+    got_k = _run_join(spark, l, r, bucket=16, keys=("grp",))
+    assert set(got_k) == want_keyed and len(got_k) == len(set(got_k))
+
+
+def _brute_peak(rows):
+    # rows: (key, start, end); returns {key: (peak, earliest_t)}
+    by_key = {}
+    for k, s, e in rows:
+        if e > s:
+            by_key.setdefault(k, []).append((s, 1))
+            by_key.setdefault(k, []).append((e, -1))
+    out = {}
+    for k, deltas in by_key.items():
+        net = {}
+        for t, d in deltas:
+            net[t] = net.get(t, 0) + d
+        run, peak, at = 0, None, None
+        for t in sorted(net):
+            run += net[t]
+            if peak is None or run > peak:
+                peak, at = run, t
+        out[k] = (peak, at)
+    return out
+
+
+def _run_peak(spark, rows):
+    df = spark.createDataFrame(rows, "k bigint, s bigint, e bigint")
+    got = peak_concurrency(df, "k", "s", "e").collect()
+    return {r.k: (r.peak, r.peak_at) for r in got}
+
+
+def test_peak_basic_and_halfopen(spark):
+    rows = [(1, 0, 10), (1, 5, 15), (1, 10, 20), (2, 0, 5), (2, 5, 10)]
+    got = _run_peak(spark, rows)
+    assert got == _brute_peak(rows)
+    # [0,10) and [10,20) never concurrent; peak 2 first reached at t=5
+    assert got[1] == (2, 5)
+    # key 2: back-to-back half-open intervals never overlap
+    assert got[2] == (1, 0)
+
+
+def test_peak_earliest_argmax_and_empty_intervals(spark):
+    rows = [(1, 0, 4), (1, 1, 3), (1, 6, 9), (1, 7, 10), (1, 5, 5)]
+    got = _run_peak(spark, rows)
+    assert got == _brute_peak(rows)
+    assert got[1] == (2, 1)  # peak 2 hit at t=1 before the t=7 repeat
+
+
+def test_peak_random(spark):
+    rng = random.Random(410)
+    rows = []
+    for i in range(300):
+        k = rng.randrange(5)
+        s = rng.randrange(0, 100)
+        rows.append((k, s, s + rng.randrange(0, 30)))
+    assert _run_peak(spark, rows) == _brute_peak(rows)

@@ -1,0 +1,163 @@
+"""rfm_segments and adamic_adar vs pure-python models: exact quartile
+rank semantics with custkey tie-totalization, score orientation (4 =
+best on every axis), AA score parity including the decimal-sum term
+rounding, non-adjacency, the hub valve, and random inputs."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+from decimal import Decimal
+
+import pytest
+
+from kgdata_spark.operators.graph import adamic_adar
+from kgdata_spark.operators.segments import rfm_segments
+
+
+# ---------------------------------------------------------------- RFM
+
+
+def _rfm_model(orders, asof, k=4):
+    # orders: (custkey, date, amount)
+    base = {}
+    for c, d, a in orders:
+        rec, freq, mon = base.get(c, (None, 0, Decimal(0)))
+        last = d if rec is None or d > rec else rec
+        base[c] = (last, freq + 1, mon + Decimal(str(a)).quantize(Decimal("0.01")))
+    rows = {
+        c: ((asof - last).days, freq, mon) for c, (last, freq, mon) in base.items()
+    }
+    n = len(rows)
+
+    def bins(metric_idx):
+        order = sorted(rows, key=lambda c: (rows[c][metric_idx], c))
+        return {c: (rank * k) // n for rank, c in enumerate(order)}
+
+    rb, fb, mb = bins(0), bins(1), bins(2)
+    out = {}
+    for c, (rec, freq, mon) in rows.items():
+        r, f, m = k - rb[c], fb[c] + 1, mb[c] + 1
+        out[c] = (rec, freq, float(mon), r, f, m, r * 100 + f * 10 + m)
+    return out
+
+
+def _run_rfm(spark, orders, asof):
+    df = spark.createDataFrame(
+        [(c, datetime.datetime.combine(d, datetime.time()), a) for c, d, a in orders],
+        "o_custkey bigint, o_orderdate timestamp, o_totalprice double",
+    )
+    got = rfm_segments(df, asof=asof.isoformat()).collect()
+    return {
+        r.custkey: (
+            r.recency_days,
+            r.frequency,
+            r.monetary,
+            r.r_score,
+            r.f_score,
+            r.m_score,
+            r.rfm_cell,
+        )
+        for r in got
+    }
+
+
+def test_rfm_orientation_and_ties(spark):
+    asof = datetime.date(2024, 6, 1)
+    d = datetime.date
+    orders = [
+        # cust 1: recent, frequent, big spender -> 444
+        (1, d(2024, 5, 30), 500.0), (1, d(2024, 5, 1), 400.0),
+        (1, d(2024, 4, 1), 300.0), (1, d(2024, 3, 1), 200.0),
+        # cust 2..4: progressively staler/smaller
+        (2, d(2024, 3, 15), 100.0), (2, d(2024, 2, 1), 90.0),
+        (3, d(2023, 12, 1), 50.0), (3, d(2023, 11, 1), 10.0),
+        (4, d(2023, 1, 1), 5.0),
+    ]
+    got = _run_rfm(spark, orders, asof)
+    assert got == _rfm_model(orders, asof)
+    assert got[1][3:] == (4, 4, 4, 444)
+    assert got[4][3] == 1  # stalest customer: r_score 1
+
+
+def test_rfm_random(spark):
+    rng = random.Random(413)
+    d0 = datetime.date(2023, 1, 1)
+    orders = []
+    for i in range(600):
+        orders.append(
+            (
+                rng.randrange(40),
+                d0 + datetime.timedelta(days=rng.randrange(400)),
+                round(rng.uniform(1, 1000), 2),
+            )
+        )
+    asof = datetime.date(2024, 6, 1)
+    assert _run_rfm(spark, orders, asof) == _rfm_model(orders, asof)
+
+
+# ---------------------------------------------------------- Adamic-Adar
+
+
+def _aa_model(edges, max_center_degree=None, nd=12):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {z: len(nb) for z, nb in adj.items()}
+    out = {}
+    for z, nb in adj.items():
+        if max_center_degree is not None and deg[z] > max_center_degree:
+            continue
+        nb = sorted(nb)
+        for i, a in enumerate(nb):
+            for b in nb[i + 1 :]:
+                if (a, b) in und:
+                    continue
+                n, s = out.get((a, b), (0, Decimal(0)))
+                term = Decimal(str(round(1.0 / math.log(float(deg[z])), nd)))
+                out[(a, b)] = (n + 1, s + term)
+    return {k: (n, float(s)) for k, (n, s) in out.items()}
+
+
+def _run_aa(spark, edges, **kw):
+    df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    got = adamic_adar(df, **kw).collect()
+    return {(r.a, r.b): (r.n_common, r.score) for r in got}
+
+
+def test_aa_path_and_square(spark):
+    # path 1-2-3: (1,3) shares neighbor 2 (deg 2) -> 1/ln 2
+    got = _run_aa(spark, [(1, 2), (2, 3)])
+    assert got == _aa_model([(1, 2), (2, 3)])
+    assert got[(1, 3)] == (1, round(1 / math.log(2), 12))
+    # square 1-2-3-4-1: diagonals share TWO deg-2 neighbors
+    got = _run_aa(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert got[(1, 3)][0] == 2 and got[(2, 4)][0] == 2
+
+
+def test_aa_excludes_adjacent_pairs_and_dedups_edges(spark):
+    # triangle: every pair adjacent -> no candidates, even with dup edges
+    got = _run_aa(spark, [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3)])
+    assert got == {} == _aa_model([(1, 2), (2, 3), (1, 3)])
+
+
+def test_aa_hub_valve(spark):
+    # star center 0 with 5 leaves + a path so some wedge survives
+    edges = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 7)]
+    got = _run_aa(spark, edges, max_center_degree=3)
+    assert got == _aa_model(edges, max_center_degree=3)
+    # the star's leaf pairs are gone (center degree 5 > 3)
+    assert (2, 3) not in got and (1, 7) in got
+    with pytest.raises(ValueError, match="max_center_degree"):
+        adamic_adar(spark.createDataFrame([(1, 2)], "src bigint, dst bigint"),
+                    max_center_degree=1)
+
+
+def test_aa_random(spark):
+    rng = random.Random(414)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _run_aa(spark, edges) == _aa_model(edges)

@@ -1,0 +1,173 @@
+"""rolling_zscore and mean_shift_changepoint vs pure-python models over
+the same gap-filled daily grid: closed-form mean/var parity, warmup and
+zero-variance suppression, injected spike detection, argmax/tiebreak
+determinism, and random event streams."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+import pytest
+
+from kgdata_spark.operators.timeseries import (
+    mean_shift_changepoint,
+    rolling_zscore,
+)
+
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def _dense(rows):
+    # rows: (key, day) observations -> {key: [(day, n), ...] gap-filled}
+    counts = {}
+    for k, d in rows:
+        counts[(k, d)] = counts.get((k, d), 0) + 1
+    out = {}
+    for k in {k for k, _ in rows}:
+        days = [d for kk, d in rows if kk == k]
+        out[k] = [
+            (d, counts.get((k, d), 0))
+            for d in range(min(days), max(days) + 1)
+        ]
+    return out
+
+
+def _zscore_model(rows, window=7, min_periods=4, threshold=2.0, nd=9):
+    out = {}
+    for k, series in _dense(rows).items():
+        for i, (d, n) in enumerate(series):
+            prev = [x for _, x in series[max(0, i - window) : i]]
+            c = len(prev)
+            if c < min_periods:
+                continue
+            s, ss = sum(prev), sum(x * x for x in prev)
+            if c * ss - s * s <= 0:
+                continue
+            mean = float(s) / c
+            var = float(c * ss - s * s) / (c * (c - 1))
+            z = (float(n) - mean) / math.sqrt(var)
+            out[(k, d)] = (n, round(mean, nd), round(z, nd), abs(z) > threshold)
+    return out
+
+
+def _changepoint_model(rows, nd=9):
+    out = {}
+    for k, series in _dense(rows).items():
+        n = len(series)
+        if n < 2:
+            continue
+        tot = sum(x for _, x in series)
+        best = None
+        pre = 0
+        for i in range(1, n):
+            pre += series[i - 1][1]
+            lm = float(pre) / i
+            rm = float(tot - pre) / (n - i)
+            score = abs(lm - rm) * math.sqrt(float(i * (n - i)) / n)
+            day = series[i - 1][0]
+            # days iterate ascending, so strict > keeps the EARLIEST
+            # argmax — the operator's tiebreak rule
+            if best is None or score > best[0]:
+                best = (score, day, lm, rm)
+        out[k] = (n, best[1], round(best[2], nd), round(best[3], nd), round(best[0], nd))
+    return out
+
+
+def _mk_events(spark, rows):
+    # rows: (key, day int) -> events-like df with ts at that day's noon
+    data = [
+        (k, datetime.datetime.combine(EPOCH + datetime.timedelta(days=d),
+                                      datetime.time(12, 0)))
+        for k, d in rows
+    ]
+    return spark.createDataFrame(data, "user_id bigint, ts timestamp")
+
+
+def _run_z(spark, rows, **kw):
+    got = rolling_zscore(_mk_events(spark, rows), "user_id", "ts", **kw).collect()
+    return {
+        (r.key, r.day): (r.n_events, r.mean, r.z, r.is_anomaly)
+        for r in got
+        if r.z is not None
+    }
+
+
+def _run_cp(spark, rows):
+    got = mean_shift_changepoint(_mk_events(spark, rows), "user_id", "ts").collect()
+    return {
+        r.key: (r.n_days, r.split_day, r.left_mean, r.right_mean, r.score)
+        for r in got
+    }
+
+
+def test_zscore_flags_injected_spike(spark):
+    # alternating 1/2-per-day baseline (a constant history would be
+    # suppressed as zero-variance), one 10-event spike day
+    rows = [(1, d) for d in range(20_000, 20_030)]
+    rows += [(1, d) for d in range(20_000, 20_030, 2)]
+    rows += [(1, 20_025)] * 9
+    got = _run_z(spark, rows)
+    assert got == _zscore_model(rows)
+    assert got[(1, 20_025)][3]  # the spike is an anomaly
+    assert not got[(1, 20_024)][3]  # the day before is not
+
+
+def test_zscore_warmup_and_constant_history_suppressed(spark):
+    rows = [(1, d) for d in range(100, 110)]  # constant 1/day
+    got = _run_z(spark, rows)
+    # var == 0 everywhere -> no scored rows at all
+    assert got == {} == _zscore_model(rows)
+
+
+def test_zscore_random(spark):
+    rng = random.Random(411)
+    rows = []
+    for k in range(4):
+        for d in range(500, 540):
+            for _ in range(rng.randrange(0, 5)):
+                rows.append((k, d))
+    assert _run_z(spark, rows) == _zscore_model(rows)
+
+
+def test_zscore_bad_args(spark):
+    df = _mk_events(spark, [(1, 10)])
+    with pytest.raises(ValueError, match="window"):
+        rolling_zscore(df, "user_id", "ts", window=1)
+    with pytest.raises(ValueError, match="min_periods"):
+        rolling_zscore(df, "user_id", "ts", window=7, min_periods=8)
+
+
+def test_changepoint_finds_injected_shift(spark):
+    rows = [(1, d) for d in range(1000, 1020)]  # 1/day
+    rows += [(1, d) for d in range(1020, 1040) for _ in range(5)]  # 5/day
+    got = _run_cp(spark, rows)
+    assert got == _changepoint_model(rows)
+    assert got[1][1] == 1019  # split after the last low day
+
+
+def test_changepoint_tie_breaks_to_earliest_day(spark):
+    # symmetric series: split scores tie; earliest day must win
+    rows = [(1, 100), (1, 101), (1, 102), (1, 103)]
+    got = _run_cp(spark, rows)
+    assert got == _changepoint_model(rows)
+
+
+def test_changepoint_single_day_key_absent(spark):
+    rows = [(1, 100), (2, 200), (2, 201)]
+    got = _run_cp(spark, rows)
+    assert 1 not in got and 2 in got
+    assert got == _changepoint_model(rows)
+
+
+def test_changepoint_random(spark):
+    rng = random.Random(412)
+    rows = []
+    for k in range(5):
+        shift = rng.randrange(5, 25)
+        for d in range(30):
+            lam = 2 if d < shift else rng.choice([2, 6])
+            for _ in range(rng.randrange(0, lam + 2)):
+                rows.append((k, 7000 + d))
+    assert _run_cp(spark, rows) == _changepoint_model(rows)
