@@ -1,0 +1,171 @@
+"""Source-code corpus analytics: per-file metrics, license audit, secret scan.
+
+These are training-data-curation operators for a code corpus of shape
+(repo, path, lang, content) — the table the north rule targets. None of
+them exist in the reference (kgdata processes encyclopedic dumps, not
+code); they implement the standard public curation rules for code
+pretraining sets (The Stack / StarCoder-style permissive-license
+filtering and secret redaction, plus the structural quality metrics every
+code-quality classifier starts from).
+
+Scale notes
+-----------
+* Everything here is a pure per-row projection over Catalyst HOFs
+  (``split`` → ``filter``/``transform``/``aggregate``): zero shuffles,
+  zero Python crossings, fully whole-stage-codegen'd. At 100 TB the cost
+  is one scan; the operators pipeline into whatever shuffle follows.
+* ``repo_licenses`` is the one aggregation: a groupBy(repo) max over a
+  small integer — map-side partial agg makes the shuffle carry one row
+  per repo per task.
+* Float discipline: the two ratio columns are each ONE division of two
+  exact integers (cast → divide), so DuckDB replays them bit-identically;
+  no float is ever summed across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# License phrase → canonical id, in DETECTION order (first match wins in
+# detect_license, so more specific phrases go first). Public identifying
+# phrases: the MIT grant sentence, the Apache-2.0 boilerplate line, and
+# the GPL name. Restrictiveness rank (for repo rollup): higher = more
+# restrictive; 'unknown' ranks lowest so any recognized license wins.
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("Licensed under the Apache License, Version 2.0", "Apache-2.0"),
+    ("Permission is hereby granted, free of charge", "MIT"),
+    ("GNU General Public License", "GPL-3.0"),
+]
+LICENSE_RANK: dict[str, int] = {"unknown": 0, "MIT": 1, "Apache-2.0": 2, "GPL-3.0": 3}
+PERMISSIVE: tuple[str, ...] = ("MIT", "Apache-2.0")
+
+# Secret patterns (public gitleaks/detect-secrets shapes). Keys are the
+# output column suffixes; the same patterns drive counting AND redaction.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex_token": r"\b[0-9a-f]{32}\b",
+}
+REDACTED = "[REDACTED]"
+
+
+def _lines(content: Column) -> Column:
+    return F.split(content, "\n")
+
+
+def code_metrics(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-file structural metrics, entirely JVM-side.
+
+    Line classes: blank (trims to empty), comment (ltrim starts with
+    ``#`` or ``//``), everything else is SLOC. ``max_indent`` is the max
+    leading-space count over non-blank lines (0 for all-blank files).
+    ``avg_line_len`` / ``comment_ratio`` are each a single int/int
+    division — the only float surface.
+    """
+    lines = _lines(F.col(content_col))
+    nonblank = F.filter(lines, lambda x: F.trim(x) != "")
+    comment = F.filter(
+        lines,
+        lambda x: F.ltrim(x).startswith("#") | F.ltrim(x).startswith("//"),
+    )
+    n_lines = F.size(lines)
+    n_blank = n_lines - F.size(nonblank)
+    n_comment = F.size(comment)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    max_indent = F.coalesce(
+        F.array_max(F.transform(nonblank, lambda x: F.length(x) - F.length(F.ltrim(x)))),
+        F.lit(0),
+    )
+    n_todo = F.size(F.filter(comment, lambda x: x.contains("TODO")))
+    return files.select(
+        "repo",
+        "path",
+        n_lines.alias("n_lines"),
+        n_blank.alias("n_blank"),
+        n_comment.alias("n_comment"),
+        (n_lines - n_blank - n_comment).alias("sloc"),
+        total_chars.alias("total_chars"),
+        max_indent.cast("int").alias("max_indent"),
+        n_todo.alias("n_todo"),
+        (total_chars.cast("double") / n_lines).alias("avg_line_len"),
+        (n_comment.cast("double") / n_lines).alias("comment_ratio"),
+    )
+
+
+def detect_license(content: Column) -> Column:
+    """First-match license classification over the file text."""
+    out = F.lit("unknown")
+    for phrase, lic in reversed(LICENSE_PHRASES):
+        out = F.when(content.contains(phrase), F.lit(lic)).otherwise(out)
+    return out
+
+
+def repo_licenses(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Repo-level license audit: most-restrictive-wins rollup.
+
+    Per repo: the effective license (max restrictiveness rank over member
+    files — vendored GPL code makes the whole repo GPL for training-set
+    purposes), file counts per class, and a permissive verdict. One
+    groupBy on repo; the map side reduces each file to two small ints
+    before the exchange.
+    """
+    rank = F.create_map(
+        *[x for k, v in LICENSE_RANK.items() for x in (F.lit(k), F.lit(v))]
+    )
+    inv = F.map_from_arrays(
+        F.array(*[F.lit(v) for v in LICENSE_RANK.values()]),
+        F.array(*[F.lit(k) for k in LICENSE_RANK.keys()]),
+    )
+    per_file = files.select(
+        "repo",
+        rank[detect_license(F.col(content_col))].alias("lic_rank"),
+    )
+    agg = per_file.groupBy("repo").agg(
+        F.max("lic_rank").alias("max_rank"),
+        F.count("*").alias("n_files"),
+        F.sum(
+            F.when(F.col("lic_rank") == LICENSE_RANK["GPL-3.0"], 1).otherwise(0)
+        ).alias("n_gpl_files"),
+        F.sum(F.when(F.col("lic_rank") == 0, 1).otherwise(0)).alias("n_unlicensed"),
+    )
+    return agg.select(
+        "repo",
+        inv[F.col("max_rank")].alias("license"),
+        "n_files",
+        "n_gpl_files",
+        "n_unlicensed",
+        F.array_contains(
+            F.array(*[F.lit(LICENSE_RANK[p]) for p in PERMISSIVE]), F.col("max_rank")
+        ).alias("permissive"),
+    )
+
+
+def scan_secrets(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-file secret counts + redacted content, one projection.
+
+    Counts use ``regexp_count`` per pattern class; redaction replaces
+    every match of every class with ``[REDACTED]`` (idempotent: the
+    sentinel matches none of the patterns). ``content_sha256`` is the
+    digest of the REDACTED text — the safe-to-publish fingerprint.
+    """
+    c = F.col(content_col)
+    counts = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat))
+        for name, pat in SECRET_PATTERNS.items()
+    }
+    redacted = c
+    for pat in SECRET_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, REDACTED)
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return files.select(
+        "repo",
+        "path",
+        *[col.alias(name) for name, col in counts.items()],
+        (total > 0).alias("has_secret"),
+        F.sha2(redacted, 256).alias("redacted_sha256"),
+    )

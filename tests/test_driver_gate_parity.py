@@ -152,6 +152,18 @@ DOCUMENTED_OVERFLOW = {
     "srp_near_dups",
     "path_rollup",
     "markov_transitions",
+    "promo_overlap",
+    "ship_concurrency",
+    "rolling_anomaly",
+    "daily_changepoint",
+    "rfm_segments",
+    "part_adamic_adar",
+    "psi_drift",
+    # round-4 code-corpus wave (north-rule input shape: repo/path/lang/
+    # content), green in the regenerated CORRECTNESS_local_r04.json
+    "code_metrics",
+    "repo_license_audit",
+    "secret_scan",
 }
 
 # Environment-gated queries: registered only where the environment
