@@ -3933,6 +3933,112 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_secrets(_code_corpus(spark))
 
 
+STRUCT_CORPUS_N = 3000
+
+# DuckDB replication of sources/synthetic.py::structured_code_corpus —
+# byte-identical content (sha-verified in tests/test_code_ops.py).
+_STRUCT_CTE = f"""
+    struct_corpus AS (
+      SELECT printf('org%d/r%d', (i % 150) % 4, i % 150) AS repo,
+             printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i) AS path,
+             printf('# module %d', i) || chr(10)
+          || 'import helpers' || chr(10) || chr(10)
+          || printf('def main_%d(ctx):', i) || chr(10)
+          || printf('    \"\"\"Entry point for job %d.\"\"\"', i) || chr(10)
+          || printf('    raw = parseHTTPResponse%d(ctx)', i % 9) || chr(10)
+          || '    cfg = loadConfigValue(raw)' || chr(10)
+          || printf('    return cfg + %d', i) || chr(10)
+          || printf(chr(10) || 'def fn_%d(x):' || chr(10)
+                 || '    \"\"\"Shared helper %d.\"\"\"' || chr(10)
+                 || '    y = computeValue%d(x)' || chr(10)
+                 || '    return y + %d' || chr(10),
+                 (i*7+13) % 101, (i*7+13) % 101,
+                 ((i*7+13) % 101) % 7, (i*7+13) % 101)
+          || CASE WHEN i % 3 >= 1 THEN
+               printf(chr(10) || 'def fn_%d(x):' || chr(10)
+                   || '    \"\"\"Shared helper %d.\"\"\"' || chr(10)
+                   || '    y = computeValue%d(x)' || chr(10)
+                   || '    return y + %d' || chr(10),
+                   (i*7+26) % 101, (i*7+26) % 101,
+                   ((i*7+26) % 101) % 7, (i*7+26) % 101)
+             ELSE '' END
+          || CASE WHEN i % 3 = 2 THEN
+               printf(chr(10) || 'def fn_%d(x):' || chr(10)
+                   || '    \"\"\"Shared helper %d.\"\"\"' || chr(10)
+                   || '    y = computeValue%d(x)' || chr(10)
+                   || '    return y + %d' || chr(10),
+                   (i*7+39) % 101, (i*7+39) % 101,
+                   ((i*7+39) % 101) % 7, (i*7+39) % 101)
+             ELSE '' END AS content
+      FROM range({STRUCT_CORPUS_N}) t(i))"""
+
+# closed-form per-function rows of the same corpus: one uniq block (5
+# lines) per file plus 1-3 shared blocks (4 lines) keyed by
+# b = (i*7 + j*13) %% 101 — the regenerated ground truth the extraction
+# oracles aggregate (the extraction LOGIC itself is pinned by the
+# byte-equality test + edge-case pytests)
+_STRUCT_FUNCS_CTE = f"""
+    struct_funcs AS (
+      SELECT printf('org%d/r%d', (i % 150) % 4, i % 150) AS repo,
+             printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i) AS path,
+             printf('main_%d', i) AS fn_name, 5 AS n_lines,
+             printf('def main_%d(ctx):', i) || chr(10)
+          || printf('    \"\"\"Entry point for job %d.\"\"\"', i) || chr(10)
+          || printf('    raw = parseHTTPResponse%d(ctx)', i % 9) || chr(10)
+          || '    cfg = loadConfigValue(raw)' || chr(10)
+          || printf('    return cfg + %d', i) AS fn_text
+      FROM range({STRUCT_CORPUS_N}) t(i)
+      UNION ALL
+      SELECT printf('org%d/r%d', (i % 150) % 4, i % 150),
+             printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i),
+             printf('fn_%d', (i*7 + j*13) % 101), 4,
+             printf('def fn_%d(x):', (i*7 + j*13) % 101) || chr(10)
+          || printf('    \"\"\"Shared helper %d.\"\"\"', (i*7 + j*13) % 101)
+          || chr(10)
+          || printf('    y = computeValue%d(x)', ((i*7 + j*13) % 101) % 7)
+          || chr(10)
+          || printf('    return y + %d', (i*7 + j*13) % 101)
+      FROM range({STRUCT_CORPUS_N}) t(i), unnest([1, 2, 3]) AS u(j)
+      WHERE j <= 1 + (i % 3))"""
+
+
+def _struct_corpus(spark: SparkSession) -> DataFrame:
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return structured_code_corpus(spark, STRUCT_CORPUS_N)
+
+
+def q_function_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Function-block extraction (the StarCoder dedup granularity): each
+    # file explodes into its top-level def blocks entirely JVM-side —
+    # sequence/filter/slice HOFs, one projection + one explode, zero
+    # shuffles, zero Python. The sha256 column value-verifies the exact
+    # extracted text against the oracle's closed-form regeneration.
+    from kgdata_spark.operators.code import extract_functions
+
+    return extract_functions(_struct_corpus(spark)).drop("fn_text")
+
+
+def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-repo duplicate functions: groupBy on the 64-char block hash
+    # (map-side partial agg; the shuffle carries one row per distinct
+    # function per task) with a deterministic keep-first representative
+    # via min(struct) — no window over the corpus.
+    from kgdata_spark.operators.code import function_dedup_report
+
+    return function_dedup_report(_struct_corpus(spark))
+
+
+def q_subtoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Identifier-subtoken vocabulary (camelCase/snake_case/acronym/digit
+    # boundaries): lexical scan -> boundary regexps -> double explode ->
+    # one groupBy. The oracle replays the identical regex pipeline in
+    # DuckDB — both engines see the same boundaries.
+    from kgdata_spark.operators.code import subtoken_vocab
+
+    return subtoken_vocab(_struct_corpus(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records only the FIRST
     # 50 registry entries. Round-4 rotation (VERDICT r3 §Next #2): the 45
@@ -4128,6 +4234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_metrics": q_code_metrics,
         "repo_license_audit": q_repo_license_audit,
         "secret_scan": q_secret_scan,
+        "function_index": q_function_index,
+        "function_dedup": q_function_dedup,
+        "subtoken_vocab": q_subtoken_vocab,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -5916,6 +6025,60 @@ def oracle_sql() -> dict[str, str]:
                    '\\b[0-9a-f]{{32}}\\b', '[REDACTED]', 'g'))
                    AS redacted_sha256
         FROM code_corpus
+    """
+    # function_index: aggregate the closed-form regenerated blocks; the
+    # sha256 over the exact text is the value check on extraction.
+    d["function_index"] = f"""
+        WITH {_STRUCT_FUNCS_CTE}
+        SELECT repo, path, fn_name, n_lines, sha256(fn_text) AS fn_sha256
+        FROM struct_funcs
+    """
+    # function_dedup: keep-first representative via row_number over
+    # (repo, path) — tuple-lexicographic, matching Spark's min(struct).
+    d["function_dedup"] = f"""
+        WITH {_STRUCT_FUNCS_CTE},
+        h AS (SELECT sha256(fn_text) AS fn_sha256, fn_name, repo, path
+              FROM struct_funcs),
+        a AS (SELECT fn_sha256, MIN(fn_name) AS fn_name,
+                     COUNT(*) AS n_copies,
+                     COUNT(DISTINCT repo) AS n_repos
+              FROM h GROUP BY fn_sha256),
+        k AS (SELECT fn_sha256, repo AS keeper_repo, path AS keeper_path,
+                     row_number() OVER (PARTITION BY fn_sha256
+                                        ORDER BY repo, path) AS rk
+              FROM h)
+        SELECT a.fn_sha256, a.fn_name, a.n_copies, a.n_repos,
+               k.keeper_repo, k.keeper_path
+        FROM a JOIN k ON a.fn_sha256 = k.fn_sha256 AND k.rk = 1
+        WHERE a.n_copies > 1
+    """
+    # subtoken_vocab: replay the identical lexical pipeline — identifier
+    # regex scan, reserved-word filter, the four boundary regexps (global),
+    # lowercase, [_ ]+ split, empty filter, group.
+    d["subtoken_vocab"] = f"""
+        WITH {_STRUCT_CTE},
+        ident AS (
+            SELECT repo || ':' || path AS file_id, unnest(
+                regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')
+            ) AS ident
+            FROM struct_corpus),
+        kept AS (
+            SELECT file_id, ident FROM ident
+            WHERE ident NOT IN
+                ('def', 'return', 'import', 'class', 'pass', 'self')),
+        sub AS (
+            SELECT file_id, unnest(string_split_regex(lower(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    ident,
+                    '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+                    '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                    '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+                    '([0-9])([A-Za-z])', '\\1 \\2', 'g')),
+                '[_ ]+')) AS subtoken
+            FROM kept)
+        SELECT subtoken, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT file_id) AS n_files
+        FROM sub WHERE subtoken <> '' GROUP BY subtoken
     """
     return d
 

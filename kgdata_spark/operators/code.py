@@ -143,6 +143,130 @@ def repo_licenses(files: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+# lexical subtoken boundaries, applied in order: acronym-end (HTTPResponse
+# -> HTTP Response), lower/digit-to-upper (parseHTTP -> parse HTTP), then
+# letter<->digit transitions. snake_case splits in the final [_ ]+ split.
+SUBTOKEN_BOUNDARIES: list[tuple[str, str]] = [
+    (r"([A-Z]+)([A-Z][a-z])", r"$1 $2"),
+    (r"([a-z0-9])([A-Z])", r"$1 $2"),
+    (r"([A-Za-z])([0-9])", r"$1 $2"),
+    (r"([0-9])([A-Za-z])", r"$1 $2"),
+]
+RESERVED_WORDS: tuple[str, ...] = ("def", "return", "import", "class", "pass", "self")
+
+
+def extract_functions(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Explode each file into its top-level function blocks, JVM-side.
+
+    A block runs from a ``^def `` line to the line before the next one
+    (or EOF), with trailing blank lines dropped so the same function text
+    hashes identically wherever it sits in a file. One projection + one
+    explode — no shuffle, no Python; at 100 TB this pipelines into
+    whatever aggregation follows.
+
+    Output: (repo, path, fn_name, n_lines, fn_text, fn_sha256).
+    """
+    ls = _lines(F.col(content_col))
+    n = F.size(ls)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: F.element_at(ls, p + F.lit(1)).rlike("^def "),
+    )
+
+    def block(start: Column, m: Column) -> Column:
+        end = F.when(
+            m < F.size(starts) - 1, F.element_at(starts, m + F.lit(2))
+        ).otherwise(n)
+        # last non-blank line inside [start, end) — trailing blanks are
+        # inter-function spacing, not function text
+        last_nb = F.array_max(
+            F.filter(
+                F.sequence(start, end - 1),
+                lambda p: F.trim(F.element_at(ls, p + F.lit(1))) != "",
+            )
+        )
+        return F.struct(
+            start.alias("start"), (last_nb - start + 1).alias("n_lines")
+        )
+
+    spans = F.transform(starts, block)
+    out = files.select(
+        "repo", "path", ls.alias("ls"), F.explode(spans).alias("sp")
+    ).select(
+        "repo",
+        "path",
+        F.array_join(
+            F.slice(F.col("ls"), F.col("sp.start") + 1, F.col("sp.n_lines")), "\n"
+        ).alias("fn_text"),
+        F.col("sp.n_lines").alias("n_lines"),
+    )
+    return out.select(
+        "repo",
+        "path",
+        F.regexp_extract(F.col("fn_text"), r"^def ([A-Za-z_][A-Za-z0-9_]*)", 1).alias(
+            "fn_name"
+        ),
+        "n_lines",
+        "fn_text",
+        F.sha2(F.col("fn_text"), 256).alias("fn_sha256"),
+    )
+
+
+def function_dedup_report(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cross-corpus duplicate functions at function granularity (the
+    StarCoder dedup unit): group extracted blocks by exact text hash and
+    report every block occurring more than once, with the keep-first
+    representative (lexicographic min (repo, path) — deterministic, no
+    window). One groupBy on the 64-char hash; map-side partial agg makes
+    the shuffle carry one row per distinct function per task.
+    """
+    fns = extract_functions(files, content_col)
+    agg = fns.groupBy("fn_sha256").agg(
+        F.min("fn_name").alias("fn_name"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("repo").alias("n_repos"),
+        F.min(F.struct("repo", "path")).alias("keeper"),
+    )
+    return agg.where(F.col("n_copies") > 1).select(
+        "fn_sha256",
+        "fn_name",
+        "n_copies",
+        "n_repos",
+        F.col("keeper.repo").alias("keeper_repo"),
+        F.col("keeper.path").alias("keeper_path"),
+    )
+
+
+def subtoken_vocab(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Identifier-subtoken vocabulary over the corpus (code-naturalness
+    stats): lexical identifier scan -> camelCase/snake_case/digit-boundary
+    split -> lowercase -> explode -> counts. The scan is deliberately
+    lexical (docstring prose words match too) — a parser-accurate variant
+    would be a per-language AST pass; this is the deterministic, zero-UDF
+    approximation every corpus-stats report starts from.
+
+    Output: (subtoken, n_occurrences, n_files). Two exchanges: the
+    distinct-file count expands then reduces; everything upstream is
+    projection + explode inside codegen.
+    """
+    idents = F.regexp_extract_all(F.col(content_col), F.lit(IDENT_RE), 0)
+    idents = F.filter(idents, lambda x: ~x.isin(*RESERVED_WORDS))
+    per_ident = files.select(
+        F.concat_ws(":", "repo", "path").alias("file_id"),
+        F.explode(idents).alias("ident"),
+    )
+    spaced = F.col("ident")
+    for pat, rep in SUBTOKEN_BOUNDARIES:
+        spaced = F.regexp_replace(spaced, pat, rep)
+    subs = F.filter(F.split(F.lower(spaced), "[_ ]+"), lambda x: x != "")
+    exploded = per_ident.select("file_id", F.explode(subs).alias("subtoken"))
+    return exploded.groupBy("subtoken").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("file_id").alias("n_files"),
+    )
+
+
 def scan_secrets(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Per-file secret counts + redacted content, one projection.
 

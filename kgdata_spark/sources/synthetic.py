@@ -206,3 +206,56 @@ def licensed_code_corpus(spark: SparkSession, n_files: int) -> DataFrame:
         F.lit("python").alias("lang"),
         content.alias("content"),
     )
+
+
+def structured_code_corpus(spark: SparkSession, n_files: int) -> DataFrame:
+    """Deterministic corpus of multi-function Python files for the
+    function-granularity operators (operators/code.py: extract_functions /
+    function_dedup_report / subtoken_vocab).
+
+    Each file has a module header, then 2-4 top-level functions:
+      * function 0 is unique to the file (body keyed by the row id) and
+        mixes camelCase / ALL-CAPS-acronym / snake_case identifiers so the
+        subtoken splitter has real boundaries to find;
+      * functions 1..3 are SHARED helpers whose full text is keyed by
+        b = (i*7 + j*13) % 101 — identical blocks recur across files and
+        repos, giving the function-level dedup report real duplicates
+        (the StarCoder-style dedup granularity).
+    150 repos via rep = i % 150. All closed-form in the row id so the
+    DuckDB oracles regenerate the exact same text.
+    """
+    df = spark.range(n_files).withColumnRenamed("id", "i")
+    i = F.col("i")
+    rep = i % 150
+
+    head = _fmt("# module %d\nimport helpers\n\n", i)
+    uniq = F.concat(
+        _fmt("def main_%d(ctx):\n", i),
+        _fmt('    """Entry point for job %d."""\n', i),
+        _fmt("    raw = parseHTTPResponse%d(ctx)\n", i % 9),
+        F.lit("    cfg = loadConfigValue(raw)\n"),
+        _fmt("    return cfg + %d\n", i),
+    )
+
+    def shared(j: int) -> Column:
+        b = (i * 7 + j * 13) % 101
+        return F.concat(
+            _fmt("\ndef fn_%d(x):\n", b),
+            _fmt('    """Shared helper %d."""\n', b),
+            _fmt("    y = computeValue%d(x)\n", b % 7),
+            _fmt("    return y + %d\n", b),
+        )
+
+    content = F.concat(
+        head,
+        uniq,
+        shared(1),
+        F.when(i % 3 >= 1, shared(2)).otherwise(F.lit("")),
+        F.when(i % 3 == 2, shared(3)).otherwise(F.lit("")),
+    )
+    return df.select(
+        _fmt("org%d/r%d", rep % 4, rep).alias("repo"),
+        _fmt("pkg/p%d/mod_%d.py", (i / 150).cast("long") % 5, i).alias("path"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )

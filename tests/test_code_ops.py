@@ -147,6 +147,115 @@ def test_corpus_matches_duckdb_bytes(spark):
         assert spark_rows[(repo, path)] == content
 
 
+def test_extract_functions_blocks(spark):
+    from kgdata_spark.operators.code import extract_functions
+
+    content = (
+        "# header\n"
+        "import x\n"
+        "\n"
+        "def alpha(a):\n"
+        "    return 1\n"
+        "\n"
+        "\n"
+        "def beta(b):\n"
+        "    def inner():\n"
+        "        pass\n"
+        "    return inner\n"
+    )
+    rows = sorted(
+        extract_functions(_corpus(spark, [("r", "p", content)])).collect(),
+        key=lambda r: r.fn_name,
+    )
+    # nested `def inner` is indented — not a top-level block
+    assert [r.fn_name for r in rows] == ["alpha", "beta"]
+    # trailing blank lines between functions are dropped from the block
+    assert rows[0].fn_text == "def alpha(a):\n    return 1"
+    assert rows[0].n_lines == 2
+    assert rows[1].fn_text == (
+        "def beta(b):\n    def inner():\n        pass\n    return inner"
+    )
+    assert rows[1].fn_sha256 == hashlib.sha256(rows[1].fn_text.encode()).hexdigest()
+
+
+def test_extract_functions_no_defs_and_trailing_blank_equivalence(spark):
+    from kgdata_spark.operators.code import extract_functions
+
+    assert extract_functions(_corpus(spark, [("r", "p", "just text\n")])).count() == 0
+    # same function text with and without trailing blanks hashes identically
+    a, b = "def f():\n    return 0", "def f():\n    return 0\n\n\n"
+    out = extract_functions(
+        _corpus(spark, [("r", "p1", a), ("r", "p2", b)])
+    ).collect()
+    assert len({r.fn_sha256 for r in out}) == 1
+
+
+def test_function_dedup_keeper_is_tuple_min(spark):
+    from kgdata_spark.operators.code import function_dedup_report
+
+    body = "def f():\n    return 0\n"
+    # tuple-lexicographic min: ('org0/r1', ...) beats ('org0/r10', ...)
+    # even though the concatenated strings would order the other way
+    rows = [("org0/r10", "a.py", body), ("org0/r1", "z.py", body)]
+    r = function_dedup_report(_corpus(spark, rows)).collect()[0]
+    assert (r.keeper_repo, r.keeper_path) == ("org0/r1", "z.py")
+    assert r.n_copies == 2 and r.n_repos == 2
+
+
+def test_subtoken_splitting(spark):
+    from kgdata_spark.operators.code import subtoken_vocab
+
+    content = "parseHTTPResponse XMLHttpRequest2 _private_var snake_case_id def self"
+    out = {
+        r.subtoken: r.n_occurrences
+        for r in subtoken_vocab(_corpus(spark, [("r", "p", content)])).collect()
+    }
+    assert out == {
+        "parse": 1, "http": 2, "response": 1,
+        "xml": 1, "request": 1, "2": 1,
+        "private": 1, "var": 1,
+        "snake": 1, "case": 1, "id": 1,
+    }
+
+
+def test_struct_corpus_matches_duckdb_bytes(spark):
+    """_STRUCT_CTE and _STRUCT_FUNCS_CTE regenerate structured_code_corpus
+    byte-for-byte — the invariant the function-ops oracles rest on."""
+    import duckdb
+
+    import __spark_entry__ as mod
+    from kgdata_spark.operators.code import extract_functions
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    n = 450  # 3 repos' worth of k variation
+    corpus = structured_code_corpus(spark, n)
+    spark_rows = {(r.repo, r.path): r.content for r in corpus.collect()}
+    cte = mod._STRUCT_CTE.replace(f"range({mod.STRUCT_CORPUS_N})", f"range({n})")
+    duck = duckdb.sql(
+        f"WITH {cte} SELECT repo, path, content FROM struct_corpus"
+    ).fetchall()
+    assert len(duck) == n == len(spark_rows)
+    for repo, path, content in duck:
+        assert spark_rows[(repo, path)] == content
+
+    # and the closed-form per-function rows equal the real extraction
+    fcte = mod._STRUCT_FUNCS_CTE.replace(
+        f"range({mod.STRUCT_CORPUS_N})", f"range({n})"
+    )
+    duck_fns = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"WITH {fcte} SELECT repo, path, fn_name, n_lines, fn_text "
+            f"FROM struct_funcs"
+        ).fetchall()
+    }
+    spark_fns = {
+        (r.repo, r.path, r.fn_name, r.n_lines, r.fn_text)
+        for r in extract_functions(corpus).collect()
+    }
+    assert spark_fns == duck_fns
+
+
 def test_code_ops_plans_shuffle_free(spark):
     """code_metrics and scan_secrets are pure projections: no Exchange in
     the optimized plan; repo_licenses has exactly one."""

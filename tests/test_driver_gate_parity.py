@@ -164,6 +164,9 @@ DOCUMENTED_OVERFLOW = {
     "code_metrics",
     "repo_license_audit",
     "secret_scan",
+    "function_index",
+    "function_dedup",
+    "subtoken_vocab",
 }
 
 # Environment-gated queries: registered only where the environment

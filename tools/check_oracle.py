@@ -57,10 +57,14 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
-    if emit is not None and only is not None:
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
+    if emit is not None and only is not None and not merge:
         raise SystemExit(
             "--emit writes the FULL-REGISTRY artifact; combining it with "
-            "--only would clobber committed evidence with a partial file"
+            "--only would clobber committed evidence with a partial file "
+            "(pass --merge to update just those rows in the existing file)"
         )
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as mod
@@ -130,6 +134,11 @@ def main() -> int:
             failures.append(name)
     if emit is not None:
         out = os.path.join(REPO, f"CORRECTNESS_local_r{emit.zfill(2)}.json")
+        if merge and os.path.exists(out):
+            with open(out) as f:
+                prior = json.load(f)
+            prior.update(report)
+            report = prior
         with open(out, "w") as f:
             json.dump(report, f, indent=1)
         print(f"wrote {out} ({len(report)} rows)")
