@@ -3937,7 +3937,8 @@ STRUCT_CORPUS_N = 3000
 
 # DuckDB replication of sources/synthetic.py::structured_code_corpus —
 # byte-identical content (sha-verified in tests/test_code_ops.py).
-_STRUCT_CTE = f"""
+def _struct_cte(n: int) -> str:
+    return f"""
     struct_corpus AS (
       SELECT printf('org%d/r%d', (i % 150) % 4, i % 150) AS repo,
              printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i) AS path,
@@ -3970,7 +3971,10 @@ _STRUCT_CTE = f"""
                    (i*7+39) % 101, (i*7+39) % 101,
                    ((i*7+39) % 101) % 7, (i*7+39) % 101)
              ELSE '' END AS content
-      FROM range({STRUCT_CORPUS_N}) t(i))"""
+      FROM range({n}) t(i))"""
+
+
+_STRUCT_CTE = _struct_cte(STRUCT_CORPUS_N)
 
 # closed-form per-function rows of the same corpus: one uniq block (5
 # lines) per file plus 1-3 shared blocks (4 lines) keyed by
@@ -4027,6 +4031,43 @@ def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.code import function_dedup_report
 
     return function_dedup_report(_struct_corpus(spark))
+
+
+CLONE_CORPUS_N = 600
+CLONE_K, CLONE_W = 8, 4
+
+
+def q_code_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
+    # rolling hashes + rightmost-min window selection, all HOFs — one
+    # projection + explode, zero shuffles, zero Python. The oracle
+    # derives the same fingerprints through a COMPLETELY DIFFERENT
+    # formulation (per-gram rows + SQL window min + rightmost-tie join),
+    # so a hash match here is two independent implementations agreeing.
+    from kgdata_spark.operators.clones import winnow_fingerprints
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return winnow_fingerprints(
+        structured_code_corpus(spark, CLONE_CORPUS_N), k=CLONE_K, w=CLONE_W
+    )
+
+
+def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Clone-suspect pairs by fingerprint-set Jaccard. The
+    # max_files_per_hash valve drops boilerplate hashes (the shared
+    # 'import helpers' header selects identical grams in every file)
+    # before the self-join — the same fan-out bound as LSH max_bucket.
+    from kgdata_spark.operators.clones import clone_pairs
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return clone_pairs(
+        structured_code_corpus(spark, CLONE_CORPUS_N),
+        k=CLONE_K,
+        w=CLONE_W,
+        max_files_per_hash=32,
+        min_shared=5,
+        min_jaccard=0.2,
+    )
 
 
 def q_subtoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4237,6 +4278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_index": q_function_index,
         "function_dedup": q_function_dedup,
         "subtoken_vocab": q_subtoken_vocab,
+        "code_fingerprints": q_code_fingerprints,
+        "code_clone_pairs": q_code_clone_pairs,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -6051,6 +6094,73 @@ def oracle_sql() -> dict[str, str]:
                k.keeper_repo, k.keeper_path
         FROM a JOIN k ON a.fn_sha256 = k.fn_sha256 AND k.rk = 1
         WHERE a.n_copies > 1
+    """
+    # Winnowing replayed through an INDEPENDENT formulation: per-gram
+    # rows + SQL window min over the next w-1 grams + rightmost-tie via
+    # MAX(p) join — versus Spark's array-HOF fold. Same k-gram polynomial
+    # hash (mod 1e9+7: both engines do exact 64-bit int arithmetic).
+    winnow_ctes = f"""
+        {_struct_cte(CLONE_CORPUS_N)},
+        norm AS (
+            SELECT repo, path,
+                   lower(regexp_replace(content, '\\s+', '', 'g')) AS t
+            FROM struct_corpus),
+        codes AS (
+            SELECT repo, path, length(t) AS L,
+                   list_transform(string_split(t, ''), c -> ascii(c)) AS cs
+            FROM norm WHERE length(t) >= {CLONE_K}),
+        grams AS (
+            SELECT repo, path,
+                   list_transform(generate_series(1, L - {CLONE_K} + 1),
+                       p -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                             cs[p:p+{CLONE_K - 1}]),
+                                (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+            FROM codes),
+        g AS (SELECT repo, path, unnest(hs) AS h,
+                     generate_subscripts(hs, 1) AS p
+              FROM grams),
+        wm AS (SELECT repo, path, p, h,
+                      min(h) OVER (PARTITION BY repo, path ORDER BY p
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND {CLONE_W - 1} FOLLOWING) AS mh,
+                      count(*) OVER (PARTITION BY repo, path) AS n
+               FROM g),
+        st AS (SELECT repo, path, p AS s, mh FROM wm
+               WHERE p <= n - {CLONE_W} + 1),
+        sel AS (SELECT st.repo, st.path, st.mh AS fp_hash, MAX(g.p) AS pos
+                FROM st JOIN g ON g.repo = st.repo AND g.path = st.path
+                     AND g.p BETWEEN st.s AND st.s + {CLONE_W - 1}
+                     AND g.h = st.mh
+                GROUP BY st.repo, st.path, st.s, st.mh),
+        fp AS (SELECT DISTINCT repo, path, fp_hash, pos FROM sel)"""
+    d["code_fingerprints"] = f"""
+        WITH {winnow_ctes}
+        SELECT repo, path, fp_hash, CAST(pos AS INT) AS pos FROM fp
+    """
+    d["code_clone_pairs"] = f"""
+        WITH {winnow_ctes},
+        fph AS (SELECT DISTINCT repo, path, fp_hash FROM fp),
+        hub AS (SELECT fp_hash FROM fph GROUP BY fp_hash
+                HAVING COUNT(*) <= 32),
+        kept AS (SELECT fph.* FROM fph JOIN hub USING (fp_hash)),
+        sz AS (SELECT repo, path, COUNT(*) AS n_fp FROM kept
+               GROUP BY repo, path),
+        pr AS (SELECT a.repo AS repo_a, a.path AS path_a,
+                      b.repo AS repo_b, b.path AS path_b,
+                      COUNT(*) AS n_shared
+               FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash
+                    AND (a.repo, a.path) < (b.repo, b.path)
+               GROUP BY 1, 2, 3, 4)
+        SELECT pr.repo_a, pr.path_a, pr.repo_b, pr.path_b, pr.n_shared,
+               CAST(pr.n_shared AS DOUBLE)
+                   / (sa.n_fp + sb.n_fp - pr.n_shared) AS jaccard
+        FROM pr
+        JOIN sz sa ON sa.repo = pr.repo_a AND sa.path = pr.path_a
+        JOIN sz sb ON sb.repo = pr.repo_b AND sb.path = pr.path_b
+        WHERE pr.n_shared >= 5
+          AND CAST(pr.n_shared AS DOUBLE)
+                  / (sa.n_fp + sb.n_fp - pr.n_shared) >= 0.2
     """
     # subtoken_vocab: replay the identical lexical pipeline — identifier
     # regex scan, reserved-word filter, the four boundary regexps (global),

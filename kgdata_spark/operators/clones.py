@@ -1,0 +1,179 @@
+"""Winnowing fingerprints (MOSS) for code clone detection.
+
+Implements the document-fingerprinting scheme of Schleimer, Wilkerson &
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting"
+(SIGMOD 2003) — the algorithm behind MOSS — as pure Catalyst HOFs:
+
+  1. normalize: lowercase + strip ALL whitespace (so reformatting a file
+     never changes its fingerprints);
+  2. k-gram rolling hashes at every position (polynomial hash mod
+     1_000_000_007 — small enough that ``acc*31 + code`` never overflows
+     a 64-bit long, and bit-replayable in any engine);
+  3. winnowing: over every window of ``w`` consecutive gram hashes select
+     the minimum, ties broken by the RIGHTMOST position (the paper's
+     robust-winnowing rule), then dedupe identical (hash, pos) selections
+     from adjacent windows.
+
+The guarantee: any shared substring of length >= k + w - 1 between two
+documents produces at least one shared fingerprint, while the expected
+density of selected grams is only 2/(w+1).
+
+Scale notes
+-----------
+* ``winnow_fingerprints`` is a single projection + explode: O(L*(k+w))
+  codegen'd expression work per file, zero shuffles, zero Python. At
+  100 TB it pipelines into the downstream aggregation; the constant
+  factor (slice + fold per position) is the price of staying JVM-side —
+  the alternative (an Arrow UDF with a true O(L) rolling hash) trades a
+  Python crossing for the factor of k, worth it only when k is large.
+* ``clone_pairs`` self-joins files on fingerprint hash. The
+  ``max_files_per_hash`` valve drops boilerplate hashes (shared by more
+  files than the cap) BEFORE the join, bounding fan-out exactly like the
+  LSH ``max_bucket`` valve in operators/dedup.py — without it one
+  ubiquitous header line creates a quadratic bucket. At extreme scale
+  the raw pair join gives way to banding the fingerprint sets through
+  MinHash-LSH (dedup.py) — winnowing then serves as the shingle step.
+
+No reference analog: kgdata fingerprints nothing; this is the standard
+public algorithm for source-plagiarism / clone detection applied to the
+north rule's code-corpus domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.hof import let
+
+MOD = 1_000_000_007
+_EMPTY = "array<struct<fp_hash:bigint,pos:int>>"
+
+
+def _fingerprint_array(content: Column, k: int, w: int) -> Column:
+    """array<struct<fp_hash:long, pos:int>> of winnowed fingerprints.
+
+    ``pos`` is the 1-based gram position in the normalized text. The
+    char-code and gram-hash arrays are ``let``-bound (PERF.md §28-29:
+    a captured expression tree re-evaluates per lambda element — without
+    the bindings this is O(L² · k) per file instead of O(L · (k + w))).
+    """
+    norm = F.lower(F.regexp_replace(content, r"\s+", ""))
+
+    def fps_from(cs: Column) -> Column:
+        n_grams = F.size(cs) - k + 1
+        hs_expr = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda p: F.aggregate(
+                F.slice(cs, p, k),
+                F.lit(0).cast("long"),
+                lambda a, c: (a * 31 + c) % MOD,
+            ),
+        )
+
+        def winnow(hs: Column) -> Column:
+            def sel(st: Column) -> Column:
+                m = F.array_min(F.slice(hs, st, w))
+                # rightmost position of the window minimum: the fold
+                # keeps the LAST matching offset
+                pos = F.aggregate(
+                    F.sequence(F.lit(1), F.lit(w)),
+                    F.lit(0),
+                    lambda acc, t: F.when(
+                        F.element_at(hs, (st + t - 1).cast("int")) == m,
+                        st + t - 1,
+                    ).otherwise(acc),
+                )
+                return F.struct(m.alias("fp_hash"), pos.cast("int").alias("pos"))
+
+            return F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(hs) - w + 1), sel)
+            )
+
+        # files shorter than k + w - 1 normalized chars have no full window
+        return F.when(n_grams >= w, let(hs_expr, winnow)).otherwise(
+            F.array().cast(_EMPTY)
+        )
+
+    return let(F.transform(F.split(norm, ""), lambda c: F.ascii(c)), fps_from)
+
+
+def winnow_fingerprints(
+    files: DataFrame, k: int = 8, w: int = 4, content_col: str = "content"
+) -> DataFrame:
+    """Per-file winnowed fingerprints: (repo, path, fp_hash, pos)."""
+    fps = _fingerprint_array(F.col(content_col), k, w)
+    return files.select("repo", "path", F.explode(fps).alias("fp")).select(
+        "repo", "path", F.col("fp.fp_hash").alias("fp_hash"), F.col("fp.pos").alias("pos")
+    )
+
+
+def clone_pairs(
+    files: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_files_per_hash: int = 32,
+    min_shared: int = 5,
+    min_jaccard: float = 0.2,
+    content_col: str = "content",
+) -> DataFrame:
+    """Clone-suspect file pairs by fingerprint-set overlap.
+
+    Set semantics: each file's fingerprint HASH set (positions dropped —
+    a clone shares content, not layout), hub hashes appearing in more
+    than ``max_files_per_hash`` files removed before pairing (valve; see
+    module docstring). Jaccard is one int/int division over post-valve
+    set sizes. Pairs are ordered (repo_a, path_a) < (repo_b, path_b).
+    """
+    from pyspark.sql.window import Window
+
+    # per-file hash SET built map-side (array_distinct over the
+    # fingerprint array) — no corpus-wide distinct shuffle; one exploded
+    # row per (file, hash)
+    hset = let(
+        _fingerprint_array(F.col(content_col), k, w),
+        lambda a: F.array_distinct(F.transform(a, lambda f: f["fp_hash"])),
+    )
+    fph = files.select("repo", "path", F.explode(hset).alias("fp_hash"))
+    # valve count (files per hash), then post-valve set size (hashes per
+    # file) — two window passes over ONE derivation of the fingerprints,
+    # so the self-join below is the only place the relation is re-read
+    kept = (
+        fph.withColumn("nf", F.count("*").over(Window.partitionBy("fp_hash")))
+        .where(F.col("nf") <= max_files_per_hash)
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("repo", "path")))
+        .drop("nf")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pair_lt = (F.col("a.repo") < F.col("b.repo")) | (
+        (F.col("a.repo") == F.col("b.repo")) & (F.col("a.path") < F.col("b.path"))
+    )
+    shared = (
+        a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash")) & pair_lt)
+        .groupBy(
+            F.col("a.repo").alias("repo_a"),
+            F.col("a.path").alias("path_a"),
+            F.col("b.repo").alias("repo_b"),
+            F.col("b.path").alias("path_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("a.n_fp").alias("n_a"),  # constant within the group
+            F.first("b.n_fp").alias("n_b"),
+        )
+    )
+    out = shared.select(
+        "repo_a",
+        "path_a",
+        "repo_b",
+        "path_b",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        ).alias("jaccard"),
+    )
+    return out.where(
+        (F.col("n_shared") >= min_shared) & (F.col("jaccard") >= min_jaccard)
+    )

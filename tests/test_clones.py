@@ -1,0 +1,124 @@
+"""Winnowing fingerprints (operators/clones.py) vs a direct pure-Python
+implementation of Schleimer et al. 2003, plus the paper's guarantee and
+the clone-pair valve semantics."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgdata_spark.operators.clones import MOD
+
+
+def py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Reference winnowing: (hash, 1-based gram pos) fingerprint set."""
+    t = re.sub(r"\s+", "", text).lower()
+    if len(t) < k + w - 1:
+        return set()
+    hs = []
+    for p in range(len(t) - k + 1):
+        h = 0
+        for ch in t[p : p + k]:
+            h = (h * 31 + ord(ch)) % MOD
+        hs.append(h)
+    out: set[tuple[int, int]] = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        # rightmost minimal hash
+        pos = max(i for i, h in enumerate(window) if h == m)
+        out.add((m, s + pos + 1))
+    return out
+
+
+def _fps(spark, rows, k=4, w=3):
+    from kgdata_spark.operators.clones import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        out.setdefault((r.repo, r.path), set()).add((r.fp_hash, r.pos))
+    return out
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        "abcabcxyzabc",
+        "def foo():\n    return bar(baz)\n",
+        "aaaaaaaaaaaa",  # all ties — exercises rightmost-tie selection
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    rows = [("r", f"p{i}", t) for i, t in enumerate(texts)]
+    got = _fps(spark, rows)
+    for i, t in enumerate(texts):
+        assert got.get(("r", f"p{i}"), set()) == py_winnow(t, 4, 3), t
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="abcdef ()\n", min_size=0, max_size=60))
+def test_matches_python_reference_fuzz(spark, s):
+    got = _fps(spark, [("r", "p", s)])
+    assert got.get(("r", "p"), set()) == py_winnow(s, 4, 3)
+
+
+def test_whitespace_and_case_invariance(spark):
+    a = "def foo():\n    return bar(baz)\n"
+    b = "DEF FOO():RETURN BAR(BAZ)"  # reformatted + re-cased
+    got = _fps(spark, [("r", "a", a), ("r", "b", b)])
+    assert got[("r", "a")] == got[("r", "b")]
+
+
+def test_short_strings_have_no_fingerprints(spark):
+    # < k + w - 1 normalized chars -> no full window -> empty set
+    got = _fps(spark, [("r", "a", "abcde"), ("r", "b", ""), ("r", "c", "  \n ")])
+    assert got == {}
+
+
+def test_shared_substring_guarantee(spark):
+    # the paper's guarantee: a shared substring of length >= k + w - 1
+    # yields at least one shared fingerprint hash
+    core = "zqxjkwvzyp"  # 10 >= 4 + 3 - 1
+    a, b = f"aaa{core}bbb", f"ccccc{core}ddd"
+    got = _fps(spark, [("r", "a", a), ("r", "b", b)])
+    ha = {h for h, _ in got[("r", "a")]}
+    hb = {h for h, _ in got[("r", "b")]}
+    assert ha & hb
+
+
+def test_clone_pairs_valve_and_threshold(spark):
+    from kgdata_spark.operators.clones import clone_pairs
+
+    shared = "def process(data):\n    return transform(data) + finalize(data)\n"
+    rows = [
+        ("r1", "a.py", shared + "# uniq one\n"),
+        ("r2", "b.py", shared + "# uniq two\n"),
+        ("r3", "c.py", "completely different content with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = clone_pairs(df, k=4, w=3, max_files_per_hash=32, min_shared=3,
+                      min_jaccard=0.3).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p.repo_a, p.repo_b) == ("r1", "r2")
+    assert p.jaccard > 0.5
+
+    # valve: a hash shared by more files than the cap never forms pairs
+    many = [(f"r{i}", "x.py", shared) for i in range(6)]
+    df2 = spark.createDataFrame(many, "repo string, path string, content string")
+    assert (
+        clone_pairs(df2, k=4, w=3, max_files_per_hash=5, min_shared=1,
+                    min_jaccard=0.0).count() == 0
+    )
+
+
+def test_clone_plans(spark):
+    from kgdata_spark.operators.clones import winnow_fingerprints
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    df = winnow_fingerprints(structured_code_corpus(spark, 100))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan
