@@ -4070,6 +4070,47 @@ def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Clone CLASSES: connected components over the winnowing clone-pair
+    # graph (hybrid CC: driver union-find on tiny edge sets, distributed
+    # pointer-doubling otherwise). The oracle resolves the SAME pair
+    # graph with a recursive CTE (transitive min-reachability) — a
+    # genuinely independent CC formulation.
+    from kgdata_spark.operators.clones import clone_groups
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return clone_groups(
+        structured_code_corpus(spark, CLONE_CORPUS_N),
+        k=CLONE_K,
+        w=CLONE_W,
+        max_files_per_hash=32,
+        min_shared=5,
+        min_jaccard=0.2,
+    )
+
+
+def q_type2_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-2 (identifier/literal-renamed) clone classes at function
+    # granularity (Roy & Cordy taxonomy): normalize each extracted block
+    # with the shared T2_PROGRAM regex pipeline, group by the normalized
+    # hash. n_distinct_exact > 1 marks shapes exact dedup cannot
+    # collapse. The oracle's normalizer is GENERATED from the same
+    # program list, so both engines run one regex program.
+    from kgdata_spark.operators.code import type2_clone_classes
+
+    return type2_clone_classes(_struct_corpus(spark))
+
+
+def q_repo_fn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Repo-pair similarity over function-hash profiles (DejaVu-style
+    # fork / vendored-copy detection): distinct (repo, fn_sha256) sets,
+    # hub hashes valved at 64 repos before the self-join, Jaccard over
+    # post-valve profile sizes.
+    from kgdata_spark.operators.code import repo_fn_overlap
+
+    return repo_fn_overlap(_struct_corpus(spark), max_repos_per_fn=64, min_shared=2)
+
+
 def q_subtoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Identifier-subtoken vocabulary (camelCase/snake_case/acronym/digit
     # boundaries): lexical scan -> boundary regexps -> double explode ->
@@ -4280,6 +4321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtoken_vocab": q_subtoken_vocab,
         "code_fingerprints": q_code_fingerprints,
         "code_clone_pairs": q_code_clone_pairs,
+        "clone_groups": q_clone_groups,
+        "type2_clones": q_type2_clones,
+        "repo_fn_overlap": q_repo_fn_overlap,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -6095,6 +6139,47 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN k ON a.fn_sha256 = k.fn_sha256 AND k.rk = 1
         WHERE a.n_copies > 1
     """
+    # type2_clones: the normalizer is GENERATED from the operator's own
+    # T2_PROGRAM (pattern, replacement) list — one regex program, two
+    # engines, drift impossible by construction.
+    from kgdata_spark.operators.code import T2_PROGRAM as _t2prog
+
+    t2_expr = "fn_text"
+    for _pat, _repl in _t2prog:
+        _p = _pat.replace("'", "''")
+        t2_expr = f"regexp_replace({t2_expr}, '{_p}', '{_repl}', 'g')"
+    d["type2_clones"] = f"""
+        WITH {_STRUCT_FUNCS_CTE},
+        t2 AS (SELECT repo, fn_name, sha256(fn_text) AS fn_sha256,
+                      sha256({t2_expr}) AS t2_sha256
+               FROM struct_funcs)
+        SELECT t2_sha256, COUNT(*) AS n_instances,
+               COUNT(DISTINCT fn_sha256) AS n_distinct_exact,
+               COUNT(DISTINCT repo) AS n_repos,
+               MIN(fn_name) AS fn_name_min
+        FROM t2 GROUP BY t2_sha256 HAVING COUNT(*) > 1
+    """
+    # repo_fn_overlap: DejaVu repo profiles — distinct function hashes
+    # per repo, 64-repo hub valve, pairwise shared-count + Jaccard.
+    d["repo_fn_overlap"] = f"""
+        WITH {_STRUCT_FUNCS_CTE},
+        prof AS (SELECT DISTINCT repo, sha256(fn_text) AS h
+                 FROM struct_funcs),
+        ok AS (SELECT h FROM prof GROUP BY h HAVING COUNT(*) <= 64),
+        kept AS (SELECT prof.* FROM prof JOIN ok USING (h)),
+        sz AS (SELECT repo, COUNT(*) AS n_fns FROM kept GROUP BY repo),
+        pr AS (SELECT a.repo AS repo_a, b.repo AS repo_b,
+                      COUNT(*) AS n_shared_fns
+               FROM kept a JOIN kept b ON a.h = b.h AND a.repo < b.repo
+               GROUP BY 1, 2)
+        SELECT pr.repo_a, pr.repo_b, pr.n_shared_fns,
+               CAST(pr.n_shared_fns AS DOUBLE)
+                   / (sa.n_fns + sb.n_fns - pr.n_shared_fns) AS jaccard
+        FROM pr
+        JOIN sz sa ON sa.repo = pr.repo_a
+        JOIN sz sb ON sb.repo = pr.repo_b
+        WHERE pr.n_shared_fns >= 2
+    """
     # Winnowing replayed through an INDEPENDENT formulation: per-gram
     # rows + SQL window min over the next w-1 grams + rightmost-tie via
     # MAX(p) join — versus Spark's array-HOF fold. Same k-gram polynomial
@@ -6138,8 +6223,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {winnow_ctes}
         SELECT repo, path, fp_hash, CAST(pos AS INT) AS pos FROM fp
     """
-    d["code_clone_pairs"] = f"""
-        WITH {winnow_ctes},
+    pair_ctes = f"""{winnow_ctes},
         fph AS (SELECT DISTINCT repo, path, fp_hash FROM fp),
         hub AS (SELECT fp_hash FROM fph GROUP BY fp_hash
                 HAVING COUNT(*) <= 32),
@@ -6151,16 +6235,42 @@ def oracle_sql() -> dict[str, str]:
                       COUNT(*) AS n_shared
                FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash
                     AND (a.repo, a.path) < (b.repo, b.path)
-               GROUP BY 1, 2, 3, 4)
-        SELECT pr.repo_a, pr.path_a, pr.repo_b, pr.path_b, pr.n_shared,
-               CAST(pr.n_shared AS DOUBLE)
-                   / (sa.n_fp + sb.n_fp - pr.n_shared) AS jaccard
-        FROM pr
-        JOIN sz sa ON sa.repo = pr.repo_a AND sa.path = pr.path_a
-        JOIN sz sb ON sb.repo = pr.repo_b AND sb.path = pr.path_b
-        WHERE pr.n_shared >= 5
-          AND CAST(pr.n_shared AS DOUBLE)
-                  / (sa.n_fp + sb.n_fp - pr.n_shared) >= 0.2
+               GROUP BY 1, 2, 3, 4),
+        pairs AS (
+            SELECT pr.repo_a, pr.path_a, pr.repo_b, pr.path_b, pr.n_shared,
+                   CAST(pr.n_shared AS DOUBLE)
+                       / (sa.n_fp + sb.n_fp - pr.n_shared) AS jaccard
+            FROM pr
+            JOIN sz sa ON sa.repo = pr.repo_a AND sa.path = pr.path_a
+            JOIN sz sb ON sb.repo = pr.repo_b AND sb.path = pr.path_b
+            WHERE pr.n_shared >= 5
+              AND CAST(pr.n_shared AS DOUBLE)
+                      / (sa.n_fp + sb.n_fp - pr.n_shared) >= 0.2)"""
+    d["code_clone_pairs"] = f"""
+        WITH {pair_ctes}
+        SELECT repo_a, path_a, repo_b, path_b, n_shared, jaccard FROM pairs
+    """
+    # clone_groups: the SAME pair graph resolved by transitive
+    # min-reachability with a recursive CTE (UNION dedups the frontier)
+    # — an independent CC formulation vs Spark's union-find /
+    # pointer-doubling. component = lexicographic min member.
+    d["clone_groups"] = f"""
+        WITH RECURSIVE {pair_ctes},
+        und AS (SELECT repo_a || '|' || path_a AS src,
+                       repo_b || '|' || path_b AS dst FROM pairs
+                UNION ALL
+                SELECT repo_b || '|' || path_b, repo_a || '|' || path_a
+                FROM pairs),
+        reach(node, r) AS (
+            SELECT DISTINCT src, src FROM und
+            UNION
+            SELECT u.dst, reach.r
+            FROM reach JOIN und u ON u.src = reach.node),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        sizes AS (SELECT component, COUNT(*) AS n_members
+                  FROM comp GROUP BY component)
+        SELECT comp.node, comp.component, sizes.n_members
+        FROM comp JOIN sizes USING (component)
     """
     # subtoken_vocab: replay the identical lexical pipeline — identifier
     # regex scan, reserved-word filter, the four boundary regexps (global),

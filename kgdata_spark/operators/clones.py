@@ -108,6 +108,45 @@ def winnow_fingerprints(
     )
 
 
+def clone_groups(
+    files: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_files_per_hash: int = 32,
+    min_shared: int = 5,
+    min_jaccard: float = 0.2,
+    content_col: str = "content",
+) -> DataFrame:
+    """Clone CLASSES: connected components over the clone-pair graph.
+
+    MOSS reports pairs; corpus curation needs the transitive classes
+    (drop all but one member per class, or audit license flow through a
+    class). Each suspect pair is an undirected edge between file nodes
+    ``repo|path``; components resolve via the hybrid CC operator
+    (driver union-find when the edge set is tiny, distributed
+    pointer-doubling otherwise — O(log d) rounds at 100 TB). Output:
+    (node, component, n_members), component = lexicographic min member.
+    """
+    from kgdata_spark.operators.fixpoint import connected_components_auto
+
+    pairs = clone_pairs(
+        files,
+        k=k,
+        w=w,
+        max_files_per_hash=max_files_per_hash,
+        min_shared=min_shared,
+        min_jaccard=min_jaccard,
+        content_col=content_col,
+    )
+    edges = pairs.select(
+        F.concat_ws("|", "repo_a", "path_a").alias("src"),
+        F.concat_ws("|", "repo_b", "path_b").alias("dst"),
+    )
+    comp = connected_components_auto(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, "component").select("node", "component", "n_members")
+
+
 def clone_pairs(
     files: DataFrame,
     k: int = 8,

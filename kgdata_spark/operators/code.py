@@ -293,3 +293,125 @@ def scan_secrets(files: DataFrame, content_col: str = "content") -> DataFrame:
         (total > 0).alias("has_secret"),
         F.sha2(redacted, 256).alias("redacted_sha256"),
     )
+
+
+# Type-2 (parameterized) clone normalization: a shared (pattern,
+# replacement) program applied IN ORDER — string literals collapse first
+# (so identifiers inside strings never leak), keywords are protected,
+# remaining identifiers become ~V~, bare number literals ~N~, and
+# horizontal whitespace runs a single space. No lookaheads anywhere:
+# both Java regex (Spark) and RE2 (DuckDB) replay the exact same
+# program, and the DuckDB oracle is GENERATED from this list, so the two
+# engines cannot drift. Sentinels written BEFORE the identifier/number
+# passes contain no letter, digit, underscore, quote, `$`, or `\` —
+# nothing a later pattern can re-match, and nothing either engine's
+# replacement syntax treats specially (keyword n = n+1 bangs, so the
+# seventeen keywords stay pairwise distinct after normalization).
+T2_KEYWORDS: tuple[str, ...] = (
+    "def", "return", "import", "class", "if", "elif", "else", "for",
+    "while", "lambda", "in", "not", "and", "or", "None", "True", "False",
+)
+T2_PROGRAM: list[tuple[str, str]] = (
+    [(r"'[^']*'", "~:~"), (r'"[^"]*"', "~:~")]
+    + [(rf"\b{k}\b", "~" + "!" * (n + 1) + "~") for n, k in enumerate(T2_KEYWORDS)]
+    + [
+        (r"[A-Za-z_][A-Za-z0-9_]*", "~V~"),
+        (r"\b[0-9]+(\.[0-9]+)?\b", "~N~"),
+        (r"[ \t]+", " "),
+    ]
+)
+
+
+def normalize_type2(content: Column) -> Column:
+    """Apply the T2 normalization program (one codegen'd projection)."""
+    out = content
+    for pat, repl in T2_PROGRAM:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def type2_clone_classes(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Type-2 clone classes at FUNCTION granularity.
+
+    Type-1 clones are textually identical; type-2 clones differ only in
+    identifiers / literals (Roy & Cordy's clone taxonomy; the SourcererCC
+    / NiCad granularity). Each extracted function block is normalized by
+    ``T2_PROGRAM`` and classes are exact groups of the normalized hash —
+    one groupBy over 64-char digests, map-side combined, so the shuffle
+    carries one row per distinct shape per task regardless of how viral a
+    boilerplate shape is (counts only; members are never re-joined).
+
+    Output per class with >1 instance:
+      (t2_sha256, n_instances, n_distinct_exact, n_repos, fn_name_min)
+    ``n_distinct_exact > 1`` marks PARAMETERIZED clones — shapes that
+    exact dedup (function_dedup_report) cannot collapse.
+    """
+    fns = extract_functions(files, content_col)
+    t2 = fns.select(
+        "repo",
+        "fn_name",
+        "fn_sha256",
+        F.sha2(normalize_type2(F.col("fn_text")), 256).alias("t2_sha256"),
+    )
+    agg = t2.groupBy("t2_sha256").agg(
+        F.count("*").alias("n_instances"),
+        F.countDistinct("fn_sha256").alias("n_distinct_exact"),
+        F.countDistinct("repo").alias("n_repos"),
+        F.min("fn_name").alias("fn_name_min"),
+    )
+    return agg.where(F.col("n_instances") > 1)
+
+
+def repo_fn_overlap(
+    files: DataFrame,
+    max_repos_per_fn: int = 64,
+    min_shared: int = 2,
+    content_col: str = "content",
+) -> DataFrame:
+    """Repo-pair similarity over function-hash profiles (fork /
+    vendored-copy detection — the DejaVu analysis of Lopes et al.,
+    OOPSLA 2017, at repo granularity).
+
+    Each repo is the SET of its distinct function sha256s; repo pairs
+    sharing >= ``min_shared`` hashes are reported with the Jaccard of
+    their post-valve profiles. Hashes present in more than
+    ``max_repos_per_fn`` repos are ecosystem boilerplate (the quadratic
+    bucket) and are dropped before the self-join — the same fan-out
+    valve as LSH ``max_bucket`` / winnowing ``max_files_per_hash``.
+    """
+    from pyspark.sql.window import Window
+
+    prof = (
+        extract_functions(files, content_col)
+        .select("repo", "fn_sha256")
+        .distinct()
+    )
+    kept = (
+        prof.withColumn("nr", F.count("*").over(Window.partitionBy("fn_sha256")))
+        .where(F.col("nr") <= max_repos_per_fn)
+        .withColumn("n_fns", F.count("*").over(Window.partitionBy("repo")))
+        .drop("nr")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fn_sha256") == F.col("b.fn_sha256"))
+            & (F.col("a.repo") < F.col("b.repo")),
+        )
+        .groupBy(F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b"))
+        .agg(
+            F.count("*").alias("n_shared_fns"),
+            F.first("a.n_fns").alias("n_a"),
+            F.first("b.n_fns").alias("n_b"),
+        )
+    )
+    return shared.where(F.col("n_shared_fns") >= min_shared).select(
+        "repo_a",
+        "repo_b",
+        "n_shared_fns",
+        (
+            F.col("n_shared_fns").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared_fns"))
+        ).alias("jaccard"),
+    )

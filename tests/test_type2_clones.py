@@ -1,0 +1,199 @@
+"""Type-2 clone classes, clone groups (CC over pairs), and repo
+function-profile overlap (operators/code.py, operators/clones.py).
+
+The gate fixture (the template corpus) exercises engine parity; these
+tests exercise the SEMANTICS on crafted shapes the template can't show:
+type-1-vs-type-2 separation, keyword distinctness after normalization,
+group transitivity vs a union-find model, and the hub valve.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+FILES_SCHEMA = "repo string, path string, content string"
+
+
+def fn_file(body_lines: list[str], name: str = "f") -> str:
+    return f"def {name}(x):\n" + "\n".join(f"    {l}" for l in body_lines) + "\n"
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def _norm(spark, texts: list[str]) -> list[str]:
+    from kgdata_spark.operators.code import normalize_type2
+
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    return [r.n for r in df.select(normalize_type2(F.col("content")).alias("n")).collect()]
+
+
+def test_renamed_identifiers_and_literals_normalize_equal(spark):
+    a = "def total(items):\n    acc = 0\n    for it in items:\n        acc = acc + it\n    return acc\n"
+    b = "def sum_all(xs):\n    s = 100\n    for v in xs:\n        s = s + v\n    return s\n"
+    na, nb = _norm(spark, [a, b])
+    assert na == nb
+
+
+def test_string_contents_collapse(spark):
+    a = 'x = "hello world"\ny = \'a\''
+    b = 'x = "goodbye"\ny = \'bcd\''
+    na, nb = _norm(spark, [a, b])
+    assert na == nb
+
+
+def test_keywords_stay_pairwise_distinct(spark):
+    # `return x` vs `import x` vs `not x` must all normalize differently —
+    # the sentinel scheme (n+1 bangs) must not collapse keywords.
+    from kgdata_spark.operators.code import T2_KEYWORDS
+
+    texts = [f"{k} x" for k in T2_KEYWORDS]
+    normed = _norm(spark, texts)
+    assert len(set(normed)) == len(T2_KEYWORDS)
+
+
+def test_structure_difference_survives(spark):
+    a = "if x:\n    return y\n"
+    b = "for x in y:\n    return y\n"
+    na, nb = _norm(spark, [a, b])
+    assert na != nb
+
+
+def test_whitespace_runs_collapse_but_newlines_survive(spark):
+    a = "x   =    1\ny = 2"
+    b = "x = 1\ny = 2"
+    c = "x = 1 y = 2"
+    na, nb, nc = _norm(spark, [a, b, c])
+    assert na == nb and na != nc
+
+
+# ------------------------------------------------------------- clone classes
+
+
+def test_type2_classes_separate_exact_from_renamed(spark):
+    from kgdata_spark.operators.code import type2_clone_classes
+
+    # two exact copies of f1, one renamed variant, and one structurally
+    # different function -> ONE class, n_instances=3, n_distinct_exact=2
+    f1 = fn_file(["y = load(x)", "return y + 1"], "alpha")
+    f1_copy = f1
+    f1_renamed = fn_file(["q = fetch(x)", "return q + 9"], "beta")
+    other = fn_file(["if x:", "    return x", "return 0"], "gamma")
+    rows = [
+        ("r1", "a.py", f1),
+        ("r2", "b.py", f1_copy),
+        ("r3", "c.py", f1_renamed),
+        ("r4", "d.py", other),
+    ]
+    out = type2_clone_classes(spark.createDataFrame(rows, FILES_SCHEMA)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_instances == 3
+    assert row.n_distinct_exact == 2
+    assert row.n_repos == 3
+    assert row.fn_name_min == "alpha"
+
+
+# ------------------------------------------------------------- clone groups
+
+
+def _grouped(spark, rows, **kw):
+    from kgdata_spark.operators.clones import clone_groups
+
+    df = spark.createDataFrame(rows, FILES_SCHEMA)
+    return {
+        r.node: (r.component, r.n_members)
+        for r in clone_groups(df, **kw).collect()
+    }
+
+
+def test_clone_groups_transitive(spark):
+    # A ~ B and B ~ C but A, C share less: CC must still place all three
+    # in one group (transitivity the pair report alone cannot give).
+    base = "def pipeline(data):\n" + "\n".join(
+        f"    step_{i} = transform_{i}(data, weight={i})" for i in range(12)
+    )
+    a = base + "\n    return step_11\n"
+    b = base + "\n    return cleanup(step_11)\n"
+    c = base.replace("step_0", "s0").replace("step_1 ", "s1 ") + "\n    return cleanup(step_11)\n"
+    lone = "def unrelated(q):\n    return q * q if q else -q\n"
+    rows = [
+        ("r1", "a.py", a),
+        ("r1", "b.py", b),
+        ("r2", "c.py", c),
+        ("r3", "z.py", lone),
+    ]
+    got = _grouped(spark, rows, k=6, w=4, min_shared=3, min_jaccard=0.1)
+    assert set(got) == {"r1|a.py", "r1|b.py", "r2|c.py"}
+    comps = {v[0] for v in got.values()}
+    assert comps == {"r1|a.py"}  # lexicographic min member labels the group
+    assert all(v[1] == 3 for v in got.values())
+
+
+def test_clone_groups_match_union_find_model(spark):
+    # independent model: union-find over the operator's OWN pair output
+    from kgdata_spark.operators.clones import clone_groups, clone_pairs
+
+    rows = []
+    for i in range(30):
+        fam = i % 5
+        body = "\n".join(
+            f"    v{j} = op{fam}_{j}(v{j-1}, alpha={fam})" for j in range(1, 10)
+        )
+        content = f"def job(v0):\n{body}\n    return v9 + {i}\n"
+        rows.append((f"org{i % 3}/r{i}", f"f{i}.py", content))
+    df = spark.createDataFrame(rows, FILES_SCHEMA)
+    kw = dict(k=6, w=4, min_shared=3, min_jaccard=0.15)
+    pairs = clone_pairs(df, **kw).collect()
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = f"{p.repo_a}|{p.path_a}", f"{p.repo_b}|{p.path_b}"
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    model: dict[str, str] = {}
+    for n in list(parent):
+        model[n] = find(n)
+    # canonicalize model labels to min member
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for n, c in model.items():
+        members[c].append(n)
+    want = {
+        n: (min(ms), len(ms)) for c, ms in members.items() for n in ms
+    }
+    got = _grouped(spark, rows, **kw)
+    assert got == want
+
+
+# --------------------------------------------------------- repo fn overlap
+
+
+def test_repo_fn_overlap_jaccard_and_valve(spark):
+    from kgdata_spark.operators.code import repo_fn_overlap
+
+    shared = fn_file(["return x + 1"], "shared_util")
+    hub = fn_file(["return x"], "ident")  # in EVERY repo -> valved out
+    rows = []
+    for r in range(6):
+        content = hub + "\n" + shared if r < 2 else hub
+        content += "\n" + fn_file([f"return x * {r}"], f"own_{r}")
+        rows.append((f"repo{r}", "mod.py", content))
+    df = spark.createDataFrame(rows, FILES_SCHEMA)
+    out = repo_fn_overlap(df, max_repos_per_fn=5, min_shared=1).collect()
+    # hub fn is in 6 > 5 repos -> dropped; only repo0/repo1 share `shared`
+    assert len(out) == 1
+    row = out[0]
+    assert (row.repo_a, row.repo_b) == ("repo0", "repo1")
+    assert row.n_shared_fns == 1
+    # post-valve profiles: {shared, own_r} each -> jaccard = 1/3
+    assert row.jaccard == pytest.approx(1 / 3)
