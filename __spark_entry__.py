@@ -4111,6 +4111,43 @@ def q_repo_fn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_fn_overlap(_struct_corpus(spark), max_repos_per_fn=64, min_shared=2)
 
 
+VCS_COMMITS_N = 4000
+
+
+def _vcs_log(spark: SparkSession) -> DataFrame:
+    from kgdata_spark.sources.synthetic import commit_log
+
+    return commit_log(spark, VCS_COMMITS_N)
+
+
+def q_co_change_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Logical coupling (Zimmermann et al., ICSE 2004): file pairs that
+    # repeatedly change in the same commit. Mega-commit valve (>8 files)
+    # bounds the per-commit quadratic explosion before the self-join —
+    # the same fan-out bound as LSH max_bucket, and what the paper does.
+    from kgdata_spark.operators.vcs import co_change_pairs
+
+    return co_change_pairs(
+        _vcs_log(spark), min_support=3, min_confidence=0.25, max_files_per_commit=8
+    )
+
+
+def q_repo_bus_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Truck/bus factor per repo: smallest top-k author set (count desc,
+    # name asc) covering >50% of commits — repo-partitioned windows only.
+    from kgdata_spark.operators.vcs import bus_factor
+
+    return bus_factor(_vcs_log(spark))
+
+
+def q_file_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strong-ownership report (Bird et al., FSE 2011): top author and
+    # share per file; one groupBy chain, no windows over the corpus.
+    from kgdata_spark.operators.vcs import file_ownership
+
+    return file_ownership(_vcs_log(spark))
+
+
 def q_subtoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Identifier-subtoken vocabulary (camelCase/snake_case/acronym/digit
     # boundaries): lexical scan -> boundary regexps -> double explode ->
@@ -4324,6 +4361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_groups": q_clone_groups,
         "type2_clones": q_type2_clones,
         "repo_fn_overlap": q_repo_fn_overlap,
+        "co_change_pairs": q_co_change_pairs,
+        "repo_bus_factor": q_repo_bus_factor,
+        "file_ownership": q_file_ownership,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -6179,6 +6219,87 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.repo = pr.repo_a
         JOIN sz sb ON sb.repo = pr.repo_b
         WHERE pr.n_shared_fns >= 2
+    """
+    # DuckDB replication of sources/synthetic.py::commit_log — same
+    # closed-form arithmetic, list_distinct/list_filter mirroring
+    # array_distinct/filter.
+    vcs_cte = f"""
+        commit_log AS (
+            SELECT printf('org%d/repo%d', (c % 30) % 4, c % 30) AS repo,
+                   substr(sha256(printf('org%d/repo%d#%d',
+                                        (c % 30) % 4, c % 30, c)), 1, 40)
+                       AS commit_id,
+                   printf('dev%d_%d', c % 30,
+                          CASE WHEN c % 10 < 4 THEN 0
+                               WHEN c % 10 < 7 THEN 1
+                               ELSE (c * 13 + 2) % 5 + 2 END) AS author,
+                   1700000000 + c * 3600 AS ts,
+                   unnest(list_distinct(list_filter([
+                       printf('src/f%d.py', (c*3+1) % 20),
+                       CASE WHEN c % 2 = 0 THEN
+                           printf('src/f%d.py', ((c*3+1) % 20 + 1) % 20) END,
+                       CASE WHEN c % 5 = 0 THEN
+                           printf('src/f%d.py', (c*7+5) % 20) END,
+                       CASE WHEN c % 7 = 0 THEN
+                           printf('src/f%d.py', (c*11+3) % 20) END],
+                       x -> x IS NOT NULL))) AS path
+            FROM range({VCS_COMMITS_N}) t(c))"""
+    d["co_change_pairs"] = f"""
+        WITH {vcs_cte},
+        cf AS (SELECT DISTINCT repo, commit_id, path FROM commit_log),
+        ok AS (SELECT repo, commit_id FROM cf GROUP BY repo, commit_id
+               HAVING COUNT(*) <= 8),
+        kept AS (SELECT cf.* FROM cf JOIN ok USING (repo, commit_id)),
+        per_file AS (SELECT repo, path, COUNT(*) AS n FROM kept
+                     GROUP BY repo, path),
+        pairs AS (SELECT a.repo, a.path AS path_a, b.path AS path_b,
+                         COUNT(*) AS support
+                  FROM kept a JOIN kept b
+                       ON a.repo = b.repo AND a.commit_id = b.commit_id
+                          AND a.path < b.path
+                  GROUP BY 1, 2, 3)
+        SELECT p.repo, p.path_a, p.path_b, p.support,
+               CAST(p.support AS DOUBLE) / fa.n AS conf_ab,
+               CAST(p.support AS DOUBLE) / fb.n AS conf_ba
+        FROM pairs p
+        JOIN per_file fa ON fa.repo = p.repo AND fa.path = p.path_a
+        JOIN per_file fb ON fb.repo = p.repo AND fb.path = p.path_b
+        WHERE p.support >= 3
+          AND greatest(CAST(p.support AS DOUBLE) / fa.n,
+                       CAST(p.support AS DOUBLE) / fb.n) >= 0.25
+    """
+    d["repo_bus_factor"] = f"""
+        WITH {vcs_cte},
+        pc AS (SELECT DISTINCT repo, commit_id, author FROM commit_log),
+        ba AS (SELECT repo, author, COUNT(*) AS n FROM pc
+               GROUP BY repo, author),
+        rk AS (SELECT repo, n,
+                      SUM(n) OVER (PARTITION BY repo
+                                   ORDER BY n DESC, author) AS cum,
+                      row_number() OVER (PARTITION BY repo
+                                         ORDER BY n DESC, author) AS rk,
+                      SUM(n) OVER (PARTITION BY repo) AS total,
+                      COUNT(*) OVER (PARTITION BY repo) AS n_authors
+               FROM ba)
+        SELECT repo, CAST(MAX(total) AS BIGINT) AS n_commits,
+               MAX(n_authors) AS n_authors, MIN(rk) AS bus_factor
+        FROM rk WHERE cum * 2 > total GROUP BY repo
+    """
+    d["file_ownership"] = f"""
+        WITH {vcs_cte},
+        per AS (SELECT repo, path, author, COUNT(*) AS n FROM commit_log
+                GROUP BY 1, 2, 3),
+        top AS (SELECT repo, path, author, n,
+                       row_number() OVER (PARTITION BY repo, path
+                                          ORDER BY n DESC, author DESC) AS r
+                FROM per),
+        tot AS (SELECT repo, path, CAST(SUM(n) AS BIGINT) AS n_changes,
+                       COUNT(*) AS n_authors FROM per GROUP BY 1, 2)
+        SELECT t.repo, t.path, t.n_changes, t.n_authors,
+               top.author AS top_author,
+               CAST(top.n AS DOUBLE) / t.n_changes AS top_share
+        FROM tot t JOIN top ON top.repo = t.repo AND top.path = t.path
+                            AND top.r = 1
     """
     # Winnowing replayed through an INDEPENDENT formulation: per-gram
     # rows + SQL window min over the next w-1 grams + rightmost-tie via

@@ -1,0 +1,163 @@
+"""Version-history mining over a (repo, commit_id, author, ts, path)
+change log — the `commit` axis of the north-rule input table.
+
+Implements the classic MSR (mining software repositories) operators:
+
+* ``co_change_pairs`` — logical coupling: files that repeatedly change
+  in the same commit (Zimmermann, Weissgerber, Diehl & Zeller, "Mining
+  Version Histories to Guide Software Changes", ICSE 2004). Evidence of
+  hidden dependencies that no import graph shows.
+* ``bus_factor`` — smallest number of authors covering more than half a
+  repo's commits (the "truck factor" of Avelino et al., ICPC 2016,
+  simplified to commit share).
+* ``file_ownership`` — per-file top-author share + author count
+  (strong ownership per Bird et al., "Don't Touch My Code!", FSE 2011).
+
+No reference analog: kgdata has no version axis; these are the standard
+public algorithms applied to the input_hint's commit column.
+
+Scale notes
+-----------
+* The coupling self-join explodes each commit's file set against itself.
+  Mega-commits (imports, reformat-the-world changes) are quadratic
+  buckets, so commits touching more than ``max_files_per_commit`` files
+  are dropped BEFORE pairing — the same fan-out valve as LSH
+  ``max_bucket``, and exactly what the ICSE'04 paper does (large
+  transactions carry no coupling signal).
+* Everything else is groupBy aggregation with map-side combine; the
+  bus-factor window partitions by repo (bounded author lists), never by
+  the corpus.
+* Float discipline: confidences and shares are ONE division of two
+  exact integers each — DuckDB replays them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def co_change_pairs(
+    log: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    max_files_per_commit: int = 8,
+) -> DataFrame:
+    """Logical coupling rules between file pairs of one repo.
+
+    support = number of commits touching BOTH files;
+    conf_ab = support / commits(a)  (a's changes that dragged b along),
+    conf_ba symmetric. One undirected row per pair, both confidences.
+
+    Shape: commits collapse to per-commit file SETS (collect_set absorbs
+    duplicate hunk rows — no separate distinct shuffle), the valve is a
+    size check on the array, and pair expansion is a nested-sequence HOF
+    per commit — no self-join ever touches the corpus. The quadratic
+    work is bounded by the valve (≤ C(max_files, 2) structs per commit)
+    and happens map-side, pipelining straight into the pair groupBy.
+    """
+    sets = log.groupBy("repo", "commit_id").agg(
+        F.sort_array(F.collect_set("path")).alias("ps")
+    )
+    kept = sets.where(F.size("ps") <= max_files_per_commit)
+    n = F.size(F.col("ps"))
+    pair_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.element_at(F.col("ps"), i).alias("a"),
+                        F.element_at(F.col("ps"), j).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    per_file = (
+        kept.select("repo", F.explode("ps").alias("path"))
+        .groupBy("repo", "path")
+        .agg(F.count("*").alias("n_commits"))
+    )
+    pairs = (
+        kept.select("repo", F.explode(pair_arr).alias("pr"))
+        .groupBy(
+            "repo",
+            F.col("pr.a").alias("path_a"),
+            F.col("pr.b").alias("path_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    na = per_file.select(
+        "repo", F.col("path").alias("path_a"), F.col("n_commits").alias("n_a")
+    )
+    nb = per_file.select(
+        "repo", F.col("path").alias("path_b"), F.col("n_commits").alias("n_b")
+    )
+    out = (
+        pairs.join(na, ["repo", "path_a"])
+        .join(nb, ["repo", "path_b"])
+        .select(
+            "repo",
+            "path_a",
+            "path_b",
+            "support",
+            (F.col("support").cast("double") / F.col("n_a")).alias("conf_ab"),
+            (F.col("support").cast("double") / F.col("n_b")).alias("conf_ba"),
+        )
+    )
+    return out.where(
+        (F.col("support") >= min_support)
+        & (F.greatest("conf_ab", "conf_ba") >= min_confidence)
+    )
+
+
+def bus_factor(log: DataFrame) -> DataFrame:
+    """Per repo: (n_commits, n_authors, bus_factor) — the smallest k such
+    that the top-k authors (by commit count, ties broken by author name)
+    cover MORE than half of the repo's commits."""
+    per_commit = log.select("repo", "commit_id", "author").distinct()
+    by_author = per_commit.groupBy("repo", "author").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("repo").orderBy(F.desc("n"), F.asc("author"))
+    ranked = by_author.select(
+        "repo",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(Window.partitionBy("repo")).alias("total"),
+        F.count("*").over(Window.partitionBy("repo")).alias("n_authors"),
+    )
+    covering = ranked.where(F.col("cum") * 2 > F.col("total"))
+    return covering.groupBy("repo").agg(
+        F.first("total").alias("n_commits"),
+        F.first("n_authors").alias("n_authors"),
+        F.min("rk").alias("bus_factor"),
+    )
+
+
+def file_ownership(log: DataFrame) -> DataFrame:
+    """Per (repo, path): total changes, distinct authors, the top author
+    (max count, ties broken by author name) and their share."""
+    per = log.groupBy("repo", "path", "author").agg(F.count("*").alias("n"))
+    agg = per.groupBy("repo", "path").agg(
+        F.sum("n").alias("n_changes"),
+        F.count("*").alias("n_authors"),
+        F.max(F.struct(F.col("n").alias("n"), F.col("author").alias("author"))).alias(
+            "_top"
+        ),
+    )
+    # max(struct(n, author)) breaks count ties by the LARGEST author name;
+    # deterministic either way, but pin the same rule in the oracle.
+    return agg.select(
+        "repo",
+        "path",
+        "n_changes",
+        "n_authors",
+        F.col("_top.author").alias("top_author"),
+        (F.col("_top.n").cast("double") / F.col("n_changes")).alias("top_share"),
+    )

@@ -259,3 +259,54 @@ def structured_code_corpus(spark: SparkSession, n_files: int) -> DataFrame:
         F.lit("python").alias("lang"),
         content.alias("content"),
     )
+
+
+def commit_log(spark: SparkSession, n_commits: int) -> DataFrame:
+    """Deterministic version-control history: one row per (commit, file
+    touched) — the `commit` axis of the input_hint table as an event log.
+
+    Closed-form in the commit counter c so DuckDB oracles regenerate it:
+      * 30 repos (c % 30), each with a 20-file universe;
+      * every commit touches file (c*3+1)%20; even commits ALSO touch the
+        next file (strong pairwise coupling signal for the co-change
+        miner); every 5th/7th commit touches extra arithmetic picks
+        (background noise + occasional bigger changesets);
+      * authors are skewed 40/30/rest so bus-factor varies by repo;
+      * ts is integer epoch seconds (engine-exact, no tz/float).
+
+    Output: (repo, commit_id, author, ts, path).
+    """
+    df = spark.range(n_commits).withColumnRenamed("id", "c")
+    c = F.col("c")
+    r = c % 30
+    repo = _fmt("org%d/repo%d", r % 4, r)
+
+    def pth(j: Column) -> Column:
+        return _fmt("src/f%d.py", j)
+
+    j1 = (c * 3 + 1) % 20
+    paths = F.array_distinct(
+        F.filter(
+            F.array(
+                pth(j1),
+                F.when(c % 2 == 0, pth((j1 + 1) % 20)),
+                F.when(c % 5 == 0, pth((c * 7 + 5) % 20)),
+                F.when(c % 7 == 0, pth((c * 11 + 3) % 20)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    a = (
+        F.when(c % 10 < 4, F.lit(0))
+        .when(c % 10 < 7, F.lit(1))
+        .otherwise((c * 13 + 2) % 5 + 2)
+    )
+    return df.select(
+        repo.alias("repo"),
+        F.substring(F.sha2(F.concat(repo, F.lit("#"), c), 256), 1, 40).alias(
+            "commit_id"
+        ),
+        _fmt("dev%d_%d", r, a).alias("author"),
+        (F.lit(1700000000).cast("long") + c * 3600).alias("ts"),
+        F.explode(paths).alias("path"),
+    )

@@ -1,0 +1,105 @@
+"""Version-history mining (operators/vcs.py): co-change coupling with
+the mega-commit valve, bus factor boundary semantics, ownership
+tie-breaks — on crafted logs where every number is hand-checkable."""
+
+from __future__ import annotations
+
+import pytest
+
+SCHEMA = "repo string, commit_id string, author string, ts long, path string"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(r, c, a, i, p) for i, (r, c, a, p) in enumerate(rows)], SCHEMA
+    )
+
+
+def test_co_change_support_and_confidence(spark):
+    from kgdata_spark.operators.vcs import co_change_pairs
+
+    rows = []
+    # a+b together in 3 commits; a alone in 1 more; c rides along once
+    for i in range(3):
+        rows += [("r", f"c{i}", "dev", "a.py"), ("r", f"c{i}", "dev", "b.py")]
+    rows += [("r", "c3", "dev", "a.py")]
+    rows += [("r", "c4", "dev", "a.py"), ("r", "c4", "dev", "c.py")]
+    out = {
+        (r.path_a, r.path_b): r
+        for r in co_change_pairs(_log(spark, rows), min_support=1).collect()
+    }
+    ab = out[("a.py", "b.py")]
+    assert ab.support == 3
+    assert ab.conf_ab == pytest.approx(3 / 5)  # a changed 5 times
+    assert ab.conf_ba == pytest.approx(1.0)  # b never changed without a
+    assert out[("a.py", "c.py")].support == 1
+
+
+def test_co_change_mega_commit_valve(spark):
+    from kgdata_spark.operators.vcs import co_change_pairs
+
+    # one reformat-the-world commit touching 10 files must contribute
+    # NO pairs when the valve is 8; the small commit still counts
+    rows = [("r", "big", "dev", f"f{i}.py") for i in range(10)]
+    rows += [("r", "s1", "dev", "f0.py"), ("r", "s1", "dev", "f1.py")]
+    out = co_change_pairs(
+        _log(spark, rows), min_support=1, max_files_per_commit=8
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.path_a, row.path_b, row.support) == ("f0.py", "f1.py", 1)
+    # per-file denominators also exclude the valved commit
+    assert row.conf_ab == pytest.approx(1.0)
+
+
+def test_co_change_duplicate_rows_collapse(spark):
+    from kgdata_spark.operators.vcs import co_change_pairs
+
+    # the same (commit, path) reported twice (two hunks) is ONE change
+    rows = [
+        ("r", "c0", "dev", "a.py"),
+        ("r", "c0", "dev", "a.py"),
+        ("r", "c0", "dev", "b.py"),
+    ]
+    out = co_change_pairs(_log(spark, rows), min_support=1).collect()
+    assert len(out) == 1 and out[0].support == 1
+
+
+def test_bus_factor_boundaries(spark):
+    from kgdata_spark.operators.vcs import bus_factor
+
+    rows = []
+    # repo "solo": one author -> bus_factor 1
+    rows += [("solo", f"c{i}", "only", "f.py") for i in range(4)]
+    # repo "even": two authors at exactly 50/50 -> top-1 covers exactly
+    # half, NOT more than half -> bus_factor 2
+    rows += [("even", f"a{i}", "alice", "f.py") for i in range(3)]
+    rows += [("even", f"b{i}", "bob", "f.py") for i in range(3)]
+    # repo "skew": 5/2/1 commits -> top-1 covers 5/8 > 1/2 -> 1
+    rows += [("skew", f"x{i}", "x", "f.py") for i in range(5)]
+    rows += [("skew", f"y{i}", "y", "f.py") for i in range(2)]
+    rows += [("skew", "z0", "z", "f.py")]
+    got = {r.repo: r for r in bus_factor(_log(spark, rows)).collect()}
+    assert got["solo"].bus_factor == 1 and got["solo"].n_authors == 1
+    assert got["even"].bus_factor == 2
+    assert got["skew"].bus_factor == 1
+    assert got["skew"].n_commits == 8 and got["skew"].n_authors == 3
+
+
+def test_file_ownership_tiebreak(spark):
+    from kgdata_spark.operators.vcs import file_ownership
+
+    rows = [
+        ("r", "c0", "alice", "f.py"),
+        ("r", "c1", "bob", "f.py"),
+        ("r", "c2", "bob", "f.py"),
+        ("r", "c3", "carol", "f.py"),
+        ("r", "c4", "carol", "f.py"),
+    ]
+    out = file_ownership(_log(spark, rows)).collect()
+    assert len(out) == 1
+    row = out[0]
+    # bob and carol tie at 2; max(struct) breaks to the LARGER name
+    assert row.top_author == "carol"
+    assert row.top_share == pytest.approx(2 / 5)
+    assert row.n_changes == 5 and row.n_authors == 3
