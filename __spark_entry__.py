@@ -4111,6 +4111,36 @@ def q_repo_fn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_fn_overlap(_struct_corpus(spark), max_repos_per_fn=64, min_shared=2)
 
 
+TRIGRAM_LITERAL = "parseHTTPResponse3("
+
+
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trigram-index literal search (Russ Cox's Code Search design):
+    # postings (file, distinct trigram), candidates = files holding ALL
+    # query trigrams (the tri IN (...) filter pushes into the posting
+    # scan), then a verify pass over candidates only. The oracle is the
+    # brute-force LIKE scan — row equality proves the index path loses
+    # nothing and admits nothing.
+    from kgdata_spark.operators.codesearch import literal_search
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return literal_search(
+        structured_code_corpus(spark, CLONE_CORPUS_N), TRIGRAM_LITERAL
+    )
+
+
+def q_symbol_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide def/call cross-reference with dead-symbol and
+    # unresolved-call statuses. Spark derives it LEXICALLY (regex scan
+    # with def-head neutralization); the oracle derives it from the
+    # corpus CONSTRUCTION (closed-form def/call formulas) — agreement
+    # means the lexical scan extracts exactly the constructed symbols.
+    from kgdata_spark.operators.codesearch import symbol_xref
+    from kgdata_spark.sources.synthetic import source_files
+
+    return symbol_xref(source_files(spark, KG_TRIPLES_N_FILES))
+
+
 VCS_COMMITS_N = 4000
 
 
@@ -4364,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_change_pairs": q_co_change_pairs,
         "repo_bus_factor": q_repo_bus_factor,
         "file_ownership": q_file_ownership,
+        "trigram_search": q_trigram_search,
+        "symbol_xref": q_symbol_xref,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
     # zstd codec on the workers (`zstandard` module or `zstd` binary) to
@@ -6300,6 +6332,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(top.n AS DOUBLE) / t.n_changes AS top_share
         FROM tot t JOIN top ON top.repo = t.repo AND top.path = t.path
                             AND top.r = 1
+    """
+    # trigram_search: the oracle is the brute-force scan the index is
+    # supposed to be equivalent to.
+    _tl = TRIGRAM_LITERAL
+    d["trigram_search"] = f"""
+        WITH {_struct_cte(CLONE_CORPUS_N)}
+        SELECT repo, path,
+               CAST((length(content)
+                     - length(replace(content, '{_tl}', ''))) // {len(_tl)}
+                    AS INT) AS n_hits
+        FROM struct_corpus
+        WHERE contains(content, '{_tl}')
+    """
+    # symbol_xref: derived from the corpus CONSTRUCTION — defs are the
+    # fn%c heads, lexical calls are Cls_%x heads + fn%d call sites
+    # (import/comment lines carry no ident-immediately-before-paren).
+    d["symbol_xref"] = f"""
+        WITH f AS (SELECT (r*3+1) % 100 AS x, (r*5+2) % 211 AS c,
+                          (r*9+4) % 211 AS d
+                   FROM range({KG_TRIPLES_N_FILES}) t(r)),
+        defs AS (SELECT printf('fn%d', c) AS fn_name, COUNT(*) AS n_defs
+                 FROM f GROUP BY 1),
+        calls AS (SELECT fn_name, COUNT(*) AS n_calls FROM (
+                      SELECT printf('Cls_%d', x) AS fn_name FROM f
+                      UNION ALL SELECT printf('fn%d', d) FROM f)
+                  GROUP BY 1)
+        SELECT COALESCE(defs.fn_name, calls.fn_name) AS fn_name,
+               COALESCE(n_defs, 0) AS n_defs,
+               COALESCE(n_calls, 0) AS n_calls,
+               CASE WHEN COALESCE(n_calls, 0) = 0 THEN 'dead'
+                    WHEN COALESCE(n_defs, 0) = 0 THEN 'unresolved'
+                    ELSE 'ok' END AS status
+        FROM defs FULL OUTER JOIN calls ON defs.fn_name = calls.fn_name
     """
     # Winnowing replayed through an INDEPENDENT formulation: per-gram
     # rows + SQL window min over the next w-1 grams + rightmost-tie via

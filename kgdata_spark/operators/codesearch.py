@@ -1,0 +1,151 @@
+"""Code search over the (repo, path, …, content) corpus.
+
+* ``trigram_postings`` / ``trigram_candidates`` / ``literal_search`` —
+  the trigram-index design of Google Code Search (Russ Cox, "Regular
+  Expression Matching with a Trigram Index", 2012, public writeup):
+  every file posts its distinct character trigrams; a literal query of
+  length >= 3 must find ALL its trigrams in a candidate file, so the
+  index prunes the corpus to a candidate set that a final
+  ``contains`` pass verifies (trigram conjunction is complete — no
+  false negatives — but not sound: trigrams can match non-contiguously,
+  hence the verify).
+* ``symbol_xref`` — corpus-wide definition/call-site cross-reference:
+  per function name, how many times it is defined vs called; dead
+  symbols (defined, never called) and unresolved calls (called, never
+  defined) fall out as statuses. The lexical "call" is an identifier
+  immediately followed by ``(`` that is not a ``def`` head — stripped
+  with a plain replace, no lookbehind, so RE2 oracles replay it.
+
+Scale notes
+-----------
+* The postings build is one projection + explode + distinct — at
+  100 TB it is materialized ONCE (bucketed by trigram via
+  pipeline/bucketed.py) and queries touch only the posting partitions
+  of their own trigrams: the search-side filter is ``tri IN (...)``,
+  which Catalyst pushes into the scan (plan-asserted in tests), so a
+  query reads a few posting buckets instead of the corpus.
+* ``literal_search`` joins the candidate ids back to the corpus for
+  verification — a semi-join on (repo, path) whose left side is the
+  already-tiny candidate set.
+* The per-file distinct trigram set is built map-side inside the array
+  (array_distinct over a transform), so the explode emits each (file,
+  trigram) once — the postings shuffle carries set entries, not every
+  occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.hof import let
+
+
+def _trigram_set(content: Column) -> Column:
+    """Distinct character trigrams of a string, as an array. The content
+    is let-bound so the per-position substr reads ONE evaluation of it
+    (PERF.md §28-29: captured expression trees re-evaluate per lambda
+    element)."""
+
+    def grams(cs: Column) -> Column:
+        n = F.length(cs)
+        return F.when(
+            n >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda p: cs.substr(p, F.lit(3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(content, grams)
+
+
+def trigram_postings(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """(tri, repo, path): one posting per distinct trigram per file."""
+    return files.select(
+        "repo", "path", F.explode(_trigram_set(F.col(content_col))).alias("tri")
+    ).select("tri", "repo", "path")
+
+
+def _literal_trigrams(literal: str) -> list[str]:
+    if len(literal) < 3:
+        raise ValueError("trigram search needs a literal of length >= 3")
+    return sorted({literal[i : i + 3] for i in range(len(literal) - 2)})
+
+
+def trigram_candidates(postings: DataFrame, literal: str) -> DataFrame:
+    """(repo, path) of files whose posting set contains EVERY trigram of
+    the literal. The `tri IN (...)` filter pushes into the posting scan."""
+    tris = _literal_trigrams(literal)
+    hits = postings.where(F.col("tri").isin(tris))
+    return (
+        hits.groupBy("repo", "path")
+        .agg(F.countDistinct("tri").alias("nt"))
+        .where(F.col("nt") == len(tris))
+        .select("repo", "path")
+    )
+
+
+def literal_search(
+    files: DataFrame, literal: str, content_col: str = "content"
+) -> DataFrame:
+    """Exact literal search through the trigram index: candidates from
+    the index, then a verify pass (`contains`) over candidates only.
+    Returns (repo, path, n_hits) with n_hits = occurrence count."""
+    postings = trigram_postings(files, content_col)
+    cand = trigram_candidates(postings, literal)
+    verified = files.join(cand, ["repo", "path"], "left_semi")
+    lit = F.lit(literal)
+    n_hits = (
+        (F.length(F.col(content_col)) - F.length(F.replace(F.col(content_col), lit, F.lit(""))))
+        / len(literal)
+    ).cast("int")
+    return verified.where(F.contains(F.col(content_col), lit)).select(
+        "repo", "path", n_hits.alias("n_hits")
+    )
+
+
+def symbol_xref(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per function name: (fn_name, n_defs, n_calls, status).
+
+    Definitions: ``def NAME(``. Calls: ``NAME(`` after def heads are
+    neutralized (the head's own ``NAME(`` must not count as a call).
+    status: 'dead' (defined, never called), 'unresolved' (called, never
+    defined), 'ok' (both). Two exploded aggregations + one full outer
+    join on the name — the whole report is corpus-scan bound.
+    """
+    c = F.col(content_col)
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    defs = (
+        files.select(
+            F.explode(F.regexp_extract_all(c, F.lit(f"def ({ident})\\("), 1)).alias(
+                "fn_name"
+            )
+        )
+        .groupBy("fn_name")
+        .agg(F.count("*").alias("n_defs"))
+    )
+    stripped = F.regexp_replace(c, f"def {ident}\\(", "def (")
+    calls = (
+        files.select(
+            F.explode(
+                F.regexp_extract_all(stripped, F.lit(f"({ident})\\("), 1)
+            ).alias("fn_name")
+        )
+        .groupBy("fn_name")
+        .agg(F.count("*").alias("n_calls"))
+    )
+    out = defs.join(calls, "fn_name", "full_outer").select(
+        "fn_name",
+        F.coalesce("n_defs", F.lit(0)).alias("n_defs"),
+        F.coalesce("n_calls", F.lit(0)).alias("n_calls"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_calls") == 0, "dead")
+        .when(F.col("n_defs") == 0, "unresolved")
+        .otherwise("ok")
+        .alias("status"),
+    )

@@ -1,0 +1,115 @@
+"""Trigram-index literal search + symbol xref (operators/codesearch.py).
+
+The crafted cases cover what the gate fixture can't: a file that holds
+every query trigram WITHOUT containing the literal (index false positive
+that the verify pass must drop), short-content edge cases, and the
+def-head neutralization in the call scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "repo string, path string, content string"
+
+
+def test_postings_match_python_model(spark):
+    from kgdata_spark.operators.codesearch import trigram_postings
+
+    texts = ["abcabcd", "xy", "aaa", ""]
+    rows = [("r", f"f{i}", t) for i, t in enumerate(texts)]
+    got = {
+        (r.path, r.tri)
+        for r in trigram_postings(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    want = {
+        (f"f{i}", t[p : p + 3])
+        for i, t in enumerate(texts)
+        for p in range(max(0, len(t) - 2))
+    }
+    assert got == want
+
+
+def test_search_drops_index_false_positive(spark):
+    from kgdata_spark.operators.codesearch import (
+        literal_search,
+        trigram_candidates,
+        trigram_postings,
+    )
+
+    lit = "needle"
+    # trigrams of "needle": nee, eed, edl, dle. decoy contains all four
+    # as separate fragments but never contiguously.
+    decoy = "xnee y eed z edl w dle"
+    rows = [
+        ("r", "hit.py", "find the needle here, and the needle there"),
+        ("r", "decoy.py", decoy),
+        ("r", "miss.py", "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    cand = {
+        (r.repo, r.path)
+        for r in trigram_candidates(trigram_postings(df), lit).collect()
+    }
+    assert cand == {("r", "hit.py"), ("r", "decoy.py")}  # index admits decoy
+    out = {(r.path, r.n_hits) for r in literal_search(df, lit).collect()}
+    assert out == {("hit.py", 2)}  # verify pass drops it
+
+
+def test_search_short_literal_rejected(spark):
+    from kgdata_spark.operators.codesearch import literal_search
+
+    df = spark.createDataFrame([("r", "f", "ab")], SCHEMA)
+    with pytest.raises(ValueError):
+        literal_search(df, "ab")
+
+
+def test_candidate_filter_is_pushed(spark):
+    # the index only pays off if `tri IN (...)` reaches the scan: assert
+    # the pushed/codegen'd filter sits below the aggregation, i.e. the
+    # physical plan filters trigrams BEFORE any exchange.
+    from kgdata_spark.operators.codesearch import (
+        trigram_candidates,
+        trigram_postings,
+    )
+
+    df = spark.createDataFrame([("r", "f", "abcdef")], SCHEMA)
+    cand = trigram_candidates(trigram_postings(df), "abcd")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the trigram IN-filter must sit BELOW the aggregation exchange —
+    # i.e. appear in the plan segment after the last Exchange line
+    below_exchange = plan.split("Exchange")[-1]
+    assert "IN (abc,bcd)" in below_exchange
+
+
+def test_symbol_xref_lexical_rules(spark):
+    from kgdata_spark.operators.codesearch import symbol_xref
+
+    content = (
+        "def alpha(x):\n"
+        "    return beta(gamma(x))\n"
+        "def beta(y):\n"
+        "    return y\n"
+        "alpha(3)\n"
+    )
+    df = spark.createDataFrame([("r", "f.py", content)], SCHEMA)
+    got = {r.fn_name: r for r in symbol_xref(df).collect()}
+    # def heads are NOT calls; nested calls both count
+    assert got["alpha"].n_defs == 1 and got["alpha"].n_calls == 1
+    assert got["alpha"].status == "ok"
+    assert got["beta"].n_defs == 1 and got["beta"].n_calls == 1
+    assert got["gamma"].n_defs == 0 and got["gamma"].status == "unresolved"
+    dead = [n for n, r in got.items() if r.status == "dead"]
+    assert dead == []
+
+
+def test_symbol_xref_dead_symbol(spark):
+    from kgdata_spark.operators.codesearch import symbol_xref
+
+    df = spark.createDataFrame(
+        [("r", "f.py", "def unused(x):\n    return x\n")], SCHEMA
+    )
+    got = symbol_xref(df).collect()
+    assert len(got) == 1
+    assert got[0].fn_name == "unused" and got[0].status == "dead"
