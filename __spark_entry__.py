@@ -4129,6 +4129,25 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGEX_PATTERN = r"(parseHTTPResponse[25]|computeValue[36])\("
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regex search through the trigram index (Cox design, second half):
+    # the restricted regex expands to 4 alternatives, each a trigram
+    # conjunction; candidates cover SOME alternative's trigram set, then
+    # an rlike verify. Oracle = brute-force RE2 scan — row equality
+    # proves the planned index query is exactly the regex's corpus
+    # semantics (n_hits exercises multi-match files: computeValue3/6
+    # can appear in several shared helpers of one file).
+    from kgdata_spark.operators.codesearch import regex_search
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return regex_search(
+        structured_code_corpus(spark, CLONE_CORPUS_N), REGEX_PATTERN
+    )
+
+
 def q_symbol_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-wide def/call cross-reference with dead-symbol and
     # unresolved-call statuses. Spark derives it LEXICALLY (regex scan
@@ -4395,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_bus_factor": q_repo_bus_factor,
         "file_ownership": q_file_ownership,
         "trigram_search": q_trigram_search,
+        "regex_search": q_regex_search,
         "symbol_xref": q_symbol_xref,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
@@ -6344,6 +6364,17 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS n_hits
         FROM struct_corpus
         WHERE contains(content, '{_tl}')
+    """
+    # regex_search: the oracle is the brute-force RE2 scan the planned
+    # trigram query must be equivalent to (same leftmost non-overlapping
+    # match count as Java regex on this subset).
+    d["regex_search"] = f"""
+        WITH {_struct_cte(CLONE_CORPUS_N)}
+        SELECT repo, path,
+               CAST(len(regexp_extract_all(content, '{REGEX_PATTERN}'))
+                    AS INT) AS n_hits
+        FROM struct_corpus
+        WHERE regexp_matches(content, '{REGEX_PATTERN}')
     """
     # symbol_xref: derived from the corpus CONSTRUCTION — defs are the
     # fn%c heads, lexical calls are Cls_%x heads + fn%d call sites

@@ -9,6 +9,15 @@
   ``contains`` pass verifies (trigram conjunction is complete — no
   false negatives — but not sound: trigrams can match non-contiguously,
   hence the verify).
+* ``regex_search`` — the second half of the same design: a restricted
+  regex (alternation, character classes, ``.`` wildcards, ``?``
+  optionals, escaped metacharacters) is EXPANDED into alternatives of
+  literal fragments; each alternative contributes the conjunction of
+  its fragments' trigrams, the whole query is the disjunction over
+  alternatives, and a final ``rlike`` pass verifies candidates. Star /
+  plus / bounded repeats are rejected up front (an explicit valve, the
+  repo's raise-don't-degrade rule) rather than silently falling back
+  to a full corpus scan.
 * ``symbol_xref`` — corpus-wide definition/call-site cross-reference:
   per function name, how many times it is defined vs called; dead
   symbols (defined, never called) and unresolved calls (called, never
@@ -104,6 +113,188 @@ def literal_search(
     ).cast("int")
     return verified.where(F.contains(F.col(content_col), lit)).select(
         "repo", "path", n_hits.alias("n_hits")
+    )
+
+
+_REGEX_META = set("\\.[]()|?*+{^$")
+
+
+def _expand_regex(pattern: str, max_alts: int) -> list[list[str]]:
+    """Expand a restricted regex into alternatives of literal fragments.
+
+    Each alternative is a list of fragments; a ``.`` wildcard closes the
+    current fragment and opens the next (the gap itself matches exactly
+    one unknown character, so it can never contribute a trigram).
+    Supported: literal chars, ``\\<meta>`` escapes, ``.``, ``[abc]`` /
+    ``[a-z]`` classes, ``(x|y)`` groups, ``?`` optionals, top-level
+    ``|``. Unsupported (raise ValueError): ``*``/``+``/``{n,m}`` repeats
+    (unbounded language — no finite expansion), negated classes and
+    anchors (never trigram-indexable). The expansion is capped at
+    ``max_alts`` alternatives — a combinatorial pattern raises instead
+    of planning an enormous index query.
+    """
+    pos = 0
+
+    def concat(alts_a: list[list[str]], alts_b: list[list[str]]) -> list[list[str]]:
+        out = [a[:-1] + [a[-1] + b[0]] + b[1:] for a in alts_a for b in alts_b]
+        if len(out) > max_alts:
+            raise ValueError(
+                f"regex expands past {max_alts} alternatives — not indexable"
+            )
+        return out
+
+    def parse_alternation(depth: int) -> list[list[str]]:
+        nonlocal pos
+        branches = [parse_concat(depth)]
+        while pos < len(pattern) and pattern[pos] == "|":
+            pos += 1
+            branches.append(parse_concat(depth))
+        out = [a for b in branches for a in b]
+        if len(out) > max_alts:
+            raise ValueError(
+                f"regex expands past {max_alts} alternatives — not indexable"
+            )
+        return out
+
+    def parse_concat(depth: int) -> list[list[str]]:
+        nonlocal pos
+        alts: list[list[str]] = [[""]]
+        while pos < len(pattern) and pattern[pos] not in "|)":
+            ch = pattern[pos]
+            if ch in "*+{":
+                raise ValueError(f"unsupported repeat {ch!r} — unbounded language")
+            if ch in "^$":
+                raise ValueError(f"unsupported anchor {ch!r}")
+            if ch == "?":
+                raise ValueError("dangling '?' with nothing to repeat")
+            atom: list[list[str]]
+            if ch == "\\":
+                if pos + 1 >= len(pattern):
+                    raise ValueError("trailing backslash")
+                esc = pattern[pos + 1]
+                if esc not in _REGEX_META:
+                    raise ValueError(f"unsupported escape \\{esc}")
+                atom = [[esc]]
+                pos += 2
+            elif ch == ".":
+                atom = [["", ""]]
+                pos += 1
+            elif ch == "[":
+                atom = [[c] for c in _expand_class()]
+            elif ch == "(":
+                pos += 1
+                atom = parse_alternation(depth + 1)
+                if pos >= len(pattern) or pattern[pos] != ")":
+                    raise ValueError("unbalanced '('")
+                pos += 1
+            else:
+                atom = [[ch]]
+                pos += 1
+            if pos < len(pattern) and pattern[pos] == "?":
+                pos += 1
+                atom = atom + [[""]]
+            alts = concat(alts, atom)
+        return alts
+
+    def _expand_class() -> list[str]:
+        nonlocal pos
+        pos += 1  # past '['
+        if pos < len(pattern) and pattern[pos] == "^":
+            raise ValueError("negated class is not trigram-indexable")
+        chars: list[str] = []
+        while pos < len(pattern) and pattern[pos] != "]":
+            c = pattern[pos]
+            if c == "\\":
+                if pos + 1 >= len(pattern):
+                    raise ValueError("trailing backslash in class")
+                chars.append(pattern[pos + 1])
+                pos += 2
+                continue
+            if (
+                pos + 2 < len(pattern)
+                and pattern[pos + 1] == "-"
+                and pattern[pos + 2] != "]"
+            ):
+                lo, hi = ord(c), ord(pattern[pos + 2])
+                if hi < lo:
+                    raise ValueError(f"bad class range {c}-{pattern[pos + 2]}")
+                chars.extend(chr(o) for o in range(lo, hi + 1))
+                pos += 3
+                continue
+            chars.append(c)
+            pos += 1
+        if pos >= len(pattern):
+            raise ValueError("unbalanced '['")
+        pos += 1  # past ']'
+        if not chars:
+            raise ValueError("empty character class")
+        return chars
+
+    alts = parse_alternation(0)
+    if pos != len(pattern):
+        raise ValueError(f"unbalanced ')' at position {pos}")
+    return alts
+
+
+def regex_trigram_query(pattern: str, max_alts: int = 128) -> list[list[str]]:
+    """Trigram query for a restricted regex: a disjunction (outer list)
+    of conjunctions (inner lists) — a file can match the regex only if,
+    for SOME alternative, it contains ALL of that alternative's
+    trigrams. Raises if any alternative carries no trigram (the index
+    could not prune: a candidate set equal to the corpus is a bug at
+    100 TB, not a fallback)."""
+    alts = _expand_regex(pattern, max_alts)
+    queries: list[list[str]] = []
+    seen: set[tuple[str, ...]] = set()
+    for frags in alts:
+        tris = sorted(
+            {f[i : i + 3] for f in frags if len(f) >= 3 for i in range(len(f) - 2)}
+        )
+        if not tris:
+            raise ValueError(
+                "not indexable: an alternative has no literal run of length >= 3"
+            )
+        key = tuple(tris)
+        if key not in seen:
+            seen.add(key)
+            queries.append(tris)
+    return queries
+
+
+def regex_search(
+    files: DataFrame,
+    pattern: str,
+    content_col: str = "content",
+    max_alts: int = 128,
+) -> DataFrame:
+    """Regex search through the trigram index: candidates = files whose
+    posting set covers SOME alternative's full trigram set (one postings
+    pass — the ``tri IN (...)`` filter over the UNION of all needed
+    trigrams pushes into the scan, then a per-file set-cover check
+    against the literal alternative arrays), verified with an ``rlike``
+    pass over candidates only. Returns (repo, path, n_hits) with
+    n_hits = leftmost non-overlapping match count (Java and RE2 agree
+    on the supported subset, so DuckDB oracles replay it)."""
+    alt_tris = regex_trigram_query(pattern, max_alts)
+    all_tris = sorted({t for a in alt_tris for t in a})
+    postings = trigram_postings(files, content_col)
+    got = (
+        postings.where(F.col("tri").isin(all_tris))
+        .groupBy("repo", "path")
+        .agg(F.collect_set("tri").alias("got"))
+    )
+    alts_col = F.array(*[F.array(*[F.lit(t) for t in a]) for a in alt_tris])
+    cand = got.where(
+        F.exists(
+            alts_col,
+            lambda a: F.forall(a, lambda t: F.array_contains(F.col("got"), t)),
+        )
+    ).select("repo", "path")
+    verified = files.join(cand, ["repo", "path"], "left_semi")
+    n_hits = F.size(F.regexp_extract_all(F.col(content_col), F.lit(pattern), 0))
+    return (
+        verified.select("repo", "path", n_hits.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
     )
 
 

@@ -83,6 +83,60 @@ def test_candidate_filter_is_pushed(spark):
     assert "IN (abc,bcd)" in below_exchange
 
 
+def test_regex_trigram_query_expansion():
+    from kgdata_spark.operators.codesearch import regex_trigram_query
+
+    # alternation: one conjunction per branch
+    assert regex_trigram_query("foobar|bazqux") == [
+        ["bar", "foo", "oba", "oob"],
+        ["azq", "baz", "qux", "zqu"],
+    ]
+    # class expands; '?' optional doubles; '.' splits fragments
+    assert regex_trigram_query("ab[cd]x") == [["abc", "bcx"], ["abd", "bdx"]]
+    assert regex_trigram_query("foo.bar") == [["bar", "foo"]]
+    # optional suffix: both expansions indexable
+    assert regex_trigram_query("abcd?") == [["abc", "bcd"], ["abc"]]
+    # escaped metachars are literal fragment chars
+    assert regex_trigram_query(r"fn\(x\)") == [sorted(["fn(", "n(x", "(x)"])]
+
+
+def test_regex_query_rejects_unindexable():
+    import pytest as _pytest
+
+    from kgdata_spark.operators.codesearch import regex_trigram_query
+
+    for bad in ["ab|cdef", "a*bcd", "ab+cd", "a{2}bc", "[^a]bcd", "ab.cd", "x?yz"]:
+        with _pytest.raises(ValueError):
+            regex_trigram_query(bad)
+    # combinatorial blow-up hits the cap
+    with _pytest.raises(ValueError):
+        regex_trigram_query("[ab][cd][ef][gh][ij][kl][mn][op]", max_alts=16)
+
+
+def test_regex_search_matches_brute_force(spark):
+    from kgdata_spark.operators.codesearch import regex_search
+
+    pattern = r"(load|save)Cfg[12]\("
+    rows = []
+    for i in range(40):
+        verb = ["load", "save", "drop"][i % 3]
+        body = f"x = {verb}Cfg{i % 4}(ctx)\n" * (i % 3 + 1)
+        # decoy: all trigrams of loadCfg1( present, never contiguous
+        if i % 7 == 0:
+            body += "loa adC dCf Cfg fg1 g1( oad\n"
+        rows.append(("r", f"f{i}.py", body))
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.path, r.n_hits) for r in regex_search(df, pattern).collect()}
+    import re as _re
+
+    want = {
+        (p, len(_re.findall(pattern, c)))
+        for _, p, c in rows
+        if _re.search(pattern, c)
+    }
+    assert got == want and len(want) > 0
+
+
 def test_symbol_xref_lexical_rules(spark):
     from kgdata_spark.operators.codesearch import symbol_xref
 
