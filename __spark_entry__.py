@@ -4148,6 +4148,27 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lexical call-graph edges attributed to their enclosing function.
+    # Spark derives them from the TEXT (block explode + regex); the
+    # oracle derives them from the corpus CONSTRUCTION (closed-form
+    # main/shared callee formulas) — agreement means extraction and
+    # attribution recover exactly the calls the generator planted.
+    from kgdata_spark.operators.code import call_edges
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return call_edges(structured_code_corpus(spark, CLONE_CORPUS_N))
+
+
+def q_api_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # API-popularity rollup over the call graph (total calls, distinct
+    # repos, distinct caller functions per callee).
+    from kgdata_spark.operators.code import api_usage
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return api_usage(structured_code_corpus(spark, CLONE_CORPUS_N))
+
+
 def q_symbol_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-wide def/call cross-reference with dead-symbol and
     # unresolved-call statuses. Spark derives it LEXICALLY (regex scan
@@ -4415,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_ownership": q_file_ownership,
         "trigram_search": q_trigram_search,
         "regex_search": q_regex_search,
+        "call_edges": q_call_edges,
+        "api_usage": q_api_usage,
         "symbol_xref": q_symbol_xref,
     }
     # Environment-dependent surface: the zstd ingest query needs a python
@@ -6375,6 +6398,44 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS n_hits
         FROM struct_corpus
         WHERE regexp_matches(content, '{REGEX_PATTERN}')
+    """
+    # call_edges / api_usage: replay the structured corpus CONSTRUCTION —
+    # main_i calls parseHTTPResponse{i%9} and loadConfigValue; shared
+    # helper fn_b (b = (7i+13j) % 101, j gated by i%3) calls
+    # computeValue{b%7}. Spark extracts these from the TEXT.
+    _call_edges_cte = f"""
+        base AS (SELECT r, printf('org%d/r%d', (r%150)%4, r%150) AS repo,
+                        printf('pkg/p%d/mod_%d.py', (r//150)%5, r) AS path
+                 FROM range({CLONE_CORPUS_N}) t(r)),
+        ce AS (
+          SELECT repo, path, printf('main_%d', r) AS caller,
+                 printf('parseHTTPResponse%d', r%9) AS callee FROM base
+          UNION ALL
+          SELECT repo, path, printf('main_%d', r), 'loadConfigValue' FROM base
+          UNION ALL
+          SELECT repo, path, printf('fn_%d', (r*7+13)%101),
+                 printf('computeValue%d', ((r*7+13)%101)%7) FROM base
+          UNION ALL
+          SELECT repo, path, printf('fn_%d', (r*7+26)%101),
+                 printf('computeValue%d', ((r*7+26)%101)%7) FROM base
+          WHERE r%3 >= 1
+          UNION ALL
+          SELECT repo, path, printf('fn_%d', (r*7+39)%101),
+                 printf('computeValue%d', ((r*7+39)%101)%7) FROM base
+          WHERE r%3 = 2
+        )
+    """
+    d["call_edges"] = f"""
+        WITH {_call_edges_cte}
+        SELECT repo, path, caller, callee, COUNT(*) AS n_calls
+        FROM ce GROUP BY repo, path, caller, callee
+    """
+    d["api_usage"] = f"""
+        WITH {_call_edges_cte}
+        SELECT callee, COUNT(*) AS n_calls,
+               COUNT(DISTINCT repo) AS n_repos,
+               COUNT(DISTINCT caller) AS n_callers
+        FROM ce GROUP BY callee
     """
     # symbol_xref: derived from the corpus CONSTRUCTION — defs are the
     # fn%c heads, lexical calls are Cls_%x heads + fn%d call sites

@@ -213,6 +213,52 @@ def extract_functions(files: DataFrame, content_col: str = "content") -> DataFra
     )
 
 
+def call_edges(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Lexical call-graph edges at function granularity:
+    (repo, path, caller, callee, n_calls).
+
+    Builds on ``extract_functions`` — same one-scan explode — then pulls
+    callees as identifiers immediately followed by ``(`` inside the
+    caller's block, with def heads neutralized first (a ``def NAME(``
+    head is a definition, not a call — the same lexical rule as
+    ``codesearch.symbol_xref``, applied per-function so every call is
+    ATTRIBUTED to its enclosing function; that attribution is what turns
+    the flat xref into a graph). The only shuffle is the final
+    (repo, path, caller, callee) count, map-side combined.
+    """
+    fns = extract_functions(files, content_col)
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    stripped = F.regexp_replace(F.col("fn_text"), f"def {ident}\\(", "def (")
+    return (
+        fns.select(
+            "repo",
+            "path",
+            F.col("fn_name").alias("caller"),
+            F.explode(
+                F.regexp_extract_all(stripped, F.lit(f"({ident})\\("), 1)
+            ).alias("callee"),
+        )
+        .groupBy("repo", "path", "caller", "callee")
+        .agg(F.count("*").alias("n_calls"))
+    )
+
+
+def api_usage(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """API-popularity table over the call graph: per callee, total call
+    count, distinct calling repos, distinct caller functions — the
+    "which symbols does the corpus actually depend on" report that
+    drives API-mining and deprecation-impact questions. One further
+    aggregation over ``call_edges``; the callee key is low-cardinality
+    relative to the corpus, so the shuffle carries per-task partials.
+    """
+    e = call_edges(files, content_col)
+    return e.groupBy("callee").agg(
+        F.sum("n_calls").alias("n_calls"),
+        F.countDistinct("repo").alias("n_repos"),
+        F.countDistinct("caller").alias("n_callers"),
+    )
+
+
 def function_dedup_report(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Cross-corpus duplicate functions at function granularity (the
     StarCoder dedup unit): group extracted blocks by exact text hash and

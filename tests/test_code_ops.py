@@ -266,3 +266,42 @@ def test_code_ops_plans_shuffle_free(spark):
     for df, want in ((code_metrics(c), 0), (scan_secrets(c), 0), (repo_licenses(c), 1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= want, plan
+
+
+def test_call_edges_attribution_and_counts(spark):
+    """Calls attribute to the ENCLOSING function; def heads (outer and
+    nested) are not calls; repeated calls count."""
+    from kgdata_spark.operators.code import call_edges
+
+    content = (
+        "import os\n"
+        "def outer(a):\n"
+        "    x = helper(a)\n"
+        "    y = helper(x)\n"
+        "    def inner(b):\n"
+        "        return leaf(b)\n"
+        "    return inner(y)\n"
+        "def solo():\n"
+        "    pass\n"
+    )
+    df = spark.createDataFrame([("r", "f.py", content)], "repo string, path string, content string")
+    got = {(r.caller, r.callee): r.n_calls for r in call_edges(df).collect()}
+    # inner is a nested def inside outer's block: its head is neutralized,
+    # its body's call attributes to the BLOCK (top-level function) outer.
+    assert got == {
+        ("outer", "helper"): 2,
+        ("outer", "leaf"): 1,
+        ("outer", "inner"): 1,
+    }
+
+
+def test_api_usage_rollup(spark):
+    from kgdata_spark.operators.code import api_usage
+
+    rows = [
+        ("r1", "a.py", "def f():\n    lib(1)\n    lib(2)\n"),
+        ("r2", "b.py", "def g():\n    lib(3)\n    other()\n"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {r.callee: (r.n_calls, r.n_repos, r.n_callers) for r in api_usage(df).collect()}
+    assert got == {"lib": (3, 2, 2), "other": (1, 1, 1)}
