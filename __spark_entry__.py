@@ -3283,6 +3283,45 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_flags(o, "o_orderpriority", "o_totalprice", "o_orderkey")
 
 
+def q_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manifest zone maps (the fourth storage lever: file-level min/max in
+    # the table's own metadata, Iceberg-style): lineitem range-laid-out
+    # on l_orderkey into 8 files, a 10%-of-keyspace range read must skip
+    # to <= 2 files at PLANNING time (no listing/footer I/O for the
+    # rest), asserted in-query; the oracle replays the same BETWEEN on
+    # the raw table, so the pruned read must lose/admit nothing.
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from kgdata_spark.pipeline.zonemap import (
+        assert_files_pruned,
+        read_pruned,
+        write_zonemapped,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = _os.path.join(
+        _tmp.gettempdir(),
+        "kg_zone_prune_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_zonemapped(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey"),
+        path,
+        ["l_orderkey"],
+    )
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    lo, hi = mx * 2 // 10, mx * 3 // 10
+    got, kept, total = read_pruned(spark, path, {"l_orderkey": (lo, hi)})
+    assert_files_pruned(kept, total, at_most=2)
+    return got.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hive-partitioned layout gate (the third storage lever next to
     # bucketed_join and zorder_keys): events land one directory per day,
@@ -4398,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_communities": q_supplier_communities,
         "url_dedup_docs": q_url_dedup_docs,
         "partition_prune": q_partition_prune,
+        "zone_prune": q_zone_prune,
         "order_price_outliers": q_order_price_outliers,
         "neighborhood_growth": q_neighborhood_growth,
         "doc_containment": q_doc_containment,
@@ -5542,6 +5582,18 @@ def oracle_sql() -> dict[str, str]:
         w AS (SELECT canon_url, MIN(doc_id) AS k FROM c GROUP BY canon_url)
         SELECT c.canon_url, c.doc_id, c.url, c.doc_id = w.k AS keep
         FROM c JOIN w USING (canon_url)
+    """
+    # zone_prune: the aggregate is layout-independent — the zone-mapped
+    # read must equal the same BETWEEN over the raw table (the in-query
+    # assert is what proves files were actually skipped).
+    d["zone_prune"] = """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey BETWEEN
+              (SELECT MAX(l_orderkey) * 2 // 10 FROM lineitem)
+          AND (SELECT MAX(l_orderkey) * 3 // 10 FROM lineitem)
+        GROUP BY l_returnflag
     """
     # partition_prune: the counts are layout-independent — the layout
     # claims are asserted INSIDE the gated query (plan + directory count)

@@ -1,0 +1,146 @@
+"""Manifest zone maps: per-file column bounds + planning-time file skipping.
+
+The storage levers so far prune at three granularities: hive partitioning
+(partitioned.py) drops DIRECTORIES at planning time, z-order (zorder.py)
+clusters values so parquet footer stats drop ROW GROUPS, bucketing
+(bucketed.py) kills shuffles. What none of them avoid is opening every
+file's FOOTER: at 100 TB a table is millions of files and the listing +
+footer round-trips dominate a selective scan. Iceberg/Delta solve it by
+keeping per-file column bounds in the table's own metadata so a range
+predicate selects the surviving file list BEFORE the scan plans — no
+footer I/O, no listing, for skipped files. This module is that layer over
+plain parquet:
+
+* ``write_zonemapped`` writes the dataframe, then builds ``_ZONEMAP.json``
+  — ``{file: {col: [min, max]}}`` plus the dataset schema — from ONE
+  column-pruned read-back pass grouped by ``input_file_name()`` (the
+  stats aggregation shuffles one row per file per column, nothing more).
+  The LAYOUT is the caller's choice: range-repartition or z-order first
+  and the bounds come out tight; a random layout still reads correctly,
+  it just prunes nothing.
+* ``read_pruned`` intersects a {col: (lo, hi)} predicate box with each
+  file's bounds (superset test — files may still hold no matching row)
+  and hands Spark the surviving file list with the residual filter
+  applied, so results are EXACTLY the range read. Returns the kept/total
+  file counts so callers can assert the skipping actually happened
+  (``assert_files_pruned``) instead of trusting the layout.
+
+The reference materializes its big tables as single-key sorted files for
+RocksDB range scans (kgdata dataset.py sorted writes); zone maps are the
+columnar equivalent of that contract — plus the schema is stored in the
+manifest, so an all-files-skipped read still returns the right empty
+DataFrame without touching storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+ZONEMAP = "_ZONEMAP.json"
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def write_zonemapped(df: DataFrame, path: str, stats_cols: list[str]) -> int:
+    """Write ``df`` as parquet at ``path`` and build ``_ZONEMAP.json``
+    carrying per-file [min, max] for each of ``stats_cols``. Returns the
+    number of data files mapped. Stats columns must be numeric or string
+    (decimals/timestamps would need type-tagged JSON — raise early
+    rather than serialize something the reader compares wrongly)."""
+    if not stats_cols:
+        raise ValueError("stats_cols must name at least one column")
+    for c in stats_cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"stats column {c!r} not in dataframe")
+        if dt not in _NUMERIC and dt != "string":
+            raise ValueError(
+                f"stats column {c!r} has type {dt}: zone maps support "
+                "numeric and string columns"
+            )
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("_file"), *stats_cols
+    )
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = back.groupBy("_file").agg(*aggs).collect()
+    files = {
+        r["_file"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        for r in rows
+    }
+    manifest = {
+        "schema": spark.read.parquet(path).schema.json(),
+        "stats_cols": stats_cols,
+        "files": files,
+    }
+    tmp = os.path.join(path, ZONEMAP + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, ZONEMAP))
+    return len(files)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, bounds: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """Range read through the zone map: keep files whose bounds box
+    intersects ``bounds`` ({col: (lo, hi)}, closed interval), apply the
+    residual filter, and return (df, n_files_kept, n_files_total). A
+    file with NULL bounds for a column (all-null values) cannot satisfy
+    a range predicate on it and is skipped — matching the residual
+    filter's null semantics."""
+    mpath = os.path.join(path, ZONEMAP)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no {ZONEMAP} at {path} — write with write_zonemapped"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for c in bounds:
+        if c not in manifest["stats_cols"]:
+            raise ValueError(
+                f"no zone-map stats for column {c!r} "
+                f"(have {manifest['stats_cols']})"
+            )
+    kept = []
+    for fname, stats in manifest["files"].items():
+        ok = True
+        for c, (lo, hi) in bounds.items():
+            mn, mx = stats[c]
+            if mn is None or mx is None or mn > hi or mx < lo:
+                ok = False
+                break
+        if ok:
+            kept.append(fname)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if kept:
+        df = spark.read.schema(schema).parquet(*sorted(kept))
+    else:
+        df = spark.createDataFrame([], schema)
+    for c, (lo, hi) in bounds.items():
+        df = df.where(F.col(c).between(lo, hi))
+    return df, len(kept), len(manifest["files"])
+
+
+def assert_files_pruned(n_kept: int, n_total: int, at_most: int) -> None:
+    """In-query gate that the zone map actually skipped files: fails the
+    correctness run (not just a benchmark) if the layout or the manifest
+    regressed to reading more than ``at_most`` of ``n_total`` files."""
+    if n_total <= at_most:
+        raise AssertionError(
+            f"fixture too small to prove pruning: {n_total} files <= {at_most}"
+        )
+    if n_kept > at_most:
+        raise AssertionError(
+            f"zone map kept {n_kept}/{n_total} files, expected <= {at_most} "
+            "— layout no longer clusters the stats column"
+        )

@@ -1,0 +1,119 @@
+"""Manifest zone maps (pipeline/zonemap.py): per-file bounds, file
+skipping, exactness of the pruned read, and the failure modes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgdata_spark.pipeline.zonemap import (
+    ZONEMAP,
+    assert_files_pruned,
+    read_pruned,
+    write_zonemapped,
+)
+
+
+def _layout(spark, tmp_path, n=1000, parts=8):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.format_string("name_%d", F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "zm")
+    nf = write_zonemapped(
+        df.repartitionByRange(parts, "k").sortWithinPartitions("k"),
+        path,
+        ["k", "v", "s"],
+    )
+    return df, path, nf
+
+
+def test_pruned_read_is_exact_and_skips(spark, tmp_path):
+    df, path, nf = _layout(spark, tmp_path)
+    assert nf == 8
+    got, kept, total = read_pruned(spark, path, {"k": (100, 199)})
+    assert total == 8 and kept <= 2  # 100 contiguous keys of 1000 in 8 files
+    want = {(r.k, r.v, r.s) for r in df.where(F.col("k").between(100, 199)).collect()}
+    assert {(r.k, r.v, r.s) for r in got.collect()} == want
+    assert_files_pruned(kept, total, at_most=2)
+
+
+def test_no_overlap_reads_zero_files_with_schema(spark, tmp_path):
+    df, path, _ = _layout(spark, tmp_path)
+    got, kept, total = read_pruned(spark, path, {"k": (5000, 6000)})
+    assert kept == 0 and got.count() == 0
+    # the contract is "same schema as an unpruned read of the layout"
+    # (parquet relaxes nullability vs the in-memory frame)
+    assert got.schema == spark.read.parquet(path).schema
+
+
+def test_unclustered_column_prunes_nothing_but_stays_exact(spark, tmp_path):
+    # layout is by k; v = k % 97 cycles through every file, so a v-range
+    # box overlaps all of them — no false skipping, result still exact.
+    df, path, _ = _layout(spark, tmp_path)
+    got, kept, total = read_pruned(spark, path, {"v": (10, 20)})
+    assert kept == total == 8
+    want = {(r.k, r.v, r.s) for r in df.where(F.col("v").between(10, 20)).collect()}
+    assert {(r.k, r.v, r.s) for r in got.collect()} == want
+    with pytest.raises(AssertionError):
+        assert_files_pruned(kept, total, at_most=2)
+
+
+def test_string_bounds_follow_lexicographic_semantics(spark, tmp_path):
+    # s = name_{k} is lexicographically correlated with the k layout, so
+    # a string box prunes too — and the residual filter keeps the STRING
+    # range semantics exactly (name_11 < name_199 lexicographically even
+    # though 11 < 100 numerically).
+    df, path, _ = _layout(spark, tmp_path)
+    got, kept, total = read_pruned(spark, path, {"s": ("name_100", "name_199")})
+    assert kept < total
+    want = {
+        (r.k, r.v, r.s)
+        for r in df.where(F.col("s").between("name_100", "name_199")).collect()
+    }
+    assert {(r.k, r.v, r.s) for r in got.collect()} == want
+
+
+def test_all_null_stats_file_is_skipped(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, "a")] * 5 + [(7, "b")] * 5, "k int, s string"
+    ).repartition(2, "k")
+    path = str(tmp_path / "zm_null")
+    write_zonemapped(df, path, ["k"])
+    got, kept, total = read_pruned(spark, path, {"k": (0, 100)})
+    assert total == 2 and kept == 1
+    assert got.count() == 5
+
+
+def test_guards(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("decimal(10,2)").alias("d")
+    )
+    with pytest.raises(ValueError, match="decimal|support"):
+        write_zonemapped(df, str(tmp_path / "g1"), ["d"])
+    with pytest.raises(ValueError, match="not in dataframe"):
+        write_zonemapped(df, str(tmp_path / "g2"), ["missing"])
+    with pytest.raises(ValueError, match="at least one"):
+        write_zonemapped(df, str(tmp_path / "g3"), [])
+    with pytest.raises(FileNotFoundError):
+        read_pruned(spark, str(tmp_path / "nowhere"), {"k": (0, 1)})
+    path = str(tmp_path / "g4")
+    write_zonemapped(df.select("k"), path, ["k"])
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        read_pruned(spark, path, {"x": (0, 1)})
+
+
+def test_manifest_shape_and_atomicity(spark, tmp_path):
+    _, path, nf = _layout(spark, tmp_path, n=200, parts=4)
+    with open(os.path.join(path, ZONEMAP)) as f:
+        m = json.load(f)
+    assert set(m) == {"schema", "stats_cols", "files"} and len(m["files"]) == nf
+    for stats in m["files"].values():
+        assert set(stats) == {"k", "v", "s"}
+        mn, mx = stats["k"]
+        assert mn <= mx
+    assert not os.path.exists(os.path.join(path, ZONEMAP + ".tmp"))
