@@ -2479,6 +2479,60 @@ def _assert_bpe_oracle_precondition(merges: list[tuple[str, str]]) -> None:
 _assert_bpe_oracle_precondition(BPE_EXPECTED_MERGES)
 
 
+UNIGRAM_FIXTURE_TEXTS = [
+    "internationalization is an international nation thing",
+    "the nation and the inter nation network",
+    "international networks internationalize the nation",
+    "interns intern at the international internet desk",
+    "nation nation international inter net work",
+]
+# full learned vocab after 2 Viterbi-EM rounds (pinned: the in-query
+# assert makes trainer drift a correctness failure, like BPE's merges)
+UNIGRAM_EXPECTED_VOCAB = [
+    ("n", 45), ("t", 34), ("i", 28), ("a", 22), ("e", 21), ("o", 16),
+    ("r", 14), ("inter", 8), ("l", 6), ("nation", 6), ("national", 6),
+    ("h", 5), ("k", 4), ("s", 4), ("intern", 3), ("w", 3), ("d", 2),
+    ("z", 2), ("ation", 1), ("g", 1),
+]
+UNIGRAM_PIECES = sorted(p for p, _ in UNIGRAM_EXPECTED_VOCAB if len(p) > 1)
+
+
+def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unigram-LM tokenizer (SentencePiece-style Viterbi-EM, the other
+    # real-world subword tokenizer next to BPE): train on the pinned
+    # fixture (real distributed trainer: corpus groupBy + per-round
+    # Arrow-batched Viterbi E-step over the distinct-word table), assert
+    # the learned vocab against the pinned constants, then ground the
+    # learned multi-char pieces in the documents table — per piece, how
+    # many docs contain it and total occurrences. The oracle recomputes
+    # those stats from the same pieces, so the gate checks both trainer
+    # determinism (assert) and data-derived piece statistics (hash).
+    from kgdata_spark.operators.unigram import train_unigram
+
+    fix = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(UNIGRAM_FIXTURE_TEXTS)],
+        ["doc_id", "text"],
+    )
+    vocab = train_unigram(
+        fix, vocab_size=40, n_iters=2, max_piece_len=8, seed_size=40
+    )
+    if vocab != UNIGRAM_EXPECTED_VOCAB:
+        raise AssertionError(f"unigram trainer drifted: {vocab}")
+    d = _t(spark, sf_dir, "documents").select("text")
+    pieces = F.array(*[F.lit(p) for p in UNIGRAM_PIECES])
+    per = d.select(F.explode(pieces).alias("piece"), "text")
+    occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.col("piece"))))
+        / F.length("piece")
+    ).cast("long")
+    return per.groupBy("piece").agg(
+        F.sum(F.contains(F.col("text"), F.col("piece")).cast("long")).alias(
+            "n_docs"
+        ),
+        F.sum(occ).alias("n_occurrences"),
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed BPE: train on the fixture (real trainer, argmax via
     # TakeOrderedAndProject per merge; vocab_partitions=1 because the
@@ -4380,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_keep_first": q_dup_spans_keep_first,
         "event_sessions": q_event_sessions,
         "bpe_token_counts": q_bpe_token_counts,
+        "unigram_pieces": q_unigram_pieces,
         "warc_ingest": q_warc_ingest,
         "pricing_summary": q_pricing_summary,
         "revenue_per_nation": q_revenue_per_nation,
@@ -4778,6 +4833,20 @@ def oracle_sql() -> dict[str, str]:
     # yields n_bpe_tokens=0 on the Spark side (size of an empty token
     # array) and must do so here too instead of vanishing from the
     # word-level GROUP BY (round-4 advice)
+    # unigram_pieces: the learned pieces are pinned constants (trainer
+    # determinism is asserted in-query); the oracle recomputes the
+    # data-derived occurrence stats of those pieces over documents.
+    _pieces_values = ", ".join(f"('{p}')" for p in UNIGRAM_PIECES)
+    d["unigram_pieces"] = f"""
+        WITH pieces(piece) AS (VALUES {_pieces_values})
+        SELECT piece,
+               CAST(SUM(CASE WHEN contains(text, piece) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs,
+               CAST(SUM((length(text) - length(replace(text, piece, '')))
+                        // length(piece)) AS BIGINT) AS n_occurrences
+        FROM pieces, documents
+        GROUP BY piece
+    """
     d["bpe_token_counts"] = f"""
         WITH w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word

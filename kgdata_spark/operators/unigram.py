@@ -1,0 +1,239 @@
+"""Distributed unigram-LM tokenizer (SentencePiece-style, Kudo 2018).
+
+The other real-world subword tokenizer next to BPE (operators/bpe.py):
+instead of greedy merges, a vocabulary of pieces with a probability
+each, where tokenization is the Viterbi-best segmentation under the
+piece log-probs. Training is EM; this implementation is the standard
+hard-EM (Viterbi-EM) variant:
+
+  * the DATA-sized pass is `bpe.word_freqs` — one groupBy over the
+    corpus. Everything after runs on the distinct-word table (orders of
+    magnitude smaller; at 100 TB still maybe 10^8 rows — which is why
+    the E-step is a distributed pandas UDF over that table, never a
+    driver loop).
+  * seeding: every substring of length 2..max_piece_len of every
+    distinct word, scored by occurrence-frequency x length (the
+    Makes-A-Long-Cover-Cheap heuristic), top `seed_size` via
+    TakeOrderedAndProject — plus ALL single characters, which are never
+    pruned (coverage guarantee: any word is always segmentable).
+  * E-step: Viterbi segmentation of each distinct word under the
+    current piece log-probs — pandas UDF with the (small) vocab dict
+    broadcast; per-batch memoization. M-step: piece count = sum of
+    word_freq over the segmentations containing it — one explode + one
+    map-side-combined groupBy; the vocab-sized count table is collected
+    to the driver (bounded by seed_size, not the corpus).
+  * pruning: after EM, keep all single chars + the top
+    (vocab_size - n_chars) multi-char pieces by (count desc, piece
+    asc). This is count-based pruning, a documented simplification of
+    SentencePiece's loss-delta pruning — deterministic and monotone,
+    which is what the correctness gate needs.
+
+Determinism: counts are exact integers; log-probs are pure functions of
+(count, total); Viterbi ties keep the FIRST candidate found scanning
+last-piece lengths 1..max_piece_len (the shortest last piece), so
+training and application are run-to-run stable and replayable by the
+pure-python model in tests/test_unigram.py.
+
+Like BPE, no SQL oracle can replay the iterative trainer; the driver
+query trains on a pinned fixture, asserts the learned vocab against
+pinned constants, and the DuckDB oracle verifies data-derived occurrence
+statistics of those pieces over the documents table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgdata_spark.operators.bpe import word_freqs
+
+_UNK_PENALTY = 20.0  # extra nats charged for a character unseen in training
+
+
+def _substring_grid(word: Column, max_piece_len: int) -> Column:
+    """All (start, len>=2) substrings of a word as an array — every
+    occurrence position counts once, so repeated substrings inside one
+    word score multiply."""
+    n = F.length(word)
+    return F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda s: F.transform(
+                    F.sequence(
+                        F.lit(2), F.least(F.lit(max_piece_len), n - s + 1)
+                    ),
+                    lambda l: word.substr(s, l),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def seed_pieces(
+    words: DataFrame, max_piece_len: int = 8, seed_size: int = 200
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(multi-char seed counts, single-char counts) from the distinct-word
+    table. Multi-char candidates are the top `seed_size` substrings by
+    (freq x len) score; chars carry their exact corpus frequencies."""
+    if max_piece_len < 2:
+        raise ValueError("max_piece_len must be >= 2")
+    w = F.col("word")
+    subs = (
+        words.select(F.explode(_substring_grid(w, max_piece_len)).alias("piece"),
+                     F.col("freq"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .select("piece", "cnt", (F.col("cnt") * F.length("piece")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("piece"))
+        .limit(seed_size)
+    )
+    multi = {r["piece"]: int(r["cnt"]) for r in subs.collect()}
+    chars = (
+        words.select(F.explode(F.split(w, "")).alias("ch"), F.col("freq"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    return multi, {r["ch"]: int(r["cnt"]) for r in chars}
+
+
+def _logprobs(counts: dict[str, int]) -> dict[str, float]:
+    total = sum(counts.values())
+    return {p: math.log(c) - math.log(total) for p, c in counts.items() if c > 0}
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Best segmentation of `word` under piece log-probs. Characters
+    missing from the vocab cost (min vocab logp - _UNK_PENALTY) so any
+    word segments. Ties keep the first candidate found scanning last-
+    piece length 1..max_piece_len (shortest last piece)."""
+    if not word:
+        return []
+    unk = (min(logp.values()) if logp else 0.0) - _UNK_PENALTY
+    n = len(word)
+    best = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for length in range(1, min(max_piece_len, i) + 1):
+            j = i - length
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if length > 1:
+                    continue
+                lp = unk
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _segment_words_udf(logp: dict[str, float], max_piece_len: int):
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = viterbi_segment(w, logp, max_piece_len)
+            return got
+
+        return words.map(one)
+
+    return seg
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int,
+    n_iters: int = 2,
+    max_piece_len: int = 8,
+    seed_size: int = 200,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> list[tuple[str, int]]:
+    """Train a unigram vocab; returns [(piece, count)] sorted by
+    (count desc, piece asc) — single chars always included. The corpus
+    is touched ONCE (word_freqs); each EM round costs one distributed
+    Viterbi pass + one explode/groupBy over the distinct-word table."""
+    wf = word_freqs(docs, text_col=text_col, min_freq=min_freq).cache()
+    try:
+        multi, chars = seed_pieces(wf, max_piece_len, seed_size)
+        counts: dict[str, int] = {**multi, **chars}
+        for _ in range(n_iters):
+            seg = _segment_words_udf(_logprobs(counts), max_piece_len)
+            em = (
+                wf.select(F.explode(seg(F.col("word"))).alias("piece"),
+                          F.col("freq"))
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("cnt"))
+                .collect()
+            )
+            new_counts = {r["piece"]: int(r["cnt"]) for r in em}
+            # chars keep their corpus frequency even when Viterbi stops
+            # choosing them — dropping a char would break coverage
+            counts = {**{c: k for c, k in chars.items()}, **new_counts}
+        n_chars = len(chars)
+        if vocab_size < n_chars:
+            raise ValueError(
+                f"vocab_size {vocab_size} < {n_chars} distinct chars — "
+                "coverage would break"
+            )
+        multi_final = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[: vocab_size - n_chars]
+        vocab = multi_final + [(c, k) for c, k in chars.items()]
+        return sorted(vocab, key=lambda pc: (-pc[1], pc[0]))
+    finally:
+        wf.unpersist()
+
+
+def apply_unigram(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize the corpus with a trained vocab: whitespace words, each
+    Viterbi-segmented via the Arrow-batched memoized UDF (the same
+    production shape as bpe.apply_bpe_udf — per-batch memoization means
+    repeated words never re-run the DP)."""
+    logp = _logprobs(dict(vocab))
+
+    @F.pandas_udf("array<string>")
+    def tok(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = viterbi_segment(w, logp, max_piece_len)
+            return got
+
+        def one(t: str) -> list[str]:
+            out: list[str] = []
+            for w in t.split():
+                out.extend(one_word(w))
+            return out
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, tok(F.col(text_col)))

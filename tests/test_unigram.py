@@ -1,0 +1,214 @@
+"""Unigram-LM tokenizer (operators/unigram.py) vs an independent python
+model: brute-force segmentation (enumerate ALL segmentations, max score,
+DP tie rule = shortest-last-piece recursively), dict-built seeding, and
+a full EM replay. Plus coverage/guard properties."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+MAXLEN = 8
+UNK_PENALTY = 20.0
+
+
+# ---------- independent model ----------
+
+
+def model_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        c.update(w for w in t.split() if w)
+    return dict(c)
+
+
+def model_seed(wf, max_piece_len, seed_size):
+    score = Counter()
+    cnt = Counter()
+    for w, f in wf.items():
+        for s in range(len(w)):
+            for l in range(2, max_piece_len + 1):
+                if s + l <= len(w):
+                    cnt[w[s : s + l]] += f
+    for p, c in cnt.items():
+        score[p] = c * len(p)
+    top = sorted(score, key=lambda p: (-score[p], p))[:seed_size]
+    chars = Counter()
+    for w, f in wf.items():
+        for ch in w:
+            chars[ch] += f
+    return {p: cnt[p] for p in top}, dict(chars)
+
+
+def model_logp(counts):
+    tot = sum(counts.values())
+    return {p: math.log(c) - math.log(tot) for p, c in counts.items() if c > 0}
+
+
+def model_all_segs(word, logp, max_piece_len):
+    """(score, lengths-reversed, seg) for every segmentation; missing
+    multi-char pieces are impossible, missing chars cost unk."""
+    unk = (min(logp.values()) if logp else 0.0) - UNK_PENALTY
+    out = []
+
+    def rec(i, seg, score):
+        if i == len(word):
+            out.append((score, tuple(len(p) for p in reversed(seg)), list(seg)))
+            return
+        for l in range(1, min(max_piece_len, len(word) - i) + 1):
+            piece = word[i : i + l]
+            lp = logp.get(piece)
+            if lp is None:
+                if l > 1:
+                    continue
+                lp = unk
+            seg.append(piece)
+            rec(i + l, seg, score + lp)
+            seg.pop()
+
+    rec(0, [], 0.0)
+    return out
+
+
+def model_segment(word, logp, max_piece_len):
+    if not word:
+        return []
+    segs = model_all_segs(word, logp, max_piece_len)
+    best = max(s for s, _, _ in segs)
+    # DP tie rule: among max-score segs, minimal reversed-length tuple
+    cands = [(ln, seg) for s, ln, seg in segs if s == best]
+    return min(cands)[1]
+
+
+def model_train(texts, vocab_size, n_iters, max_piece_len, seed_size):
+    wf = model_word_freqs(texts)
+    multi, chars = model_seed(wf, max_piece_len, seed_size)
+    counts = {**multi, **chars}
+    for _ in range(n_iters):
+        lp = model_logp(counts)
+        em = Counter()
+        for w, f in wf.items():
+            for p in model_segment(w, lp, max_piece_len):
+                em[p] += f
+        counts = {**chars, **dict(em)}
+    n_chars = len(chars)
+    multi_final = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: vocab_size - n_chars]
+    vocab = multi_final + list(chars.items())
+    return sorted(vocab, key=lambda pc: (-pc[1], pc[0]))
+
+
+TEXTS = [
+    "internationalization is an international nation thing",
+    "the nation and the inter nation network",
+    "international networks internationalize the nation",
+    "interns intern at the international internet desk",
+    "nation nation international inter net work",
+]
+
+
+def test_viterbi_matches_bruteforce_model():
+    from kgdata_spark.operators.unigram import viterbi_segment
+
+    counts = {"inter": 9, "nation": 11, "national": 4, "net": 5, "er": 7,
+              "in": 6, "te": 3}
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        counts[ch] = 2
+    lp = model_logp(counts)
+    for w in ["internationalization", "international", "nation", "internet",
+              "x", "", "zzz", "internation", "qqxy"]:
+        assert viterbi_segment(w, lp, MAXLEN) == model_segment(w, lp, MAXLEN), w
+        assert "".join(viterbi_segment(w, lp, MAXLEN)) == w
+
+
+def test_viterbi_unknown_char_coverage():
+    from kgdata_spark.operators.unigram import viterbi_segment
+
+    lp = model_logp({"ab": 3, "a": 2, "b": 2})
+    # '?' never seen: segments as an unk single char, never crashes
+    assert viterbi_segment("a?b", lp, MAXLEN) == ["a", "?", "b"]
+
+
+def test_seed_matches_model(spark):
+    from kgdata_spark.operators.bpe import word_freqs
+    from kgdata_spark.operators.unigram import seed_pieces
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 ["doc_id", "text"])
+    multi, chars = seed_pieces(word_freqs(docs), MAXLEN, 40)
+    m_multi, m_chars = model_seed(model_word_freqs(TEXTS), MAXLEN, 40)
+    assert chars == m_chars
+    assert multi == m_multi
+
+
+def test_train_matches_model_exactly(spark):
+    from kgdata_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 ["doc_id", "text"])
+    got = train_unigram(docs, vocab_size=40, n_iters=2, max_piece_len=MAXLEN,
+                        seed_size=40)
+    want = model_train(TEXTS, 40, 2, MAXLEN, 40)
+    assert got == want
+    # determinism: train again, bit-identical
+    assert got == train_unigram(docs, vocab_size=40, n_iters=2,
+                                max_piece_len=MAXLEN, seed_size=40)
+    # single chars all survive the prune
+    chars = {p for p, _ in got if len(p) == 1}
+    assert chars == set("".join(TEXTS).replace(" ", ""))
+
+
+def test_apply_unigram_matches_per_word_model(spark):
+    from kgdata_spark.operators.unigram import apply_unigram, train_unigram
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 ["doc_id", "text"])
+    vocab = train_unigram(docs, vocab_size=40, n_iters=2,
+                          max_piece_len=MAXLEN, seed_size=40)
+    lp = model_logp(dict(vocab))
+    got = {r.doc_id: r.unigram_tokens
+           for r in apply_unigram(docs, vocab).collect()}
+    for i, t in enumerate(TEXTS):
+        want = [p for w in t.split() for p in model_segment(w, lp, MAXLEN)]
+        assert got[i] == want
+        assert "".join(want) == t.replace(" ", "")
+
+
+def test_guards(spark):
+    from kgdata_spark.operators.unigram import seed_pieces, train_unigram
+
+    docs = spark.createDataFrame([(0, "abc abd")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(docs, vocab_size=2, n_iters=1)
+    from kgdata_spark.operators.bpe import word_freqs
+
+    with pytest.raises(ValueError, match="max_piece_len"):
+        seed_pieces(word_freqs(docs), max_piece_len=1)
+
+
+def test_em_plan_has_no_rowwise_python(spark):
+    # the E-step must cross into Python via ArrowEval (pandas UDF), never
+    # BatchEvalPython
+    from kgdata_spark.operators.bpe import word_freqs
+    from kgdata_spark.operators.unigram import (
+        _logprobs,
+        _segment_words_udf,
+        seed_pieces,
+    )
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 ["doc_id", "text"])
+    wf = word_freqs(docs)
+    multi, chars = seed_pieces(wf, MAXLEN, 40)
+    seg = _segment_words_udf(_logprobs({**multi, **chars}), MAXLEN)
+    plan = (
+        wf.select(F.explode(seg(F.col("word"))).alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
