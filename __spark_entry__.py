@@ -4241,6 +4241,30 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DICT_LITERALS = [
+    "loadConfigValue",
+    "computeValue3",
+    "parseHTTPResponse",
+    "import helpers",
+]
+
+
+def q_dict_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dictionary search: the trigram index queried with a DATAFRAME of
+    # literals (keyword/blocklist shape) — literal trigrams join the
+    # postings, set-cover per (file, literal) via count equality, then a
+    # contains verify. Two hub literals (every file) and one selective
+    # literal exercise both density regimes. Oracle = brute-force
+    # contains scan over the dict x corpus cross.
+    from kgdata_spark.operators.codesearch import dictionary_search
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    lits = spark.createDataFrame([(l,) for l in DICT_LITERALS], "literal string")
+    return dictionary_search(
+        structured_code_corpus(spark, CLONE_CORPUS_N), lits
+    )
+
+
 def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lexical call-graph edges attributed to their enclosing function.
     # Spark derives them from the TEXT (block explode + regex); the
@@ -4531,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_ownership": q_file_ownership,
         "trigram_search": q_trigram_search,
         "regex_search": q_regex_search,
+        "dict_search": q_dict_search,
         "call_edges": q_call_edges,
         "api_usage": q_api_usage,
         "symbol_xref": q_symbol_xref,
@@ -6519,6 +6544,19 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS n_hits
         FROM struct_corpus
         WHERE regexp_matches(content, '{REGEX_PATTERN}')
+    """
+    # dict_search: brute-force contains scan over dict x corpus — the
+    # index path must lose/admit nothing at any literal density.
+    _dict_values = ", ".join(f"('{l}')" for l in DICT_LITERALS)
+    d["dict_search"] = f"""
+        WITH {_struct_cte(CLONE_CORPUS_N)},
+        lits(literal) AS (VALUES {_dict_values})
+        SELECT repo, path, literal,
+               CAST((length(content)
+                     - length(replace(content, literal, ''))) // length(literal)
+                    AS INT) AS n_hits
+        FROM struct_corpus, lits
+        WHERE contains(content, literal)
     """
     # call_edges / api_usage: replay the structured corpus CONSTRUCTION —
     # main_i calls parseHTTPResponse{i%9} and loadConfigValue; shared

@@ -298,6 +298,69 @@ def regex_search(
     )
 
 
+def dictionary_search(
+    files: DataFrame,
+    literals: DataFrame,
+    content_col: str = "content",
+    literal_col: str = "literal",
+) -> DataFrame:
+    """Search MANY literals at once through the trigram index — the
+    literal set is a DataFrame, not a constant, so a 10^5-term keyword /
+    PII / blocklist dictionary plans as data: each literal explodes into
+    its trigrams, joins the postings on the trigram, and a (file,
+    literal) pair is a candidate iff the distinct-trigram hit count
+    equals the literal's trigram count (set cover as a groupBy — the
+    per-literal twin of ``trigram_candidates``). A final ``contains``
+    verify over candidate pairs only. Returns
+    (repo, path, literal, n_hits).
+
+    Scale shape: the corpus-sized posting table shuffles ONCE on the
+    trigram key (skew valve: trigrams of very common code idioms are
+    hubs — the join is still |postings ∩ dict-trigrams| bounded, and the
+    dictionary side is aggregated to distinct trigrams before joining);
+    the verify join touches candidate pairs, not the corpus x dict
+    cross. Literals shorter than 3 chars cannot be indexed and raise.
+    """
+    lit = F.col(literal_col)
+    bad = literals.where(F.length(lit) < 3).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"dictionary literal shorter than 3 chars: {bad[0][literal_col]!r}"
+        )
+    lit_tris = literals.select(
+        lit.alias("literal"),
+        F.explode(_trigram_set(lit)).alias("tri"),
+    )
+    n_per_lit = lit_tris.groupBy("literal").agg(
+        F.count(F.lit(1)).alias("n_tris")
+    )
+    postings = trigram_postings(files, content_col)
+    # the dictionary is small relative to the corpus by construction
+    # (10^5 literals vs 10^9 files): broadcast both literal-side tables
+    # so the corpus-sized posting stream never shuffles for the join —
+    # the one remaining corpus shuffle is the (file, literal) group-cover
+    cand = (
+        postings.join(F.broadcast(lit_tris), "tri")
+        .groupBy("repo", "path", "literal")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(F.broadcast(n_per_lit), "literal")
+        .where(F.col("hit") == F.col("n_tris"))
+        .select("repo", "path", "literal")
+    )
+    n_hits = (
+        (
+            F.length(F.col(content_col))
+            - F.length(F.replace(F.col(content_col), F.col("literal")))
+        )
+        / F.length("literal")
+    ).cast("int")
+    return (
+        files.join(cand, ["repo", "path"])
+        .select("repo", "path", "literal", n_hits.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )
+
+
 def symbol_xref(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Per function name: (fn_name, n_defs, n_calls, status).
 

@@ -167,3 +167,38 @@ def test_symbol_xref_dead_symbol(spark):
     got = symbol_xref(df).collect()
     assert len(got) == 1
     assert got[0].fn_name == "unused" and got[0].status == "dead"
+
+
+def test_dictionary_search_matches_bruteforce(spark):
+    from kgdata_spark.operators.codesearch import dictionary_search
+
+    lits = ["needle", "hay stack", "spark"]
+    rows = [
+        ("r", "a.py", "a needle in a hay stack, one needle"),
+        ("r", "b.py", "spark and nee dle edl dle fragments"),  # decoy for needle
+        ("r", "c.py", "nothing at all"),
+        ("r", "d.py", "sparkspark"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # duplicate literal rows must not duplicate output (counts double on
+    # both sides of the cover test, equality still holds)
+    ldf = spark.createDataFrame([(l,) for l in lits + ["spark"]], "literal string")
+    got = {(r.path, r.literal, r.n_hits) for r in dictionary_search(df, ldf).collect()}
+    want = set()
+    for _, p, c in rows:
+        for l in lits:
+            if l in c:
+                want.add((p, l, c.count(l)))
+    assert got == want
+    assert ("b.py", "spark", 1) in got and ("d.py", "spark", 2) in got
+
+
+def test_dictionary_search_short_literal_raises(spark):
+    import pytest as _pytest
+
+    from kgdata_spark.operators.codesearch import dictionary_search
+
+    df = spark.createDataFrame([("r", "f", "abc")], SCHEMA)
+    ldf = spark.createDataFrame([("abc",), ("ab",)], "literal string")
+    with _pytest.raises(ValueError, match="shorter than 3"):
+        dictionary_search(df, ldf)

@@ -167,6 +167,22 @@ DOCUMENTED_OVERFLOW = {
     "function_index",
     "function_dedup",
     "subtoken_vocab",
+    "code_fingerprints",
+    "code_clone_pairs",
+    "clone_groups",
+    "type2_clones",
+    "repo_fn_overlap",
+    "co_change_pairs",
+    "repo_bus_factor",
+    "file_ownership",
+    "trigram_search",
+    "regex_search",
+    "dict_search",
+    "call_edges",
+    "api_usage",
+    "symbol_xref",
+    "zone_prune",
+    "unigram_pieces",
 }
 
 # Environment-gated queries: registered only where the environment
