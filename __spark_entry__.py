@@ -4265,6 +4265,32 @@ def q_dict_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental trigram-index maintenance: v1 postings + a delta
+    # (files i%11==0 patched with a suffix, i%13==0 deleted; delete wins
+    # on overlap) updated via broadcast anti-join + fresh postings. The
+    # oracle REBUILDS the index from the v2 corpus in SQL — equality of
+    # the per-trigram file counts proves the incremental path converges
+    # to the rebuild, posting for posting.
+    from kgdata_spark.operators.codesearch import trigram_postings, update_postings
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    corpus = structured_code_corpus(spark, CLONE_CORPUS_N)
+    i = F.regexp_extract("path", r"mod_(\d+)\.py", 1).cast("long")
+    corpus = corpus.withColumn("_i", i)
+    changed = (
+        corpus.where((F.col("_i") % 11 == 0) & (F.col("_i") % 13 != 0))
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit(" PATCHED_"), F.col("_i"))
+        )
+        .drop("_i")
+    )
+    deleted = corpus.where(F.col("_i") % 13 == 0).select("repo", "path")
+    v1 = trigram_postings(corpus.drop("_i"))
+    updated = update_postings(v1, changed, deleted)
+    return updated.groupBy("tri").agg(F.count(F.lit(1)).alias("n_files"))
+
+
 def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lexical call-graph edges attributed to their enclosing function.
     # Spark derives them from the TEXT (block explode + regex); the
@@ -4556,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": q_trigram_search,
         "regex_search": q_regex_search,
         "dict_search": q_dict_search,
+        "incremental_postings": q_incremental_postings,
         "call_edges": q_call_edges,
         "api_usage": q_api_usage,
         "symbol_xref": q_symbol_xref,
@@ -6557,6 +6584,28 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS n_hits
         FROM struct_corpus, lits
         WHERE contains(content, literal)
+    """
+    # incremental_postings: the oracle is the FULL REBUILD over the v2
+    # corpus (patch applied, deletes removed) — the incremental update
+    # must equal it posting for posting.
+    d["incremental_postings"] = f"""
+        WITH {_struct_cte(CLONE_CORPUS_N)},
+        v2 AS (
+          SELECT repo, path,
+                 CASE WHEN i % 11 = 0 AND i % 13 != 0
+                      THEN content || ' PATCHED_' || i
+                      ELSE content END AS content
+          FROM (SELECT repo, path, content,
+                       CAST(regexp_extract(path, 'mod_(\\d+)\\.py', 1)
+                            AS BIGINT) AS i
+                FROM struct_corpus)
+          WHERE i % 13 != 0
+        )
+        SELECT tri, COUNT(*) AS n_files FROM (
+          SELECT DISTINCT repo, path,
+                 substr(content, CAST(s AS INT), 3) AS tri
+          FROM v2, LATERAL unnest(range(1, length(content) - 1)) AS t(s)
+        ) GROUP BY tri
     """
     # call_edges / api_usage: replay the structured corpus CONSTRUCTION —
     # main_i calls parseHTTPResponse{i%9} and loadConfigValue; shared

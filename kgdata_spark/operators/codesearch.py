@@ -361,6 +361,35 @@ def dictionary_search(
     )
 
 
+def update_postings(
+    postings: DataFrame,
+    changed: DataFrame,
+    deleted: DataFrame | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Incrementally maintain a trigram posting index against a delta:
+    drop every posting of a changed or deleted (repo, path), then add
+    the fresh postings of the changed files' NEW content. The invariant
+    (pytest + gate oracle) is exact equality with a full rebuild over
+    the corpus' new version — set-replacement per file makes the update
+    idempotent per batch.
+
+    Scale shape: the delta keys are small relative to the index (that is
+    the whole point of incremental maintenance), so the removal is a
+    BROADCAST anti-join — the index is scanned once and never shuffled;
+    the only shuffled data is the changed files' own postings. At 100 TB
+    this is the production index-refresh loop: daily changed files
+    against a postings table kept under pipeline/snapshots.py, cost
+    O(|index| scan + |delta|), not O(rebuild).
+    """
+    keys = changed.select("repo", "path")
+    if deleted is not None:
+        keys = keys.unionByName(deleted.select("repo", "path"))
+    kept = postings.join(F.broadcast(keys), ["repo", "path"], "left_anti")
+    fresh = trigram_postings(changed, content_col)
+    return kept.unionByName(fresh)
+
+
 def symbol_xref(files: DataFrame, content_col: str = "content") -> DataFrame:
     """Per function name: (fn_name, n_defs, n_calls, status).
 

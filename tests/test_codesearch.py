@@ -202,3 +202,51 @@ def test_dictionary_search_short_literal_raises(spark):
     ldf = spark.createDataFrame([("abc",), ("ab",)], "literal string")
     with _pytest.raises(ValueError, match="shorter than 3"):
         dictionary_search(df, ldf)
+
+
+def test_update_postings_equals_full_rebuild(spark):
+    from kgdata_spark.operators.codesearch import trigram_postings, update_postings
+
+    v1 = [("r", f"f{i}", f"content number {i} alpha") for i in range(20)]
+    df1 = spark.createDataFrame(v1, SCHEMA)
+    # delta: f3/f7 rewritten, f5 deleted, f21 brand new (a changed row
+    # that never existed in v1 — insert via the same path)
+    changed = spark.createDataFrame(
+        [("r", "f3", "totally new text"), ("r", "f7", "other words here"),
+         ("r", "f21", "born in the delta")],
+        SCHEMA,
+    )
+    deleted = spark.createDataFrame([("r", "f5")], "repo string, path string")
+    v2 = [
+        (r, p, {"f3": "totally new text", "f7": "other words here"}.get(p, c))
+        for r, p, c in v1
+        if p != "f5"
+    ] + [("r", "f21", "born in the delta")]
+    got = update_postings(trigram_postings(df1), changed, deleted)
+    want = trigram_postings(spark.createDataFrame(v2, SCHEMA))
+    as_set = lambda d: {(r.tri, r.repo, r.path) for r in d.collect()}
+    assert as_set(got) == as_set(want)
+
+
+def test_update_postings_index_side_never_shuffles(spark):
+    from kgdata_spark.operators.codesearch import trigram_postings, update_postings
+
+    df1 = spark.createDataFrame([("r", "f1", "abcdef")], SCHEMA)
+    changed = spark.createDataFrame([("r", "f1", "ghijkl")], SCHEMA)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            update_postings(trigram_postings(df1), changed)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the anti-join must be broadcast: no shuffle Exchange anywhere (the
+    # only Exchange allowed is the broadcast of the delta keys)
+    import re as _re
+
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert shuffles == [], plan

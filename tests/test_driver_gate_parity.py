@@ -178,6 +178,7 @@ DOCUMENTED_OVERFLOW = {
     "trigram_search",
     "regex_search",
     "dict_search",
+    "incremental_postings",
     "call_edges",
     "api_usage",
     "symbol_xref",
