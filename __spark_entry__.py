@@ -4265,6 +4265,40 @@ def q_dict_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unified-diff intake: per file, two closed-form commits — c1
+    # replaces the loadConfigValue line (no-context hunk), c2 inserts
+    # an import after line 2 (pure-insertion hunk) — built as REAL diff
+    # text, parsed by the grammar, replayed with context verification.
+    # The oracle computes the patched contents by string surgery, so a
+    # parse or apply drift anywhere in any file breaks full-content
+    # equality.
+    from kgdata_spark.sources.diffs import parse_unified_diff, replay_patches
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    corpus = structured_code_corpus(spark, CLONE_CORPUS_N)
+    d1 = corpus.select(
+        F.lit("c1").alias("commit_id"),
+        F.format_string(
+            "--- a/%s\n+++ b/%s\n@@ -7,1 +7,1 @@\n"
+            "-    cfg = loadConfigValue(raw)\n"
+            "+    cfg = loadConfigValue2(raw)",
+            "path", "path",
+        ).alias("diff_text"),
+    )
+    d2 = corpus.select(
+        F.lit("c2").alias("commit_id"),
+        F.format_string(
+            "--- a/%s\n+++ b/%s\n@@ -2,0 +3,1 @@\n+import extras",
+            "path", "path",
+        ).alias("diff_text"),
+    )
+    hunks = parse_unified_diff(d1.unionByName(d2)).withColumn(
+        "seq", F.when(F.col("commit_id") == "c1", 1).otherwise(2)
+    )
+    return replay_patches(corpus, hunks)
+
+
 def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental trigram-index maintenance: v1 postings + a delta
     # (files i%11==0 patched with a suffix, i%13==0 deleted; delete wins
@@ -4583,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "dict_search": q_dict_search,
         "incremental_postings": q_incremental_postings,
+        "patch_replay": q_patch_replay,
         "call_edges": q_call_edges,
         "api_usage": q_api_usage,
         "symbol_xref": q_symbol_xref,
@@ -6584,6 +6619,21 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS n_hits
         FROM struct_corpus, lits
         WHERE contains(content, literal)
+    """
+    # patch_replay: the oracle computes the two commits' effect by
+    # string surgery (both target lines are unique per file by
+    # construction).
+    d["patch_replay"] = f"""
+        WITH {_struct_cte(CLONE_CORPUS_N)}
+        SELECT repo, path,
+               replace(
+                 replace(content,
+                         '    cfg = loadConfigValue(raw)',
+                         '    cfg = loadConfigValue2(raw)'),
+                 'import helpers' || chr(10),
+                 'import helpers' || chr(10) || 'import extras' || chr(10)
+               ) AS content
+        FROM struct_corpus
     """
     # incremental_postings: the oracle is the FULL REBUILD over the v2
     # corpus (patch applied, deletes removed) — the incremental update

@@ -1,0 +1,204 @@
+"""Unified-diff ingestion + patch replay: reconstruct file states from a
+`git log -p`-style dump.
+
+The VCS intake so far is the structured commit log (synthetic.commit_log
+→ operators/vcs.py); the raw shape history actually ships in is patch
+text. Two stages:
+
+* ``parse_unified_diff`` — (commit_id, diff_text) rows → one row per
+  hunk: (commit_id, path, old_start, old_len, new_start, new_len,
+  ops array<struct<tag, line>>). Parsing is honestly Python-bound
+  (stateful line grammar, like the HTML parser) so it crosses via an
+  Arrow-batched pandas UDF, one diff text per element — never per-line
+  BatchEvalPython. Malformed sections are QUARANTINED as err rows (the
+  N-Triples parser contract: a poison diff must not kill a 10^12-file
+  job, and silently dropping it would be worse).
+* ``replay_patches`` — initial file contents + parsed hunks with a
+  per-file ordering column → the reconstructed contents. Hunks group by
+  file (the ONE shuffle, keyed and bounded by the file's own history),
+  sort by (seq, old_start) inside the group, and apply bottom-up per
+  patch so earlier hunk offsets stay valid. Context and '-' lines are
+  VERIFIED against the current text; a mismatch (corrupt dump, wrong
+  base version) raises with the file and line rather than corrupting
+  the reconstruction.
+
+The gate query builds closed-form diff TEXTS over the structured corpus,
+parses and replays them, and the DuckDB oracle computes the patched
+contents arithmetically — full-content equality per file.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HUNK_RE = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+
+_HUNK_SCHEMA = (
+    "array<struct<path:string,old_start:int,old_len:int,new_start:int,"
+    "new_len:int,ops:array<struct<tag:string,line:string>>,err:string>>"
+)
+
+
+def _parse_one(text: str) -> list[dict]:
+    """All hunks of one diff text; malformed sections become err rows."""
+    out: list[dict] = []
+    path: str | None = None
+    lines = text.split("\n")
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if line.startswith("+++ "):
+            # the post-image name names the file ("+++ b/<path>" or
+            # "+++ <path>"); "+++ /dev/null" = deletion, keep the ---
+            # side's name so the delete attributes to a real path
+            name = line[4:].strip()
+            if name == "/dev/null" and i > 0 and lines[i - 1].startswith("--- "):
+                name = lines[i - 1][4:].strip()
+            path = re.sub(r"^[ab]/", "", name)
+            i += 1
+            continue
+        m = _HUNK_RE.match(line)
+        if m:
+            if path is None:
+                out.append(
+                    {"path": None, "old_start": None, "old_len": None,
+                     "new_start": None, "new_len": None, "ops": None,
+                     "err": f"hunk before any +++ header: {line[:60]}"}
+                )
+                i += 1
+                continue
+            old_start = int(m.group(1))
+            old_len = int(m.group(2) or "1")
+            new_start = int(m.group(3))
+            new_len = int(m.group(4) or "1")
+            ops: list[dict] = []
+            seen_old = seen_new = 0
+            i += 1
+            err = None
+            while i < n and (seen_old < old_len or seen_new < new_len):
+                body = lines[i]
+                if body.startswith(" ") or body == "":
+                    ops.append({"tag": " ", "line": body[1:]})
+                    seen_old += 1
+                    seen_new += 1
+                elif body.startswith("-"):
+                    ops.append({"tag": "-", "line": body[1:]})
+                    seen_old += 1
+                elif body.startswith("+"):
+                    ops.append({"tag": "+", "line": body[1:]})
+                    seen_new += 1
+                elif body.startswith("\\"):  # "\ No newline at end of file"
+                    pass
+                else:
+                    err = f"unexpected line inside hunk: {body[:60]}"
+                    break
+                i += 1
+            if err is None and (seen_old != old_len or seen_new != new_len):
+                err = (
+                    f"hunk body shorter than header: -{seen_old}/{old_len} "
+                    f"+{seen_new}/{new_len}"
+                )
+            out.append(
+                {"path": path, "old_start": old_start, "old_len": old_len,
+                 "new_start": new_start, "new_len": new_len,
+                 "ops": None if err else ops, "err": err}
+            )
+            continue
+        i += 1
+    return out
+
+
+def parse_unified_diff(
+    diffs: DataFrame, text_col: str = "diff_text"
+) -> DataFrame:
+    """One row per hunk (err IS NULL) or per quarantined section."""
+
+    @F.pandas_udf(_HUNK_SCHEMA)
+    def parse(texts: pd.Series) -> pd.Series:
+        return texts.map(_parse_one)
+
+    return diffs.select(
+        "commit_id", F.explode(parse(F.col(text_col))).alias("h")
+    ).select("commit_id", "h.*")
+
+
+def _apply_patch(content: str, hunks: list) -> str:
+    """Apply one ordered patch (hunks of a single commit) to content.
+    Hunks apply bottom-up so earlier offsets stay valid; context and
+    '-' lines are verified."""
+    lines = content.split("\n")
+    for h in sorted(hunks, key=lambda h: -h["old_start"]):
+        idx = h["old_start"] - 1
+        if h["old_len"] == 0:
+            # pure insertion: unified diff addresses the line AFTER
+            # which to insert
+            idx = h["old_start"]
+        pos = idx
+        new_seg: list[str] = []
+        for op in h["ops"]:
+            tag, ln = op["tag"], op["line"]
+            if tag in (" ", "-"):
+                if pos >= len(lines) or lines[pos] != ln:
+                    got = lines[pos] if pos < len(lines) else "<EOF>"
+                    raise ValueError(
+                        f"patch context mismatch at line {pos + 1}: "
+                        f"expected {ln!r}, file has {got!r}"
+                    )
+                if tag == " ":
+                    new_seg.append(ln)
+                pos += 1
+            else:  # '+'
+                new_seg.append(ln)
+        lines[idx:pos] = new_seg
+    return "\n".join(lines)
+
+
+def replay_patches(
+    files: DataFrame,
+    hunks: DataFrame,
+    seq_col: str = "seq",
+    content_col: str = "content",
+) -> DataFrame:
+    """files (repo, path, content) + parsed hunks (path, seq, hunk
+    fields; err rows must be filtered/handled upstream — an err row here
+    raises) → (repo, path, content) after replaying each file's patches
+    in seq order. One shuffle, keyed by path."""
+    packed = (
+        hunks.select(
+            "path",
+            F.struct(
+                F.col(seq_col).cast("long").alias("seq"),
+                "old_start", "old_len", "new_start", "new_len", "ops", "err",
+            ).alias("h"),
+        )
+        .groupBy("path")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    joined = files.join(packed, "path", "left")
+
+    @F.pandas_udf("string")
+    def apply_all(contents: pd.Series, hs: pd.Series) -> pd.Series:
+        def one(args) -> str:
+            content, hunk_list = args
+            if hunk_list is None:
+                return content
+            by_seq: dict[int, list] = {}
+            for h in hunk_list:
+                if h["err"] is not None:
+                    raise ValueError(f"replaying a quarantined hunk: {h['err']}")
+                by_seq.setdefault(h["seq"], []).append(h)
+            for seq in sorted(by_seq):
+                content = _apply_patch(content, by_seq[seq])
+            return content
+
+        return pd.Series(map(one, zip(contents, hs)))
+
+    return joined.select(
+        "repo", "path", apply_all(F.col(content_col), F.col("hs")).alias("content")
+    )

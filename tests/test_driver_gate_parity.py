@@ -179,6 +179,7 @@ DOCUMENTED_OVERFLOW = {
     "regex_search",
     "dict_search",
     "incremental_postings",
+    "patch_replay",
     "call_edges",
     "api_usage",
     "symbol_xref",
