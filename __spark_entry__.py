@@ -3376,6 +3376,59 @@ def q_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # z-order x zone maps composed: orders laid out on the Morton curve
+    # of (custkey, order day), per-file bounds for BOTH columns in the
+    # manifest, then a 2-D box predicate must skip to <= 8 of 16 files
+    # at planning time — the interleaved layout is what makes bounds
+    # tight in two dimensions at once (either single-key sort would
+    # leave the other column unclustered, pruning nothing for its half
+    # of the box). Oracle = the same box on the raw table.
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from kgdata_spark.pipeline.zonemap import (
+        assert_files_pruned,
+        read_pruned,
+        write_zonemapped,
+    )
+    from kgdata_spark.pipeline.zorder import z_value
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+    path = _os.path.join(
+        _tmp.gettempdir(),
+        "kg_zz_prune_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    z = z_value(F.col("o_custkey"), F.col("day"), 16).alias("_z")
+    laid = (
+        o.select("*", z)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    write_zonemapped(laid, path, ["o_custkey", "day"])
+    mx = o.agg(F.max("o_custkey")).collect()[0][0]
+    lo, hi = mx * 2 // 10, mx * 3 // 10
+    got, kept, total = read_pruned(
+        spark, path, {"o_custkey": (lo, hi), "day": (9500, 9800)}
+    )
+    assert_files_pruned(kept, total, at_most=8)
+    return got.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hive-partitioned layout gate (the third storage lever next to
     # bucketed_join and zorder_keys): events land one directory per day,
@@ -4577,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "partition_prune": q_partition_prune,
         "zone_prune": q_zone_prune,
+        "zorder_zone_prune": q_zorder_zone_prune,
         "order_price_outliers": q_order_price_outliers,
         "neighborhood_growth": q_neighborhood_growth,
         "doc_containment": q_doc_containment,
@@ -5750,6 +5804,20 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MAX(l_orderkey) * 2 // 10 FROM lineitem)
           AND (SELECT MAX(l_orderkey) * 3 // 10 FROM lineitem)
         GROUP BY l_returnflag
+    """
+    # zorder_zone_prune: 2-D box on the raw table (the z layout + file
+    # skipping must not change the result).
+    d["zorder_zone_prune"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_custkey BETWEEN
+              (SELECT MAX(o_custkey) * 2 // 10 FROM orders)
+          AND (SELECT MAX(o_custkey) * 3 // 10 FROM orders)
+          AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              BETWEEN 9500 AND 9800
+        GROUP BY o_orderpriority
     """
     # partition_prune: the counts are layout-independent — the layout
     # claims are asserted INSIDE the gated query (plan + directory count)

@@ -184,6 +184,7 @@ DOCUMENTED_OVERFLOW = {
     "api_usage",
     "symbol_xref",
     "zone_prune",
+    "zorder_zone_prune",
     "unigram_pieces",
 }
 

@@ -117,3 +117,35 @@ def test_manifest_shape_and_atomicity(spark, tmp_path):
         mn, mx = stats["k"]
         assert mn <= mx
     assert not os.path.exists(os.path.join(path, ZONEMAP + ".tmp"))
+
+
+def test_append_extends_manifest_incrementally(spark, tmp_path):
+    df, path, nf = _layout(spark, tmp_path)
+    from kgdata_spark.pipeline.zonemap import append_zonemapped
+
+    extra = spark.range(2000, 2100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.format_string("name_%d", F.col("id")).alias("s"),
+    )
+    added = append_zonemapped(extra.repartition(2), path)
+    assert added == 2
+    with open(os.path.join(path, ZONEMAP)) as f:
+        m = json.load(f)
+    assert len(m["files"]) == nf + 2
+    # old-range read untouched; new range prunes to the appended files
+    got_old, kept_old, total = read_pruned(spark, path, {"k": (100, 199)})
+    assert total == nf + 2 and kept_old <= 2
+    got_new, kept_new, _ = read_pruned(spark, path, {"k": (2000, 2099)})
+    assert kept_new == 2 and got_new.count() == 100
+    # full-table exactness after append
+    got_all, _, _ = read_pruned(spark, path, {"k": (0, 5000)})
+    assert got_all.count() == 1100
+
+
+def test_append_requires_manifest(spark, tmp_path):
+    from kgdata_spark.pipeline.zonemap import append_zonemapped
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(FileNotFoundError):
+        append_zonemapped(df, str(tmp_path / "missing"))
