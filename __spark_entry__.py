@@ -3503,6 +3503,17 @@ def q_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_supplier_cooccurrence(spark, sf_dir), rounds=2)
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # score the LP partition with per-community Newman modularity —
+    # the quality metric that makes community detection auditable
+    # (e_in/deg_sum/m exact integers, q one fixed-order double expr)
+    from kgdata_spark.operators.graph import label_propagation, modularity
+
+    g = _supplier_cooccurrence(spark, sf_dir)
+    comm = label_propagation(g, rounds=2)
+    return modularity(g, comm)
+
+
 def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word2vec/GloVe co-occurrence table: symmetric window-2 skip-gram
     # pair counts, pair generation as a nested Catalyst HOF (no position
@@ -4627,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_counts": q_skipgram_counts,
         "er_part_matches": q_er_part_matches,
         "supplier_communities": q_supplier_communities,
+        "community_modularity": q_community_modularity,
         "url_dedup_docs": q_url_dedup_docs,
         "partition_prune": q_partition_prune,
         "zone_prune": q_zone_prune,
@@ -5738,6 +5750,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # supplier_communities: both LP rounds unrolled mechanically — the
     # per-round block is identical, so generate it instead of forking it
+    # (shared with community_modularity, which scores the same partition)
     _lp_rounds = 2
     _lp = ["l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"]
     for _i in range(1, _lp_rounds + 1):
@@ -5750,8 +5763,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT node, label, row_number() OVER (PARTITION BY node "
             f"ORDER BY cnt DESC, label ASC) AS rn FROM c{_i}) WHERE rn = 1)"
         )
-    d["supplier_communities"] = f"""
-        WITH li AS (
+    _lp_graph_cte = f"""
+        li AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
             WHERE l_orderkey % 100 = 0),
         e AS (
@@ -5760,8 +5773,33 @@ def oracle_sql() -> dict[str, str]:
                                AND x.l_suppkey < y.l_suppkey),
         sym AS (SELECT a AS s, b AS d FROM e
                 UNION ALL SELECT b, a FROM e),
-        {", ".join(_lp)}
+        {", ".join(_lp)}"""
+    d["supplier_communities"] = f"""
+        WITH {_lp_graph_cte}
         SELECT node, label FROM l{_lp_rounds}
+    """
+    # community_modularity: score the SAME unrolled-LP partition — per
+    # community q as one fixed-order double expression over exact
+    # integers (e_in, deg_sum, m), the engine float contract.
+    d["community_modularity"] = f"""
+        WITH {_lp_graph_cte},
+        comm AS (SELECT node, label FROM l{_lp_rounds}),
+        deg AS (SELECT s AS node, COUNT(*) AS dg FROM sym GROUP BY s),
+        m AS (SELECT COUNT(*) AS m FROM e),
+        dc AS (SELECT label, COUNT(*) AS n_nodes,
+                      SUM(COALESCE(dg, 0)) AS deg_sum
+               FROM comm LEFT JOIN deg USING (node) GROUP BY label),
+        ein AS (SELECT ca.label, COUNT(*) AS e_in
+                FROM e JOIN comm ca ON e.a = ca.node
+                       JOIN comm cb ON e.b = cb.node
+                WHERE ca.label = cb.label GROUP BY ca.label)
+        SELECT dc.label AS community, n_nodes,
+               COALESCE(e_in, 0) AS e_in,
+               CAST(deg_sum AS BIGINT) AS deg_sum,
+               CAST(COALESCE(e_in, 0) AS DOUBLE) / m.m
+                 - (CAST(deg_sum AS DOUBLE) * deg_sum) / (4.0 * m.m * m.m)
+                   AS q
+        FROM dc LEFT JOIN ein USING (label), m
     """
     # url_dedup_docs: the fixture variants collapse to a CLOSED-FORM
     # canonical computed arithmetically — a stronger check than replaying

@@ -1422,3 +1422,81 @@ def adamic_adar(
         )
         .select("a", "b", "n_common", F.col("_s").cast("double").alias("score"))
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity, reported PER COMMUNITY (the score that grades a
+    partition from `label_propagation` or any other community assignment):
+    q_c = e_c/m − (d_c/2m)², where e_c is the community's internal edge
+    count, d_c its degree sum, m the graph's undirected edge count.
+
+    Float discipline (the engine contract every scoring op here follows):
+    each community's q is ONE fixed-order double expression over exact
+    integers — no float is ever summed across rows, so DuckDB replays it
+    bit-identically; the global Q is the reader's sum if they want it,
+    per-community is what alerting/drill-down uses anyway.
+
+    Shape: degree explode + two label joins + a per-label count — all
+    map-side combinable; m rides along as a broadcast one-row aggregate.
+    Input edges may be directed/duplicated (canonicalized here);
+    communities must cover every node that carries an edge (missing
+    nodes would silently drop their edges from e_c — raise instead).
+    """
+    # the canonical edge table is referenced four times below (coverage
+    # probe, m, degrees, e_in) — checkpoint it so it is computed ONCE;
+    # expression trees share nothing (the _ar_sorted lesson)
+    und = _checkpoint(_canonical_undirected(edges, src, dst))
+    nodes = communities.select(F.col(node).alias("_n"), F.col(label).alias("_lb"))
+    endpoints = und.select(F.explode(F.array("a", "b")).alias("_n"))
+    uncovered = (
+        endpoints.join(F.broadcast(nodes.select("_n")), "_n", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if uncovered:
+        raise ValueError(
+            f"community assignment misses node {uncovered[0]['_n']!r} — "
+            "its edges would silently vanish from the score"
+        )
+    m_df = und.agg(F.count(F.lit(1)).alias("_m"))
+    deg = endpoints.groupBy("_n").agg(F.count(F.lit(1)).alias("_dg"))
+    dc = (
+        nodes.join(deg, "_n", "left")
+        .groupBy("_lb")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("_dg", F.lit(0))).alias("deg_sum"),
+        )
+    )
+    la = nodes.select(F.col("_n").alias("a"), F.col("_lb").alias("_la"))
+    lb = nodes.select(F.col("_n").alias("b"), F.col("_lb").alias("_lbb"))
+    ein = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("_la") == F.col("_lbb"))
+        .groupBy(F.col("_la").alias("_lb"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    out = (
+        dc.join(ein, "_lb", "left")
+        .withColumn("e_in", F.coalesce("e_in", F.lit(0)))
+        .crossJoin(F.broadcast(m_df))
+    )
+    m = F.col("_m")
+    q = F.col("e_in").cast("double") / m - (
+        F.col("deg_sum").cast("double") * F.col("deg_sum")
+    ) / (F.lit(4.0) * m * m)
+    return out.select(
+        F.col("_lb").alias("community"),
+        "n_nodes",
+        "e_in",
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        q.alias("q"),
+    )

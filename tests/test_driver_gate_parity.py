@@ -180,6 +180,7 @@ DOCUMENTED_OVERFLOW = {
     "dict_search",
     "incremental_postings",
     "patch_replay",
+    "community_modularity",
     "call_edges",
     "api_usage",
     "symbol_xref",

@@ -386,3 +386,50 @@ def test_effective_diameter_interpolates():
     assert abs(got - 1 / 3) < 1e-12
     # already satisfied at r=0
     assert effective_diameter([(0, 10), (1, 10)], 0.9) == 0.0
+
+
+def test_modularity_two_cliques_bridge_hand_computed(spark):
+    from kgdata_spark.operators.graph import modularity
+    from pyspark.sql import functions as F
+
+    # triangles {1,2,3} and {4,5,6} joined by bridge 3-4: m = 7
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(und, "src int, dst int")
+    comm = spark.createDataFrame(
+        [(n, "A" if n <= 3 else "B") for n in range(1, 7)], "node int, label string"
+    )
+    got = {r.community: r for r in modularity(edges, comm).collect()}
+    # A: e_in=3, deg_sum=2+2+3=7 ; B symmetric
+    for c in ("A", "B"):
+        assert got[c].e_in == 3 and got[c].deg_sum == 7 and got[c].n_nodes == 3
+        assert abs(got[c].q - (3 / 7 - (7 / 14) ** 2)) < 1e-12
+    # a perfect partition beats a garbage one on total Q
+    bad = spark.createDataFrame(
+        [(n, "A" if n % 2 else "B") for n in range(1, 7)], "node int, label string"
+    )
+    q_good = sum(r.q for r in modularity(edges, comm).collect())
+    q_bad = sum(r.q for r in modularity(edges, bad).collect())
+    assert q_good > q_bad
+
+
+def test_modularity_canonicalizes_and_guards(spark):
+    import pytest
+    from kgdata_spark.operators.graph import modularity
+
+    # duplicated + reversed + self-loop edges collapse to one edge 1-2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1)], "src int, dst int"
+    )
+    comm = spark.createDataFrame([(1, "X"), (2, "X")], "node int, label string")
+    got = modularity(edges, comm).collect()
+    assert len(got) == 1 and got[0].e_in == 1 and got[0].deg_sum == 2
+    assert abs(got[0].q - (1 / 1 - (2 / 2) ** 2)) < 1e-12
+    # a zero-edge community still appears (all-isolated label)
+    comm3 = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (9, "Z")], "node int, label string"
+    )
+    got3 = {r.community: r for r in modularity(edges, comm3).collect()}
+    assert got3["Z"].e_in == 0 and got3["Z"].deg_sum == 0
+    # missing coverage raises instead of silently dropping edges
+    with pytest.raises(ValueError, match="misses node"):
+        modularity(edges, spark.createDataFrame([(1, "X")], "node int, label string")).collect()
