@@ -168,7 +168,10 @@ def replay_patches(
     """files (repo, path, content) + parsed hunks (path, seq, hunk
     fields; err rows must be filtered/handled upstream — an err row here
     raises) → (repo, path, content) after replaying each file's patches
-    in seq order. One shuffle, keyed by path."""
+    in seq order. One shuffle, keyed by path. Scope: hunks whose path is
+    not in `files` are ignored (file CREATION — `--- /dev/null` — needs
+    an empty-content seed row from the caller; paths must be unique
+    corpus-wide or pre-qualified with the repo)."""
     packed = (
         hunks.select(
             "path",
