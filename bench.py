@@ -182,6 +182,11 @@ from bench import run_pipeline_bench
 cores, n_files, base = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 corpus = json.loads(sys.argv[4])
 repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+# shuffle partitions: measured both max(cores, 8) and the symmetric
+# 2x-cores variant at local[16] on the identical 10M corpus — the knob
+# moves the min by less than the run-to-run noise band (143.7 s at 16
+# partitions vs 152.7 s at 32; series in BASELINE.md round-4-final), so
+# keep the original config the published numbers were taken under.
 spark = get_spark(app_name=f"kgbench_scale_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(cores, 8))
 run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
