@@ -92,11 +92,16 @@ def rewrite_triples(
     redirect_map: DataFrame,
     entities: DataFrame,
     broadcast_threshold_bytes: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Rewrite entity-kind subj/obj through the redirect map, then drop any
     triple still referencing an unknown entity. Literal objects pass
     through untouched. Output is distinct (the rewrite can collapse
     duplicates, mirroring the reference's merge of redirected statements).
+    Pass ``distinct=False`` when the caller dedups downstream — the
+    materializing pipeline folds the dedup into the range-partition
+    exchange it pays anyway (run.py slim-triples path), saving one full
+    shuffle of the biggest dataset.
 
     The redirect map and live-entity set are broadcast ONLY when Catalyst's
     size estimate proves them small (maybe_broadcast) — at reference scale
@@ -154,4 +159,4 @@ def rewrite_triples(
         "left",
     ).where((F.col("pred") != "subclass_of") | F.col("_live").isNotNull()).drop("_live")
 
-    return t.distinct()
+    return t.distinct() if distinct else t

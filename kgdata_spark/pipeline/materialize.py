@@ -57,6 +57,8 @@ def write_stage(
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
     lineage_executor=None,
+    dedup_after_range: bool = False,
+    finalize: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Write df as a checkpointed stage dataset; returns its checksum — a
     plain string when the lineage pass runs inline (no `lineage_executor`),
@@ -110,6 +112,18 @@ def write_stage(
 
         staged = out.persist(StorageLevel.DISK_ONLY)
         out = staged.repartitionByRange(*range_cols)
+        if dedup_after_range:
+            # dedup folded into the range exchange: RangePartitioning on
+            # range_cols satisfies the aggregate's ClusteredDistribution
+            # (range_cols ⊆ the full-row group-by), so this plans as an
+            # in-partition HashAggregate with NO additional shuffle —
+            # equal full rows necessarily share their range_cols values.
+            out = out.dropDuplicates()
+    if finalize is not None:
+        # post-exchange projection (e.g. unslim_triples): runs after the
+        # shuffle/dedup so the exchanged payload stays slim, before the
+        # write so the on-disk schema is the public one
+        out = finalize(out)
 
     obs = None
     if checksum_mode == "observe":
@@ -266,6 +280,8 @@ def run_stage(
     range_cols: list[str] | None = None,
     deps: dict[str, str] | None = None,
     lineage_executor=None,
+    dedup_after_range: bool = False,
+    finalize: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, object]:
     """Resumable stage runner: reuse on valid manifest, else rebuild.
     The returned checksum is a str, or a Future[str] when a
@@ -276,5 +292,8 @@ def run_stage(
         with open(os.path.join(data_dir, MANIFEST)) as f:
             checksum = json.load(f)["checksum"]
         return spark.read.parquet(data_dir), checksum
-    checksum = write_stage(build(), out_dir, stage, range_cols, deps, lineage_executor)
+    checksum = write_stage(
+        build(), out_dir, stage, range_cols, deps, lineage_executor,
+        dedup_after_range=dedup_after_range, finalize=finalize,
+    )
     return spark.read.parquet(data_dir), checksum

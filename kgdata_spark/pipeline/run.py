@@ -23,11 +23,13 @@ def assemble_triples(
     entities: DataFrame,
     checkpoint_fixpoint: bool = True,
     rmap: DataFrame | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Triples from (possibly pre-materialized) mentions + candidate map.
     Pass a precomputed `rmap` to take the redirect fixpoint off this
     stage's critical path (run_pipeline overlaps it with the mentions
-    stage)."""
+    stage). ``distinct=False`` defers dedup to the caller (slim-shuffle
+    materialize path below)."""
     raw = extract.literal_triples(source)
     m = link.resolve_mentions(mention_df, cand)
     cls = link.resolve_class_pairs(extract.class_pairs(source), cand)
@@ -36,7 +38,73 @@ def assemble_triples(
         rmap = canonicalize.build_redirect_map(
             redirects, entities, checkpoint=checkpoint_fixpoint
         )
-    return canonicalize.rewrite_triples(triples, rmap, entities)
+    return canonicalize.rewrite_triples(triples, rmap, entities, distinct=distinct)
+
+
+# predicates whose objects are entity ids; everything else is a literal.
+# Single source of truth for the obj_kind column so the slim projection
+# below can drop it through the shuffle and re-derive it on the far side.
+ENTITY_PREDS = ("mentions", "subclass_of")
+
+
+def slim_triples(t: DataFrame) -> DataFrame:
+    """Shuffle-payload projection for the triples stage (PERF.md §49).
+
+    The triples write is the pipeline's dominant exchange (59M rows at the
+    10M-file scaling size), and three of its seven columns are derivable:
+    ``subj`` duplicates ``repo:path`` for every non-subclass row,
+    ``obj_kind`` is a function of ``pred``, and the 64-char hex
+    ``content_sha256`` is twice the width of its 32-byte value. Shuffling
+    the slim form cuts the exchanged bytes ~45% — pure DRAM/shuffle
+    bandwidth, which is exactly what the 4N-core level is starved of on a
+    single box (BASELINE.md scaling sections). ``unslim_triples`` restores
+    the public schema bit-for-bit after the exchange."""
+    return t.select(
+        F.when(F.col("pred") == "subclass_of", F.col("subj")).alias("_subj_ent"),
+        "pred",
+        "obj",
+        "repo",
+        "path",
+        F.unhex("content_sha256").alias("_sha"),
+    )
+
+
+def slim_mentions(m: DataFrame) -> DataFrame:
+    """Storage projection for the mentions stage: drop the derivable
+    ``file_id`` (= repo:path) and ``norm_mention`` (recomputed by the
+    consumer — two regexes per short string, ~free) and store the sha as
+    its 32-byte value. Halves the stage's write+read bytes; the mentions
+    stage has no shuffle, so bandwidth IS its cost."""
+    return m.select(
+        "mention", "repo", "path", F.unhex("content_sha256").alias("_sha")
+    )
+
+
+def unslim_mentions(m: DataFrame) -> DataFrame:
+    """Inverse of slim_mentions (applied on read-back)."""
+    return m.select(
+        "mention",
+        F.concat_ws(":", "repo", "path").alias("file_id"),
+        "repo",
+        "path",
+        F.lower(F.hex("_sha")).alias("content_sha256"),
+        extract.norm_mention(F.col("mention")).alias("norm_mention"),
+    )
+
+
+def unslim_triples(t: DataFrame) -> DataFrame:
+    """Inverse of slim_triples: re-derive subj / obj_kind / hex sha."""
+    return t.select(
+        F.coalesce("_subj_ent", F.concat_ws(":", "repo", "path")).alias("subj"),
+        "pred",
+        "obj",
+        F.when(F.col("pred").isin(*ENTITY_PREDS), F.lit("entity"))
+        .otherwise(F.lit("literal"))
+        .alias("obj_kind"),
+        "repo",
+        "path",
+        F.lower(F.hex("_sha")).alias("content_sha256"),
+    )
 
 
 def build_triples(
@@ -106,7 +174,7 @@ def run_pipeline(
             spark,
             out_dir,
             "mentions",
-            lambda: extract.mentions(source),
+            lambda: slim_mentions(extract.mentions(source)),
             None,
             None,
             lineage_pool,
@@ -122,23 +190,35 @@ def run_pipeline(
             lineage_pool,
         )
         mentions_df, sums["mentions"] = f_mentions.result()
+        mentions_df = unslim_mentions(mentions_df)
         t["mentions"] = round(_time.time() - t0, 2)
         cand_df, sums["candidate_map"] = f_cand.result()
         t["candidate_map"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         # downstream stages consume the *materialized* parquet of upstream
         # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
+        # slim-shuffle triples stage: the pre-exchange rows carry the
+        # 6-column slim payload, the dedup that rewrite_triples would have
+        # done as its own full shuffle rides the range exchange instead
+        # (dropDuplicates after repartitionByRange adds NO exchange:
+        # RangePartitioning(repo,path) satisfies the aggregate's clustered
+        # distribution because {repo,path} ⊆ the group-by set), and the
+        # public 7-column schema is restored by `finalize` before the write.
         triples_df, sums["triples"] = run_stage(
             spark,
             out_dir,
             "triples",
-            lambda: assemble_triples(
-                source, mentions_df, cand_df, redirects, entities,
-                rmap=rmap_future.result(),
+            lambda: slim_triples(
+                assemble_triples(
+                    source, mentions_df, cand_df, redirects, entities,
+                    rmap=rmap_future.result(), distinct=False,
+                )
             ),
             range_cols=["repo", "path"],
             deps={"mentions": sums["mentions"], "candidate_map": sums["candidate_map"]},
             lineage_executor=lineage_pool,
+            dedup_after_range=True,
+            finalize=unslim_triples,
         )
         t["triples"] = round(_time.time() - t0, 2)
         t0 = _time.time()

@@ -58,6 +58,32 @@ def test_entity_ids_unique_and_live(spark):
     assert bad == 0
 
 
+def test_run_pipeline_matches_pure_plan(spark, tmp_path):
+    """The materialized pipeline (slim-shuffle payload + dedup folded into
+    the range exchange + unslim finalize) must emit exactly the rows of the
+    pure build_triples plan (which dedups via distinct()) — the slim
+    projection is a bijection on the reachable row set, so the two dedup
+    placements are equivalent."""
+    from kgdata_spark.pipeline.run import run_pipeline
+
+    n_ent = synthetic.n_entities_for(N_FILES)
+    src = synthetic.source_files(spark, N_FILES)
+    aliases = synthetic.aliases(spark, n_ent)
+    redirects = synthetic.redirects(spark, n_ent)
+    entities = synthetic.entities(spark, n_ent)
+    out = str(tmp_path / "kg_out")
+    run_pipeline(spark, src, aliases, redirects, entities, out)
+    got_df = spark.read.parquet(f"{out}/triples")
+    assert got_df.columns == [
+        "subj", "pred", "obj", "obj_kind", "repo", "path", "content_sha256",
+    ]
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in _engine_triples(spark).collect()}
+    assert got == want
+    # dedup really happened (no duplicate full rows survive the exchange)
+    assert got_df.count() == len(got)
+
+
 def test_degrees_consistent(spark):
     tri = _engine_triples(spark).cache()
     deg = entity_degrees(tri)
