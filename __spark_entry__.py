@@ -4365,11 +4365,14 @@ def q_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental trigram-index maintenance: v1 postings + a delta
-    # (files i%11==0 patched with a suffix, i%13==0 deleted; delete wins
-    # on overlap) updated via broadcast anti-join + fresh postings. The
-    # oracle REBUILDS the index from the v2 corpus in SQL — equality of
-    # the per-trigram file counts proves the incremental path converges
-    # to the rebuild, posting for posting.
+    # (files i%11==0 patched with a suffix, i%13==0 deleted) updated via
+    # broadcast anti-join + fresh postings. The changed batch INCLUDES
+    # the changed∩deleted overlap on purpose — update_postings itself
+    # enforces delete-wins (ADVICE r4), and the oracle's v2 rebuild
+    # (where the delete also wins) verifies it. The oracle REBUILDS the
+    # index from the v2 corpus in SQL — equality of the per-trigram file
+    # counts proves the incremental path converges to the rebuild,
+    # posting for posting.
     from kgdata_spark.operators.codesearch import trigram_postings, update_postings
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
@@ -4377,7 +4380,7 @@ def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = F.regexp_extract("path", r"mod_(\d+)\.py", 1).cast("long")
     corpus = corpus.withColumn("_i", i)
     changed = (
-        corpus.where((F.col("_i") % 11 == 0) & (F.col("_i") % 13 != 0))
+        corpus.where(F.col("_i") % 11 == 0)
         .withColumn(
             "content", F.concat(F.col("content"), F.lit(" PATCHED_"), F.col("_i"))
         )

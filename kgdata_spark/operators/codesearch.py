@@ -303,6 +303,7 @@ def dictionary_search(
     literals: DataFrame,
     content_col: str = "content",
     literal_col: str = "literal",
+    max_literals: int = 500_000,
 ) -> DataFrame:
     """Search MANY literals at once through the trigram index — the
     literal set is a DataFrame, not a constant, so a 10^5-term keyword /
@@ -319,13 +320,29 @@ def dictionary_search(
     hubs — the join is still |postings ∩ dict-trigrams| bounded, and the
     dictionary side is aggregated to distinct trigrams before joining);
     the verify join touches candidate pairs, not the corpus x dict
-    cross. Literals shorter than 3 chars cannot be indexed and raise.
+    cross. Literals shorter than 3 chars cannot be indexed and raise;
+    a dictionary larger than ``max_literals`` raises too (raise-don't-
+    degrade: the literal side is broadcast, and an unbounded dictionary
+    would OOM executors instead of failing with a clear valve error).
+    Both checks ride ONE aggregate job over the dictionary.
     """
     lit = F.col(literal_col)
-    bad = literals.where(F.length(lit) < 3).limit(1).collect()
-    if bad:
+    stats = literals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.length(lit) < 3, 1)).alias("n_short"),
+        F.min(F.when(F.length(lit) < 3, lit)).alias("short_example"),
+    ).collect()[0]
+    if stats.n_short:
         raise ValueError(
-            f"dictionary literal shorter than 3 chars: {bad[0][literal_col]!r}"
+            f"{stats.n_short} dictionary literal(s) shorter than 3 chars "
+            f"(e.g. {stats.short_example!r}) cannot be trigram-indexed"
+        )
+    if stats.n > max_literals:
+        raise ValueError(
+            f"dictionary has {stats.n} literals > max_literals="
+            f"{max_literals}; the literal side is broadcast — raise the "
+            f"valve only with executor memory to match, or shard the "
+            f"dictionary and union the results"
         )
     lit_tris = literals.select(
         lit.alias("literal"),
@@ -381,10 +398,21 @@ def update_postings(
     this is the production index-refresh loop: daily changed files
     against a postings table kept under pipeline/snapshots.py, cost
     O(|index| scan + |delta|), not O(rebuild).
+
+    A (repo, path) present in BOTH ``changed`` and ``deleted`` is a
+    delete: ``changed`` is anti-joined against ``deleted`` before fresh
+    postings are built, so the tombstone wins regardless of batch
+    assembly order (ADVICE r4 — previously change silently won and
+    callers had to pre-exclude the overlap themselves).
     """
     keys = changed.select("repo", "path")
     if deleted is not None:
         keys = keys.unionByName(deleted.select("repo", "path"))
+        changed = changed.join(
+            F.broadcast(deleted.select("repo", "path")),
+            ["repo", "path"],
+            "left_anti",
+        )
     kept = postings.join(F.broadcast(keys), ["repo", "path"], "left_anti")
     fresh = trigram_postings(changed, content_col)
     return kept.unionByName(fresh)

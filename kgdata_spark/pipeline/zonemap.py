@@ -11,18 +11,29 @@ predicate selects the surviving file list BEFORE the scan plans — no
 footer I/O, no listing, for skipped files. This module is that layer over
 plain parquet:
 
-* ``write_zonemapped`` writes the dataframe, then builds ``_ZONEMAP.json``
-  — ``{file: {col: [min, max]}}`` plus the dataset schema — from ONE
-  column-pruned read-back pass grouped by ``input_file_name()`` (the
-  stats aggregation shuffles one row per file per column, nothing more).
+* ``write_zonemapped`` writes the dataframe, then builds the manifest
+  from ONE column-pruned read-back pass grouped by ``input_file_name()``.
+  The manifest is SHARDED like Iceberg's: per-file bounds live in a
+  parquet table at ``<path>/_zonemap`` (one row per file per stats
+  column, written distributed — never collected to the driver), and a
+  small fixed-size ``_ZONEMAP.json`` carries only the dataset schema +
+  stats-column dtypes. Underscore-prefixed paths are invisible to
+  Spark's file index, so the bounds table never pollutes data reads.
   The LAYOUT is the caller's choice: range-repartition or z-order first
   and the bounds come out tight; a random layout still reads correctly,
   it just prunes nothing.
-* ``read_pruned`` intersects a {col: (lo, hi)} predicate box with each
-  file's bounds (superset test — files may still hold no matching row)
-  and hands Spark the surviving file list with the residual filter
-  applied, so results are EXACTLY the range read. Returns the kept/total
-  file counts so callers can assert the skipping actually happened
+* ``append_zonemapped`` extends the table O(append): the new data files
+  are found by diffing the post-append directory listing against the
+  bounds table (a names-only anti-join — bounds are never re-read and
+  already-mapped data files are never re-scanned), their stats pass
+  reads exactly those files, and the new bounds rows are APPENDED to the
+  bounds table — the manifest twin of incremental index maintenance.
+* ``read_pruned`` intersects a {col: (lo, hi)} predicate box with the
+  bounds table (a distributed filter+aggregate over manifest SHARDS;
+  only the surviving file names ever reach the driver) and hands Spark
+  the surviving file list with the residual filter applied, so results
+  are EXACTLY the range read. Returns the kept/total file counts so
+  callers can assert the skipping actually happened
   (``assert_files_pruned``) instead of trusting the layout.
 
 The reference materializes its big tables as single-key sorted files for
@@ -42,20 +53,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 ZONEMAP = "_ZONEMAP.json"
+BOUNDS_DIR = "_zonemap"
 
-_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+_NUMERIC = _INT_TYPES | _FLOAT_TYPES
 
 
-def write_zonemapped(df: DataFrame, path: str, stats_cols: list[str]) -> int:
-    """Write ``df`` as parquet at ``path`` and build ``_ZONEMAP.json``
-    carrying per-file [min, max] for each of ``stats_cols``. Returns the
-    number of data files mapped. Stats columns must be numeric or string
-    (decimals/timestamps would need type-tagged JSON — raise early
-    rather than serialize something the reader compares wrongly)."""
+def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> dict[str, str]:
     if not stats_cols:
         raise ValueError("stats_cols must name at least one column")
+    dtypes = dict(df.dtypes)
+    out: dict[str, str] = {}
     for c in stats_cols:
-        dt = dict(df.dtypes).get(c)
+        dt = dtypes.get(c)
         if dt is None:
             raise ValueError(f"stats column {c!r} not in dataframe")
         if dt not in _NUMERIC and dt != "string":
@@ -63,74 +74,140 @@ def write_zonemapped(df: DataFrame, path: str, stats_cols: list[str]) -> int:
                 f"stats column {c!r} has type {dt}: zone maps support "
                 "numeric and string columns"
             )
-    df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
-    back = spark.read.parquet(path).select(
-        F.input_file_name().alias("_file"), *stats_cols
-    )
+        out[c] = dt
+    return out
+
+
+def _bounds_rows(back: DataFrame, dtypes: dict[str, str]) -> DataFrame:
+    """Long-format bounds: (file, col, min_long/max_long | min_dbl/max_dbl
+    | min_str/max_str) — one row per file per stats column, typed exactly
+    (integer bounds stay BIGINT: a double round-trip would be lossy past
+    2^53 and could misprune at box edges). Fully distributed: the per-file
+    aggregate shuffles one row per file per column, and the explode to
+    long format is a projection."""
     aggs = []
-    for c in stats_cols:
+    for c in dtypes:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    rows = back.groupBy("_file").agg(*aggs).collect()
-    files = {
-        r["_file"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
-        for r in rows
-    }
-    manifest = {
-        "schema": spark.read.parquet(path).schema.json(),
-        "stats_cols": stats_cols,
-        "files": files,
-    }
-    tmp = os.path.join(path, ZONEMAP + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, ZONEMAP))
-    return len(files)
+    per_file = back.groupBy("_file").agg(*aggs)
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c, dt in dtypes.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        if dt in _INT_TYPES:
+            vals = (mn.cast("bigint"), mx.cast("bigint"), null_d, null_d, null_s, null_s)
+        elif dt in _FLOAT_TYPES:
+            vals = (null_l, null_l, mn.cast("double"), mx.cast("double"), null_s, null_s)
+        else:
+            vals = (null_l, null_l, null_d, null_d, mn, mx)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                vals[0].alias("min_long"), vals[1].alias("max_long"),
+                vals[2].alias("min_dbl"), vals[3].alias("max_dbl"),
+                vals[4].alias("min_str"), vals[5].alias("max_str"),
+            )
+        )
+    return per_file.select(
+        # basename as the key: relocatable manifests, and the diff against
+        # a directory listing needs no scheme/prefix normalization
+        F.regexp_extract("_file", r"([^/]+)$", 1).alias("file"),
+        F.explode(F.array(*rows)).alias("b"),
+    ).select("file", "b.*")
 
 
-def append_zonemapped(df: DataFrame, path: str) -> int:
-    """Append rows to an existing zone-mapped table, extending
-    ``_ZONEMAP.json`` with stats for the NEW files only — the manifest
-    twin of incremental index maintenance: existing files are never
-    re-read, so a daily append costs O(append), not O(table). Returns
-    the number of files added. The stats columns are the manifest's."""
+def _read_meta(path: str) -> dict:
     mpath = os.path.join(path, ZONEMAP)
     if not os.path.exists(mpath):
         raise FileNotFoundError(
             f"no {ZONEMAP} at {path} — write with write_zonemapped first"
         )
     with open(mpath) as f:
-        manifest = json.load(f)
-    stats_cols = manifest["stats_cols"]
-    known = set(manifest["files"])
-    df.write.mode("append").parquet(path)
+        return json.load(f)
+
+
+def _bounds_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, BOUNDS_DIR))
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Basenames of the table's data files via the Hadoop FS API (works on
+    any Spark-readable filesystem). Names only — never stats — so this is
+    pure metadata, the same listing the scan itself would do."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(name)
+    return out
+
+
+def write_zonemapped(df: DataFrame, path: str, stats_cols: list[str]) -> int:
+    """Write ``df`` as parquet at ``path`` and build the sharded zone-map
+    manifest (bounds parquet + schema JSON). Returns the number of data
+    files mapped. Stats columns must be numeric or string (decimals/
+    timestamps would need more typed bound slots — raise early rather
+    than serialize something the reader compares wrongly)."""
+    dtypes = _validate_stats_cols(df, stats_cols)
+    df.write.mode("overwrite").parquet(path)
     spark = df.sparkSession
     back = spark.read.parquet(path).select(
         F.input_file_name().alias("_file"), *stats_cols
     )
-    aggs = []
-    for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    # stats pass over the new files only: the file-name filter prunes at
-    # the scan (spark reads nothing from already-mapped files)
-    rows = (
-        back.where(~F.col("_file").isin(sorted(known)))
-        .groupBy("_file")
-        .agg(*aggs)
-        .collect()
-    )
-    for r in rows:
-        manifest["files"][r["_file"]] = {
-            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
-        }
-    manifest["schema"] = spark.read.parquet(path).schema.json()
-    tmp = mpath + ".tmp"
+    bounds = _bounds_rows(back, dtypes)
+    bounds.write.mode("overwrite").parquet(os.path.join(path, BOUNDS_DIR))
+    meta = {
+        "schema": spark.read.parquet(path).schema.json(),
+        "stats_cols": stats_cols,
+        "dtypes": dtypes,
+    }
+    tmp = os.path.join(path, ZONEMAP + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, mpath)
-    return len(rows)
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, ZONEMAP))
+    n = _bounds_table(spark, path).count()
+    return n // len(stats_cols)
+
+
+def append_zonemapped(df: DataFrame, path: str) -> int:
+    """Append rows to an existing zone-mapped table, extending the bounds
+    table with stats for the NEW files only. O(append), mechanically: the
+    new files are the post-append directory listing anti-joined against
+    the bounds table's file keys (names only), and the stats pass reads
+    exactly ``spark.read.parquet(*new_files)`` — already-mapped files are
+    never re-opened and the existing bounds shards are never rewritten
+    (the new rows land as appended shards, Iceberg-manifest style; the
+    append commit has the same crash semantics as the data append it
+    describes). Returns the number of files added. The stats columns are
+    the manifest's."""
+    meta = _read_meta(path)
+    dtypes: dict[str, str] = meta["dtypes"]
+    df.write.mode("append").parquet(path)
+    spark = df.sparkSession
+    listing = spark.createDataFrame(
+        [(f,) for f in _list_data_files(spark, path)], "file string"
+    )
+    known = _bounds_table(spark, path).select("file").distinct()
+    new_files = [
+        r.file for r in listing.join(known, "file", "left_anti").collect()
+    ]
+    if not new_files:
+        return 0
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    back = (
+        spark.read.schema(schema)
+        .parquet(*(os.path.join(path, f) for f in new_files))
+        .select(F.input_file_name().alias("_file"), *meta["stats_cols"])
+    )
+    _bounds_rows(back, dtypes).write.mode("append").parquet(
+        os.path.join(path, BOUNDS_DIR)
+    )
+    return len(new_files)
 
 
 def read_pruned(
@@ -141,38 +218,47 @@ def read_pruned(
     residual filter, and return (df, n_files_kept, n_files_total). A
     file with NULL bounds for a column (all-null values) cannot satisfy
     a range predicate on it and is skipped — matching the residual
-    filter's null semantics."""
-    mpath = os.path.join(path, ZONEMAP)
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(
-            f"no {ZONEMAP} at {path} — write with write_zonemapped"
-        )
-    with open(mpath) as f:
-        manifest = json.load(f)
+    filter's null semantics. The box test runs as a distributed
+    filter+aggregate over the bounds shards; only surviving file names
+    reach the driver."""
+    meta = _read_meta(path)
+    dtypes: dict[str, str] = meta["dtypes"]
     for c in bounds:
-        if c not in manifest["stats_cols"]:
+        if c not in dtypes:
             raise ValueError(
                 f"no zone-map stats for column {c!r} "
-                f"(have {manifest['stats_cols']})"
+                f"(have {meta['stats_cols']})"
             )
-    kept = []
-    for fname, stats in manifest["files"].items():
-        ok = True
-        for c, (lo, hi) in bounds.items():
-            mn, mx = stats[c]
-            if mn is None or mx is None or mn > hi or mx < lo:
-                ok = False
-                break
-        if ok:
-            kept.append(fname)
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    table = _bounds_table(spark, path)
+    n_total = table.count() // len(meta["stats_cols"])
+
+    # per bounds row: does this (file, col) pair permit survival? Rows for
+    # unconstrained columns are vacuously true; a constrained column's row
+    # must have non-null bounds intersecting the box.
+    ok = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        dt = dtypes[c]
+        pre = "long" if dt in _INT_TYPES else ("dbl" if dt in _FLOAT_TYPES else "str")
+        mn, mx = F.col(f"min_{pre}"), F.col(f"max_{pre}")
+        cond = mn.isNotNull() & mx.isNotNull() & (mn <= F.lit(hi)) & (mx >= F.lit(lo))
+        ok = F.when(F.col("col") == c, cond).otherwise(ok)
+    kept = sorted(
+        r.file
+        for r in table.groupBy("file")
+        .agg(F.bool_and(ok).alias("_keep"))
+        .where("_keep")
+        .collect()
+    )
+    schema = StructType.fromJson(json.loads(meta["schema"]))
     if kept:
-        df = spark.read.schema(schema).parquet(*sorted(kept))
+        df = spark.read.schema(schema).parquet(
+            *(os.path.join(path, f) for f in kept)
+        )
     else:
         df = spark.createDataFrame([], schema)
     for c, (lo, hi) in bounds.items():
         df = df.where(F.col(c).between(lo, hi))
-    return df, len(kept), len(manifest["files"])
+    return df, len(kept), n_total
 
 
 def assert_files_pruned(n_kept: int, n_total: int, at_most: int) -> None:

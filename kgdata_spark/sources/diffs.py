@@ -56,10 +56,13 @@ def _parse_one(text: str) -> list[dict]:
         if line.startswith("+++ "):
             # the post-image name names the file ("+++ b/<path>" or
             # "+++ <path>"); "+++ /dev/null" = deletion, keep the ---
-            # side's name so the delete attributes to a real path
-            name = line[4:].strip()
+            # side's name so the delete attributes to a real path.
+            # Classic (non-git) unified diffs append "\t<timestamp>" to
+            # the header — split on the first tab, per git's own header
+            # grammar, so the timestamp never folds into the path
+            name = line[4:].split("\t")[0].strip()
             if name == "/dev/null" and i > 0 and lines[i - 1].startswith("--- "):
-                name = lines[i - 1][4:].strip()
+                name = lines[i - 1][4:].split("\t")[0].strip()
             path = re.sub(r"^[ab]/", "", name)
             i += 1
             continue

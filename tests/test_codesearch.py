@@ -228,6 +228,24 @@ def test_update_postings_equals_full_rebuild(spark):
     assert as_set(got) == as_set(want)
 
 
+def test_update_postings_delete_wins_on_overlap(spark):
+    # a (repo, path) in BOTH changed and deleted is a delete (ADVICE r4):
+    # the operator anti-joins changed against deleted itself — no
+    # postings for the overlapping file survive, fresh or stale
+    from kgdata_spark.operators.codesearch import trigram_postings, update_postings
+
+    df1 = spark.createDataFrame(
+        [("r", "f1", "alpha beta"), ("r", "f2", "gamma delta")], SCHEMA
+    )
+    changed = spark.createDataFrame(
+        [("r", "f1", "resurrected text"), ("r", "f3", "new file")], SCHEMA
+    )
+    deleted = spark.createDataFrame([("r", "f1")], "repo string, path string")
+    got = update_postings(trigram_postings(df1), changed, deleted)
+    paths = {r.path for r in got.select("path").distinct().collect()}
+    assert paths == {"f2", "f3"}
+
+
 def test_update_postings_index_side_never_shuffles(spark):
     from kgdata_spark.operators.codesearch import trigram_postings, update_postings
 

@@ -38,6 +38,34 @@ def test_parse_basic_hunks(spark):
     assert ("-", "two") in tags and ("+", "TWO") in tags and ("+", "six") in tags
 
 
+def test_parse_classic_timestamp_headers(spark):
+    # classic (non-git) unified diffs carry "\t<timestamp>" after the
+    # file name in both header lines — the timestamp must not fold into
+    # the path (ADVICE r4: it made replay silently skip those hunks)
+    from kgdata_spark.sources.diffs import parse_unified_diff
+
+    v1 = "one\ntwo\nthree"
+    v2 = "one\nTWO\nthree"
+    d = "\n".join(
+        difflib.unified_diff(
+            v1.split("\n"), v2.split("\n"),
+            fromfile="f.py", tofile="f.py", lineterm="",
+            fromfiledate="2024-01-01 10:00:00.000000000 +0000",
+            tofiledate="2024-01-02 10:00:00.000000000 +0000",
+        )
+    )
+    assert "\t" in d.split("\n")[1]  # the classic header shape is real
+    df = spark.createDataFrame([("c1", d)], "commit_id string, diff_text string")
+    rows = parse_unified_diff(df).collect()
+    assert all(r.err is None for r in rows)
+    assert {r.path for r in rows} == {"f.py"}
+    # deletion header "+++ /dev/null\t<ts>": path comes from the --- side
+    d2 = "--- a/gone.py\t2024-01-01 10:00:00\n+++ /dev/null\t2024-01-02 10:00:00\n@@ -1 +0,0 @@\n-bye"
+    df2 = spark.createDataFrame([("c2", d2)], "commit_id string, diff_text string")
+    rows2 = parse_unified_diff(df2).collect()
+    assert [r.path for r in rows2] == ["gone.py"] and rows2[0].err is None
+
+
 def test_parse_quarantines_malformed(spark):
     from kgdata_spark.sources.diffs import parse_unified_diff
 

@@ -108,14 +108,23 @@ def test_guards(spark, tmp_path):
 
 
 def test_manifest_shape_and_atomicity(spark, tmp_path):
+    # sharded manifest: the JSON is fixed-size metadata (schema + dtypes),
+    # the per-file bounds live in a parquet table under _zonemap/ — one
+    # row per file per stats column, never driver-collected at write time
+    from kgdata_spark.pipeline.zonemap import BOUNDS_DIR
+
     _, path, nf = _layout(spark, tmp_path, n=200, parts=4)
     with open(os.path.join(path, ZONEMAP)) as f:
         m = json.load(f)
-    assert set(m) == {"schema", "stats_cols", "files"} and len(m["files"]) == nf
-    for stats in m["files"].values():
-        assert set(stats) == {"k", "v", "s"}
-        mn, mx = stats["k"]
-        assert mn <= mx
+    assert set(m) == {"schema", "stats_cols", "dtypes"}
+    bounds = spark.read.parquet(os.path.join(path, BOUNDS_DIR))
+    assert bounds.count() == nf * 3  # 3 stats cols
+    ks = bounds.where(F.col("col") == "k").collect()
+    assert len(ks) == nf
+    for r in ks:
+        assert r.min_long <= r.max_long and r.min_str is None
+    # the underscore dir is invisible to data reads
+    assert spark.read.parquet(path).count() == 200
     assert not os.path.exists(os.path.join(path, ZONEMAP + ".tmp"))
 
 
@@ -128,11 +137,26 @@ def test_append_extends_manifest_incrementally(spark, tmp_path):
         (F.col("id") % 97).alias("v"),
         F.format_string("name_%d", F.col("id")).alias("s"),
     )
+    from kgdata_spark.pipeline.zonemap import BOUNDS_DIR
+
+    bounds_dir = os.path.join(path, BOUNDS_DIR)
+    shards_before = {
+        f: os.path.getmtime(os.path.join(bounds_dir, f))
+        for f in os.listdir(bounds_dir)
+        if f.endswith(".parquet")
+    }
     added = append_zonemapped(extra.repartition(2), path)
     assert added == 2
-    with open(os.path.join(path, ZONEMAP)) as f:
-        m = json.load(f)
-    assert len(m["files"]) == nf + 2
+    # O(append) evidence: the existing bounds shards were not rewritten —
+    # the new files' stats landed as NEW shards only
+    shards_after = {
+        f: os.path.getmtime(os.path.join(bounds_dir, f))
+        for f in os.listdir(bounds_dir)
+        if f.endswith(".parquet")
+    }
+    assert set(shards_before) <= set(shards_after)
+    assert all(shards_after[f] == m for f, m in shards_before.items())
+    assert len(shards_after) > len(shards_before)
     # old-range read untouched; new range prunes to the appended files
     got_old, kept_old, total = read_pruned(spark, path, {"k": (100, 199)})
     assert total == nf + 2 and kept_old <= 2
