@@ -1171,6 +1171,94 @@ def q_resource_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resource_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # B2's inference sub-stage (dbpedia/datasets/entities.py:62-78,
+    # 175-210): property-range-derived type triples with contradiction
+    # guards, merged back into the resource table. Suppliers are the
+    # proposers (locIn → T:Nation, constrained to T:Supplier-typed
+    # sources; adminOf → T:Pol, unconstrained), nations the targets,
+    # pre-typed by k%4 to hit every merge branch: contradiction
+    # (T:Region), duplicate (T:Nation), clean append (T:Thing), and
+    # no-type-key (the created-empty-list quirk). s%7 sources aim their
+    # last locIn URI at a nonexistent subject (proposal dropped), s%3==0
+    # sources carry no T:Supplier type (constraint-gated). The oracle
+    # replays propose+fold closed-form in SQL (two newtypes, sorted
+    # append order: T:Nation before T:Pol, and an accepted T:Nation
+    # blocks T:Pol via its contradiction set — the growing-accumulator
+    # semantics).
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    n_uri = lambda expr: F.concat(F.lit("http://n"), expr)
+
+    def _props(entries):
+        return F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+        )
+
+    sup_res = sup.select(
+        F.concat(F.lit("s"), k).alias("id"),
+        _props(
+            [
+                F.struct(
+                    F.lit("rdf:type").alias("key"),
+                    F.when(k % 3 != 0, F.array(F.lit("T:Supplier"))).alias("value"),
+                ),
+                F.struct(
+                    F.lit("p:locIn").alias("key"),
+                    F.array(
+                        n_uri(k % 25),
+                        F.when(k % 7 == 0, n_uri((k % 25) + 75)).otherwise(
+                            n_uri((k * 7) % 25)
+                        ),
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("o:adminOf").alias("key"),
+                    F.when(k % 5 == 0, F.array(n_uri(k % 25))).alias("value"),
+                ),
+            ]
+        ).alias("props"),
+    )
+    nat_res = nat.select(
+        n_uri(k).alias("id"),
+        _props(
+            [
+                F.struct(
+                    F.lit("rdf:type").alias("key"),
+                    F.when(k % 4 == 0, F.array(F.lit("T:Region")))
+                    .when(k % 4 == 1, F.array(F.lit("T:Nation")))
+                    .when(k % 4 == 2, F.array(F.lit("T:Thing")))
+                    .alias("value"),
+                )
+            ]
+        ).alias("props"),
+    )
+    inferred = infer_resource_types(
+        sup_res.unionByName(nat_res),
+        prop2range={"p:locIn": "T:Nation", "o:adminOf": "T:Pol"},
+        range_constraints={"T:Nation": ["T:Supplier"]},
+        type2contradictions={"T:Nation": ["T:Region"], "T:Pol": ["T:Nation"]},
+    )
+    types = F.element_at("props", F.lit("rdf:type"))
+    return inferred.select(
+        "id",
+        F.map_contains_key("props", F.lit("rdf:type")).alias("has_type_key"),
+        F.posexplode_outer(types),
+    ).select(
+        "id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").alias("rdf_type"),
+        "has_type_key",
+    )
+
+
 def q_sitelinks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D6: redirect re-key + per-site merge with badge union
     # (entity_sitelinks.py:76-101); winner pinned to min source id
@@ -4092,9 +4180,56 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRUCT_CORPUS_N = 3000
 
+
+def _scaled_n(sf_dir: str, base: int) -> int:
+    """sf-proportional corpus size for the structured-code fixtures: the
+    base size at sf0.01 (supplier = 100 rows there), scaling linearly
+    with sf and floored at base so tiny sfs keep a rich-enough corpus.
+    Uses the parquet footer row count — no Spark job. The DuckDB oracles
+    derive the SAME size from the registered supplier view (_ids_cte), so
+    both sides scale together without an sf parameter in the contract."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    p = _os.path.join(sf_dir, "supplier.parquet")
+    if _os.path.isdir(p):
+        n = sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(_os.path.join(p, "*.parquet"))
+        )
+    else:
+        n = _pq.ParquetFile(p).metadata.num_rows
+    return max(base, base * n // 100)
+
+
+def _ids_cte(name: str, base: int, var: str = "i") -> str:
+    """DuckDB twin of _scaled_n: ids 0..v-1 with
+    v = GREATEST(base, base*count(supplier)/100). range() cannot take a
+    subquery parameter, and a wide filtered range sends the optimizer
+    into a 500x regression on the HOF-heavy oracles — so above the floor
+    the ids are generated FROM supplier rows (row_number x base/100 is a
+    bijection onto [0, base*N/100) for any key values), and at/below the
+    floor a constant range(base) applies. Exactly one branch is non-empty
+    per scale factor."""
+    k = base // 100  # files contributed per supplier row past the floor
+    return (
+        f"{name} AS ("
+        f"SELECT {var} FROM range({base}) t({var}) "
+        f"WHERE (SELECT count(*) FROM supplier) <= 100 "
+        f"UNION ALL "
+        f"SELECT (sr - 1) * {k} + j AS {var} FROM "
+        f"(SELECT ROW_NUMBER() OVER () AS sr FROM supplier) s, "
+        f"range({k}) t(j) "
+        f"WHERE (SELECT count(*) FROM supplier) > 100)"
+    )
+
 # DuckDB replication of sources/synthetic.py::structured_code_corpus —
 # byte-identical content (sha-verified in tests/test_code_ops.py).
-def _struct_cte(n: int) -> str:
+# `ids` names a CTE providing the file ids as column i (see _ids_cte),
+# so the corpus size scales with sf on the SQL side too.
+def _struct_cte(ids: str) -> str:
     return f"""
     struct_corpus AS (
       SELECT printf('org%d/r%d', (i % 150) % 4, i % 150) AS repo,
@@ -4128,17 +4263,17 @@ def _struct_cte(n: int) -> str:
                    (i*7+39) % 101, (i*7+39) % 101,
                    ((i*7+39) % 101) % 7, (i*7+39) % 101)
              ELSE '' END AS content
-      FROM range({n}) t(i))"""
+      FROM {ids})"""
 
 
-_STRUCT_CTE = _struct_cte(STRUCT_CORPUS_N)
+_STRUCT_CTE = _ids_cte("sids", STRUCT_CORPUS_N) + "," + _struct_cte("sids")
 
 # closed-form per-function rows of the same corpus: one uniq block (5
 # lines) per file plus 1-3 shared blocks (4 lines) keyed by
 # b = (i*7 + j*13) %% 101 — the regenerated ground truth the extraction
 # oracles aggregate (the extraction LOGIC itself is pinned by the
 # byte-equality test + edge-case pytests)
-_STRUCT_FUNCS_CTE = f"""
+_STRUCT_FUNCS_CTE = _ids_cte("sids", STRUCT_CORPUS_N) + f""",
     struct_funcs AS (
       SELECT printf('org%d/r%d', (i % 150) % 4, i % 150) AS repo,
              printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i) AS path,
@@ -4148,7 +4283,7 @@ _STRUCT_FUNCS_CTE = f"""
           || printf('    raw = parseHTTPResponse%d(ctx)', i % 9) || chr(10)
           || '    cfg = loadConfigValue(raw)' || chr(10)
           || printf('    return cfg + %d', i) AS fn_text
-      FROM range({STRUCT_CORPUS_N}) t(i)
+      FROM sids
       UNION ALL
       SELECT printf('org%d/r%d', (i % 150) % 4, i % 150),
              printf('pkg/p%d/mod_%d.py', (i // 150) % 5, i),
@@ -4159,14 +4294,20 @@ _STRUCT_FUNCS_CTE = f"""
           || printf('    y = computeValue%d(x)', ((i*7 + j*13) % 101) % 7)
           || chr(10)
           || printf('    return y + %d', (i*7 + j*13) % 101)
-      FROM range({STRUCT_CORPUS_N}) t(i), unnest([1, 2, 3]) AS u(j)
+      FROM sids, unnest([1, 2, 3]) AS u(j)
       WHERE j <= 1 + (i % 3))"""
 
 
-def _struct_corpus(spark: SparkSession) -> DataFrame:
+def _struct_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
-    return structured_code_corpus(spark, STRUCT_CORPUS_N)
+    return structured_code_corpus(spark, _scaled_n(sf_dir, STRUCT_CORPUS_N))
+
+
+def _clone_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgdata_spark.sources.synthetic import structured_code_corpus
+
+    return structured_code_corpus(spark, _scaled_n(sf_dir, CLONE_CORPUS_N))
 
 
 def q_function_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4177,7 +4318,7 @@ def q_function_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extracted text against the oracle's closed-form regeneration.
     from kgdata_spark.operators.code import extract_functions
 
-    return extract_functions(_struct_corpus(spark)).drop("fn_text")
+    return extract_functions(_struct_corpus(spark, sf_dir)).drop("fn_text")
 
 
 def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4187,7 +4328,7 @@ def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via min(struct) — no window over the corpus.
     from kgdata_spark.operators.code import function_dedup_report
 
-    return function_dedup_report(_struct_corpus(spark))
+    return function_dedup_report(_struct_corpus(spark, sf_dir))
 
 
 CLONE_CORPUS_N = 600
@@ -4205,7 +4346,7 @@ def q_code_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
     return winnow_fingerprints(
-        structured_code_corpus(spark, CLONE_CORPUS_N), k=CLONE_K, w=CLONE_W
+        _clone_corpus(spark, sf_dir), k=CLONE_K, w=CLONE_W
     )
 
 
@@ -4218,7 +4359,7 @@ def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
     return clone_pairs(
-        structured_code_corpus(spark, CLONE_CORPUS_N),
+        _clone_corpus(spark, sf_dir),
         k=CLONE_K,
         w=CLONE_W,
         max_files_per_hash=32,
@@ -4237,7 +4378,7 @@ def q_clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
     return clone_groups(
-        structured_code_corpus(spark, CLONE_CORPUS_N),
+        _clone_corpus(spark, sf_dir),
         k=CLONE_K,
         w=CLONE_W,
         max_files_per_hash=32,
@@ -4255,7 +4396,7 @@ def q_type2_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     # program list, so both engines run one regex program.
     from kgdata_spark.operators.code import type2_clone_classes
 
-    return type2_clone_classes(_struct_corpus(spark))
+    return type2_clone_classes(_struct_corpus(spark, sf_dir))
 
 
 def q_repo_fn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4265,7 +4406,7 @@ def q_repo_fn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-valve profile sizes.
     from kgdata_spark.operators.code import repo_fn_overlap
 
-    return repo_fn_overlap(_struct_corpus(spark), max_repos_per_fn=64, min_shared=2)
+    return repo_fn_overlap(_struct_corpus(spark, sf_dir), max_repos_per_fn=64, min_shared=2)
 
 
 TRIGRAM_LITERAL = "parseHTTPResponse3("
@@ -4282,7 +4423,7 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
     return literal_search(
-        structured_code_corpus(spark, CLONE_CORPUS_N), TRIGRAM_LITERAL
+        _clone_corpus(spark, sf_dir), TRIGRAM_LITERAL
     )
 
 
@@ -4301,7 +4442,7 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
     return regex_search(
-        structured_code_corpus(spark, CLONE_CORPUS_N), REGEX_PATTERN
+        _clone_corpus(spark, sf_dir), REGEX_PATTERN
     )
 
 
@@ -4325,7 +4466,7 @@ def q_dict_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lits = spark.createDataFrame([(l,) for l in DICT_LITERALS], "literal string")
     return dictionary_search(
-        structured_code_corpus(spark, CLONE_CORPUS_N), lits
+        _clone_corpus(spark, sf_dir), lits
     )
 
 
@@ -4340,7 +4481,7 @@ def q_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.sources.diffs import parse_unified_diff, replay_patches
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
-    corpus = structured_code_corpus(spark, CLONE_CORPUS_N)
+    corpus = _clone_corpus(spark, sf_dir)
     d1 = corpus.select(
         F.lit("c1").alias("commit_id"),
         F.format_string(
@@ -4376,7 +4517,7 @@ def q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.codesearch import trigram_postings, update_postings
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
-    corpus = structured_code_corpus(spark, CLONE_CORPUS_N)
+    corpus = _clone_corpus(spark, sf_dir)
     i = F.regexp_extract("path", r"mod_(\d+)\.py", 1).cast("long")
     corpus = corpus.withColumn("_i", i)
     changed = (
@@ -4401,7 +4542,7 @@ def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.code import call_edges
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
-    return call_edges(structured_code_corpus(spark, CLONE_CORPUS_N))
+    return call_edges(_clone_corpus(spark, sf_dir))
 
 
 def q_api_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4410,7 +4551,7 @@ def q_api_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgdata_spark.operators.code import api_usage
     from kgdata_spark.sources.synthetic import structured_code_corpus
 
-    return api_usage(structured_code_corpus(spark, CLONE_CORPUS_N))
+    return api_usage(_clone_corpus(spark, sf_dir))
 
 
 def q_symbol_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4469,7 +4610,7 @@ def q_subtoken_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB — both engines see the same boundaries.
     from kgdata_spark.operators.code import subtoken_vocab
 
-    return subtoken_vocab(_struct_corpus(spark))
+    return subtoken_vocab(_struct_corpus(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4551,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_merge": q_label_merge,
         "resource_group": q_resource_group,
         "resource_merge": q_resource_merge,
+        "resource_infer": q_resource_infer,
         "sitelinks_merge": q_sitelinks_merge,
         "meta_graph_nest": q_meta_graph_nest,
         "prop_connections": q_prop_connections,
@@ -4701,7 +4843,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     if has_zstd():
         reg["zstd_dump_parse"] = q_zstd_dump_parse
-    return reg
+    # Round-5 driver-window rotation (VERDICT r4 ask #4): the first 50
+    # entries get this round's driver correctness rows. The two canaries
+    # stay, then the round-4/5 wave that has never had a driver row —
+    # code search + code-corpus mining, zone maps, unigram tokenizer,
+    # SCC/HITS/graph family, resource_infer (new this round), and the
+    # never-gated dedup/ANN/incremental extras. Everything rotated out is
+    # green in CORRECTNESS_r04.json (driver) and stays covered by the
+    # committed local gate (tests/test_driver_gate_parity.py).
+    window = [k for k in _R5_WINDOW if k in reg]
+    rest = [k for k in reg if k not in _R5_WINDOW]
+    return {k: reg[k] for k in (*window, *rest)}
+
+
+_R5_WINDOW = [
+    "kg_triples", "entity_fix_join",
+    "resource_infer",
+    "trigram_search", "regex_search", "dict_search", "incremental_postings",
+    "patch_replay",
+    "code_metrics", "repo_license_audit", "secret_scan", "function_index",
+    "function_dedup", "subtoken_vocab", "code_fingerprints",
+    "code_clone_pairs", "clone_groups", "type2_clones", "repo_fn_overlap",
+    "co_change_pairs", "repo_bus_factor", "file_ownership", "call_edges",
+    "api_usage", "symbol_xref", "repo_dep_libs",
+    "partition_prune", "zone_prune", "zorder_zone_prune", "zorder_keys",
+    "unigram_pieces",
+    "supplier_scc", "class_dep_scc", "hits_supplier_part", "dag_layers",
+    "supplier_sssp", "supplier_bfs", "neighborhood_growth",
+    "delimited_dump_parse",
+    "semantic_dedup", "pq_adc_topk", "ivf_pq_topk", "ivf_multiprobe_topk",
+    "incremental_agg", "incremental_distinct", "cdc_chunks",
+    "cdc_shared_chunks", "srp_near_dups", "phrase_search", "bm25_topk",
+]
 
 
 # Shared DuckDB CTE: CDC boundary replay (token md5-int values, 4-term
@@ -6697,7 +6870,7 @@ def oracle_sql() -> dict[str, str]:
     # supposed to be equivalent to.
     _tl = TRIGRAM_LITERAL
     d["trigram_search"] = f"""
-        WITH {_struct_cte(CLONE_CORPUS_N)}
+        WITH {_ids_cte("cids", CLONE_CORPUS_N)}, {_struct_cte("cids")}
         SELECT repo, path,
                CAST((length(content)
                      - length(replace(content, '{_tl}', ''))) // {len(_tl)}
@@ -6709,7 +6882,7 @@ def oracle_sql() -> dict[str, str]:
     # trigram query must be equivalent to (same leftmost non-overlapping
     # match count as Java regex on this subset).
     d["regex_search"] = f"""
-        WITH {_struct_cte(CLONE_CORPUS_N)}
+        WITH {_ids_cte("cids", CLONE_CORPUS_N)}, {_struct_cte("cids")}
         SELECT repo, path,
                CAST(len(regexp_extract_all(content, '{REGEX_PATTERN}'))
                     AS INT) AS n_hits
@@ -6720,7 +6893,7 @@ def oracle_sql() -> dict[str, str]:
     # index path must lose/admit nothing at any literal density.
     _dict_values = ", ".join(f"('{l}')" for l in DICT_LITERALS)
     d["dict_search"] = f"""
-        WITH {_struct_cte(CLONE_CORPUS_N)},
+        WITH {_ids_cte("cids", CLONE_CORPUS_N)}, {_struct_cte("cids")},
         lits(literal) AS (VALUES {_dict_values})
         SELECT repo, path, literal,
                CAST((length(content)
@@ -6733,7 +6906,7 @@ def oracle_sql() -> dict[str, str]:
     # string surgery (both target lines are unique per file by
     # construction).
     d["patch_replay"] = f"""
-        WITH {_struct_cte(CLONE_CORPUS_N)}
+        WITH {_ids_cte("cids", CLONE_CORPUS_N)}, {_struct_cte("cids")}
         SELECT repo, path,
                replace(
                  replace(content,
@@ -6748,7 +6921,7 @@ def oracle_sql() -> dict[str, str]:
     # corpus (patch applied, deletes removed) — the incremental update
     # must equal it posting for posting.
     d["incremental_postings"] = f"""
-        WITH {_struct_cte(CLONE_CORPUS_N)},
+        WITH {_ids_cte("cids", CLONE_CORPUS_N)}, {_struct_cte("cids")},
         v2 AS (
           SELECT repo, path,
                  CASE WHEN i % 11 = 0 AND i % 13 != 0
@@ -6771,9 +6944,10 @@ def oracle_sql() -> dict[str, str]:
     # helper fn_b (b = (7i+13j) % 101, j gated by i%3) calls
     # computeValue{b%7}. Spark extracts these from the TEXT.
     _call_edges_cte = f"""
+        {_ids_cte('cids', CLONE_CORPUS_N)},
         base AS (SELECT r, printf('org%d/r%d', (r%150)%4, r%150) AS repo,
                         printf('pkg/p%d/mod_%d.py', (r//150)%5, r) AS path
-                 FROM range({CLONE_CORPUS_N}) t(r)),
+                 FROM (SELECT i AS r FROM cids) t),
         ce AS (
           SELECT repo, path, printf('main_%d', r) AS caller,
                  printf('parseHTTPResponse%d', r%9) AS callee FROM base
@@ -6830,7 +7004,8 @@ def oracle_sql() -> dict[str, str]:
     # MAX(p) join — versus Spark's array-HOF fold. Same k-gram polynomial
     # hash (mod 1e9+7: both engines do exact 64-bit int arithmetic).
     winnow_ctes = f"""
-        {_struct_cte(CLONE_CORPUS_N)},
+        {_ids_cte("cids", CLONE_CORPUS_N)},
+        {_struct_cte("cids")},
         norm AS (
             SELECT repo, path,
                    lower(regexp_replace(content, '\\s+', '', 'g')) AS t
@@ -7530,6 +7705,57 @@ def _oracle_sql_dict(words: str) -> dict[str, str]:
             SELECT 'c' || c_custkey AS id, 'tag' AS pred,
                    c_mktsegment || COALESCE(',' || prios, '') AS objs_csv
             FROM customer LEFT JOIN b ON c_custkey = o_custkey
+        """,
+        # resource_infer: closed-form replay of the B2 inference pass —
+        # propose (last locIn URI per T:Supplier-typed source; adminOf
+        # unconstrained), then the sorted-append fold: T:Nation lands
+        # first unless contradicted (T:Region) or duplicate; T:Pol is
+        # blocked when T:Nation is pre-existing OR just added (the
+        # growing-accumulator), and a target whose every proposal was
+        # rejected still gains an empty type key (has_type_key=TRUE,
+        # NULL row) — entities.py:193-210 quirks included.
+        "resource_infer": """
+            WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+            nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            pn AS (SELECT DISTINCT CASE WHEN k % 7 = 0
+                                        THEN 'http://n' || ((k % 25) + 75)
+                                        ELSE 'http://n' || ((k * 7) % 25) END AS subject
+                   FROM sup WHERE k % 3 != 0),
+            pp AS (SELECT DISTINCT 'http://n' || (k % 25) AS subject
+                   FROM sup WHERE k % 5 = 0),
+            nt AS (SELECT 'http://n' || k AS id,
+                          CASE WHEN k % 4 = 0 THEN 'T:Region'
+                               WHEN k % 4 = 1 THEN 'T:Nation'
+                               WHEN k % 4 = 2 THEN 'T:Thing' END AS e_type
+                   FROM nat),
+            m AS (SELECT id, e_type,
+                         EXISTS (SELECT 1 FROM pn WHERE pn.subject = nt.id) AS p_nat,
+                         EXISTS (SELECT 1 FROM pp WHERE pp.subject = nt.id) AS p_pol
+                  FROM nt),
+            c AS (SELECT *, (p_nat AND (e_type IS NULL
+                             OR e_type NOT IN ('T:Region', 'T:Nation'))) AS add_nat
+                  FROM m),
+            c2 AS (SELECT *, (p_pol
+                              AND NOT (COALESCE(e_type = 'T:Nation', FALSE) OR add_nat)
+                              AND (e_type IS NULL OR e_type != 'T:Pol')) AS add_pol
+                   FROM c)
+            SELECT 's' || k AS id,
+                   CASE WHEN k % 3 != 0 THEN CAST(0 AS INT) END AS pos,
+                   CASE WHEN k % 3 != 0 THEN 'T:Supplier' END AS rdf_type,
+                   k % 3 != 0 AS has_type_key
+            FROM sup
+            UNION ALL
+            SELECT id, CAST(0 AS INT), e_type, TRUE FROM c2 WHERE e_type IS NOT NULL
+            UNION ALL
+            SELECT id, CAST(CASE WHEN e_type IS NULL THEN 0 ELSE 1 END AS INT),
+                   'T:Nation', TRUE FROM c2 WHERE add_nat
+            UNION ALL
+            SELECT id, CAST((CASE WHEN e_type IS NULL THEN 0 ELSE 1 END)
+                            + (CASE WHEN add_nat THEN 1 ELSE 0 END) AS INT),
+                   'T:Pol', TRUE FROM c2 WHERE add_pol
+            UNION ALL
+            SELECT id, NULL, NULL, (p_nat OR p_pol) FROM c2
+            WHERE e_type IS NULL AND NOT add_nat AND NOT add_pol
         """,
         "sitelinks_merge": """
             SELECT 'E' || c_custkey AS id, 'w' AS site, 'D' || c_custkey AS title,

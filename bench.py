@@ -307,6 +307,27 @@ def main() -> None:
         "curated_docs_per_sec": round(n_docs / cur_sec, 1),
         "timing": "per-query min-of-2 (steady-state; plan JIT amortizes at scale)",
     }
+    # the compute-bound 10M-file pipeline number, machine-readable per
+    # round (VERDICT r4 ask #7 — BASELINE.md prose had it, BENCH_rN.json
+    # didn't). Only at the driver's sf0.1; SPARK_GRAFT_PIPELINE_10M=0
+    # skips it for quick local runs.
+    if os.environ.get("SPARK_GRAFT_PIPELINE_10M", "1") != "0" and sf >= 0.1:
+        base = tempfile.mkdtemp(prefix="kg10m_", dir=_fast_tmp())
+        try:
+            corpus = materialize_corpus(spark, 10_000_000, base)
+            runs = [
+                run_pipeline_bench(spark, 10_000_000, corpus=corpus)
+                for _ in range(2)
+            ]
+            el, n10 = min(runs)
+            out["pipeline_10m"] = {
+                "sec": round(el, 2),
+                "triples": n10,
+                "triples_per_sec": round(n10 / el, 1),
+                "runs_sec": [round(e, 2) for e, _ in runs],
+            }
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     print(_compact_line(out))
 
 

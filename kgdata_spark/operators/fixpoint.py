@@ -182,6 +182,7 @@ def connected_components(
     checkpoint: bool = True,
     check_every: int = 2,
     stats: dict | None = None,
+    double_from: int = 3,
 ) -> DataFrame:
     """Hash-min connected components with POINTER DOUBLING → (node,
     component), component = lexicographic min node id of the component.
@@ -201,7 +202,21 @@ def connected_components(
     The convergence probe (a diff-count job) runs every `check_every`
     rounds — labels are monotone, so "no change across k rounds" is the
     same fixpoint, at 1/k the driver round-trips. `stats`, when given,
-    receives {"rounds": n} for round-count assertions in tests.
+    receives {"rounds": n, "doubled_rounds": m} for round-count
+    assertions in tests.
+
+    ADAPTIVE shortcutting (round-5, VERDICT r4 ask #3): the doubling
+    self-join only pays when label chains are DEEP — on the shallow
+    cluster graphs of real dedup/canonicalization workloads (diameter
+    2-4), every component converges within 2 propagate rounds and the
+    extra labels⋈labels join per round is pure overhead (it cost
+    alias_components 1.36→2.28 s r3→r4 at sf0.1). Rounds before
+    ``double_from`` therefore run plain hash-min; if the graph is still
+    unconverged by then — exactly the deep-chain case the shortcut
+    exists for — doubling engages for every later round, preserving the
+    O(log diameter) worst case at the cost of ``double_from-1`` early
+    rounds (a constant). ``double_from=1`` restores always-on doubling
+    (the A/B lever; PERF.md §49).
 
     Used for alias-cluster canonicalization / near-dup clustering (north
     rule's "union-find connected-components with iterative self-joins").
@@ -223,6 +238,7 @@ def connected_components(
         .select(F.col("a").alias("node"), "label")
     )
     rounds = 0
+    doubled_rounds = 0
     for it in range(max_iters):
         # (1) propagate: node's label = min(own, labels of neighbors)
         nbr = (
@@ -237,16 +253,22 @@ def connected_components(
         # (2) pointer doubling: label ← label(label). Every label value IS
         # a node id (init = min(self, neighbors); preserved inductively),
         # so the self-join is total except at tree roots (left + coalesce).
-        hop = propagated.select(
-            F.col("node").alias("h_node"), F.col("label").alias("h_label")
-        )
-        new_labels = (
-            propagated.join(hop, propagated.label == hop.h_node, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("h_label"), F.col("label")).alias("label"),
+        # Skipped for the first double_from-1 rounds (adaptive — see
+        # docstring); shallow graphs converge before it ever engages.
+        if it + 1 >= double_from:
+            doubled_rounds += 1
+            hop = propagated.select(
+                F.col("node").alias("h_node"), F.col("label").alias("h_label")
             )
-        )
+            new_labels = (
+                propagated.join(hop, propagated.label == hop.h_node, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("h_label"), F.col("label")).alias("label"),
+                )
+            )
+        else:
+            new_labels = propagated
         if checkpoint:
             new_labels = _checkpoint(new_labels)
         rounds = it + 1
@@ -267,4 +289,5 @@ def connected_components(
         und.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+        stats["doubled_rounds"] = doubled_rounds
     return labels.select("node", F.col("label").alias("component"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgdata_spark.operators.joins import maybe_broadcast
+
 
 def group_resource(
     triples: DataFrame,
@@ -60,6 +62,135 @@ def merge_resources(a: DataFrame, b: DataFrame) -> DataFrame:
         .otherwise(F.concat(x, F.filter(y, lambda v: ~F.array_contains(x, v)))),
     )
     return left.join(right, "id", "full").select("id", merged.alias("props"))
+
+
+def infer_resource_types(
+    resources: DataFrame,
+    prop2range: dict[str, str],
+    range_constraints: dict[str, list[str]] | None = None,
+    type2contradictions: dict[str, list[str]] | None = None,
+    type_pred: str = "rdf:type",
+    uri_prefix: str = "http",
+) -> DataFrame:
+    """B2's second sub-stage: infer new ``type_pred`` triples from property
+    ranges and merge them back, with contradiction-set guards — the
+    DataFrame form of the reference's ``infer_new_data`` →
+    ``groupByKey`` → ``leftOuterJoin`` → ``merge_new_triple`` chain
+    (/root/reference/kgdata/dbpedia/datasets/entities.py:62-78,175-210).
+
+    Propose (entities.py:175-190): for each source resource and each
+    ``prop → newtype`` mapping, if the resource has the property — and,
+    when ``newtype`` has a ``range_constraints`` entry, the resource
+    itself carries one of those types — the property's entity-valued
+    objects (those starting with ``uri_prefix``; literals are ignored
+    like the reference's URIRef check) nominate their LAST value as the
+    subject of a proposed ``(subject, type_pred, newtype)``. "Last" per
+    newtype across mappings mirrors the reference's dict-overwrite quirk
+    (``out[newtype] = ...`` keeps only the final URIRef seen); the
+    reference's iteration order is file order, which is not reproducible
+    — here it is pinned to the sorted object arrays group_resource
+    already emits and to ``prop2range``'s key order.
+
+    Merge (entities.py:193-210): proposals for subjects not present in
+    ``resources`` are dropped (the reference's left join is entity-side).
+    A resource with ≥1 proposal gains a ``type_pred`` entry even when
+    every proposal is rejected (the reference creates the empty list
+    before its guards — observable, so mirrored). Each proposed newtype
+    (sorted; the reference's group order is nondeterministic) is appended
+    iff its ``type2contradictions`` set is disjoint from the CURRENT type
+    list — which grows as earlier proposals land, so an accepted type can
+    contradict a later one — and it is not already present. Pure
+    Catalyst: the sequential semantics live in one ``F.aggregate`` fold
+    over the sorted proposal array; no Python crossing, no extra shuffle
+    beyond the proposal aggregation and one left join.
+    """
+    range_constraints = range_constraints or {}
+    type2contradictions = type2contradictions or {}
+
+    mappings = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("k_idx"),
+                F.lit(k).alias("prop"),
+                F.lit(nt).alias("newtype"),
+            )
+            for i, (k, nt) in enumerate(prop2range.items())
+        ]
+    )
+    constrained = {
+        nt: types for nt, types in range_constraints.items() if types
+    }
+
+    m = resources.select(
+        "id", "props", F.explode(mappings).alias("m")
+    ).where(F.map_contains_key("props", F.col("m.prop")))
+    # range-constraint gate: source must carry one of the required types
+    gate = F.lit(True)
+    for nt, types in constrained.items():
+        has = F.arrays_overlap(
+            F.coalesce(
+                F.element_at("props", F.lit(type_pred)),
+                F.array().cast("array<string>"),
+            ),
+            F.array(*[F.lit(t) for t in types]),
+        )
+        gate = F.when(F.col("m.newtype") == nt, has).otherwise(gate)
+    uri_vals = F.filter(
+        F.element_at("props", F.col("m.prop")),
+        lambda v: v.startswith(uri_prefix),
+    )
+    proposals = (
+        m.where(gate)
+        .select(
+            F.col("m.newtype").alias("newtype"),
+            F.col("m.k_idx").alias("k_idx"),
+            F.element_at(uri_vals, -1).alias("subject"),
+            F.col("id").alias("src"),
+        )
+        .where(F.col("subject").isNotNull())
+        # per (source, newtype): the dict-overwrite quirk — last mapping wins
+        .groupBy("src", "newtype")
+        .agg(F.max_by("subject", "k_idx").alias("subject"))
+        .select("subject", "newtype")
+        .distinct()
+        .groupBy(F.col("subject").alias("id"))
+        .agg(F.array_sort(F.collect_list("newtype")).alias("_proposed"))
+    )
+
+    contra = (
+        F.create_map(
+            *[
+                x
+                for nt, cs in type2contradictions.items()
+                for x in (F.lit(nt), F.array(*[F.lit(c) for c in cs]))
+            ]
+        )
+        if type2contradictions
+        else F.create_map().cast("map<string,array<string>>")
+    )
+    empty = F.array().cast("array<string>")
+    existing = F.coalesce(
+        F.element_at("props", F.lit(type_pred)), empty
+    )
+    folded = F.aggregate(
+        F.col("_proposed"),
+        existing,
+        lambda acc, nt: F.when(
+            F.arrays_overlap(acc, F.coalesce(F.element_at(contra, nt), empty))
+            | F.array_contains(acc, nt),
+            acc,
+        ).otherwise(F.concat(acc, F.array(nt))),
+    )
+    with_key = F.map_concat(
+        F.map_filter("props", lambda k, _v: k != F.lit(type_pred)),
+        F.create_map(F.lit(type_pred), folded),
+    )
+    return resources.join(maybe_broadcast(proposals), "id", "left").select(
+        "id",
+        F.when(F.col("_proposed").isNull(), F.col("props"))
+        .otherwise(with_key)
+        .alias("props"),
+    )
 
 
 def merge_sitelinks(sitelinks: DataFrame, redirect_map: DataFrame) -> DataFrame:

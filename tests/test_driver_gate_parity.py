@@ -27,166 +27,164 @@ DRIVER_WINDOW = 50
 # query past slot 50 without listing it here fails
 # test_new_queries_inside_window.
 #
-# Round-4 rotation: the 45 r2-verified queries moved INTO the window for
-# fresh driver rows; the 48 r3-driver-green queries rotated out.
+# Round-5 rotation: the never-driver-gated round-4/5 wave (code search +
+# code-corpus mining, zone maps, unigram, SCC/HITS graph family,
+# resource_infer, dedup/ANN extras) moved INTO the window; the r3/r4
+# driver-green queries rotated out.
 DOCUMENTED_OVERFLOW = {
-    # r3 driver-green (CORRECTNESS_r03.json), rotated out in round 4
-    "entity_fix_pass",
-    "entity_json_parse",
-    "class_prop_harvest",
-    "ttl_resource_extract",
-    "xml_multipage",
-    "label_merge",
-    "resource_group",
-    "resource_merge",
-    "sitelinks_merge",
-    "meta_graph_nest",
-    "prop_connections",
-    "article_links",
-    "html_tables",
-    "easy_tables",
-    "ntriples_parse",
-    "multimodal_features",
-    "media_decode",
-    "domain_caps",
-    "pii_scrub",
-    "decontaminate",
-    "invalid_qualifiers",
-    "dump_split_parse",
-    "kg_triples_incremental",
-    "kg_triples_scored",
-    "doc_repetition",
-    "dedup_lines",
+    # rotated out in round 5 (driver-green in CORRECTNESS_r03/r04)
+    # or covered by the committed full-registry local gate
+    # (CORRECTNESS_local_r04/r05.json)
     "alias_canonicalize",
-    "sample_mixture",
-    "profile_table",
-    "drop_near_dups",
-    "pack_sequences",
-    "curate_corpus",
-    "incremental_dedup",
-    "kg_triples_tfidf",
-    "corpus_split",
-    "corpus_shuffle",
-    "bucketed_join",
-    "dup_spans",
-    "span_cut_docs",
-    "dup_spans_keep_first",
-    "event_sessions",
+    "alias_components",
+    "alias_count_merge",
+    "article_links",
+    "asof_latest_order",
+    "audio_frames",
+    "basket_part_lift",
+    "bloom_prune_join",
     "bpe_token_counts",
-    "warc_ingest",
-    "pricing_summary",
-    "revenue_per_nation",
+    "bucketed_join",
+    "c4_line_rules",
+    "candidate_topk",
+    "chunk_documents",
+    "class_prop_harvest",
+    "click_attribution",
+    "cms_token_freq",
+    "community_modularity",
+    "corpus_shuffle",
+    "corpus_split",
+    "cosine_topk",
+    "cross_mapping_resolve",
+    "curate_corpus",
     "customer_order_counts",
     "customers_without_orders",
-    "top_orders_per_customer",
-    # NEW in round 4, parked past the window (the 50 slots are spent on
-    # the 45 stale-row refreshes + 2 canaries + 3 other new queries);
-    # evidenced by the committed CORRECTNESS_local_r04.json
-    "delimited_dump_parse",
-    "semantic_dedup",
-    "media_resize",
-    "lm_perplexity",
-    "chunk_documents",
-    "supplier_triangles",
-    "supplier_bfs",
-    "repeat_orders_window",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "ivf_multiprobe_topk",
-    "sorted_neighborhood",
-    "exact_jaccard_pairs",
-    "bm25_topk",
-    "state_history",
-    "bloom_prune_join",
-    "incremental_agg",
-    "cdc_chunks",
-    "cdc_shared_chunks",
-    "weighted_sample",
-    "zorder_keys",
-    "window_funnel",
-    "supplier_sssp",
-    "repo_dep_libs",
-    "order_skew_report",
-    "stratified_sample",
-    "event_hopping_counts",
-    "order_price_deciles",
+    "daily_changepoint",
+    "dataset_checksum",
+    "dataset_diff",
+    "decontaminate",
+    "dedup_lines",
+    "doc_containment",
+    "doc_fingerprint",
+    "doc_keywords",
+    "doc_quality",
+    "doc_repetition",
+    "doc_token_stats",
+    "domain_caps",
+    "drop_near_dups",
+    "dsir_select",
+    "dump_split_parse",
+    "dup_spans",
+    "dup_spans_keep_first",
+    "easy_tables",
     "edge_negative_samples",
-    "pmi_collocations",
-    "user_daily_activity",
-    # round-4 final wave, green in CORRECTNESS_local_r04.json (sf0.01)
-    # and re-checked at sf0.1 (COVERAGE.md round-4 closing evidence)
+    "embed_near_dups",
+    "entity_degrees",
+    "entity_fix_pass",
+    "entity_json_parse",
+    "er_part_matches",
+    "event_hopping_counts",
+    "event_props_agg",
+    "event_sessions",
+    "exact_dup_docs",
+    "exact_jaccard_pairs",
+    "fk_denorm_parts",
     "frequent_tokens",
     "fuzzy_part_names",
-    "spatial_close_pairs",
-    "dsir_select",
-    "temperature_mixture",
-    "snapshot_merge",
-    "random_walks",
-    "ppr_related",
-    "incremental_distinct",
     "gopher_rules",
-    "click_attribution",
-    "order_expectations",
-    "c4_line_rules",
-    "supplier_clustering",
-    "doc_keywords",
-    "audio_frames",
-    "skipgram_counts",
-    "er_part_matches",
-    "supplier_communities",
-    "url_dedup_docs",
-    "partition_prune",
-    "order_price_outliers",
-    "neighborhood_growth",
-    "doc_containment",
-    # round-4 continuation wave (this session)
-    "supplier_scc",
-    "cms_token_freq",
-    "basket_part_lift",
-    "retention_cohorts",
-    "dag_layers",
-    "class_dep_scc",
-    "hits_supplier_part",
-    "phrase_search",
-    "priority_drift",
-    "srp_near_dups",
-    "path_rollup",
+    "hierarchy_closure",
+    "html_articles",
+    "html_tables",
+    "incremental_dedup",
+    "invalid_qualifiers",
+    "ivf_topk",
+    "kg_triples_incremental",
+    "kg_triples_scored",
+    "kg_triples_tfidf",
+    "kmeans_assign",
+    "label_merge",
+    "lang_id",
+    "latest_event_per_user",
+    "lm_perplexity",
+    "lsh_near_dup_pairs",
     "markov_transitions",
-    "promo_overlap",
-    "ship_concurrency",
-    "rolling_anomaly",
-    "daily_changepoint",
-    "rfm_segments",
+    "media_decode",
+    "media_resize",
+    "mention_freqs",
+    "meta_graph_nest",
+    "meta_graph_stats",
+    "minhash_signatures",
+    "multi_source_merge",
+    "multimodal_features",
+    "ntriples_parse",
+    "order_expectations",
+    "order_price_deciles",
+    "order_price_outliers",
+    "order_skew_report",
+    "orders_cube",
+    "pack_sequences",
+    "page_ids",
+    "pagerank_supplier_part",
     "part_adamic_adar",
+    "patched_nation",
+    "path_rollup",
+    "pii_scrub",
+    "pivot_status",
+    "pmi_collocations",
+    "point_lookup",
+    "ppr_related",
+    "pred_cooccurrence",
+    "pricing_summary",
+    "priority_drift",
+    "profile_table",
+    "promo_overlap",
+    "prop_connections",
+    "property_domains",
+    "property_ranges",
     "psi_drift",
-    # round-4 code-corpus wave (north-rule input shape: repo/path/lang/
-    # content), green in the regenerated CORRECTNESS_local_r04.json
-    "code_metrics",
-    "repo_license_audit",
-    "secret_scan",
-    "function_index",
-    "function_dedup",
-    "subtoken_vocab",
-    "code_fingerprints",
-    "code_clone_pairs",
-    "clone_groups",
-    "type2_clones",
-    "repo_fn_overlap",
-    "co_change_pairs",
-    "repo_bus_factor",
-    "file_ownership",
-    "trigram_search",
-    "regex_search",
-    "dict_search",
-    "incremental_postings",
-    "patch_replay",
-    "community_modularity",
-    "call_edges",
-    "api_usage",
-    "symbol_xref",
-    "zone_prune",
-    "zorder_zone_prune",
-    "unigram_pieces",
+    "random_walks",
+    "rank_stats",
+    "redirect_fixpoint",
+    "repeat_orders_window",
+    "resource_group",
+    "resource_merge",
+    "resource_view",
+    "retention_cohorts",
+    "revenue_per_nation",
+    "rfm_segments",
+    "rolling_anomaly",
+    "salted_order_join",
+    "sample_mixture",
+    "ship_concurrency",
+    "simhash_docs",
+    "simhash_wide",
+    "sitelinks_merge",
+    "skipgram_counts",
+    "snapshot_merge",
+    "sorted_neighborhood",
+    "span_cut_docs",
+    "spatial_close_pairs",
+    "sql_dump_parse",
+    "sql_values_parse",
+    "state_history",
+    "stratified_sample",
+    "supplier_clustering",
+    "supplier_communities",
+    "supplier_triangles",
+    "temperature_mixture",
+    "top_orders_per_customer",
+    "ttl_resource_extract",
+    "typed_values",
+    "typed_values_full",
+    "url_dedup_docs",
+    "url_titles",
+    "user_daily_activity",
+    "warc_ingest",
+    "weighted_sample",
+    "window_funnel",
+    "xml_multipage",
+    "xml_pages_parse",
+    "zstd_dump_parse",
 }
 
 # Environment-gated queries: registered only where the environment

@@ -1,0 +1,148 @@
+"""B2 inference pass (operators/resources.py::infer_resource_types) vs a
+pure-python transcription of the reference's infer_new_data /
+merge_new_triple (/root/reference/kgdata/dbpedia/datasets/entities.py:
+175-210). The fixture exercises every branch: the last-URIRef-wins dict
+quirk, multi-prop→same-newtype overwrite in prop2range order, the
+range-constraint gate on the SOURCE resource, contradiction with
+pre-existing types, duplicate suppression, the created-empty-list quirk,
+the growing-accumulator contradiction (an accepted earlier type blocks a
+later proposal), and proposals to subjects absent from the table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+TYPE = "rdf:type"
+
+PROP2RANGE = {"p:govType": "T:Gov", "o:govType": "T:Gov", "o:adminOf": "T:Pol"}
+RANGE_CONSTRAINTS = {"T:Gov": ["T:Country"]}
+CONTRA = {"T:Gov": ["T:Country"], "T:Pol": ["T:Gov"]}
+
+
+def _py_infer(resources, type_pred=TYPE, uri_prefix="http"):
+    """Line-for-line model of entities.py:175-210 (dict/list mutation and
+    all), with the two nondeterministic orders pinned the way the engine
+    pins them (sorted object arrays via group_resource; sorted newtypes
+    at merge)."""
+    by_id = {rid: {k: list(v) for k, v in props.items()} for rid, props in resources}
+    grouped: dict[str, set[str]] = {}
+    for e in by_id.values():
+        out: dict[str, str] = {}
+        for k, newtype in PROP2RANGE.items():
+            if k not in e:
+                continue
+            if newtype in RANGE_CONSTRAINTS:
+                if not any(
+                    t in RANGE_CONSTRAINTS[newtype] for t in e.get(type_pred, [])
+                ):
+                    continue
+            for val in sorted(e[k]):
+                if not val.startswith(uri_prefix):
+                    continue
+                out[newtype] = val
+        for newtype, subject in out.items():
+            grouped.setdefault(subject, set()).add(newtype)
+    result = {}
+    for rid, e in by_id.items():
+        props = {k: list(v) for k, v in e.items()}
+        if rid in grouped:
+            if type_pred not in props:
+                props[type_pred] = []
+            for nt in sorted(grouped[rid]):
+                cur = props[type_pred]
+                if set(CONTRA.get(nt, [])).isdisjoint(cur):
+                    if nt in cur:
+                        continue
+                    cur.append(nt)
+        result[rid] = props
+    return result
+
+
+FIXTURE = [
+    # sources (suppliers): constraint-gated proposers
+    # s1: last-URIRef-wins — only http://n2b receives the T:Gov proposal
+    ("s1", {TYPE: ["T:Country"], "p:govType": ["http://n2a", "http://n2b"]}),
+    # s2 lacks T:Country → its T:Gov proposals are gated out entirely
+    ("s2", {TYPE: ["T:Other"], "p:govType": ["http://n3"]}),
+    # s3: two props map to T:Gov; o:govType comes later in prop2range, so
+    # its last URI (http://n5) overwrites p:govType's (http://n4)
+    ("s3", {TYPE: ["T:Country"], "p:govType": ["http://n4"],
+            "o:govType": ["http://n5", "literal x"]}),
+    # s7 proposes T:Gov to n1, which ALSO gets a T:Pol proposal from s4:
+    # sorted append lands T:Gov first and T:Pol's contradiction set
+    # {T:Gov} then blocks it — the growing-accumulator branch
+    ("s7", {TYPE: ["T:Country"], "p:govType": ["http://n1"]}),
+    ("s4", {"o:adminOf": ["http://n1"]}),
+    ("s5", {"o:adminOf": ["http://n6"]}),   # clean append after existing
+    ("s6", {"o:adminOf": ["http://missing"]}),  # subject not in table → dropped
+    # targets
+    ("http://n1", {}),                        # gains T:Gov; T:Pol blocked
+    ("http://n2a", {}),                       # overwritten away → untouched
+    ("http://n2b", {TYPE: ["T:Country"]}),    # contradiction → unchanged
+    ("http://n3", {}),                        # proposer was gated → untouched
+    ("http://n5", {TYPE: ["T:Gov"]}),         # duplicate → unchanged
+    ("http://n4", {}),                        # overwritten away → untouched
+    ("http://n6", {TYPE: ["T:X"], "x:p": ["v"]}),  # appends after existing
+]
+
+
+def test_infer_matches_reference_model(spark):
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    df = spark.createDataFrame(
+        FIXTURE, "id string, props map<string,array<string>>"
+    )
+    got = {
+        r.id: {k: list(v) for k, v in r.props.items()}
+        for r in infer_resource_types(
+            df, PROP2RANGE, RANGE_CONSTRAINTS, CONTRA
+        ).collect()
+    }
+    want = _py_infer(FIXTURE)
+    assert got == want
+    # spot-pin the interesting rows so the model itself is validated
+    assert want["http://n1"] == {TYPE: ["T:Gov"]}          # T:Pol blocked by grown acc
+    assert want["http://n2a"] == {}                        # last-URI overwrite
+    assert want["http://n2b"] == {TYPE: ["T:Country"]}     # contradiction, key existed
+    assert want["http://n3"] == {}                         # gated proposer
+    assert want["http://n5"] == {TYPE: ["T:Gov"]}          # dup suppressed
+    assert want["http://n6"] == {TYPE: ["T:X", "T:Pol"], "x:p": ["v"]}
+    assert want["http://n4"] == {}                         # last-URI overwrite
+
+
+def test_created_empty_type_list_quirk(spark):
+    # a resource whose every proposal is rejected still gains an EMPTY
+    # type entry (the reference creates the list before its guards)
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    fixture = [
+        ("s", {TYPE: ["T:Country"], "p:govType": ["http://t"]}),
+        ("http://t", {TYPE: ["T:Country"]}),  # contradicts T:Gov
+    ]
+    df = spark.createDataFrame(fixture, "id string, props map<string,array<string>>")
+    got = {
+        r.id: {k: list(v) for k, v in r.props.items()}
+        for r in infer_resource_types(df, PROP2RANGE, RANGE_CONSTRAINTS, CONTRA).collect()
+    }
+    assert got["http://t"] == {TYPE: ["T:Country"]}
+    fixture2 = [
+        ("s", {TYPE: ["T:Country"], "p:govType": ["http://t"]}),
+        ("http://t", {"x:p": ["v"]}),  # no type key at all, contradiction-free
+    ]
+    df2 = spark.createDataFrame(fixture2, "id string, props map<string,array<string>>")
+    got2 = {
+        r.id: {k: list(v) for k, v in r.props.items()}
+        for r in infer_resource_types(df2, PROP2RANGE, RANGE_CONSTRAINTS, CONTRA).collect()
+    }
+    assert got2["http://t"] == {"x:p": ["v"], TYPE: ["T:Gov"]}
+
+
+def test_no_python_in_plan(spark):
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    df = spark.createDataFrame(FIXTURE, "id string, props map<string,array<string>>")
+    plan = (
+        infer_resource_types(df, PROP2RANGE, RANGE_CONSTRAINTS, CONTRA)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
