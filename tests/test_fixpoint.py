@@ -49,6 +49,27 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert stats["rounds"] <= 12, f"pointer doubling regressed: {stats['rounds']} rounds"
 
 
+def test_adaptive_doubling_stays_off_for_shallow_graphs(spark):
+    # shallow clusters (diameter <= 2) must converge BEFORE double_from,
+    # so the labels-self-join never runs (PERF.md §51); the deep chain
+    # above must engage it (doubled_rounds > 0)
+    edges = [("a", "b"), ("a", "c"), ("d", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint=False, stats=stats).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    assert stats["doubled_rounds"] == 0, stats
+    deep = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)], ["src", "dst"]
+    )
+    stats2: dict = {}
+    connected_components(deep, stats=stats2).collect()
+    assert stats2["doubled_rounds"] > 0, stats2
+
+
 def test_connected_components_forest_and_probe_batching(spark):
     # several components of mixed shape; check_every=3 must return the
     # identical labeling (monotone labels: any no-change transition is the
