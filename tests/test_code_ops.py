@@ -230,8 +230,13 @@ def test_struct_corpus_matches_duckdb_bytes(spark):
     n = 450  # 3 repos' worth of k variation
     corpus = structured_code_corpus(spark, n)
     spark_rows = {(r.repo, r.path): r.content for r in corpus.collect()}
+    # the sf-proportional _ids_cte needs a registered supplier view; a
+    # 100-row stub pins it to the floor branch, whose range(N) the test
+    # then rewrites to the probe size
+    con = duckdb.connect()
+    con.execute("CREATE TABLE supplier AS SELECT * FROM range(100) t(s_suppkey)")
     cte = mod._STRUCT_CTE.replace(f"range({mod.STRUCT_CORPUS_N})", f"range({n})")
-    duck = duckdb.sql(
+    duck = con.sql(
         f"WITH {cte} SELECT repo, path, content FROM struct_corpus"
     ).fetchall()
     assert len(duck) == n == len(spark_rows)
@@ -244,7 +249,7 @@ def test_struct_corpus_matches_duckdb_bytes(spark):
     )
     duck_fns = {
         tuple(r)
-        for r in duckdb.sql(
+        for r in con.sql(
             f"WITH {fcte} SELECT repo, path, fn_name, n_lines, fn_text "
             f"FROM struct_funcs"
         ).fetchall()
