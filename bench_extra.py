@@ -1,0 +1,70 @@
+"""Focused benchmark harness for optimization work (guide §1.4).
+
+NOT the driver contract — bench.py is frozen for measurement. This tool
+times a named subset of the declared queries with the same methodology
+(noop sink, per-query clearCache, min-of-N) plus per-query Spark JOB
+counts (sc.statusTracker), because on this host the fixed cost per job is
+~100-200 ms (see OPTIMIZATION_r06.md "Inherited state"), so job count is
+the first-order cost model for the iterative operators.
+
+Usage:
+  python bench_extra.py q1,q2,...      # min-of-2 + job counts
+  python bench_extra.py q1 --n 3       # min-of-3
+  python bench_extra.py --top          # the round-6 target list
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TOP = (
+    "entity_fix_pass,dag_layers,supplier_scc,hits_supplier_part,media_decode,"
+    "html_tables,easy_tables,multimodal_features,dict_search,"
+    "neighborhood_growth,function_index,class_dep_scc,media_resize,"
+    "entity_json_parse,patch_replay,meta_graph_nest,ppr_related,"
+    "pagerank_supplier_part,supplier_sssp,supplier_bfs,zone_prune,"
+    "zorder_zone_prune,ivf_pq_topk,ivf_multiprobe_topk,cdc_chunks"
+)
+
+
+def main() -> None:
+    names = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else None
+    if "--top" in sys.argv:
+        names = TOP
+    n_runs = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 2
+
+    import __spark_entry__ as entry_mod
+    from kgdata_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_extra")
+    sc = spark.sparkContext
+    qs = entry_mod.queries()
+    want = names.split(",") if names else list(qs)
+    missing = [w for w in want if w not in qs]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+
+    out: dict[str, dict] = {}
+    for name in want:
+        spark.catalog.clearCache()
+        sc.setJobDescription(f"bench_extra:{name}")
+        runs, jobs = [], []
+        for _ in range(n_runs):
+            j0 = len(sc.statusTracker().getJobIdsForGroup(None))
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            jobs.append(len(sc.statusTracker().getJobIdsForGroup(None)) - j0)
+        out[name] = {"sec": min(runs), "runs": runs, "jobs": jobs[-1]}
+        print(f"{name:28s} {min(runs):8.3f}s  jobs={jobs[-1]:3d}  runs={runs}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
