@@ -93,11 +93,11 @@ def train_bpe(
     vocab = word_freqs(docs, text_col, min_freq).select(
         _chars(F.col("word")).alias("syms"), "freq"
     )
-    from kgdata_spark.operators.graph import _checkpoint
+    from kgdata_spark.operators.graph import _mark
 
     if vocab_partitions:
         vocab = vocab.repartition(vocab_partitions)
-    vocab = _checkpoint(vocab)
+    vocab = _mark(vocab)
     merges: list[tuple[str, str]] = []
     for it in range(n_merges):
         pairs = (
@@ -135,7 +135,7 @@ def train_bpe(
             _merge_pass(F.col("syms"), a, b).alias("syms"), "freq"
         )
         if (it + 1) % max(checkpoint_every, 1) == 0:
-            vocab = _checkpoint(vocab)
+            vocab = _mark(vocab)
     return merges
 
 

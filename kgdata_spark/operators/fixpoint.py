@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgdata_spark.operators.graph import _checkpoint
+from kgdata_spark.operators.graph import _checkpoint, _mark
 
 DRIVER_RESOLVE_THRESHOLD = 2_000_000
 
@@ -89,12 +89,14 @@ def resolve_redirect_fixpoint(
                 F.col("f_final").isNotNull().alias("changed"),
             )
         )
-        # checkpoint truncates the exponentially growing plan lineage —
+        # the lineage cut truncates the exponentially growing plan —
         # without it iteration i re-runs all joins 0..i-1 (reliable
-        # checkpoint when a dir is set; see graph._checkpoint).
+        # checkpoint when a dir is set; see graph._checkpoint). The cut is
+        # lazy (_mark) and the full-scan changed-count below is the ONE
+        # job per round that materializes it.
         if checkpoint:
-            jumped = _checkpoint(jumped)
-        any_changed = jumped.where(F.col("changed")).limit(1).count() > 0
+            jumped = _mark(jumped)
+        any_changed = jumped.where(F.col("changed")).count() > 0
         m = jumped.drop("changed")
         if not any_changed:
             break
@@ -270,22 +272,25 @@ def connected_components(
         else:
             new_labels = propagated
         if checkpoint:
-            new_labels = _checkpoint(new_labels)
+            new_labels = _mark(new_labels)
         rounds = it + 1
         probe = rounds % check_every == 0 or it == max_iters - 1
         if probe:
+            # full-scan diff count: ONE job that doubles as the
+            # materialization of every round marked since the last probe
             diff = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
                 .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
                 .count()
             )
         labels = new_labels
         if probe and diff == 0:
             break
     if checkpoint:
-        # eager per-round checkpoints detach `labels` from the edge plan
+        # the loop always ends on a probe round (probe is forced on the
+        # last iteration), so `labels` is materialized and detached from
+        # the edge plan before the unpersist
         und.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

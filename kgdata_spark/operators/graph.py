@@ -21,14 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
+def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage for iterative loops: reliable `checkpoint()` when
     the session has a checkpoint dir (survives executor loss on a real
     cluster — VERDICT r1 note on long loops), else `localCheckpoint`."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
+
+
+def _mark(df: DataFrame) -> DataFrame:
+    """Lineage cut WITHOUT a job: the logical plan is truncated now (the
+    returned frame wraps the checkpoint RDD), and the RDD materializes —
+    with its MEMORY_AND_DISK cache — inside the NEXT job that computes
+    it. Iterative loops pair this with a full-scan probe (``.count()``
+    over the marked frame, never ``limit(1)``: a partial scan would make
+    the checkpoint's doCheckpoint pass launch a second job for the
+    missing partitions), merging the old eager-checkpoint job into the
+    convergence probe. Every Spark job on the bench host costs a fixed
+    ~100-200 ms of scheduling (OPTIMIZATION_r06.md "Measure first"), so
+    per-round job count — not shuffle count — dominates these loops at
+    gate scale; at production scale the plan cut is identical to the
+    eager form. With a checkpoint dir configured the reliable eager
+    variant is kept (production loops must survive executor loss)."""
+    return _checkpoint(df, eager=False)
 
 
 def pagerank(
@@ -59,12 +76,15 @@ def pagerank(
     e_norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
     ).cache()
-    e_norm.count()
 
     # dangling node set is iteration-invariant; its rank mass is folded in
     # as a one-row aggregate cross-joined into the update — no per-iteration
-    # driver action, the whole iteration stays one lazy plan.
+    # driver action, the whole iteration stays one lazy plan. When the
+    # graph has NO dangling nodes (every node has an out-edge) the fold is
+    # exactly + 0.0 and is dropped from the plan outright — one take(1)
+    # probe at setup buys back one broadcast job per iteration.
     dangling_nodes = nodes.join(out_w, nodes.node == out_w.src, "left_anti").cache()
+    has_dangling = bool(dangling_nodes.take(1))
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
@@ -74,32 +94,29 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        dang_mass = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang_mass))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dang") / n
-                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
-                ).alias("rank"),
+        base = F.lit((1.0 - damping) / n)
+        if has_dangling:
+            dang_mass = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
             )
+            base = base + F.lit(damping) * F.col("_dang") / n
+        upd = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            upd = upd.crossJoin(F.broadcast(dang_mass))
+        ranks = upd.select(
+            "node",
+            (base + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias("rank"),
         )
-        # checkpoint EVERY iteration: ranks is read twice per round (contrib
-        # + dangling mass), so an unmaterialized lineage doubles per
-        # iteration — 2^iters recomputes of the edge join (measured 97s for
-        # 3 iterations at sf0.1 with a sparser cadence; ~20s with this one).
-        # localCheckpoint keeps blocks on executors (fast, but lost with the
-        # executor); when the session has a checkpoint dir configured
-        # (spark.sparkContext.setCheckpointDir) long production loops should
-        # survive executor loss, so prefer the reliable variant there.
+        # cut lineage EVERY iteration: ranks is read twice per round
+        # (contrib + dangling mass), so an unmaterialized lineage doubles
+        # per iteration — 2^iters recomputes of the edge join (measured 97s
+        # for 3 iterations at sf0.1 with a sparser cadence; ~20s with this
+        # one). The cut is LAZY (_mark): the plan is truncated per round,
+        # and all rounds materialize inside the single final action instead
+        # of one eager job per round.
         if checkpoint:
-            ranks = _checkpoint(ranks)
+            ranks = _mark(ranks)
     out = ranks
     if round_digits is not None:
         out = out.select("node", F.round("rank", round_digits).alias("rank"))
@@ -149,8 +166,11 @@ def personalized_pagerank(
     e_norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
     ).cache()
-    e_norm.count()
     dangling_nodes = nodes.join(out_w, nodes.node == out_w.src, "left_anti").cache()
+    # no dangling nodes (e.g. a symmetrized graph) ⇒ the dangling fold is
+    # exactly + 0.0·reset — drop it from the plan, saving one broadcast
+    # job per iteration (same probe-at-setup trade as `pagerank`)
+    has_dangling = bool(dangling_nodes.take(1))
 
     ranks = nodes.select("node", F.col("reset").alias("rank"))
     for _ in range(iters):
@@ -160,24 +180,25 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        dang_mass = (
-            ranks.join(dangling_nodes.select("node"), "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang_mass))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dang"))
-                    * F.col("reset")
-                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
-                ).alias("rank"),
+        reset_w = F.lit(1.0 - damping)
+        if has_dangling:
+            dang_mass = (
+                ranks.join(dangling_nodes.select("node"), "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
             )
+            reset_w = reset_w + F.lit(damping) * F.col("_dang")
+        upd = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            upd = upd.crossJoin(F.broadcast(dang_mass))
+        ranks = upd.select(
+            "node",
+            (
+                reset_w * F.col("reset")
+                + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+            ).alias("rank"),
         )
         if checkpoint:
-            ranks = _checkpoint(ranks)
+            ranks = _mark(ranks)
     out = ranks
     if round_digits is not None:
         out = out.select("node", F.round("rank", round_digits).alias("rank"))
@@ -225,8 +246,11 @@ def ancestors(
         # keep only strictly-new (node, ancestor) pairs as the next frontier
         new = step.join(closure, ["node", "ancestor"], "left_anti")
         if checkpoint:
-            new = _checkpoint(new)
-        if new.limit(1).count() == 0:
+            new = _mark(new)
+        # ONE job per hop: the count materializes the lazily-marked `new`
+        # (and, via lineage, last hop's marked `closure`) while serving as
+        # the convergence probe
+        if new.count() == 0:
             break
         closure = (
             closure.unionByName(new)
@@ -234,7 +258,7 @@ def ancestors(
             .agg(F.min("dist").alias("dist"))
         )
         if checkpoint:
-            closure = _checkpoint(closure)
+            closure = _mark(closure)
         frontier = new
     return closure
 
@@ -414,12 +438,13 @@ def bfs_distances(
             "dist", F.lit(hop)
         )
         if checkpoint:
-            new = _checkpoint(new)
-        if new.limit(1).count() == 0:
+            new = _mark(new)
+        # one job per hop: probe + lazy-checkpoint materialization merged
+        if new.count() == 0:
             break
         visited = visited.unionByName(new)
         if checkpoint:
-            visited = _checkpoint(visited)
+            visited = _mark(visited)
         frontier = new
     return visited
 
@@ -496,12 +521,13 @@ def sssp_distances(
             .select("node", "cost")
         )
         if checkpoint:
-            improved = _checkpoint(improved)
-        if improved.limit(1).count() == 0:
+            improved = _mark(improved)
+        # one job per round: probe + lazy-checkpoint materialization merged
+        if improved.count() == 0:
             break
         dist = dist.join(improved, "node", "left_anti").unionByName(improved)
         if checkpoint:
-            dist = _checkpoint(dist)
+            dist = _mark(dist)
         frontier = improved
     return dist
 
@@ -701,17 +727,19 @@ def k_core(
         e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     )
     if checkpoint:
-        sym = _checkpoint(sym)
+        sym = _mark(sym)
     for _ in range(max_rounds):
         deg = sym.groupBy("_a").agg(F.count("*").alias("_deg"))
         weak = deg.where(F.col("_deg") < k).select("_a")
-        if weak.limit(1).count() == 0:
+        # one job per round: the weak-count probe computes through (and
+        # thereby materializes) last round's lazily-marked `sym`
+        if weak.count() == 0:
             return deg.select(F.col("_a").alias("node"), F.col("_deg").alias("degree"))
         sym = sym.join(weak, "_a", "left_anti").join(
             weak.select(F.col("_a").alias("_b")), "_b", "left_anti"
         )
         if checkpoint:
-            sym = _checkpoint(sym)
+            sym = _mark(sym)
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds}; "
         "raise the bound for adversarially chain-shaped graphs"
@@ -788,7 +816,7 @@ def random_walks(
             .select("walk_id", F.col("dst").alias("cur"))
         )
         if t % checkpoint_every == 0:
-            frontier = _checkpoint(frontier)
+            frontier = _mark(frontier)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
@@ -878,7 +906,7 @@ def label_propagation(
             .select("node", "label")
         )
         if (i + 1) % 2 == 0:
-            labels = _checkpoint(labels)
+            labels = _mark(labels)
     return labels
 
 
@@ -927,12 +955,13 @@ def neighborhood_function(
             "dist", F.lit(hop)
         )
         if checkpoint:
-            new = _checkpoint(new)
-        if new.limit(1).count() == 0:
+            new = _mark(new)
+        # one job per hop: probe + lazy-checkpoint materialization merged
+        if new.count() == 0:
             break
         visited = visited.unionByName(new)
         if checkpoint:
-            visited = _checkpoint(visited)
+            visited = _mark(visited)
         frontier = new
     spark = edges.sparkSession
     radii = spark.range(0, max_radius + 1).select(
@@ -997,7 +1026,9 @@ def hyperball(
         F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball")
     )
     if checkpoint:
-        state = _checkpoint(state)
+        # lazy mark: each round's _total aggregate is the job that
+        # materializes the marked state — one job per radius, not two
+        state = _mark(state)
 
     def _total(s: DataFrame) -> float:
         return float(
@@ -1017,7 +1048,7 @@ def hyperball(
             .agg(F.hll_union_agg("ball").alias("ball"))
         )
         if checkpoint:
-            state = _checkpoint(state)
+            state = _mark(state)
         t = _total(state)
         out.append((hop, t))
         if t == out[-2][1]:
@@ -1099,12 +1130,18 @@ def strongly_connected_components(
         .distinct()
     )
     if checkpoint:
-        e_all = _checkpoint(e_all)
-        nodes = _checkpoint(nodes)
+        e_all = _mark(e_all)
+        nodes = _mark(nodes)
     done = nodes.select("node", F.col("node").alias("scc")).limit(0)
     remaining, e = nodes, e_all
+    # Job economy (this loop was 250 Spark jobs on the gate fixture, at a
+    # fixed ~100-200 ms scheduling cost per job on the bench host): every
+    # lineage cut is a LAZY _mark, and each phase's single convergence
+    # probe (.count()) is the job that materializes everything marked
+    # since the previous probe. One job per trim round / coloring round /
+    # sweep hop — the shuffle shape per round is unchanged.
     for outer in range(max_outer):
-        if remaining.limit(1).count() == 0:
+        if remaining.count() == 0:
             return done
         # -- 1. trim: no in-edge or no out-edge => singleton SCC ----------
         while True:
@@ -1113,23 +1150,26 @@ def strongly_connected_components(
             keep = remaining.join(has_in, "node", "left_semi").join(
                 has_out, "node", "left_semi"
             )
+            if checkpoint:
+                keep = _mark(keep)
             trimmed = remaining.join(keep, "node", "left_anti")
             if checkpoint:
-                keep = _checkpoint(keep)
-            if trimmed.limit(1).count() == 0:
+                trimmed = _mark(trimmed)
+            # the probe materializes `trimmed` AND (via lineage) `keep`
+            if trimmed.count() == 0:
                 break
             done = done.unionByName(
                 trimmed.select("node", F.col("node").alias("scc"))
             )
             if checkpoint:
-                done = _checkpoint(done)
+                done = _mark(done)
             remaining = keep
             e = e.join(
                 keep.select(F.col("node").alias("s")), "s", "left_semi"
             ).join(keep.select(F.col("node").alias("d")), "d", "left_semi")
             if checkpoint:
-                e = _checkpoint(e)
-        if remaining.limit(1).count() == 0:
+                e = _mark(e)
+        if remaining.count() == 0:
             return done
         # -- 2. forward min-label coloring to fixpoint ---------------------
         color = remaining.select("node", F.col("node").alias("color"))
@@ -1144,12 +1184,13 @@ def strongly_connected_components(
                 .agg(F.min("color").alias("color"))
             )
             if checkpoint:
-                new = _checkpoint(new)
+                new = _mark(new)
+            # ONE job per round: the full-scan diff count doubles as the
+            # materialization of the marked `new`
             changed = (
                 new.alias("n")
                 .join(color.alias("o"), "node")
                 .where(F.col("n.color") != F.col("o.color"))
-                .limit(1)
                 .count()
             )
             color = new
@@ -1165,9 +1206,9 @@ def strongly_connected_components(
             "node", F.col("color").alias("scc")
         )
         if checkpoint:
-            assigned = _checkpoint(assigned)
+            assigned = _mark(assigned)
         frontier = assigned
-        while frontier.limit(1).count() > 0:
+        while True:
             step = (
                 e.join(
                     frontier.select(F.col("node").alias("d"), "scc"), "d"
@@ -1182,22 +1223,28 @@ def strongly_connected_components(
                 .join(assigned, "node", "left_anti")
             )
             if checkpoint:
-                step = _checkpoint(step)
+                step = _mark(step)
+            # probe on the STEP (the old loop probed the frontier before
+            # computing it — same fixpoint, one fewer round-trip): an empty
+            # first step from the root set is identical to an empty root
+            # frontier
+            if step.count() == 0:
+                break
             assigned = assigned.unionByName(step)
             if checkpoint:
-                assigned = _checkpoint(assigned)
+                assigned = _mark(assigned)
             frontier = step
         # -- 4. peel ---------------------------------------------------------
         done = done.unionByName(assigned)
         remaining = remaining.join(assigned, "node", "left_anti")
         if checkpoint:
-            done = _checkpoint(done)
-            remaining = _checkpoint(remaining)
+            done = _mark(done)
+            remaining = _mark(remaining)
         e = e.join(
             remaining.select(F.col("node").alias("s")), "s", "left_semi"
         ).join(remaining.select(F.col("node").alias("d")), "d", "left_semi")
         if checkpoint:
-            e = _checkpoint(e)
+            e = _mark(e)
     raise RuntimeError(
         f"SCC peeling did not finish in {max_outer} outer rounds — the "
         f"remaining graph is a long chain of same-color SCCs; raise "
@@ -1246,7 +1293,7 @@ def dag_layers(
         )
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     if checkpoint:
-        e = _checkpoint(e)
+        e = _mark(e)
     layers = (
         e.select(F.col("_s").alias("node"))
         .unionAll(e.select(F.col("_d").alias("node")))
@@ -1273,12 +1320,14 @@ def dag_layers(
             .select("node", "layer")
         )
         if checkpoint:
-            grew = _checkpoint(grew)
-        if grew.limit(1).count() == 0:
+            grew = _mark(grew)
+        # one job per wave: the probe materializes the marked `grew` and,
+        # through its anti-join input, last wave's marked `layers`
+        if grew.count() == 0:
             return layers
         layers = layers.join(grew, "node", "left_anti").unionByName(grew)
         if checkpoint:
-            layers = _checkpoint(layers)
+            layers = _mark(layers)
         frontier = grew
     raise RuntimeError(
         f"dag_layers: layers still growing after {max_depth} rounds — the "
@@ -1347,7 +1396,7 @@ def hits(
                 F.coalesce(F.col("x") / F.col("_t"), F.lit(0.0)).alias(out),
             )
         )
-        return _checkpoint(res) if checkpoint else res
+        return _mark(res) if checkpoint else res
 
     for _ in range(iters):
         auth = _half(hub, "hub", "_s", "_d", "auth")
@@ -1452,7 +1501,7 @@ def modularity(
     # the canonical edge table is referenced four times below (coverage
     # probe, m, degrees, e_in) — checkpoint it so it is computed ONCE;
     # expression trees share nothing (the _ar_sorted lesson)
-    und = _checkpoint(_canonical_undirected(edges, src, dst))
+    und = _mark(_canonical_undirected(edges, src, dst))
     nodes = communities.select(F.col(node).alias("_n"), F.col(label).alias("_lb"))
     endpoints = und.select(F.explode(F.array("a", "b")).alias("_n"))
     uncovered = (

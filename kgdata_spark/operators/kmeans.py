@@ -85,9 +85,9 @@ def assign_clusters(
             )
         )
         if checkpoint:
-            from kgdata_spark.operators.graph import _checkpoint
+            from kgdata_spark.operators.graph import _mark
 
-            centroids = _checkpoint(centroids)
+            centroids = _mark(centroids)
     return assigned.select("id", F.col("cidx").alias("cluster"))
 
 def _guarded_sq_dist():
@@ -143,7 +143,7 @@ def fit_centroids_grouped(
     centroid). Breaking lineage on the k·|groups|-row table costs one
     tiny eager job per iteration and removes the hazard class.
     """
-    from kgdata_spark.operators.graph import _checkpoint
+    from kgdata_spark.operators.graph import _mark
 
     v = vectors.select(
         F.col(group_col).alias("g"),
@@ -151,7 +151,7 @@ def fit_centroids_grouped(
         F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
     )
     ws = Window.partitionBy("g").orderBy("id")
-    centroids = _checkpoint(
+    centroids = _mark(
         v.withColumn("_rn", F.row_number().over(ws))
         .where(F.col("_rn") <= k)
         .select("g", (F.col("_rn") - 1).alias("cidx"), F.col("vec").alias("cvec"))
@@ -171,7 +171,7 @@ def fit_centroids_grouped(
             .select("g", "id", "vec", "cidx")
         )
         dims = assigned.select("g", "cidx", F.posexplode("vec").alias("pos", "x"))
-        centroids = _checkpoint(
+        centroids = _mark(
             dims.groupBy("g", "cidx", "pos")
             .agg(F.round(F.avg("x"), round_digits).alias("cx"))
             .groupBy("g", "cidx")
