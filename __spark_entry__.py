@@ -1460,7 +1460,15 @@ def _order_table_html(spark: SparkSession, sf_dir: str, with_total: bool) -> Dat
         if with_total
         else F.lit("")
     )
-    return per_cust.select(
+    # AQE's byte-based coalescing shrinks this small shuffle output to ~3
+    # partitions, which then feeds the row-expensive Python HTML parse at
+    # 3-way parallelism on a 32-core box (guide §4: the crossing's cost is
+    # per ROW, not per byte). The fixture is shuffle-born and tiny, so an
+    # explicit round-robin spread to the session's parallelism is the
+    # honest shape — production corpora enter the parser from scans that
+    # already carry full parallelism.
+    n_par = spark.sparkContext.defaultParallelism
+    return per_cust.repartition(n_par).select(
         "o_custkey",
         F.format_string("http://ex.org/c/%d", F.col("o_custkey")).alias("url"),
         F.concat(

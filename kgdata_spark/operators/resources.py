@@ -117,9 +117,11 @@ def infer_resource_types(
             for i, (k, nt) in enumerate(prop2range.items())
         ]
     )
-    constrained = {
-        nt: types for nt, types in range_constraints.items() if types
-    }
+    # keep EMPTY constraint lists: the reference's `newtype in
+    # range_constraints` guard with an empty list makes `any(...)` always
+    # False, i.e. the proposal is gated off entirely — dropping the entry
+    # here would silently treat it as unconstrained (round-6 advice).
+    constrained = dict(range_constraints)
 
     m = resources.select(
         "id", "props", F.explode(mappings).alias("m")
@@ -127,12 +129,16 @@ def infer_resource_types(
     # range-constraint gate: source must carry one of the required types
     gate = F.lit(True)
     for nt, types in constrained.items():
-        has = F.arrays_overlap(
-            F.coalesce(
-                F.element_at("props", F.lit(type_pred)),
-                F.array().cast("array<string>"),
-            ),
-            F.array(*[F.lit(t) for t in types]),
+        has = (
+            F.arrays_overlap(
+                F.coalesce(
+                    F.element_at("props", F.lit(type_pred)),
+                    F.array().cast("array<string>"),
+                ),
+                F.array(*[F.lit(t) for t in types]),
+            )
+            if types
+            else F.lit(False)  # empty constraint list: always gated off
         )
         gate = F.when(F.col("m.newtype") == nt, has).otherwise(gate)
     uri_vals = F.filter(
@@ -144,7 +150,12 @@ def infer_resource_types(
         .select(
             F.col("m.newtype").alias("newtype"),
             F.col("m.k_idx").alias("k_idx"),
-            F.element_at(uri_vals, -1).alias("subject"),
+            # try_element_at: a property whose values are ALL literals has
+            # an empty uri_vals, and plain element_at(-1) raises under
+            # Spark 4's default ANSI mode — the reference skips such
+            # values and emits no proposal (entities.py:183-185), which
+            # the isNotNull() filter below reproduces (round-6 advice).
+            F.try_element_at(uri_vals, F.lit(-1)).alias("subject"),
             F.col("id").alias("src"),
         )
         .where(F.col("subject").isNotNull())

@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 from kgdata_spark.operators.checksum import dataset_checksum, row_digest
 
 MANIFEST = "_MANIFEST.json"
+# On-disk stage layout version: bumped whenever a stage's storage schema
+# changes (e.g. round 5's slim 4-column mentions form). A manifest with a
+# different (or missing) fmt is stale regardless of dependency checksums —
+# resume REBUILDS the stage instead of feeding old-layout parquet to new
+# readers (round-6 advice: unslim_mentions failed on pre-slim dirs).
+STAGE_FORMAT = 2
 
 
 def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
@@ -204,7 +210,13 @@ def write_stage(
         deps_resolved = {k: resolve_checksum(v) for k, v in (deps or {}).items()}
         with open(os.path.join(data_dir, MANIFEST), "w") as f:
             json.dump(
-                {"stage": stage, "checksum": checksum, "deps": deps_resolved}, f
+                {
+                    "stage": stage,
+                    "fmt": STAGE_FORMAT,
+                    "checksum": checksum,
+                    "deps": deps_resolved,
+                },
+                f,
             )
         return checksum
 
@@ -236,6 +248,8 @@ def has_complete_data(out_dir: str, stage: str, deps: dict | None = None) -> boo
         return False
     with open(path) as f:
         manifest = json.load(f)
+    if manifest.get("fmt") != STAGE_FORMAT:
+        return False  # stale on-disk layout: rebuild, don't misread
     resolved = {k: resolve_checksum(v) for k, v in (deps or {}).items()}
     return manifest.get("deps", {}) == resolved
 

@@ -170,8 +170,10 @@ def write_zonemapped(df: DataFrame, path: str, stats_cols: list[str]) -> int:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, ZONEMAP))
-    n = _bounds_table(spark, path).count()
-    return n // len(stats_cols)
+    # the mapped-file count is the data-file listing the write just
+    # produced — a driver metadata read, not another Spark job over the
+    # bounds table (the old count() job was pure fixed overhead)
+    return len(_list_data_files(spark, path))
 
 
 def append_zonemapped(df: DataFrame, path: str) -> int:
@@ -185,20 +187,52 @@ def append_zonemapped(df: DataFrame, path: str) -> int:
     append commit has the same crash semantics as the data append it
     describes). Returns the number of files added. The stats columns are
     the manifest's."""
+    import uuid
+
     meta = _read_meta(path)
     dtypes: dict[str, str] = meta["dtypes"]
-    df.write.mode("append").parquet(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    # schema guard (round-6 advice): an appended frame whose dtypes drift
+    # from the manifest schema would be read back — in the stats pass and
+    # by every read_pruned — with the stale write-time schema, silently
+    # coercing or nulling the new files' values. Raise instead.
+    want = {f.name: f.dataType.simpleString() for f in schema.fields}
+    got = dict(df.dtypes)
+    if got != want:
+        raise ValueError(
+            f"append_zonemapped: appended schema {sorted(got.items())} != "
+            f"manifest schema {sorted(want.items())} — rewrite the table "
+            "(write_zonemapped) for schema changes"
+        )
+    # STAGED append: write into an underscore-prefixed staging dir (invisible
+    # to data reads), then move the finished part files into the table. The
+    # new-file names are therefore KNOWN — no directory listing of the whole
+    # table (the old path's one remaining O(#files) driver-side metadata
+    # step) and no bounds anti-join job to rediscover them. Per-file rename
+    # is atomic on hdfs/local; a crash mid-move leaves orphans exactly like
+    # a crash between the old in-place append and its bounds append did, and
+    # reads stay consistent either way because read_pruned reads only
+    # manifest-listed files.
     spark = df.sparkSession
-    listing = spark.createDataFrame(
-        [(f,) for f in _list_data_files(spark, path)], "file string"
-    )
-    known = _bounds_table(spark, path).select("file").distinct()
-    new_files = [
-        r.file for r in listing.join(known, "file", "left_anti").collect()
-    ]
+    staging = os.path.join(path, "_append_" + uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    new_files = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            if not fs.rename(
+                st.getPath(), jvm.org.apache.hadoop.fs.Path(path, name)
+            ):
+                raise IOError(
+                    f"append_zonemapped: failed to move {name} into {path}"
+                )
+            new_files.append(name)
+    fs.delete(hpath, True)
     if not new_files:
         return 0
-    schema = StructType.fromJson(json.loads(meta["schema"]))
     back = (
         spark.read.schema(schema)
         .parquet(*(os.path.join(path, f) for f in new_files))
@@ -230,7 +264,6 @@ def read_pruned(
                 f"(have {meta['stats_cols']})"
             )
     table = _bounds_table(spark, path)
-    n_total = table.count() // len(meta["stats_cols"])
 
     # per bounds row: does this (file, col) pair permit survival? Rows for
     # unconstrained columns are vacuously true; a constrained column's row
@@ -242,13 +275,13 @@ def read_pruned(
         mn, mx = F.col(f"min_{pre}"), F.col(f"max_{pre}")
         cond = mn.isNotNull() & mx.isNotNull() & (mn <= F.lit(hi)) & (mx >= F.lit(lo))
         ok = F.when(F.col("col") == c, cond).otherwise(ok)
-    kept = sorted(
-        r.file
-        for r in table.groupBy("file")
-        .agg(F.bool_and(ok).alias("_keep"))
-        .where("_keep")
-        .collect()
-    )
+    # ONE aggregate job serves both outputs (round-6: the separate
+    # table.count() job for n_total was pure fixed overhead): the groupBy
+    # yields exactly one row per mapped file, so n_total is the row count
+    # and the kept files are the rows whose box test survived.
+    per_file = table.groupBy("file").agg(F.bool_and(ok).alias("_keep")).collect()
+    n_total = len(per_file)
+    kept = sorted(r.file for r in per_file if r._keep)
     schema = StructType.fromJson(json.loads(meta["schema"]))
     if kept:
         df = spark.read.schema(schema).parquet(

@@ -137,6 +137,49 @@ def test_created_empty_type_list_quirk(spark):
     assert got2["http://t"] == {"x:p": ["v"], TYPE: ["T:Gov"]}
 
 
+def test_all_literal_ranged_property_emits_no_proposal(spark):
+    # round-6 advice (high): a prop2range property holding ONLY literal
+    # (non-URI) values has an empty uri_vals — plain element_at(-1) threw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode;
+    # the reference skips literal-only values and emits no proposal
+    # (entities.py:183-185)
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    fixture = [
+        ("s", {TYPE: ["T:Country"], "p:govType": ["literal a", "literal b"]}),
+        ("http://t", {}),
+    ]
+    df = spark.createDataFrame(fixture, "id string, props map<string,array<string>>")
+    got = {
+        r.id: {k: list(v) for k, v in r.props.items()}
+        for r in infer_resource_types(
+            df, PROP2RANGE, RANGE_CONSTRAINTS, CONTRA
+        ).collect()
+    }
+    assert got == _py_infer(fixture)
+    assert got["http://t"] == {}  # no proposal reached the target
+
+
+def test_empty_constraint_list_gates_proposals_off(spark):
+    # round-6 advice (low): an EMPTY constraint list must gate the
+    # proposal off entirely (the reference's `any(...)` over an empty
+    # list is always False), not act as unconstrained
+    from kgdata_spark.operators.resources import infer_resource_types
+
+    fixture = [
+        ("s", {TYPE: ["T:Country"], "p:govType": ["http://t"]}),
+        ("http://t", {}),
+    ]
+    df = spark.createDataFrame(fixture, "id string, props map<string,array<string>>")
+    got = {
+        r.id: {k: list(v) for k, v in r.props.items()}
+        for r in infer_resource_types(
+            df, PROP2RANGE, {"T:Gov": []}, CONTRA
+        ).collect()
+    }
+    assert got["http://t"] == {}  # gated off, nothing proposed
+
+
 def test_no_python_in_plan(spark):
     from kgdata_spark.operators.resources import infer_resource_types
 
