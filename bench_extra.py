@@ -50,9 +50,29 @@ def main() -> None:
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
+    do_gc = "--gc" in sys.argv
+    if "--pipeline-first" in sys.argv:
+        # emulate the frozen bench.py flow: the pipeline + curation
+        # composites run before the query loop and leave the session's
+        # heap/workers at their high watermark
+        from bench import run_curation_bench, run_pipeline_bench
+
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+        print("pipeline warmup...", flush=True)
+        run_pipeline_bench(spark, 10_000)
+        el, n = run_pipeline_bench(spark, int(sf * 1_000_000))
+        print(f"pipeline_e2e {el:.2f}s {n} triples", flush=True)
+        spark.catalog.clearCache()
+        cel, nd, nc = run_curation_bench(spark, sf_dir)
+        print(f"curation_e2e {cel:.2f}s {nd} docs {nc} chunks", flush=True)
+
     out: dict[str, dict] = {}
     for name in want:
         spark.catalog.clearCache()
+        if do_gc:
+            t_gc = time.time()
+            spark.sparkContext._jvm.System.gc()
+            print(f"  [gc {time.time() - t_gc:.2f}s]", flush=True)
         sc.setJobDescription(f"bench_extra:{name}")
         runs, jobs = [], []
         for _ in range(n_runs):

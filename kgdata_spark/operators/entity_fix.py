@@ -69,16 +69,53 @@ def _empty_qualifiers() -> Column:
     )
 
 
+# Bucket count for the one-row dict columns (attach_dicts). A Catalyst map
+# probe (GetMapValue) is a LINEAR scan of the whole map, so a flat
+# map<string,T> dict costs O(|dict|) string compares per probe — the fix
+# pass probes every statement value and qualifier key, so with a 252-entry
+# redirect map that was ~one hundred string compares per probe. Sharding the
+# dict into an ARRAY of maps indexed by pmod(xxhash64(key), nb) makes each
+# probe O(1) array index + O(|dict|/nb) map scan — a real hash table in
+# expression land. Build cost is O(nb·|dict|) once per one-row dict frame.
+DICT_BUCKETS = 256
+
+
+def _bucketize_dict(entries: Column, nb: int = DICT_BUCKETS) -> Column:
+    """entries: array<struct<key:string,value:T>> → struct<nb:int,
+    b:array<map<string,T>>> with entry e living in bucket
+    pmod(xxhash64(e.key), nb)."""
+    return F.struct(
+        F.lit(nb).alias("nb"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda i: F.map_from_entries(
+                F.filter(
+                    entries, lambda e: F.pmod(F.xxhash64(e["key"]), F.lit(nb)) == i
+                )
+            ),
+        ).alias("b"),
+    )
+
+
+def _dict_probe(d: Column, key: Column) -> Column:
+    """try_element_at over a bucketized dict — same null semantics as the
+    flat-map probe (null key → null; absent key → null)."""
+    bucket = F.try_element_at(
+        d["b"], (F.pmod(F.xxhash64(key), d["nb"]) + F.lit(1)).cast("int")
+    )
+    return F.try_element_at(bucket, key)
+
+
 def _is_unknown(unk: Column, x: Column) -> Column:
-    return F.try_element_at(unk, x).isNotNull()
+    return _dict_probe(unk, x).isNotNull()
 
 
 def _redirected(rmap: Column, x: Column) -> Column:
-    return F.coalesce(F.try_element_at(rmap, x), x)
+    return F.coalesce(_dict_probe(rmap, x), x)
 
 
 def _rewrite_value(rmap: Column, v: Column) -> Column:
-    tgt = F.try_element_at(rmap, v["value"])
+    tgt = _dict_probe(rmap, v["value"])
     return F.when(
         (v["vtype"] == "entityid") & tgt.isNotNull(),
         F.struct(v["vtype"].alias("vtype"), tgt.alias("value")),
@@ -133,7 +170,7 @@ def _apply_renames(entries: Column, rmap: Column, entry_type: str) -> Column:
         lambda e: F.struct(
             e["key"].alias("key"),
             e["value"].alias("value"),
-            F.try_element_at(rmap, e["key"]).alias("tgt"),
+            _dict_probe(rmap, e["key"]).alias("tgt"),
         ),
     )
 
@@ -206,7 +243,7 @@ def _ar_sorted(entries: Column, rmap: Column) -> Column:
             e["key"].alias("key"),
             e["value"].alias("value"),
             i.alias("pos"),
-            F.try_element_at(rmap, e["key"]).alias("tgt"),
+            _dict_probe(rmap, e["key"]).alias("tgt"),
         ),
     )
     tagged = F.transform(
@@ -390,18 +427,18 @@ def attach_dicts(
     redirects: DataFrame,
     max_dict_rows: int = ATTACH_DICTS_MAX_ROWS,
 ) -> DataFrame:
-    """Attach `_unk` (map<id,bool>) and `_rmap` (map<old,new>) one-row map
-    columns via broadcast cross joins — the DataFrame form of the
+    """Attach `_unk` and `_rmap` one-row BUCKETIZED dict columns (see
+    `_bucketize_dict`: array of maps indexed by key hash, probed O(1) by
+    `_dict_probe`) via broadcast cross joins — the DataFrame form of the
     reference's two ``sc.broadcast`` dicts (entities.py:131-137).
 
     `unknown` must have column ``id``; `redirects` columns
     ``old_id, final_id`` (post-fixpoint, e.g. from
     canonicalize.build_redirect_map).
 
-    Both dict sides are bounds-checked (one cheap limit-probe each): map
-    columns are array-backed, so every ``try_element_at`` probe in the fix
-    pass is a linear scan of the whole dict — an sf-proportional dict makes
-    the pass quadratic. Past `max_dict_rows` this raises and points at
+    Both dict sides are bounds-checked (one cheap limit-probe each): even
+    with hash-bucketed probes an sf-proportional dict does not belong in a
+    broadcast column. Past `max_dict_rows` this raises and points at
     `fixed_entities_join`, which handles unbounded dicts with hash joins."""
     from kgdata_spark.operators.joins import assert_bounded
 
@@ -418,17 +455,15 @@ def attach_dicts(
         "use fixed_entities_join for large dicts)",
     )
     u = unknown.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("id").alias("key"), F.lit(True).alias("value")))
-        ).alias("_unk")
-    )
+        F.collect_list(
+            F.struct(F.col("id").alias("key"), F.lit(True).alias("value"))
+        ).alias("_e")
+    ).select(_bucketize_dict(F.col("_e")).alias("_unk"))
     r = redirects.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.col("old_id").alias("key"), F.col("final_id").alias("value"))
-            )
-        ).alias("_rmap")
-    )
+        F.collect_list(
+            F.struct(F.col("old_id").alias("key"), F.col("final_id").alias("value"))
+        ).alias("_e")
+    ).select(_bucketize_dict(F.col("_e")).alias("_rmap"))
     return entities.crossJoin(F.broadcast(u)).crossJoin(F.broadcast(r))
 
 

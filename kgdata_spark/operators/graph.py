@@ -17,8 +17,33 @@ outgrows the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _probe_stride() -> int:
+    """Rounds of frontier propagation between convergence probes in the
+    iterative loops (BFS / SSSP / dag_layers / SCC coloring+sweep).
+
+    Each probe is a full Spark job (count over the round's delta), and on
+    the bench host a job costs a fixed ~25-200 ms of scheduling on top of
+    its shuffles — so probing every round makes the probe, not the
+    propagation, the dominant cost once the per-round data is small.
+    Probing every k-th round runs k rounds of (lazy-checkpointed) shuffles
+    inside ONE probe job. Correctness is unaffected: the states are
+    monotone, so "no change across the whole window" is exactly the old
+    per-round convergence test, and rounds past convergence propagate an
+    empty frontier (no rows, no result change). The trade is ≤ k-1
+    overshoot rounds of empty-frontier plan execution after convergence —
+    at production scale those are empty-side joins AQE collapses, far
+    cheaper than k-1 extra probe jobs per window. Env-tunable
+    (SPARK_GRAFT_PROBE_STRIDE), default 4; 1 restores per-round probes."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_PROBE_STRIDE", "4")))
+    except ValueError:
+        return 4
 
 
 def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -428,6 +453,11 @@ def bfs_distances(
         .withColumn("dist", F.lit(0))
     )
     frontier = visited
+    # probe the frontier only every _probe_stride() hops (forced on the
+    # last hop): rounds between probes chain lazily and materialize inside
+    # the probe job; an empty unprobed frontier makes the remaining window
+    # rounds row-free no-ops, so the result is identical
+    stride = _probe_stride() if checkpoint else 1
     for hop in range(1, max_hops + 1):
         step = (
             frontier.join(e, frontier["node"] == e["_s"])
@@ -439,8 +469,7 @@ def bfs_distances(
         )
         if checkpoint:
             new = _mark(new)
-        # one job per hop: probe + lazy-checkpoint materialization merged
-        if new.count() == 0:
+        if (hop % stride == 0 or hop == max_hops) and new.count() == 0:
             break
         visited = visited.unionByName(new)
         if checkpoint:
@@ -502,7 +531,11 @@ def sssp_distances(
         .withColumn("cost", F.lit(0).cast("long"))
     )
     frontier = dist
-    for _ in range(max_hops):
+    # strided convergence probes (see _probe_stride): an empty unprobed
+    # `improved` leaves dist row-identical through the window's remaining
+    # rounds, so probing only at window ends changes nothing but job count
+    stride = _probe_stride() if checkpoint else 1
+    for r in range(max_hops):
         cand = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select(F.col("_d").alias("node"), (F.col("cost") + F.col("_w")).alias("cost"))
@@ -522,8 +555,7 @@ def sssp_distances(
         )
         if checkpoint:
             improved = _mark(improved)
-        # one job per round: probe + lazy-checkpoint materialization merged
-        if improved.count() == 0:
+        if ((r + 1) % stride == 0 or r == max_hops - 1) and improved.count() == 0:
             break
         dist = dist.join(improved, "node", "left_anti").unionByName(improved)
         if checkpoint:
@@ -1172,30 +1204,44 @@ def strongly_connected_components(
         if remaining.count() == 0:
             return done
         # -- 2. forward min-label coloring to fixpoint ---------------------
+        # DELTA-frontier propagation (the sssp_distances pattern for min-
+        # labels): a node's color can only drop when an in-neighbor's color
+        # dropped last round, so each round pushes along edges FROM the
+        # improved set only — shuffle bytes per round shrink with the
+        # frontier instead of re-shipping every edge+color, and rounds past
+        # convergence propagate an empty frontier (nearly free). The old
+        # full-scan form re-joined all of e against all colors every round.
+        # Convergence = the improvement set is empty; probes are strided
+        # (see _probe_stride) with the final round forced, preserving the
+        # non-convergence raise exactly.
         color = remaining.select("node", F.col("node").alias("color"))
-        for _ in range(max_inner):
-            pushed = (
-                e.join(color.select(F.col("node").alias("s"), "color"), "s")
+        changed_f = color
+        stride = _probe_stride() if checkpoint else 1
+        for i in range(max_inner):
+            cand = (
+                e.join(
+                    changed_f.select(F.col("node").alias("s"), "color"), "s"
+                )
                 .select(F.col("d").alias("node"), "color")
-            )
-            new = (
-                color.unionByName(pushed)
                 .groupBy("node")
                 .agg(F.min("color").alias("color"))
             )
-            if checkpoint:
-                new = _mark(new)
-            # ONE job per round: the full-scan diff count doubles as the
-            # materialization of the marked `new`
-            changed = (
-                new.alias("n")
-                .join(color.alias("o"), "node")
-                .where(F.col("n.color") != F.col("o.color"))
-                .count()
+            prev = color.select(
+                F.col("node").alias("_pn"), F.col("color").alias("_pc")
             )
-            color = new
-            if changed == 0:
+            imp = (
+                cand.join(prev, cand["node"] == prev["_pn"])
+                .where(F.col("color") < F.col("_pc"))
+                .select("node", "color")
+            )
+            if checkpoint:
+                imp = _mark(imp)
+            if ((i + 1) % stride == 0 or i == max_inner - 1) and imp.count() == 0:
                 break
+            color = color.join(imp, "node", "left_anti").unionByName(imp)
+            if checkpoint:
+                color = _mark(color)
+            changed_f = imp
         else:
             raise RuntimeError(
                 f"SCC forward coloring did not converge in {max_inner} "
@@ -1208,6 +1254,9 @@ def strongly_connected_components(
         if checkpoint:
             assigned = _mark(assigned)
         frontier = assigned
+        # strided emptiness probes, same argument as the coloring loop: an
+        # empty unprobed step keeps every later step in the window empty
+        hop = 0
         while True:
             step = (
                 e.join(
@@ -1224,11 +1273,12 @@ def strongly_connected_components(
             )
             if checkpoint:
                 step = _mark(step)
+            hop += 1
             # probe on the STEP (the old loop probed the frontier before
             # computing it — same fixpoint, one fewer round-trip): an empty
             # first step from the root set is identical to an empty root
             # frontier
-            if step.count() == 0:
+            if hop % stride == 0 and step.count() == 0:
                 break
             assigned = assigned.unionByName(step)
             if checkpoint:
@@ -1303,8 +1353,12 @@ def dag_layers(
     frontier = layers
     # max_depth + 1 rounds: a DAG of depth exactly max_depth grows for
     # max_depth rounds and needs one more to OBSERVE convergence — the
-    # valve reads "depth <= max_depth is fine", no off-by-one surprise
-    for _ in range(max_depth + 1):
+    # valve reads "depth <= max_depth is fine", no off-by-one surprise.
+    # Probes are strided (see _probe_stride): an empty unprobed `grew`
+    # leaves `layers` row-identical for the rest of the window, and the
+    # forced final-round probe keeps the cycle/depth valve exact.
+    stride = _probe_stride() if checkpoint else 1
+    for r in range(max_depth + 1):
         cand = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select(F.col("_d").alias("node"), (F.col("layer") + 1).alias("layer"))
@@ -1321,9 +1375,8 @@ def dag_layers(
         )
         if checkpoint:
             grew = _mark(grew)
-        # one job per wave: the probe materializes the marked `grew` and,
-        # through its anti-join input, last wave's marked `layers`
-        if grew.count() == 0:
+        # the probe job materializes every wave marked since the last one
+        if ((r + 1) % stride == 0 or r == max_depth) and grew.count() == 0:
             return layers
         layers = layers.join(grew, "node", "left_anti").unionByName(grew)
         if checkpoint:

@@ -1,0 +1,126 @@
+"""One-off diagnostic: count SCC phase rounds on the supplier_scc /
+class_dep_scc fixtures (guide §1 — measure before touching the loop)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgdata_spark.session import get_spark  # noqa: E402
+
+
+def scc_rounds(edges):
+    from kgdata_spark.operators.graph import _mark
+
+    e_all = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e_all = _mark(e_all)
+    nodes = _mark(nodes)
+    done = nodes.select("node", F.col("node").alias("scc")).limit(0)
+    remaining, e = nodes, e_all
+    log = []
+    for outer in range(50):
+        if remaining.count() == 0:
+            return log
+        trim_rounds = 0
+        while True:
+            has_in = e.select(F.col("d").alias("node")).distinct()
+            has_out = e.select(F.col("s").alias("node")).distinct()
+            keep = _mark(
+                remaining.join(has_in, "node", "left_semi").join(
+                    has_out, "node", "left_semi"
+                )
+            )
+            trimmed = _mark(remaining.join(keep, "node", "left_anti"))
+            n_tr = trimmed.count()
+            trim_rounds += 1
+            if n_tr == 0:
+                break
+            done = _mark(done.unionByName(trimmed.select("node", F.col("node").alias("scc"))))
+            remaining = keep
+            e = _mark(
+                e.join(keep.select(F.col("node").alias("s")), "s", "left_semi").join(
+                    keep.select(F.col("node").alias("d")), "d", "left_semi"
+                )
+            )
+        n_rem = remaining.count()
+        if n_rem == 0:
+            log.append((outer, trim_rounds, 0, 0, 0))
+            return log
+        color = remaining.select("node", F.col("node").alias("color"))
+        col_rounds = 0
+        for _ in range(100):
+            pushed = e.join(color.select(F.col("node").alias("s"), "color"), "s").select(
+                F.col("d").alias("node"), "color"
+            )
+            new = _mark(
+                color.unionByName(pushed).groupBy("node").agg(F.min("color").alias("color"))
+            )
+            changed = (
+                new.alias("n")
+                .join(color.alias("o"), "node")
+                .where(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            color = new
+            col_rounds += 1
+            if changed == 0:
+                break
+        assigned = _mark(
+            color.where(F.col("node") == F.col("color")).select(
+                "node", F.col("color").alias("scc")
+            )
+        )
+        frontier = assigned
+        sweep_rounds = 0
+        while True:
+            step = _mark(
+                e.join(frontier.select(F.col("node").alias("d"), "scc"), "d")
+                .select(F.col("s").alias("node"), "scc")
+                .distinct()
+                .join(color.withColumnRenamed("color", "scc"), ["node", "scc"], "left_semi")
+                .join(assigned, "node", "left_anti")
+            )
+            sweep_rounds += 1
+            if step.count() == 0:
+                break
+            assigned = _mark(assigned.unionByName(step))
+            frontier = step
+        done = _mark(done.unionByName(assigned))
+        remaining = _mark(remaining.join(assigned, "node", "left_anti"))
+        e = _mark(
+            e.join(remaining.select(F.col("node").alias("s")), "s", "left_semi").join(
+                remaining.select(F.col("node").alias("d")), "d", "left_semi"
+            )
+        )
+        log.append((outer, trim_rounds, n_rem, col_rounds, sweep_rounds))
+    return log
+
+
+def main():
+    spark = get_spark(app_name="scc_rounds")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).select(
+        F.col("s_suppkey").cast("long").alias("k")
+    )
+    m = s.agg(F.max("k")).first()[0] + 1
+    e = s.select(F.col("k").alias("src"), ((F.col("k") * 7 + 3) % m).alias("dst")).unionByName(
+        s.select(F.col("k").alias("src"), ((F.col("k") * 31 + 5) % m).alias("dst"))
+    )
+    print("supplier_scc fixture (outer, trim_rounds, n_remaining_after_trim, color_rounds, sweep_rounds):")
+    for row in scc_rounds(e):
+        print(row)
+
+
+if __name__ == "__main__":
+    main()
