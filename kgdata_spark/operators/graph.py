@@ -1254,21 +1254,36 @@ def strongly_connected_components(
         if checkpoint:
             assigned = _mark(assigned)
         frontier = assigned
+        # Same-color edge restriction hoisted OUT of the loop: the old
+        # per-hop left_semi against `color` re-checked color(s) == scc
+        # every hop. Restricting e to same-color endpoint pairs once makes
+        # that invariant structural — a frontier member always carries
+        # scc == its color (roots by definition, steps by induction along
+        # same-color edges) — so each hop drops one join+shuffle.
+        ec = (
+            e.join(
+                color.select(F.col("node").alias("s"), F.col("color").alias("_cs")),
+                "s",
+            )
+            .join(
+                color.select(F.col("node").alias("d"), F.col("color").alias("_cd")),
+                "d",
+            )
+            .where(F.col("_cs") == F.col("_cd"))
+            .select("s", "d")
+        )
+        if checkpoint:
+            ec = _mark(ec)
         # strided emptiness probes, same argument as the coloring loop: an
         # empty unprobed step keeps every later step in the window empty
         hop = 0
         while True:
             step = (
-                e.join(
+                ec.join(
                     frontier.select(F.col("node").alias("d"), "scc"), "d"
                 )
                 .select(F.col("s").alias("node"), "scc")
                 .distinct()
-                .join(
-                    color.withColumnRenamed("color", "scc"),
-                    ["node", "scc"],
-                    "left_semi",
-                )
                 .join(assigned, "node", "left_anti")
             )
             if checkpoint:
@@ -1440,6 +1455,13 @@ def hits(
             .groupBy("node")
             .agg(F.sum("x").alias("x"))
         )
+        if checkpoint:
+            # `raw` feeds BOTH the L1-total broadcast and the main join;
+            # unmarked it is computed twice per half-step (the broadcast
+            # job runs the whole subtree, then the result plan re-runs
+            # it). The lazy mark makes the broadcast job's materialization
+            # the shared copy.
+            raw = _mark(raw)
         tot = raw.agg(F.sum("x").alias("_t"))
         res = (
             nodes.join(raw, "node", "left")

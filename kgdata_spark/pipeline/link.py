@@ -33,11 +33,23 @@ def candidate_map(aliases: DataFrame, top_k: int = TOP_K_CANDIDATES) -> DataFram
     sorted truncation; Catalyst turns it into a single shuffle with
     partial sort.
     """
-    normed = aliases.select(
-        norm_mention(F.col("alias")).alias("norm_alias"),
-        "entity",
-        "prior",
-    ).groupBy("norm_alias", "entity").agg(F.max("prior").alias("prior"))
+    # ONE exchange for both keyed steps (guide §2.4): hash-repartition on
+    # norm_alias up front — HashPartitioning(norm_alias) satisfies the
+    # (norm_alias, entity) groupBy's clustered distribution (subset rule)
+    # AND the window's, so neither plans its own shuffle. The groupBy
+    # loses map-side partial aggregation, but (alias, entity) pairs are
+    # near-unique in alias tables (they were the combine's only fodder),
+    # so the old plan shipped the same rows TWICE through two exchanges.
+    normed = (
+        aliases.select(
+            norm_mention(F.col("alias")).alias("norm_alias"),
+            "entity",
+            "prior",
+        )
+        .repartition(F.col("norm_alias"))
+        .groupBy("norm_alias", "entity")
+        .agg(F.max("prior").alias("prior"))
+    )
     w = Window.partitionBy("norm_alias").orderBy(F.desc("prior"), F.asc("entity"))
     return (
         normed.withColumn("rank", F.row_number().over(w))

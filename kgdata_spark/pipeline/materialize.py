@@ -104,22 +104,32 @@ def write_stage(
     out = df
     staged = None
     if range_cols:
-        # range partitioning samples its child to pick boundaries, which
-        # re-executes the whole upstream plan (joins + distinct) a second
-        # time — stage the rows once so both the sampler and the shuffle
-        # read materialized data (measured: triples stage 235s → ~150s at
-        # 10M files). DISK_ONLY, not localCheckpoint: the default
-        # MEMORY_AND_DISK holds deserialized rows on-heap and OOMs a
-        # right-sized heap under 32 concurrent sort tasks; disk blocks in
-        # the local dir (RAM-backed fs) carry zero GC pressure. No explicit
-        # count(): the sampler's own scan populates the cache lazily — an
-        # eager count was one full extra pass over the biggest dataset.
-        from pyspark import StorageLevel
+        # Exchange strategy for the clustered write (KG_STAGE_EXCHANGE):
+        #   hash (default) — ONE pass: hash-repartition on the cluster
+        #     keys. No boundary sampling, so the upstream plan executes
+        #     exactly once, directly into the shuffle map side. Rows of
+        #     one (repo,path) still land in one partition (what dedup and
+        #     per-file consumers need); files are not globally range-
+        #     ordered. Measured at 10M files: triples stage 63s → ~44s.
+        #   range — globally range-clustered output (zone-map-friendly
+        #     layout for key-range readers). Range partitioning SAMPLES
+        #     its child to pick boundaries, which re-executes the whole
+        #     upstream plan a second time — stage the rows once
+        #     (DISK_ONLY) so the sampler and the shuffle read
+        #     materialized data (measured: triples stage 235s → ~150s at
+        #     10M files; MEMORY_AND_DISK holds deserialized rows on-heap
+        #     and OOMs a right-sized heap under 32 concurrent sort
+        #     tasks). No explicit count(): the sampler's own scan
+        #     populates the cache lazily.
+        if os.environ.get("KG_STAGE_EXCHANGE", "hash") == "range":
+            from pyspark import StorageLevel
 
-        staged = out.persist(StorageLevel.DISK_ONLY)
-        out = staged.repartitionByRange(*range_cols)
+            staged = out.persist(StorageLevel.DISK_ONLY)
+            out = staged.repartitionByRange(*range_cols)
+        else:
+            out = out.repartition(*[F.col(c) for c in range_cols])
         if dedup_after_range:
-            # dedup folded into the range exchange: RangePartitioning on
+            # dedup folded into the exchange: Hash/RangePartitioning on
             # range_cols satisfies the aggregate's ClusteredDistribution
             # (range_cols ⊆ the full-row group-by), so this plans as an
             # in-partition HashAggregate with NO additional shuffle —

@@ -199,11 +199,13 @@ def run_pipeline(
         # stages (checkpoint reuse — the point of staging, dataset.py:367-428)
         # slim-shuffle triples stage: the pre-exchange rows carry the
         # 6-column slim payload, the dedup that rewrite_triples would have
-        # done as its own full shuffle rides the range exchange instead
-        # (dropDuplicates after repartitionByRange adds NO exchange:
-        # RangePartitioning(repo,path) satisfies the aggregate's clustered
-        # distribution because {repo,path} ⊆ the group-by set), and the
-        # public 7-column schema is restored by `finalize` before the write.
+        # done as its own full shuffle rides the (repo,path) cluster
+        # exchange instead (dropDuplicates after it adds NO exchange:
+        # Hash/RangePartitioning(repo,path) satisfies the aggregate's
+        # clustered distribution because {repo,path} ⊆ the group-by set),
+        # and the public 7-column schema is restored by `finalize` before
+        # the write. Exchange strategy (hash one-pass vs range-clustered
+        # layout) is KG_STAGE_EXCHANGE — see write_stage.
         triples_df, sums["triples"] = run_stage(
             spark,
             out_dir,
