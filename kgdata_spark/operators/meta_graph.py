@@ -59,11 +59,30 @@ def meta_graph(
         "id", "pid", "sidx",
         F.when(F.col("s.value.vtype") == "entityid", F.col("s.value.value")).alias("_tgt"),
     )
-    v_joined = vals.join(cls, "_tgt", "left").select(
+    # ONE exchange for the whole re-nest chain (guide §2.4). The old plan
+    # stitched a per-statement value frame and a per-statement qualifier
+    # map with a (id,pid,sidx) join, which forced BOTH sides onto
+    # (id,pid,sidx) exchanges and then re-exchanged for the (id,pid) and
+    # (id) re-nest groupBys — five same-size shuffles of the flattened
+    # statement stream. Instead the two streams UNION (value rows carry a
+    # null qid; qualifier rows carry a null value payload) and the union
+    # is hash-partitioned by `id` once: every downstream groupBy key set
+    # ((id,pid,sidx,qid) → (id,pid,sidx) → (id,pid) → (id)) contains id,
+    # so by the subset rule none of them plans its own shuffle, and the
+    # stitch join disappears entirely — the (id,pid,sidx) aggregate
+    # assembles value_classes and the qualifier map together.
+    v_rows = vals.join(cls, "_tgt", "left").select(
         "id", "pid", "sidx",
-        F.when(F.col("_tgt").isNotNull(), F.coalesce("_cls", empty_cls)).alias(
-            "value_classes"
-        ),
+        F.lit(None).cast("string").alias("qid"),
+        F.lit(None).cast("int").alias("qidx"),
+        F.lit(None).cast("array<string>").alias("c"),
+        # struct wrapper so first(ignorenulls) can carry a legitimately
+        # NULL value_classes (literal statement values) without losing it
+        F.struct(
+            F.when(F.col("_tgt").isNotNull(), F.coalesce("_cls", empty_cls)).alias(
+                "vc"
+            )
+        ).alias("v"),
     )
 
     # qualifier values: literal values are DROPPED (join_target_types,
@@ -73,29 +92,36 @@ def meta_graph(
     ).select(
         "id", "pid", "sidx", "qid", F.posexplode("qvals").alias("qidx", "qv")
     ).where(F.col("qv.vtype") == "entityid")
-    q_joined = q.join(
-        cls, q.qv.value == cls._tgt, "left"
-    ).select("id", "pid", "sidx", "qid", "qidx", F.coalesce("_cls", empty_cls).alias("c"))
-    q_per_qid = q_joined.groupBy("id", "pid", "sidx", "qid").agg(
+    q_rows = q.join(cls, q.qv.value == cls._tgt, "left").select(
+        "id", "pid", "sidx", "qid", "qidx",
+        F.coalesce("_cls", empty_cls).alias("c"),
+        F.lit(None).cast("struct<vc:array<string>>").alias("v"),
+    )
+    u = v_rows.unionByName(q_rows).repartition(F.col("id"))
+    # per-(stmt, qid) class lists, qidx order pinned; the value row rides
+    # along as the null-qid group of its statement
+    g1 = u.groupBy("id", "pid", "sidx", "qid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("qidx", F.col("c").alias("c")))),
             lambda x: x["c"],
-        ).alias("cs")
+        ).alias("cs"),
+        F.first("v", ignorenulls=True).alias("v"),
     )
-    q_map = q_per_qid.groupBy("id", "pid", "sidx").agg(
-        F.map_from_entries(F.collect_list(F.struct("qid", "cs"))).alias("qualifiers")
-    )
-
-    empty_qmap = F.map_from_entries(
-        F.array().cast("array<struct<key:string,value:array<array<string>>>>")
-    )
-    meta_stmt = v_joined.join(q_map, ["id", "pid", "sidx"], "left").select(
-        "id", "pid", "sidx",
+    meta_stmt = g1.groupBy("id", "pid", "sidx").agg(
         F.struct(
-            F.col("value_classes").alias("value_classes"),
-            F.coalesce("qualifiers", empty_qmap).alias("qualifiers"),
+            F.first(F.when(F.col("qid").isNull(), F.col("v")), ignorenulls=True)[
+                "vc"
+            ].alias("value_classes"),
+            # when(qid isNull) -> NULL entries are skipped by collect_list,
+            # so statements with no entity-valued qualifiers get {} exactly
+            # like the old left-join + coalesce(empty map)
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("qid").isNotNull(), F.struct("qid", "cs"))
+                )
+            ).alias("qualifiers"),
         ).alias("ms"),
-    )
+    ).select("id", "pid", "sidx", "ms")
     # custom comparator REQUIRED here: ms carries a map column, and the
     # default struct ordering type-checks every field's orderability at
     # analysis time (INVALID_ORDERING_TYPE) even though sidx alone decides
