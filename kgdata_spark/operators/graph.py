@@ -1211,21 +1211,46 @@ def strongly_connected_components(
         # frontier instead of re-shipping every edge+color, and rounds past
         # convergence propagate an empty frontier (nearly free). The old
         # full-scan form re-joined all of e against all colors every round.
+        #
+        # ADAPTIVE POINTER DOUBLING (the fixpoint.connected_components
+        # shortcut, valid for DIRECTED min-reach): every color value is the
+        # id of a node that REACHES its holder (init: v reaches v; edge
+        # push: color(u) reaches u → reaches v over u→v; shortcut:
+        # color(color(v)) reaches color(v) which reaches v), so
+        # color(v) ← min(color(v), color(color(v))) is always sound and
+        # halves label-chain depth per round — O(log diameter) rounds on
+        # chain-shaped reachability instead of O(diameter). Like the CC
+        # operator it engages only from round `double_from` on (shallow
+        # graphs converge before paying the O(V) self-join; deep ones —
+        # exactly the long-chain case — get the log bound).
+        #
         # Convergence = the improvement set is empty; probes are strided
         # (see _probe_stride) with the final round forced, preserving the
-        # non-convergence raise exactly.
+        # non-convergence raise exactly. Delta pushes stay complete under
+        # doubling: any improvement (push or shortcut) enters the frontier
+        # and is re-pushed next round.
         color = remaining.select("node", F.col("node").alias("color"))
         changed_f = color
         stride = _probe_stride() if checkpoint else 1
+        double_from = 3
         for i in range(max_inner):
             cand = (
                 e.join(
                     changed_f.select(F.col("node").alias("s"), "color"), "s"
                 )
                 .select(F.col("d").alias("node"), "color")
-                .groupBy("node")
-                .agg(F.min("color").alias("color"))
             )
+            if i + 1 >= double_from:
+                # shortcut candidates: node's current color's color
+                ptr = color.select(
+                    F.col("node").alias("_cn"), F.col("color").alias("_cc")
+                )
+                sc = (
+                    color.join(ptr, color["color"] == ptr["_cn"])
+                    .select("node", F.col("_cc").alias("color"))
+                )
+                cand = cand.unionByName(sc)
+            cand = cand.groupBy("node").agg(F.min("color").alias("color"))
             prev = color.select(
                 F.col("node").alias("_pn"), F.col("color").alias("_pc")
             )

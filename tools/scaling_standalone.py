@@ -1,0 +1,152 @@
+"""Resource-faithful N vs 4N scaling pair (VERDICT r5 ask #1).
+
+Round 5 proved single-process local[N] emulation is structurally biased:
+all N threads share one JVM heap, one allocator, and one L3 slice, so the
+4N level is starved of per-core cache/memory channels that a real 4N-
+executor cluster brings with it (~0.75 ceiling, BASELINE.md §r5). The
+rule's cluster comparison is N vs 4N *executors*, each with its own heap.
+
+This harness runs the SAME pipeline on a standalone master with N vs 4N
+SINGLE-CORE executors at IDENTICAL per-executor memory
+(spark.executor.cores=1, spark.executor.memory fixed), so per-executor
+heap/GC is constant across levels — the resource shape the rule names.
+The N-core level is CPU-pinned (taskset 0..N-1) like bench.py --scaling.
+
+Usage: python tools/scaling_standalone.py [n_files=10000000] [repeats=3]
+Prints one JSON line per level + a summary line. Master/worker are
+launched from the pip pyspark jars (the sandbox has no spark distro);
+each level gets a fresh worker and a fresh driver process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pyspark  # noqa: E402
+
+SPARK = pyspark.__path__[0]
+MASTER_URL = "spark://127.0.0.1:7077"
+EXEC_MEM = "2g"  # FIXED per executor at every level — the point of the harness
+
+_CHILD = """
+import sys, json
+sys.path.insert(0, ".")
+from kgdata_spark.session import get_spark
+from bench import run_pipeline_bench
+cores, n_files, corpus, repeats = int(sys.argv[1]), int(sys.argv[2]), json.loads(sys.argv[3]), int(sys.argv[4])
+spark = get_spark(
+    app_name=f"kgscale_standalone_{cores}",
+    master="spark://127.0.0.1:7077",
+    shuffle_partitions=max(cores, 8),
+    extra_conf={
+        "spark.executor.cores": "1",
+        "spark.executor.memory": "2g",
+        "spark.cores.max": str(cores),
+        "spark.executor.memoryOverhead": "512m",
+        "spark.ui.enabled": "false",
+        # all executors share one host: every shuffle block is NODE_LOCAL,
+        # never PROCESS_LOCAL, and the default 3s locality wait serializes
+        # scheduling across N executors. A real multi-node cluster tunes
+        # this the same way for evenly-spread shuffle reads.
+        "spark.locality.wait": "0s",
+    },
+)
+run_pipeline_bench(spark, 10_000)  # JVM/codegen warmup
+runs = [run_pipeline_bench(spark, n_files, corpus=corpus) for _ in range(repeats)]
+el, n = min(runs)
+print(json.dumps({"sec": round(el, 2), "triples": n,
+                  "triples_per_sec": round(n / el, 1),
+                  "runs_sec": [round(e, 2) for e, _ in runs]}))
+"""
+
+
+def _java() -> str:
+    return "java"
+
+
+def _start(cls: str, args: list[str], log: str, pin: str | None = None,
+           extra_env: dict | None = None) -> subprocess.Popen:
+    cmd = [_java(), "-Xmx1g", "-cp", f"{SPARK}/jars/*", cls] + args
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", pin] + cmd
+    env = dict(os.environ)
+    env.update({"SPARK_HOME": SPARK, "SPARK_SCALA_VERSION": "2.13"})
+    env.update(extra_env or {})
+    return subprocess.Popen(cmd, stdout=open(log, "w"), stderr=subprocess.STDOUT, env=env)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    from bench import _fast_tmp, materialize_corpus
+    from kgdata_spark.session import get_spark
+
+    base = tempfile.mkdtemp(prefix="kgsa_", dir=_fast_tmp())
+    work = tempfile.mkdtemp(prefix="kgsa_work_", dir=_fast_tmp())
+    local_dirs = tempfile.mkdtemp(prefix="kgsa_local_", dir=_fast_tmp())
+    prep = get_spark(app_name="kgsa_prep", master="local[8]")
+    corpus = materialize_corpus(prep, n_files, base)
+    prep.stop()
+
+    master = _start(
+        "org.apache.spark.deploy.master.Master",
+        ["--host", "127.0.0.1", "--port", "7077", "--webui-port", "0"],
+        "/tmp/kgsa_master.log",
+    )
+    time.sleep(6)
+    results: dict[str, dict] = {}
+    try:
+        for cores in (8, 32):
+            pin = f"0-{cores - 1}" if cores < (os.cpu_count() or cores) else None
+            worker = _start(
+                "org.apache.spark.deploy.worker.Worker",
+                [MASTER_URL, "--host", "127.0.0.1", "--cores", str(cores),
+                 "--memory", f"{cores * 3}g", "--webui-port", "0",
+                 "--work-dir", work],
+                f"/tmp/kgsa_worker_{cores}.log",
+                pin=pin,
+                extra_env={"SPARK_LOCAL_DIRS": local_dirs},
+            )
+            time.sleep(6)
+            cmd = [sys.executable, "-c", _CHILD, str(cores), str(n_files),
+                   json.dumps(corpus), str(repeats)]
+            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                                 timeout=7200)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"level {cores} produced no result; stderr tail:\n"
+                    f"{out.stderr[-3000:]}"
+                )
+            results[f"exec_{cores}x1core"] = json.loads(lines[-1])
+            print(json.dumps({f"exec_{cores}x1core": results[f"exec_{cores}x1core"]}),
+                  flush=True)
+            worker.terminate()
+            worker.wait(timeout=30)
+            time.sleep(2)
+    finally:
+        master.terminate()
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(local_dirs, ignore_errors=True)
+    t8 = results["exec_8x1core"]["triples_per_sec"]
+    t32 = results["exec_32x1core"]["triples_per_sec"]
+    print(json.dumps({
+        "n_files": n_files,
+        "exec_mem_per_executor": EXEC_MEM,
+        "scaling_efficiency_8_to_32": round(t32 / (t8 * 4.0), 3),
+        **results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
