@@ -93,10 +93,15 @@ def resolve_redirect_fixpoint(
         # without it iteration i re-runs all joins 0..i-1 (reliable
         # checkpoint when a dir is set; see graph._checkpoint). The cut is
         # lazy (_mark) and the full-scan changed-count below is the ONE
-        # job per round that materializes it.
+        # job per round that materializes it. checkpoint=False has nothing
+        # to materialize — limit(1) avoids re-executing the compounding
+        # lineage per probe (see connected_components).
         if checkpoint:
             jumped = _mark(jumped)
-        any_changed = jumped.where(F.col("changed")).count() > 0
+        changed_rows = jumped.where(F.col("changed"))
+        any_changed = (
+            changed_rows.count() if checkpoint else changed_rows.limit(1).count()
+        ) > 0
         m = jumped.drop("changed")
         if not any_changed:
             break
@@ -276,14 +281,19 @@ def connected_components(
         rounds = it + 1
         probe = rounds % check_every == 0 or it == max_iters - 1
         if probe:
-            # full-scan diff count: ONE job that doubles as the
-            # materialization of every round marked since the last probe
-            diff = (
+            # full-scan diff count WHEN CHECKPOINTING: one job that
+            # doubles as the materialization of every round marked since
+            # the last probe. With checkpoint=False there is nothing to
+            # materialize and lineage compounds per round (the doubling
+            # self-join references the labels twice, so the un-truncated
+            # plan grows ~2^rounds) — a full count would re-execute that
+            # whole tree per probe; limit(1) short-circuits it.
+            d = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
                 .where(F.col("n.label") != F.col("o.label"))
-                .count()
             )
+            diff = d.count() if checkpoint else d.limit(1).count()
         labels = new_labels
         if probe and diff == 0:
             break

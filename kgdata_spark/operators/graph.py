@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _probe_empty(df: DataFrame, checkpoint: bool) -> bool:
+    """Convergence probe. When checkpointing, a FULL count — the probe job
+    doubles as the materialization of every lazily-marked round since the
+    last probe (see _mark). With checkpoint=False there is nothing to
+    materialize and the loop's lineage compounds per round — a full count
+    would re-execute that whole tree per probe, so limit(1) short-circuits
+    (checkpoint=False is the tiny-in-test-graph mode only)."""
+    if checkpoint:
+        return df.count() == 0
+    return df.limit(1).count() == 0
+
+
 def _probe_stride() -> int:
     """Rounds of frontier propagation between convergence probes in the
     iterative loops (BFS / SSSP / dag_layers / SCC coloring+sweep).
@@ -275,7 +287,7 @@ def ancestors(
         # ONE job per hop: the count materializes the lazily-marked `new`
         # (and, via lineage, last hop's marked `closure`) while serving as
         # the convergence probe
-        if new.count() == 0:
+        if _probe_empty(new, checkpoint):
             break
         closure = (
             closure.unionByName(new)
@@ -469,7 +481,7 @@ def bfs_distances(
         )
         if checkpoint:
             new = _mark(new)
-        if (hop % stride == 0 or hop == max_hops) and new.count() == 0:
+        if (hop % stride == 0 or hop == max_hops) and _probe_empty(new, checkpoint):
             break
         visited = visited.unionByName(new)
         if checkpoint:
@@ -555,7 +567,7 @@ def sssp_distances(
         )
         if checkpoint:
             improved = _mark(improved)
-        if ((r + 1) % stride == 0 or r == max_hops - 1) and improved.count() == 0:
+        if ((r + 1) % stride == 0 or r == max_hops - 1) and _probe_empty(improved, checkpoint):
             break
         dist = dist.join(improved, "node", "left_anti").unionByName(improved)
         if checkpoint:
@@ -765,7 +777,7 @@ def k_core(
         weak = deg.where(F.col("_deg") < k).select("_a")
         # one job per round: the weak-count probe computes through (and
         # thereby materializes) last round's lazily-marked `sym`
-        if weak.count() == 0:
+        if _probe_empty(weak, checkpoint):
             return deg.select(F.col("_a").alias("node"), F.col("_deg").alias("degree"))
         sym = sym.join(weak, "_a", "left_anti").join(
             weak.select(F.col("_a").alias("_b")), "_b", "left_anti"
@@ -989,7 +1001,7 @@ def neighborhood_function(
         if checkpoint:
             new = _mark(new)
         # one job per hop: probe + lazy-checkpoint materialization merged
-        if new.count() == 0:
+        if _probe_empty(new, checkpoint):
             break
         visited = visited.unionByName(new)
         if checkpoint:
@@ -1173,7 +1185,7 @@ def strongly_connected_components(
     # since the previous probe. One job per trim round / coloring round /
     # sweep hop — the shuffle shape per round is unchanged.
     for outer in range(max_outer):
-        if remaining.count() == 0:
+        if _probe_empty(remaining, checkpoint):
             return done
         # -- 1. trim: no in-edge or no out-edge => singleton SCC ----------
         while True:
@@ -1188,7 +1200,7 @@ def strongly_connected_components(
             if checkpoint:
                 trimmed = _mark(trimmed)
             # the probe materializes `trimmed` AND (via lineage) `keep`
-            if trimmed.count() == 0:
+            if _probe_empty(trimmed, checkpoint):
                 break
             done = done.unionByName(
                 trimmed.select("node", F.col("node").alias("scc"))
@@ -1201,7 +1213,7 @@ def strongly_connected_components(
             ).join(keep.select(F.col("node").alias("d")), "d", "left_semi")
             if checkpoint:
                 e = _mark(e)
-        if remaining.count() == 0:
+        if _probe_empty(remaining, checkpoint):
             return done
         # -- 2. forward min-label coloring to fixpoint ---------------------
         # DELTA-frontier propagation (the sssp_distances pattern for min-
@@ -1261,7 +1273,7 @@ def strongly_connected_components(
             )
             if checkpoint:
                 imp = _mark(imp)
-            if ((i + 1) % stride == 0 or i == max_inner - 1) and imp.count() == 0:
+            if ((i + 1) % stride == 0 or i == max_inner - 1) and _probe_empty(imp, checkpoint):
                 break
             color = color.join(imp, "node", "left_anti").unionByName(imp)
             if checkpoint:
@@ -1318,7 +1330,7 @@ def strongly_connected_components(
             # computing it — same fixpoint, one fewer round-trip): an empty
             # first step from the root set is identical to an empty root
             # frontier
-            if hop % stride == 0 and step.count() == 0:
+            if hop % stride == 0 and _probe_empty(step, checkpoint):
                 break
             assigned = assigned.unionByName(step)
             if checkpoint:
@@ -1416,7 +1428,7 @@ def dag_layers(
         if checkpoint:
             grew = _mark(grew)
         # the probe job materializes every wave marked since the last one
-        if ((r + 1) % stride == 0 or r == max_depth) and grew.count() == 0:
+        if ((r + 1) % stride == 0 or r == max_depth) and _probe_empty(grew, checkpoint):
             return layers
         layers = layers.join(grew, "node", "left_anti").unionByName(grew)
         if checkpoint:

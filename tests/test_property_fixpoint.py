@@ -48,7 +48,11 @@ def test_connected_components_fuzz(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {
         r.node: r.component
-        for r in connected_components(df, checkpoint=False).collect()
+        # default checkpoint=True: the production mode, and since the
+        # round-6 lazy lineage cuts also the cheap one — checkpoint=False
+        # leaves the doubling self-join's logical plan compounding
+        # ~2^rounds, which made this fuzz file dominate the suite wall
+        for r in connected_components(df).collect()
     }
     assert got == dsu_components(edges)
 
@@ -79,7 +83,7 @@ def test_resolve_redirects_fuzz(spark, data):
     df = spark.createDataFrame(pairs, "old_id string, new_id string")
     got = {
         r.old_id: r.final_id
-        for r in resolve_redirect_fixpoint(df, checkpoint=False).collect()
+        for r in resolve_redirect_fixpoint(df).collect()
     }
     assert got == {o: follow(o) for o in rmap}
 
@@ -107,8 +111,6 @@ def test_connected_components_auto_fuzz(spark, edges):
     assert fast == expect and stats.get("driver_resolved") is True
     dist = {
         r.node: r.component
-        for r in connected_components_auto(
-            df, checkpoint=False, driver_threshold=0
-        ).collect()
+        for r in connected_components_auto(df, driver_threshold=0).collect()
     }
     assert dist == expect
